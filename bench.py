@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the queries that exercise the heavy operators (big agg,
+# 3-way join, window, dedup/similarity once implemented).
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q04_brand_revenue",
+    "q07_topk_per_group",
+    "q09_rollup",
+    "q11_distinct_agg",
+    "q15_json_extract",
+    "q16_sessionize",
+]
+
+
+def main() -> None:
+    from jobx_spark.queries import all_queries
+    from jobx_spark.session import get_spark
+
+    spark = get_spark("jobx_spark_bench")
+    qs = all_queries()
+    names = [n for n in HEADLINE if n in qs]
+    # extend with any llm-ops headliners present
+    for n in qs:
+        if n.startswith(("dedup_", "ann_", "text_")) and n not in names:
+            names.append(n)
+
+    # warm the JVM + parquet footers once (not timed)
+    qs["q01_pricing_summary"](spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.monotonic()
+        df = qs[name](spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.monotonic() - t0, 3)
+        print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)
+
+    sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

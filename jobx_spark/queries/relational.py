@@ -1,0 +1,651 @@
+"""Relational operator surface: scans, filter/project, joins (broadcast/
+semi/anti), aggregations (hash, distinct, rollup/cube/grouping sets),
+windows (ranking + running frames), sorts/limits, set ops, scalar
+functions, JSON extraction, sessionization, pivot.
+
+The reference engine has none of these as distinct operators (SURVEY.md
+§2.2) — its relational algebra is flatMap → groupByKey → reduce. This
+module is the Spark-native surface that makes the capability checklist
+concrete, one named query per operator family, each with a DuckDB
+oracle.
+
+Determinism rules used throughout (see jobx_spark.functions):
+  * double aggregation goes through exact DECIMAL(38,s) sums;
+  * every ORDER BY / LIMIT has a unique tiebreak key;
+  * derived integers are cast to BIGINT on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from jobx_spark.functions import davg, davg_sql, dsum, dsum_sql
+from jobx_spark.sources import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# q01: TPC-H Q1-style pricing summary — groupBy + many aggregates.
+# Scale notes: single shuffle on two low-cardinality keys; partial
+# aggregation (map-side combine) collapses 100 TB to ~6 groups per task
+# before the exchange, so the shuffle is O(tasks), not O(rows).
+# --------------------------------------------------------------------------
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1999-12-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_Q01 = f"""
+SELECT l_returnflag, l_linestatus,
+       {dsum_sql('l_quantity')} AS sum_qty,
+       {dsum_sql('l_extendedprice')} AS sum_base_price,
+       {dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {davg_sql('l_quantity')} AS avg_qty,
+       {davg_sql('l_extendedprice')} AS avg_price,
+       {davg_sql('l_discount')} AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1999-12-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# q02: filter + projection — Catalyst pushes both into the parquet scan
+# (check: PushedFilters + 2-column ReadSchema in .explain).
+# --------------------------------------------------------------------------
+def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_quantity") > 45) & (F.col("l_discount") < 0.02))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+ORACLE_Q02 = """
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem
+WHERE l_quantity > 45 AND l_discount < 0.02
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+# --------------------------------------------------------------------------
+# q03: TPC-H Q3-style 3-way join + agg + top-N. customer is small →
+# broadcast; lineitem⨝orders is the big shuffle join, on the join key
+# both sides are already keyed by (AQE picks SMJ/SHJ and coalesces).
+# --------------------------------------------------------------------------
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-01-01"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+ORACLE_Q03 = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# q04: broadcast dim join — part (tiny) broadcast to every lineitem task:
+# zero shuffle for the join itself; only the final agg exchanges ~N(brand)
+# rows per task.
+# --------------------------------------------------------------------------
+def q04_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+ORACLE_Q04 = f"""
+SELECT p_brand,
+       {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+# --------------------------------------------------------------------------
+# q05: left-semi join (EXISTS) — orders that have at least one high-
+# quantity line. Semi join ships only the join key, no payload dup.
+# --------------------------------------------------------------------------
+def q05_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+ORACLE_Q05 = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+ORDER BY o_orderkey
+"""
+
+
+# --------------------------------------------------------------------------
+# q06: left-anti join (NOT EXISTS) — customers with no orders.
+# --------------------------------------------------------------------------
+def q06_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+ORACLE_Q06 = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# q07: ranking window — top-3 orders per customer by totalprice.
+# Single shuffle on the partition key; rank prune happens before any
+# further join, so at scale this is the canonical top-k-per-group.
+# --------------------------------------------------------------------------
+def q07_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+        .orderBy("o_custkey", "rk")
+    )
+
+
+ORACLE_Q07 = """
+SELECT o_custkey, o_orderkey, o_totalprice, rk
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rk
+      FROM orders)
+WHERE rk <= 3
+ORDER BY o_custkey, rk
+"""
+
+
+# --------------------------------------------------------------------------
+# q08: running-frame window — cumulative quantity per supplier in ship
+# order (unbounded-preceding row frame, unique tiebreaks).
+# --------------------------------------------------------------------------
+def q08_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 5)
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        li.withColumn(
+            "running_qty",
+            F.sum(F.col("l_quantity").cast("decimal(38,8)"))
+            .over(w)
+            .cast("string")
+            .cast("double"),
+        )
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "l_shipdate", "running_qty")
+        .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
+    )
+
+
+ORACLE_Q08 = """
+SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,8))) OVER (
+            PARTITION BY l_suppkey
+            ORDER BY l_shipdate, l_orderkey, l_linenumber
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
+            AS running_qty
+FROM lineitem
+WHERE l_suppkey <= 5
+ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber
+"""
+
+
+# --------------------------------------------------------------------------
+# q09: rollup — hierarchical subtotals returnflag → linestatus → grand.
+# --------------------------------------------------------------------------
+def q09_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), dsum("l_quantity").alias("qty"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first()
+        )
+    )
+
+
+ORACLE_Q09 = f"""
+SELECT l_returnflag, l_linestatus, count(*) AS n, {dsum_sql('l_quantity')} AS qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+# --------------------------------------------------------------------------
+# q10: cube — all subtotal combinations of orderstatus × orderpriority.
+# --------------------------------------------------------------------------
+def q10_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), dsum("o_totalprice").alias("total"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(), F.col("o_orderpriority").asc_nulls_first()
+        )
+    )
+
+
+ORACLE_Q10 = f"""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n, {dsum_sql('o_totalprice')} AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
+# --------------------------------------------------------------------------
+# q11: distinct aggregates — exact distinct counts per market segment.
+# (Spark expands distinct aggs into a two-stage plan automatically.)
+# --------------------------------------------------------------------------
+def q11_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_Q11 = """
+SELECT c_mktsegment,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(DISTINCT o_orderpriority) AS n_priorities,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+# q12: set operations — nations that have customers vs suppliers.
+# --------------------------------------------------------------------------
+def q12_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    both = cust.intersect(supp).withColumn("which", F.lit("both"))
+    cust_only = cust.distinct().exceptAll(supp.distinct()).withColumn("which", F.lit("customer_only"))
+    supp_only = supp.distinct().exceptAll(cust.distinct()).withColumn("which", F.lit("supplier_only"))
+    return both.unionByName(cust_only).unionByName(supp_only).orderBy("which", "nationkey")
+
+
+ORACLE_Q12 = """
+WITH c AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+     s AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+SELECT nationkey, which FROM (
+  SELECT nationkey, 'both' AS which FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s)
+  UNION ALL
+  SELECT nationkey, 'customer_only' FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)
+  UNION ALL
+  SELECT nationkey, 'supplier_only' FROM (SELECT nationkey FROM s EXCEPT SELECT nationkey FROM c)
+)
+ORDER BY which, nationkey
+"""
+
+
+# --------------------------------------------------------------------------
+# q13: global sort + limit — top-20 orders by price (TakeOrderedAndProject:
+# per-partition top-k then driver merge; never a full sort at scale).
+# --------------------------------------------------------------------------
+def q13_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+ORACLE_Q13 = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# q14: scalar function surface — string/date/math built-ins, all JVM-side.
+# --------------------------------------------------------------------------
+def q14_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        F.month("o_orderdate").cast("bigint").alias("order_month"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.upper(F.substring("o_orderpriority", 1, 1)).alias("prio_code"),
+        F.length("o_orderpriority").cast("bigint").alias("prio_len"),
+        F.concat(F.lit("ORD-"), F.col("o_orderkey").cast("string")).alias("order_tag"),
+        F.floor(F.col("o_totalprice") / 1000).cast("bigint").alias("price_kband"),
+        F.when(F.col("o_orderstatus") == "F", "final")
+        .when(F.col("o_orderstatus") == "O", "open")
+        .otherwise("partial")
+        .alias("status_word"),
+    ).orderBy("o_orderkey")
+
+
+ORACLE_Q14 = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       CAST(month(o_orderdate) AS BIGINT) AS order_month,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       upper(substr(o_orderpriority, 1, 1)) AS prio_code,
+       CAST(length(o_orderpriority) AS BIGINT) AS prio_len,
+       'ORD-' || CAST(o_orderkey AS VARCHAR) AS order_tag,
+       CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_kband,
+       CASE o_orderstatus WHEN 'F' THEN 'final' WHEN 'O' THEN 'open'
+            ELSE 'partial' END AS status_word
+FROM orders
+WHERE o_orderkey <= 2000
+ORDER BY o_orderkey
+"""
+
+
+# --------------------------------------------------------------------------
+# q15: JSON extraction — events.props is a JSON string column; extract a
+# typed field and aggregate. Mirrors the reference's loose JSON values
+# (SURVEY §1.1) inside a typed DataFrame.
+# --------------------------------------------------------------------------
+def q15_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_Q15 = """
+SELECT event_type,
+       count(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# q16: sessionization — gap > 30 min starts a new session per user.
+# lag + conditional cumsum, the batch form of session windows; at scale
+# it's one shuffle on user_id.
+# --------------------------------------------------------------------------
+def q16_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts"))
+    gap = ts_us - F.lag(ts_us).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    sess = F.sum(is_new).over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (
+        ev.withColumn("session_id", sess)
+        .groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"))
+        .groupBy("user_id")
+        .agg(
+            F.max("session_id").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.max("n_events").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_Q16 = """
+WITH stamped AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessioned AS (
+  SELECT user_id,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM stamped
+), per_session AS (
+  SELECT user_id, session_id, count(*) AS n_events
+  FROM sessioned GROUP BY user_id, session_id
+)
+SELECT user_id,
+       MAX(session_id) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       MAX(n_events) AS max_session_events
+FROM per_session
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q17: pivot — event counts per user bucketed by type, as columns.
+# Expressed as conditional aggregation so the output names are explicit
+# (Spark's .pivot produces the same plan after Catalyst expansion).
+# --------------------------------------------------------------------------
+def q17_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    pivoted = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+        .na.fill(0)
+    )
+    return (
+        pivoted.select(
+            "user_id",
+            F.col("click").alias("n_click"),
+            F.col("view").alias("n_view"),
+            F.col("purchase").alias("n_purchase"),
+            F.col("signup").alias("n_signup"),
+            F.col("error").alias("n_error"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_Q17 = """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click') AS n_click,
+       count(*) FILTER (WHERE event_type = 'view') AS n_view,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+       count(*) FILTER (WHERE event_type = 'error') AS n_error
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q18: grouping sets — explicit multi-grouping over nation/region via SQL.
+# --------------------------------------------------------------------------
+def q18_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for name in ("customer", "nation", "region"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(
+        """
+        SELECT n_name, r_name, count(*) AS n_customers,
+               CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,8))) AS STRING) AS DOUBLE)
+                   AS total_bal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((n_name, r_name), (r_name), ())
+        ORDER BY n_name ASC NULLS FIRST, r_name ASC NULLS FIRST
+        """
+    )
+
+
+ORACLE_Q18 = f"""
+SELECT n_name, r_name, count(*) AS n_customers,
+       {dsum_sql('c_acctbal')} AS total_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((n_name, r_name), (r_name), ())
+ORDER BY n_name ASC NULLS FIRST, r_name ASC NULLS FIRST
+"""
+
+
+# --------------------------------------------------------------------------
+# q19: correlated scalar subquery — customers whose account balance is
+# above their nation's average (decorrelated by Catalyst into a join).
+# --------------------------------------------------------------------------
+def q19_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation_avg = cust.groupBy("c_nationkey").agg(davg("c_acctbal").alias("nation_avg"))
+    return (
+        cust.join(F.broadcast(nation_avg), "c_nationkey")
+        .filter(F.col("c_acctbal") > F.col("nation_avg"))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+ORACLE_Q19 = f"""
+WITH na AS (
+  SELECT c_nationkey, {davg_sql('c_acctbal')} AS nation_avg
+  FROM customer GROUP BY c_nationkey
+)
+SELECT c_custkey, customer.c_nationkey AS c_nationkey, c_acctbal
+FROM customer JOIN na ON customer.c_nationkey = na.c_nationkey
+WHERE c_acctbal > nation_avg
+ORDER BY c_custkey
+"""
+
+
+QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_filter_project": q02_filter_project,
+    "q03_shipping_priority": q03_shipping_priority,
+    "q04_brand_revenue": q04_brand_revenue,
+    "q05_semi_join": q05_semi_join,
+    "q06_anti_join": q06_anti_join,
+    "q07_topk_per_group": q07_topk_per_group,
+    "q08_running_sum": q08_running_sum,
+    "q09_rollup": q09_rollup,
+    "q10_cube": q10_cube,
+    "q11_distinct_agg": q11_distinct_agg,
+    "q12_set_ops": q12_set_ops,
+    "q13_top_orders": q13_top_orders,
+    "q14_scalar_functions": q14_scalar_functions,
+    "q15_json_extract": q15_json_extract,
+    "q16_sessionize": q16_sessionize,
+    "q17_pivot": q17_pivot,
+    "q18_grouping_sets": q18_grouping_sets,
+    "q19_above_nation_avg": q19_above_nation_avg,
+}
+
+ORACLES = {
+    "q01_pricing_summary": ORACLE_Q01,
+    "q02_filter_project": ORACLE_Q02,
+    "q03_shipping_priority": ORACLE_Q03,
+    "q04_brand_revenue": ORACLE_Q04,
+    "q05_semi_join": ORACLE_Q05,
+    "q06_anti_join": ORACLE_Q06,
+    "q07_topk_per_group": ORACLE_Q07,
+    "q08_running_sum": ORACLE_Q08,
+    "q09_rollup": ORACLE_Q09,
+    "q10_cube": ORACLE_Q10,
+    "q11_distinct_agg": ORACLE_Q11,
+    "q12_set_ops": ORACLE_Q12,
+    "q13_top_orders": ORACLE_Q13,
+    "q14_scalar_functions": ORACLE_Q14,
+    "q15_json_extract": ORACLE_Q15,
+    "q16_sessionize": ORACLE_Q16,
+    "q17_pivot": ORACLE_Q17,
+    "q18_grouping_sets": ORACLE_Q18,
+    "q19_above_nation_avg": ORACLE_Q19,
+}
