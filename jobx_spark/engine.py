@@ -1,0 +1,584 @@
+"""The execution engine: map → combine → reduce with dynamic fan-out.
+
+Re-expresses the reference's job lifecycle (mr/job_engine.py — queue
+hops, etcd datasets, CAS counters) as a driver-side recursion over
+Spark DataFrames:
+
+  * an **invocation** is a group key, not a queue message: one step's
+    mapper+combiner+reducer run inside a single Arrow-batched
+    ``applyInPandas`` over ``groupBy(invocation_id)`` — one shuffle per
+    step instead of the reference's one queue message + etcd dataset
+    *per yielded pair* (its self-documented scheduling cliff,
+    mr/job_engine.py:349-358);
+  * dynamic fan-out (``MrConfigureToMap`` — mr/job_engine.py:330-386)
+    re-keys each yielded pair to a derived child invocation id and
+    recurses in the driver (the Pregel pattern): millions of child
+    invocations are rows, not tasks;
+  * the hierarchical fold-up (mr/job_engine.py:689-819: union children →
+    regroup by key → parent reducer) is a second ``applyInPandas`` per
+    level; Spark's hash aggregation spills where the reference's
+    in-memory dict regroup "has a high [memory] cost for large sets"
+    (mr/job_engine.py:772-775);
+  * sessions ride the same DataFrames as ``row_type='session'`` rows and
+    meet their reducer through a cogroup — no driver-sized state.
+
+Values are JSON-encoded strings end-to-end — the reference's loose JSON
+typing (mr/config/kv.py:12-13) inside a fixed Spark schema.
+
+Determinism: handler RNG is seeded from the invocation id before every
+handler call (the reference's handlers are free-running RNG; seeding is
+a deliberate deviation so results are golden-hashable — FIXTURES.md A.4).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import threading
+import time
+import traceback
+import uuid
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jobx_spark.catalog import Catalog, Handler, Step
+from jobx_spark.handlers import (
+    HandlerScope,
+    MrConfigureToMap,
+    MrConfigureToReturn,
+    compile_source_handler,
+    parse_docstring_metadata,
+)
+from jobx_spark import result_writers
+from jobx_spark.trace import RequestTrace
+
+# unified row schema for every engine dataset
+_ROWS_SCHEMA = (
+    "row_type string, inv string, parent_inv string, step string, "
+    "seq long, k string, v string"
+)
+
+_MAX_DEPTH = 32
+
+
+class HandlerInvocationError(RuntimeError):
+    """Carries (step, invocation, traceback) back to the driver — the
+    engine's version of the reference's error stamping
+    (mr/job_engine.py:535-572)."""
+
+
+@dataclass
+class Request:
+    request_id: str
+    workflow_name: str
+    job_name: str
+    context: dict | None
+    is_blocking: bool
+    is_done: bool = False
+    error: str | None = None
+    failed_invocation_id: str | None = None
+    result: dict | None = None
+    created_at: float = field(default_factory=time.time)
+    finished_at: float | None = None
+    trace: RequestTrace | None = None
+
+    def wait(self, timeout: float | None = None) -> "Request":
+        deadline = None if timeout is None else time.time() + timeout
+        while not self.is_done:
+            if deadline and time.time() > deadline:
+                raise TimeoutError(f"request {self.request_id} still running")
+            time.sleep(0.05)
+        return self
+
+
+def _encode(obj) -> str:
+    return json.dumps(obj, sort_keys=True, separators=(",", ":"))
+
+
+def _decode(s: str):
+    return json.loads(s)
+
+
+def _seeded_random(*parts: str):
+    import random
+
+    random.seed(":".join(parts))
+
+
+def _call_handler(handler: Handler, scope: HandlerScope, payload):
+    """Invoke a handler: plain callables get (scope, payload); source
+    handlers get the reference's injected-globals convention."""
+    if handler.fn is not None:
+        return handler.fn(scope, payload)
+    arg_name = "arguments" if handler.handler_type == "mapper" else "results"
+    compiled = compile_source_handler(handler.name, [arg_name], handler.source_code)
+    return compiled(scope.scope_dict(), payload)
+
+
+def _default_combine(pairs: list[tuple[str, str]]):
+    """The reference's default combiner: sort pairs, group by key, do NOT
+    flatten value lists (mr/job_engine.py:275-313, no-flatten note
+    :396-404). Operates on JSON-encoded pairs; sort order is the
+    encoded-string order (deterministic across engines/runs)."""
+    out: list[tuple[str, list]] = []
+    for ek, ev in sorted(pairs):
+        if out and out[-1][0] == ek:
+            out[-1][1].append(_decode(ev))
+        else:
+            out.append((ek, [_decode(ev)]))
+    return [(_decode(ek), vl) for ek, vl in out]
+
+
+def _run_reduce(
+    step_plan: dict, inv: str, parent_inv: str, grouped, session_snapshot: dict
+) -> list[tuple]:
+    """Run the user reducer; emit engine rows. Session writes are locked
+    out (reference: allow_session_writes=False, mr/job_engine.py:795-800)."""
+    reducer: Handler = step_plan["reducer"]
+    scope = HandlerScope(
+        inv, session_snapshot=session_snapshot, allow_session_writes=False
+    )
+    _seeded_random(inv, "reduce")
+    rows = []
+    try:
+        for i, (k, v) in enumerate(_call_handler(reducer, scope, iter(grouped))):
+            rows.append(
+                ("reduced", inv, parent_inv, step_plan["name"], i, _encode(k), _encode(v))
+            )
+    except Exception:
+        raise HandlerInvocationError(
+            f"JOBX_HANDLER_ERROR step={step_plan['name']} inv={inv} "
+            f"phase=reduce\n{traceback.format_exc()}"
+        ) from None
+    return rows
+
+
+def _make_phase1_udf(step_plan: dict, workdir: str | None):
+    """Per-invocation UDF: mapper → routing → (leaf: combine+reduce
+    in-place | fan-out: child rows + session rows)."""
+
+    def phase1(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("seq")
+        inv = pdf["inv"].iloc[0]
+        parent_inv = pdf["parent_inv"].iloc[0]
+        # 'arg_empty' sentinel: a zero-argument invocation still runs its
+        # mapper exactly once (parity with the reference, which enumerates
+        # an empty DT_ARGUMENTS dataset).
+        args = [
+            (_decode(k), _decode(v))
+            for t, k, v in zip(pdf["row_type"], pdf["k"], pdf["v"])
+            if t != "arg_empty"
+        ]
+        scope = HandlerScope(inv, allow_session_writes=True, workdir=workdir)
+        _seeded_random(inv, "map")
+        rows: list[tuple] = []
+        try:
+            gen = _call_handler(step_plan["mapper"], scope, iter(args))
+            route = next(gen)
+            pairs = [(_encode(k), _encode(v)) for k, v in gen]
+        except Exception:
+            raise HandlerInvocationError(
+                f"JOBX_HANDLER_ERROR step={step_plan['name']} inv={inv} "
+                f"phase=map\n{traceback.format_exc()}"
+            ) from None
+
+        if isinstance(route, MrConfigureToReturn):
+            if step_plan["combiner"] is not None:
+                cscope = HandlerScope(inv, session_snapshot=scope.session_snapshot())
+                _seeded_random(inv, "combine")
+                try:
+                    grouped = list(
+                        _call_handler(
+                            step_plan["combiner"],
+                            cscope,
+                            iter((_decode(k), _decode(v)) for k, v in pairs),
+                        )
+                    )
+                except Exception:
+                    raise HandlerInvocationError(
+                        f"JOBX_HANDLER_ERROR step={step_plan['name']} inv={inv} "
+                        f"phase=combine\n{traceback.format_exc()}"
+                    ) from None
+            else:
+                grouped = _default_combine(pairs)
+            rows.extend(
+                _run_reduce(step_plan, inv, parent_inv, grouped, scope.session_snapshot())
+            )
+        elif isinstance(route, MrConfigureToMap):
+            # session rows are only needed on the fan-out path (the leaf
+            # path consumed them in-UDF above); emitting them here keeps
+            # the fold cogroup free of spurious leaf session groups.
+            for key, val in scope.session_writes().items():
+                rows.append(("session", inv, parent_inv, step_plan["name"], 0, key, val))
+            next_step = route.next_step_name
+            for i, (ek, ev) in enumerate(pairs):
+                child = hashlib.sha1(f"{inv}:{i}".encode()).hexdigest()
+                rows.append(("child", child, inv, next_step, 0, ek, ev))
+        else:
+            raise HandlerInvocationError(
+                f"JOBX_HANDLER_ERROR step={step_plan['name']} inv={inv} "
+                f"phase=map\nfirst yield must be a routing token, got {route!r}"
+            )
+        return pd.DataFrame(
+            rows,
+            columns=["row_type", "inv", "parent_inv", "step", "seq", "k", "v"],
+        )
+
+    return phase1
+
+
+def _make_fold_udf(step_plan: dict):
+    """Reduce-over-children: merge-group the concatenated child results
+    by key, then the parent step's reducer (mr/job_engine.py:689-819).
+    Cogrouped with the parent mapper's session rows."""
+
+    def fold(key, results_pdf: pd.DataFrame, sessions_pdf: pd.DataFrame) -> pd.DataFrame:
+        inv = key[0]
+        pairs = list(zip(results_pdf["k"], results_pdf["v"]))
+        grouped = _default_combine(pairs)  # dict-regroup parity, sorted
+        sessions = dict(zip(sessions_pdf["k"], sessions_pdf["v"]))
+        rows = _run_reduce(step_plan, inv, None, grouped, sessions)
+        return pd.DataFrame(
+            rows,
+            columns=["row_type", "inv", "parent_inv", "step", "seq", "k", "v"],
+        )
+
+    return fold
+
+
+class Engine:
+    """Facade: catalog CRUD + request submission (the Spark stand-in for
+    the reference's HTTP API + CLI scripts, mr/views/job.py:33)."""
+
+    def __init__(self, spark: SparkSession, workdir: str | None = None):
+        self.spark = spark
+        self.catalog = Catalog()
+        self.workdir = workdir
+        self._requests: dict[str, Request] = {}
+
+    # ---------------------------------------------------------------- CRUD
+    def create_workflow(self, name: str, description: str = ""):
+        return self.catalog.create_workflow(name, description)
+
+    def register_handler(
+        self,
+        workflow_name: str,
+        name: str,
+        fn=None,
+        source_code: str | None = None,
+        handler_type: str | None = None,
+        argument_spec: list | None = None,
+        required_capability: str | None = None,
+    ) -> Handler:
+        """Register a callable (fn(scope, arguments|results) generator)
+        or reference-style source code with docstring metadata."""
+        if source_code is not None and handler_type is None:
+            meta = parse_docstring_metadata(source_code)
+            handler_type = meta["handler_type"]
+            argument_spec = argument_spec or meta["argument_spec"]
+            required_capability = required_capability or meta.get("required_capability")
+        if fn is not None:
+            _ensure_fn_ships(fn)
+        h = Handler(
+            workflow_name=workflow_name,
+            name=name,
+            handler_type=handler_type,
+            fn=fn,
+            source_code=source_code,
+            argument_spec=argument_spec or [],
+            required_capability=required_capability,
+        )
+        return self.catalog.register_handler(h)
+
+    def create_step(self, workflow_name, name, map_handler_name,
+                    reduce_handler_name, combine_handler_name=None,
+                    description=""):
+        return self.catalog.create_step(
+            workflow_name, name, map_handler_name, reduce_handler_name,
+            combine_handler_name, description,
+        )
+
+    def create_job(self, workflow_name, name, initial_step_name, description=""):
+        return self.catalog.create_job(
+            workflow_name, name, initial_step_name, description
+        )
+
+    # ------------------------------------------------------------- execute
+    def _step_plan(self, step: Step) -> dict:
+        wf = step.workflow_name
+        return {
+            "name": step.name,
+            "mapper": self.catalog.get_handler(wf, step.map_handler_name),
+            "combiner": (
+                self.catalog.get_handler(wf, step.combine_handler_name)
+                if step.combine_handler_name
+                else None
+            ),
+            "reducer": self.catalog.get_handler(wf, step.reduce_handler_name),
+        }
+
+    def _run_step(
+        self, workflow_name: str, step_name: str, frontier: DataFrame,
+        trace: RequestTrace, persisted: list, depth: int = 0,
+    ) -> DataFrame:
+        """Run one step over a frontier of invocations; returns reduced
+        rows (inv, parent_inv, seq, k, v) for those invocations.
+
+        Intermediates are persisted (the reference durably writes every
+        stage boundary to etcd — mr/job_engine.py:421-439; for us a
+        persist is enough because Spark recomputes lineage on loss) and
+        unpersisted by the caller after the final action — never
+        collected to the driver."""
+        if depth > _MAX_DEPTH:
+            raise RuntimeError(f"fan-out depth exceeded {_MAX_DEPTH}")
+        step = self.catalog.get_step(workflow_name, step_name)
+        plan = self._step_plan(step)
+        trace.record(depth, step_name, "map")
+
+        map_out = frontier.groupBy("inv").applyInPandas(
+            _make_phase1_udf(plan, self.workdir), schema=_ROWS_SCHEMA
+        ).persist()
+        persisted.append(map_out)
+        reduced = map_out.filter(F.col("row_type") == "reduced")
+        child_rows = map_out.filter(F.col("row_type") == "child")
+        # routing decisions: one tiny collect of the distinct next steps
+        # (bounded by the number of catalog steps, not the data)
+        next_steps = [r[0] for r in child_rows.select("step").distinct().collect()]
+        if not next_steps:
+            return reduced
+
+        # fan-out: recurse per next step, then fold children into their
+        # parents with this step's reducer.
+        sessions = map_out.filter(F.col("row_type") == "session")
+        child_results = []
+        for ns in sorted(next_steps):
+            trace.record(depth, step_name, f"fanout→{ns}")
+            child_frontier = child_rows.filter(F.col("step") == ns).select(
+                "row_type", "inv", "parent_inv", "step", "seq", "k", "v"
+            )
+            child_results.append(
+                self._run_step(
+                    workflow_name, ns, child_frontier, trace, persisted, depth + 1
+                )
+            )
+        all_children = child_results[0]
+        for df in child_results[1:]:
+            all_children = all_children.unionByName(df)
+
+        trace.record(depth, step_name, "fold")
+        # child results keyed by their parent (= this level's inv)
+        fold_in = all_children.withColumn("gkey", F.col("parent_inv"))
+        sess_in = sessions.withColumn("gkey", F.col("inv"))
+        folded = (
+            fold_in.groupBy("gkey")
+            .cogroup(sess_in.groupBy("gkey"))
+            .applyInPandas(_make_fold_udf(plan), schema=_ROWS_SCHEMA)
+        )
+        # stamp each folded invocation's own parent for the next level up
+        parent_map = frontier.select(
+            F.col("inv").alias("inv"), F.col("parent_inv").alias("pinv")
+        ).distinct()
+        folded = (
+            folded.drop("parent_inv")
+            .join(parent_map, "inv", "left")
+            .withColumnRenamed("pinv", "parent_inv")
+            .select("row_type", "inv", "parent_inv", "step", "seq", "k", "v")
+        )
+        return reduced.unionByName(folded)
+
+    def submit(
+        self,
+        workflow_name: str,
+        job_name: str,
+        arguments: dict,
+        blocking: bool = True,
+        context: dict | None = None,
+        result_writer: str = "inline",
+        writer_options: dict | None = None,
+    ) -> Request:
+        """Run a job. Blocking returns the finished Request with
+        ``.result``; async returns immediately with a request id and
+        fires the result writer on completion (reference:
+        mr/views/job.py:50, mr/job_engine.py:983-1019)."""
+        self.catalog.get_workflow(workflow_name)
+        job = self.catalog.get_job(workflow_name, job_name)
+        step = self.catalog.get_step(workflow_name, job.initial_step_name)
+        mapper = self.catalog.get_handler(workflow_name, step.map_handler_name)
+        cast_args = mapper.cast_arguments(arguments)
+
+        request = Request(
+            request_id=uuid.uuid4().hex,
+            workflow_name=workflow_name,
+            job_name=job_name,
+            context=context,
+            is_blocking=blocking,
+            trace=RequestTrace(),
+        )
+        self._requests[request.request_id] = request
+
+        def run():
+            persisted: list[DataFrame] = []
+            try:
+                # content-derived root id: identical submissions replay the
+                # same invocation tree (and the same per-invocation RNG
+                # seeds), making results golden-hashable (FIXTURES.md A.4).
+                root_inv = hashlib.sha1(
+                    f"{workflow_name}:{job_name}:{_encode(dict(cast_args))}".encode()
+                ).hexdigest()
+                rows = [
+                    ("arg", root_inv, None, job.initial_step_name, i, _encode(k), _encode(v))
+                    for i, (k, v) in enumerate(cast_args)
+                ] or [("arg_empty", root_inv, None, job.initial_step_name, 0, None, None)]
+                frontier = self.spark.createDataFrame(rows, schema=_ROWS_SCHEMA)
+                result_rows = self._run_step(
+                    workflow_name, job.initial_step_name, frontier,
+                    request.trace, persisted,
+                )
+                pairs = [
+                    (_decode(r["k"]), _decode(r["v"]))
+                    for r in sorted(result_rows.collect(), key=lambda r: r["seq"])
+                ]
+                writer = result_writers.get_writer(result_writer, writer_options)
+                request.result = writer.render(request, pairs)
+            except Exception as e:  # error stamping parity
+                msg = str(e)
+                request.error = msg
+                if "JOBX_HANDLER_ERROR" in msg:
+                    marker = msg[msg.index("JOBX_HANDLER_ERROR"):]
+                    request.failed_invocation_id = _extract_field(marker, "inv")
+                if blocking:
+                    request.is_done = True
+                    request.finished_at = time.time()
+                    raise
+            finally:
+                # request cleanup (GC parity — mr/request_cleanup.py):
+                # intermediates die with the request, not the session.
+                for df in persisted:
+                    df.unpersist()
+                request.is_done = True
+                request.finished_at = time.time()
+
+        if blocking:
+            run()
+            return request
+        thread = threading.Thread(target=run, name=f"jobx-{request.request_id}", daemon=True)
+        thread.start()
+        return request
+
+    def get_request(self, request_id: str) -> Request:
+        return self._requests[request_id]
+
+    def submit_dataset(
+        self,
+        workflow_name: str,
+        job_name: str,
+        pairs_df: DataFrame,
+        n_buckets: int = 64,
+    ) -> Request:
+        """Run a job over a table-scale pair dataset.
+
+        The reference's only source is the small HTTP arguments dict;
+        parallelism comes from fan-out. For table input we pre-fan-out:
+        rows are hashed into ``n_buckets`` child invocations (map +
+        partial reduce run bucket-parallel), then folded into the root
+        with the same step's reducer — the reference's fan-out/fold-up
+        semantics (mr/job_engine.py:689-819) aligned with Spark's
+        partial/final aggregation. ``pairs_df`` must have columns
+        ``k``/``v`` as JSON-encoded strings.
+
+        At 100 TB: buckets are groups, not tasks — size n_buckets ~
+        2-3x total cores; each bucket's pairs stream through one Arrow
+        batch pipeline.
+        """
+        self.catalog.get_workflow(workflow_name)
+        job = self.catalog.get_job(workflow_name, job_name)
+        step = self.catalog.get_step(workflow_name, job.initial_step_name)
+        plan = self._step_plan(step)
+
+        request = Request(
+            request_id=uuid.uuid4().hex,
+            workflow_name=workflow_name,
+            job_name=job_name,
+            context=None,
+            is_blocking=True,
+            trace=RequestTrace(),
+        )
+        self._requests[request.request_id] = request
+        persisted: list[DataFrame] = []
+        try:
+            root_inv = hashlib.sha1(f"{workflow_name}:{job_name}:dataset".encode()).hexdigest()
+            bucket = F.pmod(F.xxhash64(F.col("k")), F.lit(n_buckets))
+            frontier = pairs_df.select(
+                F.lit("arg").alias("row_type"),
+                F.concat(F.lit(root_inv + ":"), bucket.cast("string")).alias("inv"),
+                F.lit(root_inv).alias("parent_inv"),
+                F.lit(job.initial_step_name).alias("step"),
+                # seq orders arguments within an invocation; content-hash
+                # keeps it deterministic without a global sort.
+                F.xxhash64(F.col("k"), F.col("v")).alias("seq"),
+                F.col("k"),
+                F.col("v"),
+            )
+            leaf = self._run_step(
+                workflow_name, job.initial_step_name, frontier,
+                request.trace, persisted,
+            )
+            request.trace.record(0, job.initial_step_name, "fold")
+            fold_in = leaf.withColumn("gkey", F.col("parent_inv"))
+            empty_sessions = self.spark.createDataFrame([], schema=_ROWS_SCHEMA)
+            sess_in = empty_sessions.withColumn("gkey", F.col("inv"))
+            folded = (
+                fold_in.groupBy("gkey")
+                .cogroup(sess_in.groupBy("gkey"))
+                .applyInPandas(_make_fold_udf(plan), schema=_ROWS_SCHEMA)
+            )
+            pairs = [
+                (_decode(r["k"]), _decode(r["v"]))
+                for r in sorted(folded.collect(), key=lambda r: r["seq"])
+            ]
+            request.result = {"pairs": [[k, v] for k, v in pairs]}
+            return request
+        finally:
+            for df in persisted:
+                df.unpersist()
+            request.is_done = True
+            request.finished_at = time.time()
+
+
+def _extract_field(marker: str, name: str) -> str | None:
+    for tok in marker.split():
+        if tok.startswith(f"{name}="):
+            return tok.split("=", 1)[1]
+    return None
+
+
+_BY_VALUE_MODULES: set[str] = set()
+
+
+def _ensure_fn_ships(fn) -> None:
+    """Handler callables live in arbitrary user modules that executors
+    can't import (the reference ships handler *source* through etcd for
+    the same reason — mr/models/kv/handler.py). Registering the defining
+    module for cloudpickle by-value serialization makes the closure
+    self-contained on the wire."""
+    mod_name = getattr(fn, "__module__", None)
+    if not mod_name or mod_name in ("__main__", "builtins"):
+        return  # __main__ already pickles by value
+    if mod_name.startswith(("jobx_spark", "pyspark", "pandas", "numpy")):
+        return
+    if mod_name in _BY_VALUE_MODULES:
+        return
+    import sys
+
+    from pyspark import cloudpickle  # the vendored instance Spark serializes with
+
+    mod = sys.modules.get(mod_name)
+    if mod is not None:
+        try:
+            cloudpickle.register_pickle_by_value(mod)
+            _BY_VALUE_MODULES.add(mod_name)
+        except Exception:
+            pass  # fall back to by-reference (module importable on workers)

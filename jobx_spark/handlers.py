@@ -1,0 +1,182 @@
+"""Handler runtime: routing tokens, scope injection, source compilation.
+
+The reference's handlers are user Python generators whose first yield is
+a routing token (``MrConfigureToMap(next_step)`` /
+``MrConfigureToReturn()`` — reference: mr/handlers/scope.py:5-24,
+dispatch mr/job_engine.py:502-509), executed with an injected global
+scope (LOG, FS verbs, session accessors, subprocess RUN — reference:
+mr/handlers/general.py:236-337) after being compiled from source
+(reference: mr/handlers/processors/python.py:13-66).
+
+Here handlers are ordinary Python callables (closures ship to executors
+natively via Spark), but the source-string registration path and the
+docstring-metadata format are kept for API parity. Handlers execute on
+executors inside Arrow-batched pandas UDFs; scope objects must therefore
+be picklable and side-effect-idempotent (Spark retries tasks).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import logging
+import subprocess
+
+
+class MrConfigureToReturn:
+    """First-yield routing token: combine+reduce this mapping's output
+    (reference: mr/handlers/scope.py:21-24)."""
+
+
+class MrConfigureToMap:
+    """First-yield routing token: fan each yielded pair out as its own
+    downstream map invocation of `next_step` (reference:
+    mr/handlers/scope.py:13-18)."""
+
+    def __init__(self, next_step_name: str):
+        self.next_step_name = next_step_name
+
+
+class SessionWriteLockedError(RuntimeError):
+    """Raised when a reducer attempts a session write (the reference
+    disables session writes in reduce paths — mr/job_engine.py:795-800)."""
+
+
+class HandlerScope:
+    """The injected execution scope visible to handler code.
+
+    Mirrors the reference's scope surface (mr/handlers/general.py:
+    236-337): LOG, PRINT, RUN, JSON encode/decode, session accessors and
+    the routing classes. FS verbs operate on a plain workdir path —
+    any Hadoop-compatible FS path works (the reference used Tahoe-LAFS;
+    Spark executors see shared storage directly).
+    """
+
+    def __init__(
+        self,
+        invocation_id: str,
+        session_snapshot: dict | None = None,
+        allow_session_writes: bool = True,
+        workdir: str | None = None,
+        extra: dict | None = None,
+    ):
+        self.invocation_id = invocation_id
+        self._session = dict(session_snapshot or {})
+        self._session_writes: dict[str, str] = {}
+        self._allow_session_writes = allow_session_writes
+        self.workdir = workdir
+        self._stdout = io.StringIO()
+        self.extra = extra or {}
+
+    # session accessors (reference: mr/handlers/general.py:367-416)
+    def session_set(self, key: str, value) -> None:
+        if not self._allow_session_writes:
+            raise SessionWriteLockedError(
+                "session writes are disabled in reducers"
+            )
+        encoded = json.dumps(value)
+        self._session[key] = encoded
+        self._session_writes[key] = encoded
+
+    def session_get(self, key: str):
+        raw = self._session.get(key)
+        return None if raw is None else json.loads(raw)
+
+    def session_list(self) -> list[str]:
+        return sorted(self._session)
+
+    # logging / io
+    def log(self, msg: str) -> None:
+        logging.getLogger("jobx_spark.handler").info("[%s] %s", self.invocation_id, msg)
+
+    def print_(self, *args) -> None:
+        print(*args, file=self._stdout)
+
+    def run(self, cmd: list[str]) -> str:
+        """Subprocess escape hatch (reference injects RUN; works the same
+        on executors)."""
+        return subprocess.run(
+            cmd, capture_output=True, text=True, check=True
+        ).stdout
+
+    def captured_stdout(self) -> str:
+        return self._stdout.getvalue()
+
+    def session_writes(self) -> dict[str, str]:
+        return dict(self._session_writes)
+
+    def session_snapshot(self) -> dict[str, str]:
+        return dict(self._session)
+
+    def scope_dict(self) -> dict:
+        d = {
+            "LOG": self.log,
+            "PRINT": self.print_,
+            "RUN": self.run,
+            "JSON_E": json.dumps,
+            "JSON_D": json.loads,
+            "SEP": "/",
+            "JOIN": "/".join,
+            "WORKDIR": self.workdir,
+            "S_SET": self.session_set,
+            "S_GET": self.session_get,
+            "S_LIST": self.session_list,
+            "MrConfigureToMap": MrConfigureToMap,
+            "MrConfigureToReturn": MrConfigureToReturn,
+            "INVOCATION_ID": self.invocation_id,
+        }
+        d.update(self.extra)
+        return d
+
+
+_COMPILE_CACHE: dict = {}
+
+
+def compile_source_handler(name: str, arg_names: list[str], source_code: str):
+    """Build a callable from handler source, reproducing the reference's
+    wrap-in-a-def + exec flow (mr/handlers/processors/python.py:23-66).
+
+    The source body sees the scope names as globals at call time; the
+    returned callable has signature (scope_dict, *args). Compiles are
+    cached per (name, source) — the UDF calls this once per invocation
+    group on the executor.
+    """
+    cache_key = (name, tuple(arg_names), source_code)
+    if cache_key in _COMPILE_CACHE:
+        return _COMPILE_CACHE[cache_key]
+    indented = "\n".join(
+        "    " + line for line in source_code.splitlines()
+    )
+    fn_name = f"_handler_{name}"
+    wrapped = f"def {fn_name}({', '.join(arg_names)}):\n{indented or '    pass'}\n"
+    code = compile(wrapped, f"<handler:{name}>", "exec")
+
+    def call(scope_dict: dict, *args):
+        globs = dict(scope_dict)
+        exec(code, globs)
+        return globs[fn_name](*args)
+
+    call.__name__ = fn_name
+    _COMPILE_CACHE[cache_key] = call
+    return call
+
+
+def parse_docstring_metadata(source_code: str) -> dict:
+    """Parse the reference's docstring-metadata format: a handler source
+    whose docstring carries JSON metadata after a ``**`` marker line
+    (reference: mr/handlers/sync.py:136-169; required keys
+    mr/config/handler.py:7-11)."""
+    import ast
+
+    tree = ast.parse(source_code)
+    doc = ast.get_docstring(tree) or ""
+    if "**" not in doc:
+        raise ValueError("handler docstring missing '**' metadata marker")
+    _, meta_part = doc.split("**", 1)
+    meta = json.loads(meta_part)
+    required = {"handler_type", "argument_spec"}
+    missing = required - set(meta)
+    if missing:
+        raise ValueError(f"handler metadata missing {sorted(missing)}")
+    meta["argument_spec"] = [tuple(p) for p in meta["argument_spec"]]
+    return meta

@@ -1,4 +1,109 @@
-"""Placeholder — filled in later this round."""
+"""Engine-driven queries: the MapReduce execution loop validated through
+the relational oracle gate.
 
-QUERIES = {}
-ORACLES = {}
+Each query feeds a testdata table through the full engine path
+(catalog → handler → bucketed map invocations → combine → reduce →
+fold-up) and returns the result as a DataFrame whose values a plain SQL
+aggregate reproduces — proving the engine's semantics, not just its
+plumbing. Integer arithmetic only, so results are exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jobx_spark.engine import Engine
+from jobx_spark.handlers import MrConfigureToReturn
+from jobx_spark.sources import load_table
+
+
+def _mapper_passthrough(scope, arguments):
+    yield MrConfigureToReturn()
+    for k, v in arguments:
+        yield (k, v)
+
+
+def _reducer_sum(scope, results):
+    totals = {}
+    for k, value_list in results:
+        totals[k] = totals.get(k, 0) + _deep_sum(value_list)
+    for k in sorted(totals, key=str):
+        yield (k, totals[k])
+
+
+def _deep_sum(x):
+    if isinstance(x, list):
+        return sum(_deep_sum(i) for i in x)
+    return x
+
+
+def _build_engine(spark: SparkSession) -> Engine:
+    e = Engine(spark)
+    e.create_workflow("mr")
+    e.register_handler("mr", "passthrough", fn=_mapper_passthrough, handler_type="mapper")
+    e.register_handler("mr", "sum", fn=_reducer_sum, handler_type="reducer")
+    e.create_step("mr", "step_sum", "passthrough", "sum")
+    e.create_job("mr", "job_sum", "step_sum")
+    return e
+
+
+# --------------------------------------------------------------------------
+# mr_engine_event_counts: (event_type, 1) pairs → engine sum per key.
+# Oracle: GROUP BY count. Exercises map → bucket combine → leaf reduce →
+# root fold across 64 invocations.
+# --------------------------------------------------------------------------
+def mr_engine_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select(
+        F.concat(F.lit('"'), F.col("event_type"), F.lit('"')).alias("k"),
+        F.lit("1").alias("v"),
+    )
+    engine = _build_engine(spark)
+    req = engine.submit_dataset("mr", "job_sum", pairs)
+    return spark.createDataFrame(
+        [(k, int(v)) for k, v in req.result["pairs"]], schema="k string, v long"
+    )
+
+
+ORACLE_EVENT_COUNTS = """
+SELECT event_type AS k, count(*) AS v
+FROM events
+GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# mr_engine_user_value: (user_id, json props.k) pairs → engine sum per
+# user. Integer sums, exact; oracle is a straight GROUP BY.
+# --------------------------------------------------------------------------
+def mr_engine_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select(
+        F.col("user_id").cast("string").alias("k"),
+        F.get_json_object("props", "$.k").alias("v"),
+    )
+    engine = _build_engine(spark)
+    req = engine.submit_dataset("mr", "job_sum", pairs)
+    return spark.createDataFrame(
+        [(int(k), int(v)) for k, v in req.result["pairs"]], schema="k long, v long"
+    )
+
+
+ORACLE_USER_VALUE = """
+SELECT user_id AS k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS v
+FROM events
+GROUP BY user_id
+"""
+
+
+QUERIES = {
+    "mr_engine_event_counts": mr_engine_event_counts,
+    "mr_engine_user_value": mr_engine_user_value,
+}
+
+ORACLES = {
+    "mr_engine_event_counts": ORACLE_EVENT_COUNTS,
+    "mr_engine_user_value": ORACLE_USER_VALUE,
+}

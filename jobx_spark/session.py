@@ -51,6 +51,7 @@ def tune_for_session(spark: SparkSession) -> SparkSession:
     ``__spark_entry__.entry``; static confs like driver memory cannot be
     changed there, but these can)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.shuffle.partitions", DEFAULT_CPUS)
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")

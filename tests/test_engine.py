@@ -1,0 +1,216 @@
+"""MapReduce-parity tests: the reference's five dev jobs re-expressed as
+engine fixtures with seeded RNG, asserting the conservation invariants
+from FIXTURES.md §A.4 (handlers re-implemented from their documented
+semantics — dev/resources/handlers/{map,reduce}/test/*)."""
+
+import random
+
+import pytest
+
+from jobx_spark.engine import Engine
+from jobx_spark.handlers import MrConfigureToMap, MrConfigureToReturn
+
+
+# --- handlers: semantics from FIXTURES.md A.3 (not copied code) -----------
+
+def mapper_chunk(scope, arguments):
+    """random_yield_grouped semantics: yield Return, then random chunks
+    whose values sum to count = randrange(1, value); keys in [0, 9]."""
+    yield MrConfigureToReturn()
+    for _name, value in arguments:
+        remaining = random.randrange(1, value)
+        while remaining > 0:
+            chunk = random.randint(1, remaining)
+            yield (random.randint(0, 9), chunk)
+            remaining -= chunk
+
+
+def mapper_split(scope, arguments):
+    """split semantics: write two session keys, fan out halves that sum
+    to the argument."""
+    scope.session_set("key1", 123)
+    scope.session_set("key2", "uvw")
+    yield MrConfigureToMap("step_chunk")
+    for _name, value in arguments:
+        yield (0, value // 2)
+        yield (1, value // 2 + value % 2)
+
+
+def reducer_sum(scope, results):
+    """sum semantics: per key, sum of value-list, accumulated across
+    duplicate keys."""
+    totals = {}
+    for k, value_list in results:
+        totals[k] = totals.get(k, 0) + sum(value_list)
+    for k in sorted(totals):
+        yield (k, totals[k])
+
+
+def reducer_noop(scope, results):
+    for pair in results:
+        yield pair
+
+
+def reducer_multiply_with_session(scope, results):
+    """multiply semantics incl. the mapper→reducer session visibility
+    check (reads key2)."""
+    tag = scope.session_get("key2")
+    for k, value_list in results:
+        product = 1
+        for v in value_list:
+            product *= v
+        yield (k, [product, tag])
+
+
+def reducer_tries_session_write(scope, results):
+    scope.session_set("illegal", 1)
+    yield (0, 0)
+
+
+def mapper_boom(scope, arguments):
+    yield MrConfigureToReturn()
+    raise ValueError("boom in mapper")
+
+
+@pytest.fixture()
+def engine(spark):
+    e = Engine(spark)
+    e.create_workflow("wf")
+    e.register_handler("wf", "chunk", fn=mapper_chunk, handler_type="mapper",
+                       argument_spec=[("arg1", "int")])
+    e.register_handler("wf", "split", fn=mapper_split, handler_type="mapper",
+                       argument_spec=[("arg1", "int")])
+    e.register_handler("wf", "sum", fn=reducer_sum, handler_type="reducer")
+    e.register_handler("wf", "noop", fn=reducer_noop, handler_type="reducer")
+    e.register_handler("wf", "multiply", fn=reducer_multiply_with_session,
+                       handler_type="reducer")
+    e.create_step("wf", "step_chunk", "chunk", "sum")
+    e.create_step("wf", "step_split", "split", "noop")
+    e.create_job("wf", "job5", "step_chunk")
+    e.create_job("wf", "job4", "step_split")
+    return e
+
+
+def test_job5_single_step_conservation(engine):
+    """FIXTURES A.4 #1: single-step chunk+sum; totals conserved, < arg."""
+    req = engine.submit("wf", "job5", {"arg1": 144})
+    pairs = req.result["pairs"]
+    assert pairs, "expected non-empty result"
+    total = sum(v for _, v in pairs)
+    assert 0 < total < 144
+    assert all(0 <= k <= 9 for k, _ in pairs)
+    # seeded RNG → deterministic across runs
+    req2 = engine.submit("wf", "job5", {"arg1": 144})
+    assert req2.result["pairs"] == pairs
+
+
+def test_job4_fanout_and_fold(engine):
+    """FIXTURES A.4 #2 + #3: map→map→reduce→reduce; halves conserved;
+    nesting preserved (noop parent reducer yields value-lists)."""
+    req = engine.submit("wf", "job4", {"arg1": 144})
+    pairs = req.result["pairs"]
+    assert pairs
+    # noop forwards (k, [v...]) — grouping must NOT flatten
+    assert all(isinstance(v, list) for _, v in pairs)
+    total = sum(sum(v) for _, v in pairs)
+    assert 0 < total < 144
+    assert all(0 <= k <= 9 for k, _ in pairs)
+    # two levels of steps in the trace, with the fan-out edge
+    assert ("step_split", "step_chunk") in req.trace.edges()
+    assert req.trace.step_sequence() == ["step_split", "step_chunk"]
+
+
+def test_sessions_mapper_write_reducer_read(engine):
+    """FIXTURES A.4 #4: session written by the mapper is readable in the
+    paired (fold) reducer."""
+    engine.create_step("wf", "step_split_mult", "split", "multiply")
+    engine.create_job("wf", "job_mult", "step_split_mult")
+    req = engine.submit("wf", "job_mult", {"arg1": 10})
+    pairs = req.result["pairs"]
+    assert pairs
+    for _k, v in pairs:
+        product, tag = v
+        assert tag == "uvw"  # session value visible in reducer
+
+
+def test_session_write_lockout_in_reducer(engine, spark):
+    """FIXTURES A.4 #4: session writes from a reducer must raise."""
+    engine.register_handler("wf", "bad_red", fn=reducer_tries_session_write,
+                            handler_type="reducer")
+    engine.create_step("wf", "step_bad", "chunk", "bad_red")
+    engine.create_job("wf", "job_bad", "step_bad")
+    with pytest.raises(Exception, match="session writes are disabled"):
+        engine.submit("wf", "job_bad", {"arg1": 10})
+    req = [r for r in engine._requests.values() if r.job_name == "job_bad"][-1]
+    assert req.error and "session writes are disabled" in req.error
+    assert req.failed_invocation_id
+
+
+def test_handler_error_stamping(engine):
+    """Handler exception → request.error + failed_invocation_id
+    (reference: mr/job_engine.py:535-572)."""
+    engine.register_handler("wf", "boom", fn=mapper_boom, handler_type="mapper")
+    engine.create_step("wf", "step_boom", "boom", "sum")
+    engine.create_job("wf", "job_boom", "step_boom")
+    with pytest.raises(Exception, match="boom in mapper"):
+        engine.submit("wf", "job_boom", {})
+    req = [r for r in engine._requests.values() if r.job_name == "job_boom"][-1]
+    assert req.error and "boom in mapper" in req.error
+    assert req.failed_invocation_id
+    assert req.is_done
+
+
+def test_async_submit_with_file_writer(engine, tmp_path):
+    """FIXTURES A.4 #5: async returns immediately; result goes to the
+    sink, not the response."""
+    out = tmp_path / "result.csv"
+    req = engine.submit(
+        "wf", "job5", {"arg1": 50}, blocking=False,
+        result_writer="file", writer_options={"path": str(out)},
+    )
+    assert req.request_id  # returned before completion
+    req.wait(timeout=120)
+    assert req.error is None
+    assert out.exists()
+    lines = out.read_text().strip().splitlines()
+    assert lines and all(len(line.split(" ")) == 2 for line in lines)
+    assert req.result["n_pairs"] == len(lines)
+
+
+def test_argument_casting_and_validation(engine):
+    """SURVEY §1.1: argument_spec casts via builtin types; missing/extra
+    arguments rejected."""
+    req = engine.submit("wf", "job5", {"arg1": "144"})  # str → int cast
+    assert req.result["pairs"]
+    from jobx_spark.catalog import CatalogError
+
+    with pytest.raises(CatalogError, match="missing"):
+        engine.submit("wf", "job5", {})
+    with pytest.raises(CatalogError, match="unexpected"):
+        engine.submit("wf", "job5", {"arg1": 1, "nope": 2})
+
+
+def test_source_code_handler_with_docstring_metadata(engine):
+    """Reference-style registration: source string + docstring metadata
+    (mr/handlers/sync.py:136-169), executed with injected scope."""
+    src = '''"""Double each value.
+
+**{"handler_type": "mapper", "argument_spec": [["arg1", "int"]]}
+"""
+yield MrConfigureToReturn()
+for name, value in arguments:
+    LOG("doubling %s" % name)
+    yield (name, value * 2)
+'''
+    engine.register_handler("wf", "doubler", source_code=src)
+    engine.create_step("wf", "step_double", "doubler", "noop")
+    engine.create_job("wf", "job_double", "step_double")
+    req = engine.submit("wf", "job_double", {"arg1": 21})
+    assert req.result["pairs"] == [["arg1", [42]]]
+
+
+def test_inline_result_envelope(engine):
+    """FIXTURES A.4 #6: blocking result envelope is {'pairs': [[k, v]...]}."""
+    req = engine.submit("wf", "job5", {"arg1": 20})
+    assert set(req.result.keys()) == {"pairs"}
+    assert all(isinstance(p, list) and len(p) == 2 for p in req.result["pairs"])
