@@ -1,0 +1,314 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+Scale design (the whole point of each construction):
+
+  * **exact**: hash-groupBy on a normalized digest — one shuffle keyed
+    by a 60-bit hash, survivors = min(id) per group. At 100 TB the
+    shuffle carries (digest, id), never the text.
+  * **MinHash+LSH**: shingle→minhash signature (per-row, no shuffle) →
+    band hashes → groupBy(band, band_hash) → pairs within buckets. The
+    only O(pairs) work happens inside LSH buckets, whose expected size
+    is controlled by (bands, rows-per-band) — never a full cross join.
+  * **SimHash**: per-row 60-bit sketch via 60 conditional sums in one
+    groupBy(doc, token) + one groupBy(doc) — then banded hamming join.
+  * **n-gram Jaccard**: exact verification pass over *candidate* pairs
+    only (blocked or LSH-fed); |A∩B| via an equi-join on shingle.
+  * **embedding cosine**: exact verification over blocked pairs with
+    scaled-integer dot products (order-independent, cross-engine
+    deterministic); the ANN path for candidate generation lives in
+    operators/similarity.py.
+
+All hashes are the portable md5-60bit family (jobx_spark.functions), so
+every operator has a bit-exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from jobx_spark.functions import MINHASH_P, md5_long, minhash_coeffs, perm_hash
+from jobx_spark.operators.text import shingles, tokens
+
+DOT_SCALE = 1e12
+
+
+# ----------------------------------------------------------------- exact dedup
+def normalized_digest(col: Column | str) -> Column:
+    """Digest of whitespace-normalized lower-cased text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return md5_long(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the min-id representative of each exact (normalized) text.
+
+    Returns (digest, keep_id, n_copies). Survivor selection is a plain
+    min-agg — one partial-aggregated shuffle at any scale.
+    """
+    return (
+        df.select(normalized_digest(text_col).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+# -------------------------------------------------------------------- minhash
+def minhash_signature(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    shingle_n: int = 3,
+    seed: int = 7,
+) -> DataFrame:
+    """(id, h0..h{n-1}) minhash signature columns.
+
+    Explode shingles → base hash → n min-aggregations in ONE groupBy:
+    a single shuffle keyed by id carrying (id, base_hash) rows. The
+    universal-hash family is (a*h+b) mod P with deterministic (a, b).
+    """
+    coeffs = minhash_coeffs(n_hashes, seed)
+    base = (
+        df.select(F.col(id_col).alias("id"), F.explode(shingles(text_col, shingle_n)).alias("sh"))
+        .select("id", md5_long("sh").alias("h"))
+    )
+    aggs = [
+        F.min(perm_hash(F.col("h"), a, b)).alias(f"mh{j}")
+        for j, (a, b) in enumerate(coeffs)
+    ]
+    return base.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    seed: int = 7,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding.
+
+    Signature split into `bands` bands of n_hashes/bands rows; a pair is
+    a candidate when at least one band hash collides. Output
+    (id_a, id_b, n_shared_bands), id_a < id_b.
+    """
+    rows_per_band = n_hashes // bands
+    sig = minhash_signature(df, id_col, text_col, n_hashes, shingle_n, seed)
+    band_cols = []
+    for b in range(bands):
+        member = F.concat_ws(
+            ",", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        )
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), md5_long(member).alias("bh"))
+        )
+    banded = sig.select(
+        "id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+# -------------------------------------------------------------------- simhash
+SIMHASH_BITS = 60  # the portable hash is 60 bits
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash) — 60-bit SimHash over token frequencies.
+
+    Two aggregations: (id, token)→count collapses duplicate tokens
+    map-side; then 60 conditional sums per id build the bit votes. The
+    second shuffle carries one row per distinct (id, token) — bounded
+    by vocabulary, not document length.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok")
+    )
+    counted = tok.groupBy("id", "tok").agg(F.count("*").alias("cnt"))
+    hashed = counted.select("id", "cnt", md5_long("tok").alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.col("cnt"))
+            .otherwise(-F.col("cnt"))
+        ).alias(f"bit{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    per_doc = hashed.groupBy("id").agg(*votes)
+    sim = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"bit{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = term if sim is None else sim + term
+    return per_doc.select("id", sim.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by banded hamming distance over simhash.
+
+    Split the 60-bit sketch into `bands` segments; by pigeonhole, a pair
+    within hamming ≤ (bands-1) per-band thresholds must collide on at
+    least one raw segment — candidates come from segment equality, then
+    exact hamming verifies. Output (id_a, id_b, hamming).
+    """
+    seg_bits = SIMHASH_BITS // bands
+    sh = simhash(df, id_col, text_col)
+    segs = [
+        F.shiftright(F.col("simhash"), b * seg_bits)
+        .bitwiseAND(F.lit((1 << seg_bits) - 1))
+        .alias("seg")
+        for b in range(bands)
+    ]
+    banded = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), segs[b])
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.seg").alias("seg"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, ["band", "seg"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ------------------------------------------------------------- n-gram jaccard
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = None,
+    n: int = 1,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram-set Jaccard for pairs sharing a block (or LSH
+    bucket). |A∩B| comes from an equi-join on the shingle hash — the
+    shuffle is keyed by shingle, so cost tracks shared-shingle volume,
+    not the pair cross product.
+    """
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"),
+            *( [F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")] ),
+            F.explode_outer(
+                F.array_distinct(shingles(text_col, n) if n > 1 else tokens(text_col))
+            ).alias("sh"),
+        )
+        .select("id", "blk", md5_long("sh").alias("h"))
+        .distinct()
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, ["blk", "h"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sza = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    szb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sza, "id_a")
+        .join(szb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "n_inter", "jaccard")
+    )
+
+
+# --------------------------------------------------------- embedding near-dup
+def scaled_dot(vec_a: Column, vec_b: Column, scale: float = DOT_SCALE) -> Column:
+    """Order-independent dot product: per-element double products floored
+    to scaled BIGINTs, then an exact integer fold. Bit-identical across
+    engines and partitionings (see jobx_spark/queries/similarity.py for
+    the DuckDB rendering)."""
+    return F.aggregate(
+        F.zip_with(
+            vec_a,
+            vec_b,
+            lambda x, y: F.floor(x.cast("double") * y.cast("double") * F.lit(scale)).cast(
+                "long"
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_from_scaled(dot_s: Column, norm_a_s: Column, norm_b_s: Column) -> Column:
+    return dot_s.cast("double") / (
+        F.sqrt(norm_a_s.cast("double")) * F.sqrt(norm_b_s.cast("double"))
+    )
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+    min_cosine: float = 0.9,
+) -> DataFrame:
+    """Cosine near-duplicate pairs within blocks.
+
+    Blocking (a label, an LSH bucket from similarity.hyperplane_bucket,
+    or a coarse quantization) bounds the pair enumeration; the exact
+    cosine then verifies. Output (id_a, id_b, cosine).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        *( [F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")] ),
+        F.col(vec_col).alias("v"),
+    ).withColumn("norm_s", scaled_dot(F.col("v"), F.col("v")))
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, "blk")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine_from_scaled(
+                scaled_dot(F.col("a.v"), F.col("b.v")),
+                F.col("a.norm_s"),
+                F.col("b.norm_s"),
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+    )

@@ -1,0 +1,134 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+decode / feature-extraction operators as Arrow-batched Pandas UDFs.
+
+The container has no image/audio codecs (PIL/ffmpeg/torchvision), so the
+*decode* step is stubbed two ways:
+
+  * real decoders are attempted behind an import-try and raise
+    ``NotImplementedError`` with a clear message when the library is
+    absent — the call sites, schemas and batch shapes are production
+    code;
+  * a **deterministic fake decoder** derives pseudo-features from the
+    md5 of the payload, so the whole distributed pipeline (binary column
+    → mapInPandas → fixed-width feature vectors) is testable bit-for-bit
+    (and even oracle-checkable in SQL, since md5 is portable).
+
+Scale notes: binary payloads stay opaque to the shuffle (never decoded
+into Python until the Arrow batch reaches the UDF); feature extraction
+is embarrassingly parallel over partitions — mapInPandas streams record
+batches, keeping peak memory at batch size, not partition size.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ASSET_SCHEMA = "asset_id bigint, kind string, data binary, src_len bigint"
+N_FAKE_FEATURES = 4
+
+
+def attach_binary_payload(
+    df: DataFrame, id_col: str, payload_col: str, kind: str
+) -> DataFrame:
+    """Normalize any table into the asset convention
+    (asset_id, kind, data BINARY, src_len)."""
+    return df.select(
+        F.col(id_col).cast("bigint").alias("asset_id"),
+        F.lit(kind).alias("kind"),
+        F.encode(F.col(payload_col), "utf-8").alias("data"),
+        F.octet_length(F.encode(F.col(payload_col), "utf-8")).cast("bigint").alias(
+            "src_len"
+        ),
+    )
+
+
+def payload_metadata(df: DataFrame) -> DataFrame:
+    """Cheap JVM-side metadata: byte length + content digest. This is
+    the scan-time pass that runs *before* any expensive decode at scale
+    (dedupe/filter on digest first, decode the survivors)."""
+    return df.select(
+        "asset_id",
+        "kind",
+        "src_len",
+        F.md5(F.col("data")).alias("digest"),
+    )
+
+
+def _try_real_image_decode(payload: bytes):
+    try:
+        from PIL import Image  # noqa: F401 — absent in this container
+    except ImportError:
+        raise NotImplementedError(
+            "image decode requires PIL/pillow — not installed in this "
+            "environment; use decode_features(fake=True) for the "
+            "deterministic stand-in"
+        ) from None
+
+
+def _fake_features(payload: bytes) -> list[int]:
+    """Deterministic pseudo-features: first N_FAKE_FEATURES bytes of the
+    md5 digest. Portable to SQL: ('0x'||substr(md5(x),i,2))::INT."""
+    import hashlib
+
+    digest = hashlib.md5(payload).hexdigest()
+    return [int(digest[2 * i : 2 * i + 2], 16) for i in range(N_FAKE_FEATURES)]
+
+
+def decode_features(df: DataFrame, fake: bool = True) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads.
+
+    Output: (asset_id, kind, f0..f{n-1}) — fixed-width so downstream
+    similarity/dedup operators (operators/similarity.py) apply directly.
+    """
+    feat_cols = ", ".join(f"f{i} int" for i in range(N_FAKE_FEATURES))
+    out_schema = f"asset_id bigint, kind string, {feat_cols}"
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["data"]:
+                raw = bytes(payload)
+                if not fake:
+                    _try_real_image_decode(raw)
+                feats.append(_fake_features(raw))
+            out = pd.DataFrame(
+                feats, columns=[f"f{i}" for i in range(N_FAKE_FEATURES)]
+            )
+            out.insert(0, "kind", pdf["kind"].values)
+            out.insert(0, "asset_id", pdf["asset_id"].values)
+            yield out
+
+    return df.mapInPandas(extract, schema=out_schema)
+
+
+def sample_frames(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """Frame-sampling plumbing for video-like payloads: emit one row per
+    sampled offset (the real decoder would emit decoded frames). One
+    input row fans out to ceil(len/every_n)-ish rows — at scale this is
+    the explode that precedes per-frame feature UDFs."""
+    base = df.select(
+        "asset_id",
+        "kind",
+        "src_len",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.greatest(
+                    F.floor((F.col("src_len") - 1) / every_n_bytes).cast("long"),
+                    F.lit(0).cast("long"),
+                ),
+            )
+        ).alias("frame_idx"),
+    )
+    return base.select(
+        "asset_id",
+        "kind",
+        "frame_idx",
+        (F.col("src_len") - F.lit(every_n_bytes) * F.col("frame_idx")).alias(
+            "remaining_bytes"
+        ),
+    )

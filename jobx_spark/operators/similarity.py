@@ -1,0 +1,121 @@
+"""Similarity search over embedding columns: exact brute-force top-k and
+an LSH-bucketed approximate variant.
+
+Scale shape:
+  * **brute force** is exact and O(|Q|·|N|) — right when |Q| is small
+    (a probe set) or as the verification pass. The query side is
+    broadcast; the corpus side streams — no shuffle of the corpus.
+  * **hyperplane LSH** assigns every vector a bucket from the signs of
+    `n_planes` pseudo-random hyperplane projections; top-k runs within
+    buckets only. Hyperplanes are derived from integer arithmetic
+    (deterministic, no RNG state), so bucketing is reproducible in SQL
+    and across cluster runs. At 100 TB the bucket column becomes the
+    partition/bucketing key of the stored table, turning ANN lookups
+    into single-partition scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from jobx_spark.operators.dedup import cosine_from_scaled, scaled_dot
+
+# hyperplane weights: w(plane j, dim i) = +1 if ((j*1000003 + i*7919) mod 97)
+# is even else -1 — pure integer arithmetic, identical in any engine.
+_WP1, _WP2, _WMOD = 1_000_003, 7_919, 97
+
+
+def hyperplane_sign(vec: Column, plane: int) -> Column:
+    """Sign of the projection of `vec` onto deterministic hyperplane j,
+    computed in scaled-integer space (order-independent)."""
+    proj = F.aggregate(
+        F.zip_with(
+            vec,
+            F.sequence(F.lit(0), F.size(vec) - 1),
+            lambda x, i: F.floor(
+                x.cast("double")
+                * F.when(((F.lit(plane) * _WP1 + i * _WP2) % _WMOD) % 2 == 0, 1.0).otherwise(-1.0)
+                * F.lit(1e12)
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
+
+
+def hyperplane_bucket(vec: Column, n_planes: int = 8) -> Column:
+    """LSH bucket id: n_planes sign bits packed into a BIGINT."""
+    bucket = F.lit(0).cast("long")
+    for j in range(n_planes):
+        bucket = bucket + hyperplane_sign(vec, j).cast("long") * F.lit(1 << j).cast("long")
+    return bucket
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the query set against the corpus,
+    rank per query. Output (query_id, vec_id, rank, cosine)."""
+    q = queries.select(
+        F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).withColumn("qnorm_s", scaled_dot(F.col("qv"), F.col("qv")))
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
+    ).withColumn("cnorm_s", scaled_dot(F.col("cv"), F.col("cv")))
+    scored = c.join(F.broadcast(q)).select(
+        "qid",
+        "vec_id",
+        cosine_from_scaled(
+            scaled_dot(F.col("qv"), F.col("cv")), F.col("qnorm_s"), F.col("cnorm_s")
+        ).alias("cosine"),
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias("query_id"), "vec_id", "rank", "cosine")
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket, then exact cosine ranking within it. Recall/latency trades
+    on n_planes (buckets = 2^n_planes)."""
+    q = (
+        queries.select(F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv"))
+        .withColumn("bucket", hyperplane_bucket(F.col("qv"), n_planes))
+        .withColumn("qnorm_s", scaled_dot(F.col("qv"), F.col("qv")))
+    )
+    c = (
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"))
+        .withColumn("bucket", hyperplane_bucket(F.col("cv"), n_planes))
+        .withColumn("cnorm_s", scaled_dot(F.col("cv"), F.col("cv")))
+    )
+    scored = c.join(F.broadcast(q), "bucket").select(
+        "qid",
+        "vec_id",
+        cosine_from_scaled(
+            scaled_dot(F.col("qv"), F.col("cv")), F.col("qnorm_s"), F.col("cnorm_s")
+        ).alias("cosine"),
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias("query_id"), "vec_id", "rank", "cosine")
+    )

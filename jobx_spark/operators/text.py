@@ -1,0 +1,114 @@
+"""Text-analysis operators: tokenization, n-gram shingles, quality
+stats, language-ID heuristic, token counting, document fingerprinting.
+
+Everything here is pure ``pyspark.sql.functions`` column algebra — no
+Python UDFs — so the expressions run inside whole-stage codegen and
+scale linearly with a parquet scan: at 100 TB these are
+scan-shaped jobs with zero shuffles (all per-row).
+
+Determinism contract: every operator is reproducible bit-for-bit in
+ANSI SQL (see jobx_spark/queries/text.py for the DuckDB renderings) —
+hashing is the portable md5-60bit scheme from jobx_spark.functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from jobx_spark.functions import md5_long
+
+FINGERPRINT_MOD = 1_000_000_007
+
+# tiny embedded stopword lists for the language-ID heuristic; a real
+# deployment would broadcast larger lexicons — the operator shape
+# (per-row score → argmax) is the same.
+LANG_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "es": ["el", "la", "de", "y", "que", "los", "es"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un"],
+}
+PUNCT_CLASS = "[^.,!?;:]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of lower-cased trimmed text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col)).cast("bigint")
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as space-joined strings (1-indexed slices —
+    the construction DuckDB's list_slice mirrors exactly)."""
+    toks = tokens(col)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+
+
+def punct_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(F.regexp_replace(c, PUNCT_CLASS, "")).cast("bigint")
+
+
+def stopword_count(col: Column | str, lang: str = "en") -> Column:
+    toks = tokens(col)
+    words = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+    return F.size(F.array_intersect(toks, words)).cast("bigint")
+
+
+def quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword / mean-token-length features —
+    the standard cheap quality filters of a training-data pipeline.
+    Ratios are double divisions of exact integers (deterministic)."""
+    c = F.col(text_col)
+    n_chars = F.length(c).cast("bigint")
+    n_toks = token_count(c)
+    return df.withColumns(
+        {
+            "n_chars": n_chars,
+            "n_tokens": n_toks,
+            "n_punct": punct_count(c),
+            "punct_ratio": punct_count(c).cast("double") / n_chars,
+            "stopword_ratio": stopword_count(c).cast("double") / n_toks,
+            "mean_token_len": (
+                F.length(F.regexp_replace(F.lower(F.trim(c)), r"\s+", "")).cast("double")
+                / n_toks
+            ),
+        }
+    )
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Per-language stopword-hit counts (the n-gram/lexicon heuristic's
+    scoring half)."""
+    return {lang: stopword_count(col, lang) for lang in sorted(LANG_STOPWORDS)}
+
+
+def lang_guess(col: Column | str) -> Column:
+    """Argmax over language scores; ties resolve lexicographically
+    (deterministic). 'und' when no stopword hits at all."""
+    scores = lang_scores(col)
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    for lang in sorted(LANG_STOPWORDS, reverse=True):
+        expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Order-sensitive rolling document fingerprint: polynomial fold of
+    per-token portable hashes mod 1e9+7. Content-defined, so identical
+    documents collide regardless of file/partition placement — the
+    cheap first pass of exact dedup at scale."""
+    return F.aggregate(
+        tokens(col),
+        F.lit(0).cast("long"),
+        lambda acc, tok: (acc * 31 + md5_long(tok)) % FINGERPRINT_MOD,
+    )

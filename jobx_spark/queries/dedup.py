@@ -1,4 +1,296 @@
-"""Placeholder — filled in later this round."""
+"""Deduplication queries over `documents`/`embeddings`, each with a
+DuckDB oracle generated from the same constants (hash coefficients,
+bands, thresholds) the Spark operators use — the SQL *is* the algorithm,
+re-derived, so a hash match proves the distributed implementation."""
 
-QUERIES = {}
-ORACLES = {}
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jobx_spark.functions import MINHASH_P, minhash_coeffs
+from jobx_spark.operators.dedup import (
+    SIMHASH_BITS,
+    embedding_dup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from jobx_spark.sources import load_table
+
+_TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+_MD5 = "('0x'||substr(md5({e}),1,15))::BIGINT"
+_SHINGLES3 = (
+    f"list_transform(generate_series(1, greatest(len({_TOKS})-2, 0)),"
+    f" i -> array_to_string(list_slice({_TOKS}, i, i+2), ' '))"
+)
+
+N_HASHES, BANDS, SHINGLE_N, SEED = 16, 4, 3, 7
+_COEFFS = minhash_coeffs(N_HASHES, SEED)
+
+
+# --------------------------------------------------------------------------
+# dedup_exact — normalized-hash survivor selection.
+# --------------------------------------------------------------------------
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs).orderBy("digest")
+
+
+_NORM_TEXT = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_DIGEST = _MD5.format(e=_NORM_TEXT)
+
+ORACLE_DEDUP_EXACT = f"""
+SELECT {_DIGEST} AS digest,
+       min(doc_id) AS keep_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+ORDER BY digest
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup_minhash_sig — per-document minhash signatures (the LSH input).
+# --------------------------------------------------------------------------
+def dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        minhash_signature(docs, n_hashes=N_HASHES, shingle_n=SHINGLE_N, seed=SEED)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def _minhash_sig_oracle() -> str:
+    mins = ",\n       ".join(
+        f"min(((h % {MINHASH_P}) * {a} + {b}) % {MINHASH_P}) AS mh{j}"
+        for j, (a, b) in enumerate(_COEFFS)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES3}) AS s FROM documents
+), hashed AS (
+  SELECT doc_id, {_MD5.format(e='s')} AS h FROM sh
+)
+SELECT doc_id,
+       {mins}
+FROM hashed
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup_minhash_pairs — LSH-banded candidate pairs.
+# --------------------------------------------------------------------------
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        minhash_lsh_pairs(
+            docs, n_hashes=N_HASHES, bands=BANDS, shingle_n=SHINGLE_N, seed=SEED
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _minhash_pairs_oracle() -> str:
+    rows_per_band = N_HASHES // BANDS
+    mins = ",\n       ".join(
+        f"min(((h % {MINHASH_P}) * {a} + {b}) % {MINHASH_P}) AS mh{j}"
+        for j, (a, b) in enumerate(_COEFFS)
+    )
+    band_rows = []
+    for b in range(BANDS):
+        members = " || ',' || ".join(
+            f"CAST(mh{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
+        )
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band, {_MD5.format(e='(' + members + ')')} AS bh FROM sig"
+        )
+    banded = "\nUNION ALL\n".join(band_rows)
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES3}) AS s FROM documents
+), hashed AS (
+  SELECT doc_id, {_MD5.format(e='s')} AS h FROM sh
+), sig AS (
+  SELECT doc_id, {mins} FROM hashed GROUP BY doc_id
+), banded AS (
+{banded}
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_bands
+FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+ORDER BY id_a, id_b
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup_simhash — 60-bit SimHash sketch per document.
+# --------------------------------------------------------------------------
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs).withColumnRenamed("id", "doc_id").orderBy("doc_id")
+
+
+def _simhash_oracle() -> str:
+    votes = ",\n       ".join(
+        f"CAST(SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN cnt ELSE -cnt END) AS BIGINT) AS bit{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    packed = " + ".join(
+        f"CASE WHEN bit{i} > 0 THEN {1 << i}::BIGINT ELSE 0::BIGINT END"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+), counted AS (
+  SELECT doc_id, tok, count(*) AS cnt FROM tok GROUP BY doc_id, tok
+), hashed AS (
+  SELECT doc_id, cnt, {_MD5.format(e='tok')} AS h FROM counted
+), votes AS (
+  SELECT doc_id,
+       {votes}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, CAST({packed} AS BIGINT) AS simhash
+FROM votes
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup_simhash_pairs — banded hamming near-dup pairs.
+# --------------------------------------------------------------------------
+SIM_BANDS, MAX_HAMMING = 4, 20
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        simhash_pairs(docs, max_hamming=MAX_HAMMING, bands=SIM_BANDS)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _simhash_pairs_oracle() -> str:
+    seg_bits = SIMHASH_BITS // SIM_BANDS
+    mask = (1 << seg_bits) - 1
+    seg_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, simhash, {b} AS band, (simhash >> {b * seg_bits}) & {mask} AS seg FROM sh"
+        for b in range(SIM_BANDS)
+    )
+    base = _simhash_oracle()
+    # reuse the simhash CTE body (strip trailing ORDER BY)
+    sim_cte = base[: base.rindex("ORDER BY")].strip()
+    return f"""
+WITH sh AS (
+{sim_cte}
+), banded AS (
+{seg_rows}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.seg = b.seg AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {MAX_HAMMING}
+ORDER BY id_a, id_b
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup_ngram_jaccard — exact token-set Jaccard within source blocks.
+# --------------------------------------------------------------------------
+JACCARD_MIN = 0.8
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        ngram_jaccard_pairs(docs, block_col="source", n=1, min_jaccard=JACCARD_MIN)
+        .orderBy("id_a", "id_b")
+    )
+
+
+ORACLE_DEDUP_JACCARD = f"""
+WITH d AS (
+  SELECT doc_id, source, s, {_MD5.format(e='s')} AS h
+  FROM (SELECT doc_id, source, unnest(list_distinct({_TOKS})) AS s FROM documents)
+), sizes AS (
+  SELECT doc_id, count(DISTINCT h) AS sz FROM d GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM (SELECT DISTINCT doc_id, source, h FROM d) a
+  JOIN (SELECT DISTINCT doc_id, source, h FROM d) b
+    ON a.source = b.source AND a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_inter,
+       n_inter::DOUBLE / (sa.sz + sb.sz - n_inter)::DOUBLE AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_inter::DOUBLE / (sa.sz + sb.sz - n_inter)::DOUBLE >= {JACCARD_MIN}
+ORDER BY id_a, id_b
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup_embedding — cosine near-dup pairs within label blocks.
+# --------------------------------------------------------------------------
+COSINE_MIN = 0.3
+_SDOT = (
+    "CAST(list_sum(list_transform(list_zip({a}, {b}),"
+    " x -> CAST(floor(x[1]::DOUBLE * x[2]::DOUBLE * 1e12) AS BIGINT))) AS BIGINT)"
+)
+
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        embedding_dup_pairs(emb, block_col="label", min_cosine=COSINE_MIN)
+        .orderBy("id_a", "id_b")
+    )
+
+
+ORACLE_DEDUP_EMBEDDING = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding,
+         {_SDOT.format(a='embedding', b='embedding')} AS norm_s
+  FROM embeddings
+), p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_SDOT.format(a='a.embedding', b='b.embedding')}::DOUBLE
+           / (sqrt(a.norm_s::DOUBLE) * sqrt(b.norm_s::DOUBLE)) AS cosine
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM p
+WHERE cosine >= {COSINE_MIN}
+ORDER BY id_a, id_b
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_sig": dedup_minhash_sig,
+    "dedup_minhash_pairs": dedup_minhash_pairs,
+    "dedup_simhash": dedup_simhash,
+    "dedup_simhash_pairs": dedup_simhash_pairs,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_embedding": dedup_embedding,
+}
+
+ORACLES = {
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_minhash_sig": _minhash_sig_oracle(),
+    "dedup_minhash_pairs": _minhash_pairs_oracle(),
+    "dedup_simhash": _simhash_oracle(),
+    "dedup_simhash_pairs": _simhash_pairs_oracle(),
+    "dedup_ngram_jaccard": ORACLE_DEDUP_JACCARD,
+    "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
+}

@@ -1,0 +1,103 @@
+"""Multimodal-plumbing queries: binary payloads synthesized from
+`documents` (utf-8 bytes), exercising the asset schema, JVM-side
+metadata pass, the Arrow/mapInPandas feature path, and frame-sampling
+fan-out — all with DuckDB oracles (md5 on identical bytes)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jobx_spark.operators.multimodal import (
+    N_FAKE_FEATURES,
+    attach_binary_payload,
+    decode_features,
+    payload_metadata,
+    sample_frames,
+)
+from jobx_spark.sources import load_table
+
+
+def _assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return attach_binary_payload(docs, "doc_id", "text", kind="text/plain")
+
+
+# --------------------------------------------------------------------------
+# multimodal_meta — scan-time metadata over binary payloads.
+# --------------------------------------------------------------------------
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return payload_metadata(_assets(spark, sf_dir)).orderBy("asset_id")
+
+
+ORACLE_MULTIMODAL_META = """
+SELECT doc_id AS asset_id,
+       'text/plain' AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS src_len,
+       md5(text) AS digest
+FROM documents
+ORDER BY asset_id
+"""
+
+
+# --------------------------------------------------------------------------
+# multimodal_features — the mapInPandas decode path (deterministic fake
+# features: md5 digest bytes), oracle-checkable because md5 is portable.
+# --------------------------------------------------------------------------
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decode_features(_assets(spark, sf_dir), fake=True).orderBy("asset_id")
+
+
+def _features_oracle() -> str:
+    cols = ",\n       ".join(
+        f"CAST(('0x' || substr(md5(text), {2 * i + 1}, 2))::BIGINT AS INTEGER) AS f{i}"
+        for i in range(N_FAKE_FEATURES)
+    )
+    return f"""
+SELECT doc_id AS asset_id,
+       'text/plain' AS kind,
+       {cols}
+FROM documents
+ORDER BY asset_id
+"""
+
+
+# --------------------------------------------------------------------------
+# multimodal_frames — frame-sampling fan-out plumbing.
+# --------------------------------------------------------------------------
+EVERY_N = 64
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_frames(_assets(spark, sf_dir), every_n_bytes=EVERY_N).orderBy(
+        "asset_id", "frame_idx"
+    )
+
+
+ORACLE_MULTIMODAL_FRAMES = f"""
+WITH a AS (
+  SELECT doc_id AS asset_id, 'text/plain' AS kind,
+         CAST(octet_length(encode(text)) AS BIGINT) AS src_len
+  FROM documents
+)
+SELECT asset_id, kind, frame_idx,
+       src_len - {EVERY_N} * frame_idx AS remaining_bytes
+FROM a, LATERAL (
+  SELECT unnest(generate_series(0::BIGINT,
+           greatest(CAST(floor((src_len - 1) / {EVERY_N}) AS BIGINT), 0))) AS frame_idx
+)
+ORDER BY asset_id, frame_idx
+"""
+
+
+QUERIES = {
+    "multimodal_meta": multimodal_meta,
+    "multimodal_features": multimodal_features,
+    "multimodal_frames": multimodal_frames,
+}
+
+ORACLES = {
+    "multimodal_meta": ORACLE_MULTIMODAL_META,
+    "multimodal_features": _features_oracle(),
+    "multimodal_frames": ORACLE_MULTIMODAL_FRAMES,
+}

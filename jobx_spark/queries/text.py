@@ -1,4 +1,150 @@
-"""Placeholder — filled in later this round."""
+"""Text-analysis queries over `documents`, each with a bit-exact DuckDB
+oracle (the SQL mirrors the Spark column algebra construct-for-construct
+— tokenization, portable hashing, rolling folds)."""
 
-QUERIES = {}
-ORACLES = {}
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jobx_spark.operators.text import (
+    FINGERPRINT_MOD,
+    LANG_STOPWORDS,
+    fingerprint,
+    lang_guess,
+    lang_scores,
+    quality_stats,
+)
+from jobx_spark.sources import load_table
+
+_TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+_MD5 = "('0x'||substr(md5({e}),1,15))::BIGINT"
+
+
+# --------------------------------------------------------------------------
+# text_quality: per-document quality features (scan-shaped, no shuffle).
+# --------------------------------------------------------------------------
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_stats(docs, "text").select(
+        "doc_id", "n_chars", "n_tokens", "n_punct",
+        "punct_ratio", "stopword_ratio", "mean_token_len",
+    ).orderBy("doc_id")
+
+
+ORACLE_TEXT_QUALITY = f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+       CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT)::DOUBLE
+           / CAST(length(text) AS BIGINT) AS punct_ratio,
+       CAST(len(list_intersect(toks, {LANG_STOPWORDS['en']!r})) AS BIGINT)::DOUBLE
+           / CAST(len(toks) AS BIGINT) AS stopword_ratio,
+       length(regexp_replace(lower(trim(text)), '\\s+', '', 'g'))::DOUBLE
+           / CAST(len(toks) AS BIGINT) AS mean_token_len
+FROM t
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# text_lang_id: stopword-lexicon language heuristic + per-language scores.
+# --------------------------------------------------------------------------
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scores = lang_scores(F.col("text"))
+    return docs.select(
+        "doc_id",
+        *[scores[lang].alias(f"score_{lang}") for lang in sorted(LANG_STOPWORDS)],
+        lang_guess(F.col("text")).alias("lang_guess"),
+    ).orderBy("doc_id")
+
+
+def _lang_oracle() -> str:
+    langs = sorted(LANG_STOPWORDS)
+    score_cols = ",\n       ".join(
+        f"CAST(len(list_intersect(toks, {LANG_STOPWORDS[lang]!r})) AS BIGINT) AS score_{lang}"
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    cases = "\n            ".join(
+        f"WHEN score_{lang} = {best} AND {best} > 0 THEN '{lang}'" for lang in langs
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id,
+       {score_cols}
+      FROM t)
+SELECT doc_id, {', '.join('score_' + lang for lang in langs)},
+       CASE {cases}
+            ELSE 'und' END AS lang_guess
+FROM s
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# text_fingerprint: rolling polynomial hash per document + duplicate-
+# fingerprint grouping (count per fingerprint).
+# --------------------------------------------------------------------------
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_TEXT_FINGERPRINT = f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform({_TOKS}, t -> {_MD5.format(e='t')})),
+         (a, b) -> (a * 31 + b) % {FINGERPRINT_MOD}) AS fp
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# text_token_histogram: corpus token-frequency table (the shuffle-bearing
+# text op: explode → groupBy token; partial aggregation collapses
+# duplicates map-side). Top 50 by count with deterministic tiebreak.
+# --------------------------------------------------------------------------
+def text_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(50)
+    )
+
+
+ORACLE_TEXT_TOKEN_HISTOGRAM = f"""
+SELECT tok, count(*) AS n
+FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+GROUP BY tok
+ORDER BY n DESC, tok ASC
+LIMIT 50
+"""
+
+
+QUERIES = {
+    "text_quality": text_quality,
+    "text_lang_id": text_lang_id,
+    "text_fingerprint": text_fingerprint,
+    "text_token_histogram": text_token_histogram,
+}
+
+ORACLES = {
+    "text_quality": ORACLE_TEXT_QUALITY,
+    "text_lang_id": _lang_oracle(),
+    "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
+    "text_token_histogram": ORACLE_TEXT_TOKEN_HISTOGRAM,
+}
