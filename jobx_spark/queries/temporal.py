@@ -1,0 +1,390 @@
+"""Temporal & advanced relational operators: as-of join, band (range)
+join, sliding/range window frames, moment-based statistics, exact
+discrete percentiles, argmax-per-group.
+
+None of these exist in the reference engine (SURVEY.md §2.2 — its only
+relational algebra is flatMap → groupByKey → reduce); they are the
+operators a user of a modern analytics engine expects, each expressed
+as a composition of built-in DataFrame ops so Catalyst keeps the whole
+plan JVM-side.
+
+Scale notes are attached per query; the common theme: every operator
+here costs exactly ONE shuffle on its natural key (or zero, when the
+joined side broadcasts), so all of them survive a 100 TB input as long
+as no single key's group exceeds executor memory — and the keys used
+(user_id, supplier, event_type) are either high-cardinality or
+bounded-size groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from jobx_spark.functions import dsum, dsum_sql
+from jobx_spark.sources import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# q20: AS-OF join — for each purchase event, the most recent click by the
+# same user at-or-before the purchase timestamp.
+#
+# Spark has no ASOF JOIN operator; the scalable formulation is the
+# union-and-carry-forward pattern: tag both sides, sort within user, and
+# carry the last click forward with last(..., ignorenulls) over a running
+# row frame. Cost: ONE shuffle on user_id, no row explosion — unlike the
+# naive range join (purchases × clicks then max), which is quadratic per
+# user. At 100 TB this is the canonical formulation; clicks at the exact
+# purchase timestamp are eligible (>= semantics) because the sort key
+# places kind=0 (click) before kind=1 (purchase) on ties.
+# --------------------------------------------------------------------------
+def q20_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("kind"),
+            F.lit(None).cast("bigint").alias("purchase_id"),
+            F.lit(None).cast("double").alias("purchase_value"),
+            F.col("ts").alias("click_ts"),
+            F.col("value").alias("click_value"),
+        )
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "ts",
+            F.lit(1).alias("kind"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+            F.lit(None).cast("timestamp").alias("click_ts"),
+            F.lit(None).cast("double").alias("click_value"),
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .withColumn("last_click_value", F.last("click_value", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "purchase_value",
+            F.col("last_click_ts").alias("click_ts"),
+            F.col("last_click_value").alias("click_value"),
+            (F.unix_micros("ts") - F.unix_micros("last_click_ts")).alias("wait_us"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+# DuckDB has a native ASOF JOIN; using it makes the oracle genuinely
+# independent of our formulation. events.ts is microsecond-unique per
+# user in the testdata, so the match is unambiguous.
+ORACLE_Q20 = """
+SELECT p.event_id AS purchase_id,
+       p.user_id AS user_id,
+       p.ts AS purchase_ts,
+       p.value AS purchase_value,
+       c.ts AS click_ts,
+       c.value AS click_value,
+       epoch_us(p.ts) - epoch_us(c.ts) AS wait_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY purchase_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q21: band (range) join — non-equi theta join of orders against a tiny
+# literal band dimension on lo <= price < hi. The band table broadcasts,
+# so the physical plan is BroadcastNestedLoopJoin: zero shuffle for the
+# join; the only exchange is the final ~5-group aggregation. This is the
+# scalable shape for any small-dimension interval join (price bands, IP
+# ranges, SLA tiers); for large×large interval joins the play is bucketed
+# overlap keys, which q20's union pattern covers for the temporal case.
+# --------------------------------------------------------------------------
+_BANDS = [
+    ("P0_under_100k", 0.0, 100_000.0),
+    ("P1_100k_200k", 100_000.0, 200_000.0),
+    ("P2_200k_300k", 200_000.0, 300_000.0),
+    ("P3_300k_400k", 300_000.0, 400_000.0),
+    ("P4_over_400k", 400_000.0, 1e18),
+]
+
+
+def q21_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(_BANDS, "band string, lo double, hi double")
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (orders.o_totalprice >= bands.lo) & (orders.o_totalprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("total"),
+        )
+        .orderBy("band")
+    )
+
+
+_BANDS_VALUES = ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _BANDS)
+ORACLE_Q21 = f"""
+SELECT band, count(*) AS n_orders, {dsum_sql('o_totalprice')} AS total
+FROM orders
+JOIN (VALUES {_BANDS_VALUES}) AS bands(band, lo, hi)
+  ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band
+ORDER BY band
+"""
+
+
+# --------------------------------------------------------------------------
+# q22: sliding & range window frames — per supplier in ship order:
+#   * moving sum of the last 4 rows (ROWS BETWEEN 3 PRECEDING);
+#   * trailing-7-day sum (RANGE frame over epoch microseconds);
+#   * lag/lead navigation.
+# One shuffle on l_suppkey; frames evaluate in a single sorted pass per
+# partition. Decimal sums keep the moving totals order-exact.
+# --------------------------------------------------------------------------
+def q22_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 5)
+    order_cols = [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")]
+    wrows = (
+        W.partitionBy("l_suppkey").orderBy(*order_cols).rowsBetween(-3, W.currentRow)
+    )
+    # l_shipdate is TIMESTAMP_NTZ in the parquet; unix_micros wants TIMESTAMP.
+    # Session TZ is pinned UTC, so the cast is value-preserving.
+    us = F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+    seven_days_us = 7 * 24 * 3600 * 1_000_000
+    wrange = (
+        W.partitionBy("l_suppkey").orderBy(us).rangeBetween(-seven_days_us, 0)
+    )
+    wnav = W.partitionBy("l_suppkey").orderBy(*order_cols)
+    dec = F.col("l_quantity").cast("decimal(38,8)")
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        F.sum(dec).over(wrows).cast("string").cast("double").alias("moving4_qty"),
+        F.sum(dec).over(wrange).cast("string").cast("double").alias("trailing7d_qty"),
+        F.lag("l_quantity").over(wnav).alias("prev_qty"),
+        F.lead("l_shipdate").over(wnav).alias("next_shipdate"),
+    ).orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
+
+
+ORACLE_Q22 = """
+SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,8))) OVER (
+            PARTITION BY l_suppkey
+            ORDER BY l_shipdate, l_orderkey, l_linenumber
+            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
+            AS moving4_qty,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,8))) OVER (
+            PARTITION BY l_suppkey
+            ORDER BY epoch_us(l_shipdate)
+            RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
+            AS trailing7d_qty,
+       lag(l_quantity) OVER w AS prev_qty,
+       lead(l_shipdate) OVER w AS next_shipdate
+FROM lineitem
+WHERE l_suppkey <= 5
+WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber
+"""
+
+
+# --------------------------------------------------------------------------
+# q23: statistical aggregates via exact moments — stddev/variance/corr are
+# float-order-dependent if computed with the engines' native streaming
+# kernels (Welford vs two-pass differ in the last ulp), so we compute the
+# raw moments (n, Σx, Σx², Σy, Σy², Σxy) EXACTLY in decimal, convert each
+# once to double, and evaluate the closed-form formulas in a fixed
+# operation order — bit-identical in any IEEE-754 engine. The plan is
+# still one partial+final hash aggregation (decimal sums are
+# map-side-combinable), so nothing is lost at scale.
+# --------------------------------------------------------------------------
+def q23_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice")
+    y = F.col("l_quantity")
+
+    def dbl(c):
+        return F.sum(c.cast("decimal(38,8)")).cast("string").cast("double")
+
+    moments = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        dbl(x).alias("sx"),
+        dbl(x * x).alias("sxx"),
+        dbl(y).alias("sy"),
+        dbl(y * y).alias("syy"),
+        dbl(x * y).alias("sxy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    return moments.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        ((sxx - sx * sx / n) / (n - F.lit(1.0))).alias("var_price"),
+        F.sqrt((sxx - sx * sx / n) / (n - F.lit(1.0))).alias("std_price"),
+        (
+            (sxy - sx * sy / n)
+            / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n))
+        ).alias("corr_price_qty"),
+    ).orderBy("l_returnflag")
+
+
+def _duck_moment(expr: str) -> str:
+    return f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)"
+
+
+ORACLE_Q23 = f"""
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS DOUBLE) AS n,
+         {_duck_moment('l_extendedprice')} AS sx,
+         {_duck_moment('l_extendedprice * l_extendedprice')} AS sxx,
+         {_duck_moment('l_quantity')} AS sy,
+         {_duck_moment('l_quantity * l_quantity')} AS syy,
+         {_duck_moment('l_extendedprice * l_quantity')} AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       (sxx - sx * sx / n) / (n - 1.0) AS var_price,
+       sqrt((sxx - sx * sx / n) / (n - 1.0)) AS std_price,
+       (sxy - sx * sy / n)
+         / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS corr_price_qty
+FROM m
+ORDER BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# q24: exact discrete percentiles (p50/p90/p99) of event value per type.
+# percentile_disc defined as the value at row ceil(p*n) of the sorted
+# group — computed with row_number + conditional agg, so the answer is an
+# actual data value (no float interpolation to diverge on). One shuffle
+# on event_type + the per-group sort; at 100 TB with few huge groups the
+# same construction runs on (event_type, salt) pre-ranks or
+# approx_percentile — this exact form is the correctness anchor.
+# --------------------------------------------------------------------------
+def q24_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(W.partitionBy("event_type")).alias("n"),
+    )
+
+    def at(p: float):
+        pos = F.ceil(F.lit(p) * F.col("n")).cast("bigint")
+        return F.max(F.when(F.col("rn") == pos, F.col("value")))
+
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            at(0.5).alias("p50"),
+            at(0.9).alias("p90"),
+            at(0.99).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_Q24 = """
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       MAX(n) AS n,
+       MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN value END) AS p50,
+       MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN value END) AS p90,
+       MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN value END) AS p99
+FROM ranked
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# q25: argmax per group (max_by semantics, tie-stable) — for each user,
+# the event carrying the highest value; ties broken by event_id so the
+# answer is unique. Implemented as max(struct(...)): a single partial+
+# final aggregation with NO window sort — structs compare field-by-field
+# in Tungsten, so this is the cheapest argmax at scale (one shuffle of
+# one struct per (task, user)).
+# --------------------------------------------------------------------------
+def q25_argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    best = F.max(F.struct(F.col("value"), F.col("event_id"), F.col("event_type"), F.col("ts")))
+    return (
+        ev.groupBy("user_id")
+        .agg(best.alias("best"))
+        .select(
+            "user_id",
+            F.col("best.value").alias("top_value"),
+            F.col("best.event_id").alias("top_event_id"),
+            F.col("best.event_type").alias("top_event_type"),
+            F.col("best.ts").alias("top_ts"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_Q25 = """
+SELECT user_id,
+       value AS top_value,
+       event_id AS top_event_id,
+       event_type AS top_event_type,
+       ts AS top_ts
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+             ORDER BY value DESC, event_id DESC) AS rk
+  FROM events
+)
+WHERE rk = 1
+ORDER BY user_id
+"""
+
+
+QUERIES = {
+    "q20_asof_join": q20_asof_join,
+    "q21_band_join": q21_band_join,
+    "q22_window_frames": q22_window_frames,
+    "q23_stats_moments": q23_stats_moments,
+    "q24_percentile_disc": q24_percentile_disc,
+    "q25_argmax_per_group": q25_argmax_per_group,
+}
+
+ORACLES = {
+    "q20_asof_join": ORACLE_Q20,
+    "q21_band_join": ORACLE_Q21,
+    "q22_window_frames": ORACLE_Q22,
+    "q23_stats_moments": ORACLE_Q23,
+    "q24_percentile_disc": ORACLE_Q24,
+    "q25_argmax_per_group": ORACLE_Q25,
+}
