@@ -1,0 +1,120 @@
+"""Streaming queries exposed through the driver contract.
+
+Each query opens the events table as a *file-source stream*, runs a
+Structured Streaming aggregation to completion with AvailableNow, and
+returns the materialized result — so the correctness gate verifies the
+streaming operators against the same DuckDB oracles as the batch
+surface. The window semantics (UTC-aligned tumbling buckets, two-window
+sliding membership, 30-minute-gap sessions) are restated independently
+in the oracle SQL rather than echoing Spark's implementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from jobx_spark import streaming as S
+from jobx_spark.functions import dsum_sql
+
+
+def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = S.stream_events(spark, sf_dir)
+    out = S.run_available_now(S.tumbling_window_agg(ev), "complete", "tumbling")
+    return out.orderBy("window_start", "event_type")
+
+
+ORACLE_STREAM_TUMBLING = f"""
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       count(*) AS n,
+       {dsum_sql('value')} AS total_value
+FROM events
+GROUP BY 1, 2, 3
+ORDER BY window_start, event_type
+"""
+
+
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = S.stream_events(spark, sf_dir)
+    out = S.run_available_now(S.sliding_window_agg(ev), "complete", "sliding")
+    return out.orderBy("window_start", "event_type")
+
+
+# An event at time t belongs to the two 2-hour windows starting at
+# hour(t) and hour(t) - 1h.
+ORACLE_STREAM_SLIDING = """
+SELECT date_trunc('hour', ts) - off * INTERVAL 1 HOUR AS window_start,
+       date_trunc('hour', ts) - off * INTERVAL 1 HOUR + INTERVAL 2 HOUR AS window_end,
+       event_type,
+       count(*) AS n
+FROM events
+CROSS JOIN (VALUES (0), (1)) AS offs(off)
+GROUP BY 1, 2, 3
+ORDER BY window_start, event_type
+"""
+
+
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = S.stream_events(spark, sf_dir)
+    out = S.run_available_now(S.session_window_agg(ev), "complete", "session")
+    return out.orderBy("user_id", "session_start")
+
+
+# Gap-based sessionization restated with window functions: a new session
+# starts when the gap from the previous event reaches 30 minutes
+# (session_window merges only while the new event is strictly inside
+# previous-end = prev_ts + 30 min); session end = last event + 30 min.
+ORACLE_STREAM_SESSION = """
+WITH stamped AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800 * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sessioned AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM stamped
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events
+FROM sessioned
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+
+def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = S.stream_events(spark, sf_dir)
+    snapshot = S.run_available_now(
+        S.stateful_user_stats(ev), "update", "user_stats"
+    )
+    return S.finalize_update_stream(snapshot).orderBy("user_id")
+
+
+ORACLE_STREAM_STATEFUL = """
+SELECT user_id, count(*) AS n_events, max(value) AS max_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+QUERIES = {
+    "stream_tumbling_agg": stream_tumbling_agg,
+    "stream_sliding_agg": stream_sliding_agg,
+    "stream_session_window": stream_session_window,
+    "stream_stateful_user_stats": stream_stateful_user_stats,
+}
+
+ORACLES = {
+    "stream_tumbling_agg": ORACLE_STREAM_TUMBLING,
+    "stream_sliding_agg": ORACLE_STREAM_SLIDING,
+    "stream_session_window": ORACLE_STREAM_SESSION,
+    "stream_stateful_user_stats": ORACLE_STREAM_STATEFUL,
+}

@@ -1,0 +1,211 @@
+"""Structured Streaming surface: file-source event streams, watermarked
+time windows (tumbling / sliding / session), and a custom stateful
+operator via ``applyInPandasWithState``.
+
+The reference engine has no streaming at all (SURVEY.md §2.2 — its only
+streaming-adjacent features are the etcd change-watch and async
+requests), so this module is pure Spark-native capability. Everything
+runs through ``Trigger.AvailableNow`` in tests/queries: the stream
+processes the same parquet the batch queries read and terminates, so
+streaming results are verifiable against the same DuckDB oracles — the
+exact code path that, pointed at a growing directory or Kafka source
+with a real trigger, runs continuously at scale.
+
+Scale notes: stateful streaming shuffles once on the grouping key per
+micro-batch and keeps per-key state in the state store (RocksDB-backed
+on a real cluster); watermarks bound that state. Complete output mode
+is used for the windowed aggregations here because the inputs are
+finite; production continuous runs would use append + watermark
+eviction — the plan shape is identical.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        # TIMESTAMP(NANOS) in the parquet footer; read as raw INT64
+        # (legacy.parquet.nanosAsLong) and truncated to micros below,
+        # matching the batch reader in jobx_spark.sources.load_table.
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+_name_counter = itertools.count()
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open the events table as a file-source stream.
+
+    File sources need a directory; ``pathGlobFilter`` selects just the
+    events file out of the shared testdata dir. In production the same
+    reader points at an arriving-files directory (or is swapped for
+    Kafka) — everything downstream is source-agnostic.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def run_available_now(
+    df: DataFrame, output_mode: str = "complete", name: str | None = None
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion over the currently
+    available input and return the materialized result.
+
+    Memory sink is driver-resident — correct here because every
+    streaming query in this module aggregates to a small result
+    (windows × types, sessions, per-user state); raw-event streams
+    would use a file/Kafka sink instead.
+    """
+    spark = df.sparkSession
+    name = f"{name or 'stream'}_{os.getpid()}_{next(_name_counter)}"
+    query = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
+
+
+# ------------------------------------------------------------------ windows
+
+
+def tumbling_window_agg(events: DataFrame) -> DataFrame:
+    """1-hour tumbling windows per event type: count + exact sum.
+
+    The watermark bounds state (and admits ≤2 h late data) in a
+    continuous run; with AvailableNow over finite input it is a no-op
+    but keeps the plan production-shaped.
+    """
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(38,8)"))
+            .cast("string")
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_window_agg(events: DataFrame) -> DataFrame:
+    """2-hour windows sliding every hour per event type — each event
+    lands in exactly two windows."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def session_window_agg(events: DataFrame) -> DataFrame:
+    """Native session windows: per user, events merge while gaps stay
+    under 30 minutes; window end = last event + gap."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# ------------------------------------------------------- custom stateful op
+
+_USER_STATS_OUTPUT = "user_id bigint, n_events bigint, max_value double"
+_USER_STATS_STATE = "n bigint, mx double"
+
+
+def _user_stats_fn(key, pdf_iter, state: GroupState):
+    """Running (count, max) per user. Only order-independent statistics
+    live in state, so the emitted values are deterministic regardless of
+    batch/partition order — required for oracle comparison."""
+    (user_id,) = key
+    n, mx = state.get if state.exists else (0, None)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        if len(pdf):
+            batch_max = float(pdf["value"].max())
+            mx = batch_max if mx is None or batch_max > mx else mx
+    state.update((n, mx))
+    yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "max_value": [mx]})
+
+
+def stateful_user_stats(events: DataFrame) -> DataFrame:
+    """Arbitrary keyed state via applyInPandasWithState — the Spark-native
+    form of the reference's per-key session state (SURVEY.md §2.1 #14),
+    here accumulating per-user event statistics across micro-batches.
+
+    One shuffle per batch on user_id; state store holds 16 bytes/user.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _user_stats_fn,
+        outputStructType=_USER_STATS_OUTPUT,
+        stateStructType=_USER_STATS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def finalize_update_stream(snapshot: DataFrame) -> DataFrame:
+    """An update-mode memory sink appends one row per key per batch; the
+    final state per key is the row with the highest running count
+    (counts are monotone). Collapse to it with one aggregation."""
+    best = F.max(F.struct(F.col("n_events"), F.col("max_value")))
+    return (
+        snapshot.groupBy("user_id")
+        .agg(best.alias("b"))
+        .select(
+            "user_id",
+            F.col("b.n_events").alias("n_events"),
+            F.col("b.max_value").alias("max_value"),
+        )
+    )
