@@ -27,6 +27,12 @@ HEADLINE = [
     "q11_distinct_agg",
     "q15_json_extract",
     "q16_sessionize",
+    "q20_asof_join",
+    "q22_window_frames",
+    "q24_percentile_disc",
+    "stream_tumbling_agg",
+    "stream_stateful_user_stats",
+    "multimodal_features",
 ]
 
 
