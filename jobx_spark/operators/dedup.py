@@ -25,7 +25,7 @@ every operator has a bit-exact DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from jobx_spark.functions import MINHASH_P, md5_long, minhash_coeffs, perm_hash
@@ -243,6 +243,95 @@ def ngram_jaccard_pairs(
     szb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
     return (
         inter.join(sza, "id_a")
+        .join(szb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "n_inter", "jaccard")
+    )
+
+
+def ngram_jaccard_prefix_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = None,
+    n: int = 1,
+    min_jaccard: float = 0.8,
+) -> DataFrame:
+    """Prefix-filtered exact Jaccard threshold join — same output as
+    :func:`ngram_jaccard_pairs` (for the same ``min_jaccard``), different
+    plan, built for scale.
+
+    The raw formulation joins the FULL token table with itself, so its
+    cost is Σ_token df(token)² — quadratic in document frequency, and
+    high-df tokens ("the") dominate at 100 TB. Prefix filtering (the
+    standard ppjoin-family bound) restores control: order each document's
+    tokens by ascending global df; if J(A,B) ≥ t, the first
+    |A| − ⌈t·|A|⌉ + 1 tokens of A and B must overlap — so the candidate
+    join runs over *prefixes only*, dominated by RARE tokens with tiny
+    df². Candidates are then verified exactly with array_intersect over
+    the collected token arrays.
+
+    Shuffles: df-count on (blk, h), prefix rank on id, candidate join on
+    (blk, h)-of-prefix, verify join on id — all keyed, none quadratic in
+    high-df tokens.
+    """
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"),
+            *( [F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")] ),
+            F.explode_outer(
+                F.array_distinct(shingles(text_col, n) if n > 1 else tokens(text_col))
+            ).alias("sh"),
+        )
+        .select("id", "blk", md5_long("sh").alias("h"))
+        .distinct()
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    dfreq = sh.filter(F.col("h").isNotNull()).groupBy("blk", "h").agg(
+        F.count("*").alias("dfreq")
+    )
+    ranked = (
+        sh.filter(F.col("h").isNotNull())
+        .join(dfreq, ["blk", "h"])
+        .join(sizes, "id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("id").orderBy("dfreq", "h")
+            ),
+        )
+        .withColumn(
+            "prefix_len",
+            (F.col("sz") - F.ceil(F.lit(min_jaccard) * F.col("sz")) + 1).cast("int"),
+        )
+    )
+    prefix = ranked.filter(F.col("rn") <= F.col("prefix_len")).select("id", "blk", "h")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    candidates = (
+        a.join(b, ["blk", "h"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    tok_arrays = sh.filter(F.col("h").isNotNull()).groupBy("id").agg(
+        F.collect_list("h").alias("hs")
+    )
+    ta = tok_arrays.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
+    tb = tok_arrays.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
+    sza = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    szb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        candidates.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn(
+            "n_inter", F.size(F.array_intersect("hs_a", "hs_b")).cast("long")
+        )
+        .join(sza, "id_a")
         .join(szb, "id_b")
         .withColumn(
             "jaccard",

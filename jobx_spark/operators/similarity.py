@@ -53,6 +53,95 @@ def hyperplane_bucket(vec: Column, n_planes: int = 8) -> Column:
     return bucket
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid by cosine (IVF coarse
+    quantization). Centroids broadcast; the argmax is max(struct(cos,
+    -cent_id)) — one narrow aggregation, ties to the lowest cent_id.
+
+    Output (id, v, norm_s, cell). At 100 TB the cell becomes the
+    partition key of the stored index table, so a probe reads only
+    nprobe partitions.
+    """
+    c = centroids.select(
+        F.col("cent_id"), F.col("cv")
+    ).withColumn("cnorm_s", scaled_dot(F.col("cv"), F.col("cv")))
+    v = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).withColumn("norm_s", scaled_dot(F.col("v"), F.col("v")))
+    scored = v.join(F.broadcast(c)).select(
+        "id",
+        "v",
+        "norm_s",
+        F.struct(
+            cosine_from_scaled(
+                scaled_dot(F.col("v"), F.col("cv")), F.col("norm_s"), F.col("cnorm_s")
+            ).alias("cos"),
+            (-F.col("cent_id")).alias("neg_cent"),
+        ).alias("sc"),
+    )
+    return (
+        scored.groupBy("id")
+        .agg(F.max("sc").alias("best"), F.first("v").alias("v"), F.first("norm_s").alias("norm_s"))
+        .select("id", "v", "norm_s", (-F.col("best.neg_cent")).alias("cell"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their nearest-
+    centroid cell; each query probes its `nprobe` closest cells and
+    ranks exactly within them. Cells are disjoint, so candidates never
+    duplicate. Output (query_id, vec_id, rank, cosine)."""
+    cells = ivf_assign(corpus, centroids, id_col, vec_col)
+    c = centroids.select("cent_id", "cv").withColumn(
+        "cnorm_s", scaled_dot(F.col("cv"), F.col("cv"))
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).withColumn("qnorm_s", scaled_dot(F.col("qv"), F.col("qv")))
+    qcells = q.join(F.broadcast(c)).select(
+        "qid",
+        "qv",
+        "qnorm_s",
+        F.col("cent_id").alias("cell"),
+        cosine_from_scaled(
+            scaled_dot(F.col("qv"), F.col("cv")), F.col("qnorm_s"), F.col("cnorm_s")
+        ).alias("ccos"),
+    )
+    wprobe = W.partitionBy("qid").orderBy(F.desc("ccos"), F.asc("cell"))
+    probes = (
+        qcells.withColumn("pr", F.row_number().over(wprobe))
+        .filter(F.col("pr") <= nprobe)
+        .select("qid", "qv", "qnorm_s", "cell")
+    )
+    scored = cells.join(F.broadcast(probes), "cell").select(
+        "qid",
+        F.col("id").alias("vec_id"),
+        cosine_from_scaled(
+            scaled_dot(F.col("qv"), F.col("v")), F.col("qnorm_s"), F.col("norm_s")
+        ).alias("cosine"),
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias("query_id"), "vec_id", "rank", "cosine")
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,

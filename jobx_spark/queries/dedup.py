@@ -275,8 +275,27 @@ ORDER BY id_a, id_b
 """
 
 
+# --------------------------------------------------------------------------
+# dedup_jaccard_prefix — the SAME result as dedup_ngram_jaccard (same
+# oracle), computed with prefix filtering: candidates come from rare-
+# token prefixes instead of the full token self-join, which is the
+# formulation that survives high-df tokens at 100 TB.
+# --------------------------------------------------------------------------
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.operators.dedup import ngram_jaccard_prefix_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        ngram_jaccard_prefix_pairs(
+            docs, block_col="source", n=1, min_jaccard=JACCARD_MIN
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_jaccard_prefix": dedup_jaccard_prefix,
     "dedup_minhash_sig": dedup_minhash_sig,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_simhash": dedup_simhash,
@@ -287,6 +306,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_jaccard_prefix": ORACLE_DEDUP_JACCARD,
     "dedup_minhash_sig": _minhash_sig_oracle(),
     "dedup_minhash_pairs": _minhash_pairs_oracle(),
     "dedup_simhash": _simhash_oracle(),

@@ -112,12 +112,85 @@ ORDER BY query_id, rank
 """
 
 
+# --------------------------------------------------------------------------
+# ann_ivf_topk — IVF coarse quantization: corpus vectors assigned to
+# their nearest of 16 deterministic centroids (the embeddings of
+# vec_id 10..25); each query probes its 4 closest cells and ranks
+# exactly within them. At scale the cell is the storage partition key,
+# so a probe touches nprobe partitions instead of the whole corpus.
+# --------------------------------------------------------------------------
+N_CENT, CENT_BASE, NPROBE = 16, 10, 4
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(
+        (F.col("vec_id") >= CENT_BASE) & (F.col("vec_id") < CENT_BASE + N_CENT)
+    ).select((F.col("vec_id") - CENT_BASE).alias("cent_id"), F.col("embedding").alias("cv"))
+    return ivf_topk(
+        emb, _probe_queries(emb), centroids, k=K, nprobe=NPROBE
+    ).orderBy("query_id", "rank")
+
+
+ORACLE_ANN_IVF = f"""
+WITH e AS (
+  SELECT vec_id, embedding, {_SDOT.format(a='embedding', b='embedding')} AS norm_s
+  FROM embeddings
+), cent AS (
+  SELECT vec_id - {CENT_BASE} AS cent_id, embedding AS cv, norm_s AS cnorm_s
+  FROM e WHERE vec_id >= {CENT_BASE} AND vec_id < {CENT_BASE + N_CENT}
+), ascore AS (
+  SELECT e.vec_id, e.embedding, e.norm_s, cent.cent_id,
+         {_SDOT.format(a='e.embedding', b='cent.cv')}::DOUBLE
+           / (sqrt(e.norm_s::DOUBLE) * sqrt(cent.cnorm_s::DOUBLE)) AS cos
+  FROM e, cent
+), assign AS (
+  SELECT vec_id, embedding, norm_s, cent_id AS cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id ASC) AS rn
+  FROM ascore
+), cells AS (
+  SELECT vec_id, embedding, norm_s, cell FROM assign WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv, norm_s AS qnorm_s
+  FROM e WHERE vec_id < {N_QUERIES}
+), qscore AS (
+  SELECT q.query_id, q.qv, q.qnorm_s, cent.cent_id AS cell,
+         {_SDOT.format(a='q.qv', b='cent.cv')}::DOUBLE
+           / (sqrt(q.qnorm_s::DOUBLE) * sqrt(cent.cnorm_s::DOUBLE)) AS ccos
+  FROM q, cent
+), probes AS (
+  SELECT query_id, qv, qnorm_s, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+           ORDER BY ccos DESC, cell ASC) AS pr
+    FROM qscore
+  ) WHERE pr <= {NPROBE}
+), scored AS (
+  SELECT p.query_id, c.vec_id,
+         {_SDOT.format(a='p.qv', b='c.embedding')}::DOUBLE
+           / (sqrt(p.qnorm_s::DOUBLE) * sqrt(c.norm_s::DOUBLE)) AS cosine
+  FROM cells c JOIN probes p ON c.cell = p.cell
+), ranked AS (
+  SELECT query_id, vec_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, rank, cosine
+FROM ranked WHERE rank <= {K}
+ORDER BY query_id, rank
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
 }
 
 ORACLES = {
     "ann_bruteforce_topk": ORACLE_ANN_BRUTEFORCE,
     "ann_lsh_topk": _lsh_oracle(),
+    "ann_ivf_topk": ORACLE_ANN_IVF,
 }
