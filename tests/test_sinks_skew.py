@@ -1,0 +1,110 @@
+"""Write-path and skew-handling coverage: CSV/JSON round trips,
+hive-partitioned parquet with partition pruning, bucketed co-located
+joins (zero exchanges), and salted aggregation/join equivalence."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jobx_spark import plans as P
+from jobx_spark.operators.skew import salted_aggregate, salted_join
+from jobx_spark.sources import load_table, read_csv, read_json
+from jobx_spark.sources.sinks import (
+    drop_table,
+    write_bucketed,
+    write_csv,
+    write_json,
+    write_parquet,
+)
+
+
+def test_csv_round_trip(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 100)
+    path = str(tmp_path / "orders_csv")
+    write_csv(orders, path)
+    back = read_csv(spark, path, schema=orders.schema)
+    assert back.count() == orders.count()
+    assert sorted(back.columns) == sorted(orders.columns)
+    a = {tuple(r) for r in orders.select("o_orderkey", "o_totalprice").collect()}
+    b = {tuple(r) for r in back.select("o_orderkey", "o_totalprice").collect()}
+    assert a == b
+
+
+def test_json_round_trip(spark, sf_dir, tmp_path):
+    cust = load_table(spark, sf_dir, "customer").limit(50)
+    path = str(tmp_path / "cust_json")
+    write_json(cust, path)
+    back = read_json(spark, path, schema=cust.schema)
+    assert back.count() == cust.count()
+
+
+def test_partitioned_parquet_prunes_partitions(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_part")
+    write_parquet(ev, path, partition_by=["event_type"])
+    back = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    plan = P.plan_str(back)
+    # the filter must prune directories, not scan-and-filter
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters", 1)[1].split("\n", 1)[0]
+    expected = ev.filter(F.col("event_type") == "click").count()
+    assert back.count() == expected
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_dir, tmp_path):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    try:
+        write_bucketed(li, "t_li_b", "l_orderkey", 8,
+                       path=str(tmp_path / "li_b"), sort_by="l_orderkey")
+        write_bucketed(orders, "t_ord_b", "o_orderkey", 8,
+                       path=str(tmp_path / "ord_b"), sort_by="o_orderkey")
+        joined = spark.table("t_li_b").join(
+            spark.table("t_ord_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = P.plan_str(joined)
+        # co-located buckets: the join needs NO shuffle exchange
+        assert P.count_shuffles(plan) == 0, P.node_names(plan)
+        assert joined.count() == li.join(
+            orders, li.l_orderkey == orders.o_orderkey
+        ).count()
+    finally:
+        drop_table(spark, "t_li_b")
+        drop_table(spark, "t_ord_b")
+
+
+def test_salted_aggregate_matches_direct(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = salted_aggregate(
+        li,
+        ["l_returnflag"],
+        {
+            "n": F.count("*"),
+            "max_qty": F.max("l_quantity"),
+            "min_qty": F.min("l_quantity"),
+        },
+        n_salts=8,
+    )
+    direct = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.max("l_quantity").alias("max_qty"),
+        F.min("l_quantity").alias("min_qty"),
+    )
+    assert {tuple(r) for r in salted.collect()} == {tuple(r) for r in direct.collect()}
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_totalprice")
+    )
+    salted = salted_join(li, orders, "l_orderkey", n_salts=4)
+    plain = li.join(orders, "l_orderkey")
+    assert salted.count() == plain.count()
+    a = {tuple(r) for r in salted.select("l_orderkey", "l_quantity", "o_totalprice").collect()}
+    b = {tuple(r) for r in plain.select("l_orderkey", "l_quantity", "o_totalprice").collect()}
+    assert a == b
