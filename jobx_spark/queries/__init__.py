@@ -34,23 +34,25 @@ def _utc_pinned(fn: QueryFn) -> QueryFn:
 
 def all_queries() -> dict[str, QueryFn]:
     from jobx_spark.queries import (
-        dedup, mapreduce, multimodal, relational, similarity, streams,
-        temporal, text,
+        dedup, mapreduce, multimodal, pipeline, relational, similarity,
+        streams, temporal, text,
     )
 
     out: dict[str, QueryFn] = {}
-    for mod in (relational, temporal, streams, mapreduce, dedup, similarity, text, multimodal):
+    for mod in (relational, temporal, streams, mapreduce, dedup,
+                similarity, text, pipeline, multimodal):
         out.update(mod.QUERIES)
     return {name: _utc_pinned(fn) for name, fn in out.items()}
 
 
 def all_oracles() -> dict[str, str]:
     from jobx_spark.queries import (
-        dedup, mapreduce, multimodal, relational, similarity, streams,
-        temporal, text,
+        dedup, mapreduce, multimodal, pipeline, relational, similarity,
+        streams, temporal, text,
     )
 
     out: dict[str, str] = {}
-    for mod in (relational, temporal, streams, mapreduce, dedup, similarity, text, multimodal):
+    for mod in (relational, temporal, streams, mapreduce, dedup,
+                similarity, text, pipeline, multimodal):
         out.update(mod.ORACLES)
     return out

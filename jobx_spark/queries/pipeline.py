@@ -1,0 +1,207 @@
+"""Training-data pipeline operators: deterministic sampling, weighted
+dataset mixing, document chunking, and the composed clean-corpus
+pipeline (quality filter → language filter → dedup).
+
+These are the operations that sit between raw scans and the dedup/
+similarity stages in a 100 TB corpus build. All selection is driven by
+the portable 60-bit content hash — never ``rand()`` — so (a) results
+are bit-reproducible across engines, runs, partitionings and task
+retries, and (b) every query has an exact DuckDB oracle. Each operator
+is scan-shaped (per-row, zero shuffles) except the dedup tail of the
+composed pipeline, which is one aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jobx_spark.functions import md5_long
+from jobx_spark.operators.text import tokens
+from jobx_spark.sources import load_table
+
+_TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+_MD5 = "('0x'||substr(md5({e}),1,15))::BIGINT"
+
+
+# --------------------------------------------------------------------------
+# pipe_sample_hash — deterministic 5% sample. Hash-gating on content id
+# replaces rand(): the same rows are sampled on any cluster, any
+# partitioning, any retry — and downstream joins between two samples of
+# related tables stay consistent (sample orders and lineitem by the
+# same key → referential integrity survives).
+# --------------------------------------------------------------------------
+SAMPLE_PCT = 5
+
+
+def pipe_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    gate = md5_long(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))) % 100
+    return (
+        docs.filter(gate < SAMPLE_PCT)
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_PIPE_SAMPLE = f"""
+SELECT doc_id, source, lang
+FROM documents
+WHERE {_MD5.format(e="'sample:'||CAST(doc_id AS VARCHAR)")} % 100 < {SAMPLE_PCT}
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# pipe_mix_weighted — weighted dataset mixing: per-language acceptance
+# rates (the "data mixture" step of corpus building). The rate gate is
+# a per-row hash compare, so mixing 100 TB is a filter, not a shuffle;
+# the observed mix converges to the configured weights by LLN.
+# --------------------------------------------------------------------------
+MIX_RATES = {"en": 1000, "de": 500, "fr": 500, "es": 250, "zh": 100}  # per-mille
+
+
+def pipe_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    gate = md5_long(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))) % 1000
+    rate = F.lit(0)
+    for lang, r in MIX_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return (
+        docs.filter(gate < rate)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"))
+        .orderBy("lang")
+    )
+
+
+_RATE_CASE = "CASE lang " + " ".join(
+    f"WHEN '{lang}' THEN {r}" for lang, r in MIX_RATES.items()
+) + " ELSE 0 END"
+
+ORACLE_PIPE_MIX = f"""
+SELECT lang, count(*) AS n_kept
+FROM documents
+WHERE {_MD5.format(e="'mix:'||CAST(doc_id AS VARCHAR)")} % 1000 < {_RATE_CASE}
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# pipe_text_chunks — overlapping token-window chunking (stride 40,
+# width 50): the context-window packing precursor. Pure per-row explode:
+# at scale this is a map-only job whose output feeds tokenization.
+# Chunk content is certified by hash so the result stays narrow.
+# --------------------------------------------------------------------------
+CHUNK, STRIDE = 50, 40
+
+
+def pipe_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.floor((n - 1) / STRIDE).cast("int"))
+    chunk = F.slice(F.col("toks"), F.col("chunk_id") * STRIDE + 1, CHUNK)
+    return (
+        docs.select("doc_id", toks.alias("toks"), F.explode(starts).alias("chunk_id"))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+            md5_long(F.array_join(chunk, " ")).alias("chunk_hash"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+ORACLE_PIPE_CHUNKS = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+c AS (
+  SELECT doc_id, toks, unnest(generate_series(0, CAST(floor((len(toks) - 1) / {STRIDE}) AS BIGINT))) AS chunk_id
+  FROM t
+)
+SELECT doc_id,
+       chunk_id,
+       CAST(len(list_slice(toks, chunk_id * {STRIDE} + 1, chunk_id * {STRIDE} + {CHUNK})) AS BIGINT)
+           AS n_chunk_tokens,
+       {_MD5.format(e=f"array_to_string(list_slice(toks, chunk_id * {STRIDE} + 1, chunk_id * {STRIDE} + {CHUNK}), ' ')")}
+           AS chunk_hash
+FROM c
+ORDER BY doc_id, chunk_id
+"""
+
+
+# --------------------------------------------------------------------------
+# pipe_clean_corpus — the composed pipeline: token/punctuation quality
+# gates → language-ID filter (en) → exact dedup keeping the min-id
+# representative. Everything before the dedup is scan-shaped; the dedup
+# is one hash aggregation on the 60-bit digest. This is the flagship
+# "would run on 100 TB unchanged" query: filters push into the scan,
+# and the only shuffle carries (digest, id, source).
+# --------------------------------------------------------------------------
+MIN_TOKENS, MAX_PUNCT_RATIO = 10, 0.2
+
+
+def pipe_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.operators.dedup import normalized_digest
+    from jobx_spark.operators.text import lang_guess, punct_count, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    filtered = docs.filter(
+        (token_count(F.col("text")) >= MIN_TOKENS)
+        & (punct_count(F.col("text")).cast("double") / F.length("text") < MAX_PUNCT_RATIO)
+        & (lang_guess(F.col("text")) == "en")
+    )
+    keep = F.min(F.struct(F.col("doc_id"), F.col("source")))
+    return (
+        filtered.withColumn("digest", normalized_digest("text"))
+        .groupBy("digest")
+        .agg(keep.alias("k"))
+        .select(F.col("k.doc_id").alias("doc_id"), F.col("k.source").alias("source"))
+        .orderBy("doc_id")
+    )
+
+
+def _clean_corpus_oracle() -> str:
+    from jobx_spark.operators.text import LANG_STOPWORDS
+
+    langs = sorted(LANG_STOPWORDS)
+    scores = {
+        lang: f"len(list_intersect(toks, {LANG_STOPWORDS[lang]!r}))" for lang in langs
+    }
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    cases = " ".join(
+        f"WHEN {scores[lang]} = {best} AND {best} > 0 THEN '{lang}'" for lang in langs
+    )
+    digest = _MD5.format(e="regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')")
+    return f"""
+WITH t AS (SELECT doc_id, source, text, {_TOKS} AS toks FROM documents),
+f AS (
+  SELECT doc_id, source, text FROM t
+  WHERE len(toks) >= {MIN_TOKENS}
+    AND length(regexp_replace(text, '[^.,!?;:]', '', 'g'))::DOUBLE / length(text) < {MAX_PUNCT_RATIO}
+    AND (CASE {cases} ELSE 'und' END) = 'en'
+),
+d AS (
+  SELECT {digest} AS dg, min(doc_id) AS keep_id FROM f GROUP BY 1
+)
+SELECT f.doc_id AS doc_id, f.source AS source
+FROM f JOIN d ON f.doc_id = d.keep_id
+ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "pipe_sample_hash": pipe_sample_hash,
+    "pipe_mix_weighted": pipe_mix_weighted,
+    "pipe_text_chunks": pipe_text_chunks,
+    "pipe_clean_corpus": pipe_clean_corpus,
+}
+
+ORACLES = {
+    "pipe_sample_hash": ORACLE_PIPE_SAMPLE,
+    "pipe_mix_weighted": ORACLE_PIPE_MIX,
+    "pipe_text_chunks": ORACLE_PIPE_CHUNKS,
+    "pipe_clean_corpus": _clean_corpus_oracle(),
+}
