@@ -136,6 +136,11 @@ class Workflow:
     # running apps can see when handler code changed (reference:
     # handlers_state at mr/models/kv/workflow.py:9-27).
     handlers_state: str = ""
+    # values injected into every handler scope of this workflow (the
+    # reference's WorkflowScopeFactory — mr/handlers/scope.py:27-40,
+    # example test/scope/test_scope.py:4-20). Must be picklable: they
+    # ship to executors inside the UDF closures.
+    scope_values: dict = field(default_factory=dict)
 
 
 class Catalog:
@@ -148,10 +153,12 @@ class Catalog:
         self._handlers: dict[tuple[str, str], Handler] = {}
 
     # -- workflows ---------------------------------------------------------
-    def create_workflow(self, name: str, description: str = "") -> Workflow:
+    def create_workflow(
+        self, name: str, description: str = "", scope_values: dict | None = None
+    ) -> Workflow:
         if name in self._workflows:
             raise CatalogError(f"workflow {name!r} exists")
-        wf = Workflow(name, description)
+        wf = Workflow(name, description, scope_values=scope_values or {})
         self._workflows[name] = wf
         return wf
 

@@ -139,7 +139,8 @@ def _run_reduce(
     out (reference: allow_session_writes=False, mr/job_engine.py:795-800)."""
     reducer: Handler = step_plan["reducer"]
     scope = HandlerScope(
-        inv, session_snapshot=session_snapshot, allow_session_writes=False
+        inv, session_snapshot=session_snapshot, allow_session_writes=False,
+        extra=step_plan.get("scope_values"),
     )
     _seeded_random(inv, "reduce")
     rows = []
@@ -172,7 +173,10 @@ def _make_phase1_udf(step_plan: dict, workdir: str | None):
             for t, k, v in zip(pdf["row_type"], pdf["k"], pdf["v"])
             if t != "arg_empty"
         ]
-        scope = HandlerScope(inv, allow_session_writes=True, workdir=workdir)
+        scope = HandlerScope(
+            inv, allow_session_writes=True, workdir=workdir,
+            extra=step_plan.get("scope_values"),
+        )
         _seeded_random(inv, "map")
         rows: list[tuple] = []
         try:
@@ -187,7 +191,10 @@ def _make_phase1_udf(step_plan: dict, workdir: str | None):
 
         if isinstance(route, MrConfigureToReturn):
             if step_plan["combiner"] is not None:
-                cscope = HandlerScope(inv, session_snapshot=scope.session_snapshot())
+                cscope = HandlerScope(
+                    inv, session_snapshot=scope.session_snapshot(),
+                    extra=step_plan.get("scope_values"),
+                )
                 _seeded_random(inv, "combine")
                 try:
                     grouped = list(
@@ -260,8 +267,13 @@ class Engine:
         self._requests: dict[str, Request] = {}
 
     # ---------------------------------------------------------------- CRUD
-    def create_workflow(self, name: str, description: str = ""):
-        return self.catalog.create_workflow(name, description)
+    def create_workflow(
+        self, name: str, description: str = "", scope_values: dict | None = None
+    ):
+        """scope_values: workflow-scoped extras injected into every
+        handler scope (reference: WorkflowScopeFactory,
+        mr/config/handler.py:27-31)."""
+        return self.catalog.create_workflow(name, description, scope_values)
 
     def register_handler(
         self,
@@ -311,6 +323,7 @@ class Engine:
         wf = step.workflow_name
         return {
             "name": step.name,
+            "scope_values": self.catalog.get_workflow(wf).scope_values,
             "mapper": self.catalog.get_handler(wf, step.map_handler_name),
             "combiner": (
                 self.catalog.get_handler(wf, step.combine_handler_name)

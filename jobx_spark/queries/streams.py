@@ -105,8 +105,30 @@ ORDER BY user_id
 """
 
 
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev1 = S.stream_events(spark, sf_dir)
+    ev2 = S.stream_events(spark, sf_dir)
+    out = S.run_available_now(S.interval_join(ev1, ev2), "append", "ivjoin")
+    return out.orderBy("purchase_id", "click_id")
+
+
+ORACLE_STREAM_INTERVAL_JOIN = """
+SELECT p.event_id AS purchase_id,
+       p.user_id AS user_id,
+       c.event_id AS click_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR
+ AND c.ts <= p.ts
+ORDER BY purchase_id, click_id
+"""
+
+
 QUERIES = {
     "stream_tumbling_agg": stream_tumbling_agg,
+    "stream_interval_join": stream_interval_join,
     "stream_sliding_agg": stream_sliding_agg,
     "stream_session_window": stream_session_window,
     "stream_stateful_user_stats": stream_stateful_user_stats,
@@ -114,6 +136,7 @@ QUERIES = {
 
 ORACLES = {
     "stream_tumbling_agg": ORACLE_STREAM_TUMBLING,
+    "stream_interval_join": ORACLE_STREAM_INTERVAL_JOIN,
     "stream_sliding_agg": ORACLE_STREAM_SLIDING,
     "stream_session_window": ORACLE_STREAM_SESSION,
     "stream_stateful_user_stats": ORACLE_STREAM_STATEFUL,

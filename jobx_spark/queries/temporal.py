@@ -371,8 +371,82 @@ ORDER BY user_id
 """
 
 
+# --------------------------------------------------------------------------
+# q26: left outer join + count distribution (TPC-H Q13 shape) — customers
+# by how many orders they have, INCLUDING zero-order customers (the rows
+# only an outer join preserves). Two aggregations, each one shuffle;
+# count(o_orderkey) counts non-null matches only.
+# --------------------------------------------------------------------------
+def q26_outer_join_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.desc("n_orders"))
+    )
+
+
+ORACLE_Q26 = """
+SELECT n_orders, count(*) AS n_customers
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS n_orders
+  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY n_orders
+ORDER BY n_customers DESC, n_orders DESC
+"""
+
+
+# --------------------------------------------------------------------------
+# q27: full outer join — per-nation customer and supplier counts merged
+# with coalesce; a nation present on either side appears exactly once.
+# Both inputs pre-aggregate before the join, so the outer join itself
+# handles ~25 rows regardless of input scale.
+# --------------------------------------------------------------------------
+def q27_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk_c"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk_s"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return (
+        cust.join(supp, cust.nk_c == supp.nk_s, "full_outer")
+        .select(
+            F.coalesce("nk_c", "nk_s").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+ORACLE_Q27 = """
+WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1),
+     s AS (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1)
+SELECT coalesce(c.nk, s.nk) AS nationkey,
+       coalesce(n_cust, 0) AS n_cust,
+       coalesce(n_supp, 0) AS n_supp
+FROM c FULL OUTER JOIN s ON c.nk = s.nk
+ORDER BY nationkey
+"""
+
+
 QUERIES = {
     "q20_asof_join": q20_asof_join,
+    "q26_outer_join_dist": q26_outer_join_dist,
+    "q27_full_outer": q27_full_outer,
     "q21_band_join": q21_band_join,
     "q22_window_frames": q22_window_frames,
     "q23_stats_moments": q23_stats_moments,
@@ -382,6 +456,8 @@ QUERIES = {
 
 ORACLES = {
     "q20_asof_join": ORACLE_Q20,
+    "q26_outer_join_dist": ORACLE_Q26,
+    "q27_full_outer": ORACLE_Q27,
     "q21_band_join": ORACLE_Q21,
     "q22_window_frames": ORACLE_Q22,
     "q23_stats_moments": ORACLE_Q23,

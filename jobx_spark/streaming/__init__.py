@@ -158,6 +158,47 @@ def session_window_agg(events: DataFrame) -> DataFrame:
     )
 
 
+def interval_join(events: DataFrame, events2: DataFrame) -> DataFrame:
+    """Stream-stream inner join: each purchase matched to the same
+    user's clicks from the preceding hour.
+
+    Both sides carry watermarks so the join state is BOUNDED: a click
+    is droppable once the watermark passes its ts + 1 h (the largest
+    gap the condition can still match), which is what makes an
+    infinite-stream join feasible — state size tracks the time window,
+    not history. Inner-join matches emit as soon as both rows arrive.
+    """
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        events2.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        "click_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+    )
+
+
 # ------------------------------------------------------- custom stateful op
 
 _USER_STATS_OUTPUT = "user_id bigint, n_events bigint, max_value double"

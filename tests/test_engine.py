@@ -214,3 +214,27 @@ def test_inline_result_envelope(engine):
     req = engine.submit("wf", "job5", {"arg1": 20})
     assert set(req.result.keys()) == {"pairs"}
     assert all(isinstance(p, list) and len(p) == 2 for p in req.result["pairs"])
+
+
+def test_workflow_scope_values_injected(spark):
+    """Workflow-scoped extras reach every handler scope (the reference's
+    WorkflowScopeFactory — test/scope/test_scope.py:4-20 returns
+    {'test_scope_val': 99} and handlers read it as a global)."""
+    eng = Engine(spark)
+    eng.create_workflow("wf_scope", scope_values={"test_scope_val": 99})
+
+    def mapper(scope, arguments):
+        from jobx_spark.handlers import MrConfigureToReturn
+        yield MrConfigureToReturn()
+        yield ("val", scope.extra["test_scope_val"])
+
+    def reducer(scope, results):
+        for k, vl in results:
+            yield (k, sum(vl) + scope.extra["test_scope_val"])
+
+    eng.register_handler("wf_scope", "m", fn=mapper, handler_type="mapper")
+    eng.register_handler("wf_scope", "r", fn=reducer, handler_type="reducer")
+    eng.create_step("wf_scope", "s", "m", "r")
+    eng.create_job("wf_scope", "j", "s")
+    req = eng.submit("wf_scope", "j", {"x": 1})
+    assert req.result["pairs"] == [["val", 198]]
