@@ -271,3 +271,41 @@ class Catalog:
             },
             indent=2,
         )
+
+    def save(self, path: str) -> None:
+        """Snapshot all entities to a JSON file (the reference persists
+        every entity in etcd — mr/models/kv/model.py:370-385; a file is
+        the single-driver equivalent)."""
+        with open(path, "w", encoding="utf-8") as f:
+            f.write(self.to_json())
+
+    @classmethod
+    def load(cls, path: str) -> "Catalog":
+        """Rebuild a catalog from :meth:`save` output. Source-code
+        handlers round-trip fully (the reference's KV-stored handlers
+        are source strings); handlers registered as Python callables
+        persist their metadata only and are restored as stubs whose
+        invocation raises — re-register the callable to reactivate."""
+        with open(path, encoding="utf-8") as f:
+            data = json.load(f)
+        cat = cls()
+        for w in data["workflows"]:
+            cat._workflows[w["name"]] = Workflow(**w)
+        for h in data["handlers"]:
+            if h.get("source_code") is None:
+                def _missing(scope, payload, _name=h["name"]):
+                    raise CatalogError(
+                        f"handler {_name!r} was registered from a Python "
+                        "callable; callables are not persisted — "
+                        "re-register it"
+                    )
+                h = {**h, "fn": _missing}
+            handler = Handler(**h)
+            cat._handlers[(handler.workflow_name, handler.name)] = handler
+        for s in data["steps"]:
+            step = Step(**s)
+            cat._steps[(step.workflow_name, step.name)] = step
+        for j in data["jobs"]:
+            job = Job(**j)
+            cat._jobs[(job.workflow_name, job.name)] = job
+        return cat

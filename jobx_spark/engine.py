@@ -260,9 +260,12 @@ class Engine:
     """Facade: catalog CRUD + request submission (the Spark stand-in for
     the reference's HTTP API + CLI scripts, mr/views/job.py:33)."""
 
-    def __init__(self, spark: SparkSession, workdir: str | None = None):
+    def __init__(
+        self, spark: SparkSession, workdir: str | None = None,
+        catalog: Catalog | None = None,
+    ):
         self.spark = spark
-        self.catalog = Catalog()
+        self.catalog = catalog or Catalog()
         self.workdir = workdir
         self._requests: dict[str, Request] = {}
 

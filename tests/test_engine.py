@@ -238,3 +238,44 @@ def test_workflow_scope_values_injected(spark):
     eng.create_job("wf_scope", "j", "s")
     req = eng.submit("wf_scope", "j", {"x": 1})
     assert req.result["pairs"] == [["val", 198]]
+
+
+def test_catalog_save_load_round_trip(spark, tmp_path):
+    """Source-code handlers round-trip through the JSON snapshot and the
+    reloaded catalog executes jobs (reference: all entities persist in
+    etcd, mr/models/kv/model.py:370-385)."""
+    from jobx_spark.catalog import Catalog
+
+    src_mapper = '''
+"""double each argument value.
+**
+{"handler_type": "mapper", "argument_spec": [["arg1", "int"]]}
+"""
+yield MrConfigureToReturn()
+for k, v in arguments:
+    yield (k, v * 2)
+'''
+    src_reducer = '''
+"""sum values per key.
+**
+{"handler_type": "reducer", "argument_spec": []}
+"""
+for k, vl in results:
+    yield (k, sum(vl))
+'''
+    eng = Engine(spark)
+    eng.create_workflow("wfp", scope_values={"tag": 7})
+    eng.register_handler("wfp", "dbl", source_code=src_mapper)
+    eng.register_handler("wfp", "tot", source_code=src_reducer)
+    eng.create_step("wfp", "s1", "dbl", "tot")
+    eng.create_job("wfp", "j1", "s1")
+
+    path = str(tmp_path / "catalog.json")
+    eng.catalog.save(path)
+
+    from jobx_spark.catalog import Catalog as C2
+    eng2 = Engine(spark, catalog=C2.load(path))
+    wf = eng2.catalog.get_workflow("wfp")
+    assert wf.scope_values == {"tag": 7}
+    req = eng2.submit("wfp", "j1", {"arg1": 21})
+    assert req.result["pairs"] == [["arg1", 42]]
