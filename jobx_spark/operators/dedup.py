@@ -29,6 +29,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from jobx_spark.functions import MINHASH_P, md5_long, minhash_coeffs, perm_hash
 from jobx_spark.operators.text import shingles, tokens
@@ -233,6 +234,9 @@ def ngram_jaccard_pairs(
         .select("id", "blk", md5_long("sh").alias("h"))
         .distinct()
     )
+    # sizes + both self-join sides reuse the token table; persist it or
+    # the input is tokenized four times.
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -293,6 +297,11 @@ def ngram_jaccard_prefix_pairs(
         .select("id", "blk", md5_long("sh").alias("h"))
         .distinct()
     )
+    # five downstream branches (sizes, dfreq, prefix, both verify sides)
+    # derive from the token table; without an explicit persist each one
+    # re-tokenizes the input — 10 scans at any scale. MEMORY_AND_DISK:
+    # the token table is O(input), spill is fine.
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     dfreq = sh.filter(F.col("h").isNotNull()).groupBy("blk", "h").agg(
         F.count("*").alias("dfreq")

@@ -443,8 +443,57 @@ ORDER BY nationkey
 """
 
 
+# --------------------------------------------------------------------------
+# q28: correlated minimum across three tables (TPC-H Q2 shape, adapted —
+# there is no partsupp table, so lineitem links parts to suppliers):
+# for each large part, every supplier that sold it at its observed
+# minimum unit price. The oracle keeps the *correlated scalar subquery*
+# form; the Spark plan is the decorrelated one Catalyst would produce —
+# filter parts early (broadcast semi), per-part min, join back on
+# (key, price). Unit price is one IEEE division of identical inputs in
+# both engines, so the equality matches consistently.
+# --------------------------------------------------------------------------
+def q28_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") >= 48)
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    li2 = (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                li.l_partkey == F.col("p_partkey"))
+        .withColumn("unit_price", F.col("l_extendedprice") / F.col("l_quantity"))
+    )
+    mins = li2.groupBy(F.col("p_partkey").alias("mk")).agg(
+        F.min("unit_price").alias("min_up")
+    )
+    return (
+        li2.join(
+            mins,
+            (li2.p_partkey == mins.mk) & (li2.unit_price == mins.min_up),
+        )
+        .join(F.broadcast(supp), li2.l_suppkey == supp.s_suppkey)
+        .select("p_partkey", "p_brand", "s_suppkey", "s_name", "unit_price")
+        .distinct()
+        .orderBy("p_partkey", "s_suppkey")
+    )
+
+
+ORACLE_Q28 = """
+SELECT DISTINCT p_partkey, p_brand, s_suppkey, s_name,
+       l_extendedprice / l_quantity AS unit_price
+FROM part
+JOIN lineitem ON l_partkey = p_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE p_size >= 48
+  AND l_extendedprice / l_quantity = (
+        SELECT min(l2.l_extendedprice / l2.l_quantity)
+        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+ORDER BY p_partkey, s_suppkey
+"""
+
+
 QUERIES = {
     "q20_asof_join": q20_asof_join,
+    "q28_cheapest_supplier": q28_cheapest_supplier,
     "q26_outer_join_dist": q26_outer_join_dist,
     "q27_full_outer": q27_full_outer,
     "q21_band_join": q21_band_join,
@@ -456,6 +505,7 @@ QUERIES = {
 
 ORACLES = {
     "q20_asof_join": ORACLE_Q20,
+    "q28_cheapest_supplier": ORACLE_Q28,
     "q26_outer_join_dist": ORACLE_Q26,
     "q27_full_outer": ORACLE_Q27,
     "q21_band_join": ORACLE_Q21,
