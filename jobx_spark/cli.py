@@ -1,0 +1,141 @@
+"""Entity CRUD + submission CLI — parity with the reference's 30
+``mr_kv_*`` scripts (reference: setup.py:37-71; e.g.
+mr/resources/scripts/mr_kv_step_create:17-68) collapsed into one
+argparse tool over a JSON catalog file:
+
+    python -m jobx_spark.cli --catalog cat.json workflow-create wf "desc"
+    python -m jobx_spark.cli --catalog cat.json handler-sync wf handlers/
+    python -m jobx_spark.cli --catalog cat.json step-create wf s1 map_h reduce_h
+    python -m jobx_spark.cli --catalog cat.json job-create wf j1 s1
+    python -m jobx_spark.cli --catalog cat.json submit wf j1 '{"arg1": 10}'
+    python -m jobx_spark.cli --catalog cat.json entity-list wf
+
+Everything except ``submit`` is pure metadata (no SparkSession).
+``handler-sync`` is the reference's filesystem sync (mr/handlers/
+sync.py:18-307): walk a source tree, parse docstring metadata, SHA1-
+version, create/update; handlers removed from the tree are deleted.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+from jobx_spark.catalog import Catalog, Handler
+
+
+def _load(path: str) -> Catalog:
+    return Catalog.load(path) if os.path.exists(path) else Catalog()
+
+
+def sync_handlers_from_dir(catalog: Catalog, workflow_name: str, root: str) -> dict:
+    """Walk ``root`` for ``*.py`` handler sources (docstring-metadata
+    format), registering each under its stem name. Returns
+    {created: [...], updated: [...], deleted: [...]} — the same
+    create/update/garbage-collect contract as the reference's
+    HandlerSync.run()."""
+    from jobx_spark.catalog import CatalogError
+    from jobx_spark.handlers import parse_docstring_metadata
+
+    seen, created, updated = set(), [], []
+    for dirpath, _dirs, files in sorted(os.walk(root)):
+        for fname in sorted(files):
+            if not fname.endswith(".py"):
+                continue
+            name = fname[:-3]
+            with open(os.path.join(dirpath, fname), encoding="utf-8") as f:
+                source = f.read()
+            meta = parse_docstring_metadata(source)
+            h = Handler(
+                workflow_name=workflow_name,
+                name=name,
+                handler_type=meta["handler_type"],
+                source_code=source,
+                argument_spec=meta["argument_spec"],
+                required_capability=meta.get("required_capability"),
+            )
+            seen.add(name)
+            try:
+                old = catalog.get_handler(workflow_name, name)
+                if old.version != h.version:
+                    catalog.register_handler(h)
+                    updated.append(name)
+            except CatalogError:
+                catalog.register_handler(h)
+                created.append(name)
+    deleted = []
+    for h in list(catalog.list_handlers(workflow_name)):
+        if h.name not in seen and h.source_code is not None:
+            catalog.delete_handler(workflow_name, h.name)
+            deleted.append(h.name)
+    return {"created": created, "updated": updated, "deleted": sorted(deleted)}
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="jobx_spark.cli")
+    ap.add_argument("--catalog", required=True, help="JSON catalog file")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("workflow-create")
+    p.add_argument("workflow"); p.add_argument("description", nargs="?", default="")
+
+    p = sub.add_parser("handler-sync")
+    p.add_argument("workflow"); p.add_argument("source_dir")
+
+    p = sub.add_parser("step-create")
+    p.add_argument("workflow"); p.add_argument("name")
+    p.add_argument("map_handler"); p.add_argument("reduce_handler")
+    p.add_argument("--combine-handler", default=None)
+
+    p = sub.add_parser("job-create")
+    p.add_argument("workflow"); p.add_argument("name"); p.add_argument("initial_step")
+
+    p = sub.add_parser("submit")
+    p.add_argument("workflow"); p.add_argument("job"); p.add_argument("arguments")
+    p.add_argument("--cpus", default="8")
+
+    sub.add_parser("entity-list").add_argument("workflow")
+
+    args = ap.parse_args(argv)
+    cat = _load(args.catalog)
+    out: dict
+
+    if args.cmd == "workflow-create":
+        cat.create_workflow(args.workflow, args.description)
+        out = {"workflow": args.workflow}
+    elif args.cmd == "handler-sync":
+        out = sync_handlers_from_dir(cat, args.workflow, args.source_dir)
+    elif args.cmd == "step-create":
+        cat.create_step(args.workflow, args.name, args.map_handler,
+                        args.reduce_handler, args.combine_handler)
+        out = {"step": args.name}
+    elif args.cmd == "job-create":
+        cat.create_job(args.workflow, args.name, args.initial_step)
+        out = {"job": args.name}
+    elif args.cmd == "entity-list":
+        out = {
+            "handlers": [h.name for h in cat.list_handlers(args.workflow)],
+            "steps": [s.name for s in cat.list_steps(args.workflow)],
+            "jobs": [j.name for j in cat.list_jobs(args.workflow)],
+        }
+    elif args.cmd == "submit":
+        from jobx_spark.engine import Engine
+        from jobx_spark.session import get_spark
+
+        spark = get_spark("jobx_cli", cpus=args.cpus)
+        eng = Engine(spark, catalog=cat)
+        req = eng.submit(args.workflow, args.job, json.loads(args.arguments))
+        out = req.result
+    else:  # pragma: no cover
+        raise AssertionError(args.cmd)
+
+    if args.cmd != "submit":
+        cat.save(args.catalog)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
