@@ -491,9 +491,58 @@ ORDER BY p_partkey, s_suppkey
 """
 
 
+# --------------------------------------------------------------------------
+# q29: array & map scalar surface — construction, sort, membership,
+# higher-order fold, map building + element access. All JVM-side
+# expressions (scan-shaped); the oracle restates each value with
+# DuckDB's list algebra.
+# --------------------------------------------------------------------------
+def q29_array_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    arr = F.array(
+        (F.col("o_orderkey") % 7).cast("bigint"),
+        (F.col("o_orderkey") % 11).cast("bigint"),
+        (F.col("o_orderkey") % 13).cast("bigint"),
+    )
+    m = F.map_from_arrays(
+        F.array(F.lit("price"), F.lit("double_price")),
+        F.array(F.col("o_totalprice"), F.col("o_totalprice") * 2),
+    )
+    return orders.select(
+        "o_orderkey",
+        F.sort_array(arr, asc=False).alias("mods_desc"),
+        F.array_contains(arr, F.lit(3)).alias("has_mod3"),
+        F.sort_array(F.array_distinct(arr)).alias("mods_distinct"),
+        F.aggregate(arr, F.lit(0).cast("bigint"), lambda a, x: a + x).alias("mods_sum"),
+        F.element_at(m, "double_price").alias("double_price"),
+        F.size(F.map_keys(m)).cast("bigint").alias("n_keys"),
+    ).orderBy("o_orderkey")
+
+
+ORACLE_Q29 = """
+WITH t AS (
+  SELECT o_orderkey, o_totalprice,
+         [CAST(o_orderkey % 7 AS BIGINT),
+          CAST(o_orderkey % 11 AS BIGINT),
+          CAST(o_orderkey % 13 AS BIGINT)] AS arr
+  FROM orders WHERE o_orderkey <= 1000
+)
+SELECT o_orderkey,
+       list_sort(arr, 'DESC') AS mods_desc,
+       list_contains(arr, 3) AS has_mod3,
+       list_sort(list_distinct(arr)) AS mods_distinct,
+       CAST(list_sum(arr) AS BIGINT) AS mods_sum,
+       o_totalprice * 2 AS double_price,
+       CAST(2 AS BIGINT) AS n_keys
+FROM t
+ORDER BY o_orderkey
+"""
+
+
 QUERIES = {
     "q20_asof_join": q20_asof_join,
     "q28_cheapest_supplier": q28_cheapest_supplier,
+    "q29_array_map_functions": q29_array_map_functions,
     "q26_outer_join_dist": q26_outer_join_dist,
     "q27_full_outer": q27_full_outer,
     "q21_band_join": q21_band_join,
@@ -506,6 +555,7 @@ QUERIES = {
 ORACLES = {
     "q20_asof_join": ORACLE_Q20,
     "q28_cheapest_supplier": ORACLE_Q28,
+    "q29_array_map_functions": ORACLE_Q29,
     "q26_outer_join_dist": ORACLE_Q26,
     "q27_full_outer": ORACLE_Q27,
     "q21_band_join": ORACLE_Q21,
