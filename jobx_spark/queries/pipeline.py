@@ -192,8 +192,156 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# pipe_pack_offsets — context-window packing (the streaming concat-and-
+# split packing used for LLM training): documents concatenate in
+# deterministic (source, doc_id) order; each doc's token span maps onto
+# fixed 512-token windows. Per doc: its start offset in the stream, the
+# first window it lands in, and how many windows it spans. One window
+# cumsum per source partition — a single shuffle at any scale, and the
+# downstream tokenizer can seek straight to its window.
+# --------------------------------------------------------------------------
+PACK_WINDOW = 512
+
+
+def pipe_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_toks = F.size(tokens(F.col("text"))).cast("bigint")
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    stamped = docs.select("doc_id", "source", n_toks.alias("n_tokens")).withColumn(
+        "end_offset", F.sum("n_tokens").over(w)
+    )
+    start = F.col("end_offset") - F.col("n_tokens")
+    return stamped.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        start.alias("start_offset"),
+        F.floor(start / PACK_WINDOW).cast("bigint").alias("first_window"),
+        (
+            F.floor((F.col("end_offset") - 1) / PACK_WINDOW)
+            - F.floor(start / PACK_WINDOW)
+            + 1
+        ).cast("bigint").alias("n_windows"),
+    ).orderBy("doc_id")
+
+
+ORACLE_PIPE_PACK = f"""
+WITH t AS (
+  SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+), s AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_offset
+  FROM t
+)
+SELECT doc_id, source, n_tokens,
+       end_offset - n_tokens AS start_offset,
+       CAST(floor((end_offset - n_tokens) / {PACK_WINDOW}) AS BIGINT) AS first_window,
+       CAST(floor((end_offset - 1) / {PACK_WINDOW})
+            - floor((end_offset - n_tokens) / {PACK_WINDOW}) + 1 AS BIGINT) AS n_windows
+FROM s
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# pipe_bpe_token_count — token counting under a BPE-ish pre-tokenizer
+# (word runs vs single non-space symbols), beside the whitespace count.
+# Pure regex extraction, scan-shaped.
+# --------------------------------------------------------------------------
+_BPE_RE = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+
+def pipe_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0))
+        .cast("bigint")
+        .alias("bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+ORACLE_PIPE_BPE = f"""
+SELECT doc_id,
+       CAST(len({_TOKS}) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT) AS bpe_tokens
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# pipe_gapfill_hours — calendar densification: hourly event counts per
+# type with MISSING HOURS filled with zeros (sequence + explode builds
+# the dense calendar; left join fills). The calendar side is
+# (hours × types) rows — tiny relative to events at any scale — and the
+# join key is (hour, type), so the fill is one broadcast-ready join.
+# --------------------------------------------------------------------------
+def pipe_gapfill_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        ).agg(F.count("*").alias("n"))
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    types = ev.select("event_type").distinct()
+    calendar = (
+        bounds.select(
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+        )
+        .crossJoin(types)
+    )
+    return (
+        calendar.join(hourly, ["hour", "event_type"], "left_outer")
+        .select(
+            "hour",
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+ORACLE_PIPE_GAPFILL = """
+WITH b AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+  FROM events
+), cal AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM b
+), types AS (SELECT DISTINCT event_type FROM events),
+hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT cal.hour AS hour, types.event_type AS event_type,
+       coalesce(hourly.n, 0) AS n
+FROM cal CROSS JOIN types
+LEFT OUTER JOIN hourly ON hourly.hour = cal.hour
+                      AND hourly.event_type = types.event_type
+ORDER BY hour, event_type
+"""
+
+
 QUERIES = {
     "pipe_sample_hash": pipe_sample_hash,
+    "pipe_pack_offsets": pipe_pack_offsets,
+    "pipe_bpe_token_count": pipe_bpe_token_count,
+    "pipe_gapfill_hours": pipe_gapfill_hours,
     "pipe_mix_weighted": pipe_mix_weighted,
     "pipe_text_chunks": pipe_text_chunks,
     "pipe_clean_corpus": pipe_clean_corpus,
@@ -201,6 +349,9 @@ QUERIES = {
 
 ORACLES = {
     "pipe_sample_hash": ORACLE_PIPE_SAMPLE,
+    "pipe_pack_offsets": ORACLE_PIPE_PACK,
+    "pipe_bpe_token_count": ORACLE_PIPE_BPE,
+    "pipe_gapfill_hours": ORACLE_PIPE_GAPFILL,
     "pipe_mix_weighted": ORACLE_PIPE_MIX,
     "pipe_text_chunks": ORACLE_PIPE_CHUNKS,
     "pipe_clean_corpus": _clean_corpus_oracle(),
