@@ -33,6 +33,8 @@ HEADLINE = [
     "stream_tumbling_agg",
     "stream_stateful_user_stats",
     "multimodal_features",
+    "mr_engine_event_counts",
+    "mr_engine_user_value",
 ]
 
 
