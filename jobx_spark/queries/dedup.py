@@ -97,7 +97,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_pairs_oracle() -> str:
+def _minhash_pairs_oracle(order_by: str = "ORDER BY id_a, id_b\n") -> str:
     rows_per_band = N_HASHES // BANDS
     mins = ",\n       ".join(
         f"min(((h % {MINHASH_P}) * {a} + {b}) % {MINHASH_P}) AS mh{j}"
@@ -125,8 +125,7 @@ WITH sh AS (
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_bands
 FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
 GROUP BY 1, 2
-ORDER BY id_a, id_b
-"""
+{order_by}"""
 
 
 # --------------------------------------------------------------------------
@@ -293,8 +292,44 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# dedup_components — cluster resolution: LSH candidate pairs folded into
+# connected components (node → min reachable doc_id), the step that
+# turns pairwise near-dup evidence into keep/drop decisions. Oracle:
+# the same component definition as a DuckDB recursive CTE (transitive
+# closure + min), over the identical pair SQL.
+# --------------------------------------------------------------------------
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, n_hashes=N_HASHES, bands=BANDS, shingle_n=SHINGLE_N, seed=SEED
+    )
+    return connected_components(pairs).orderBy("node")
+
+
+def _components_oracle() -> str:
+    pairs = _minhash_pairs_oracle(order_by="")
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+walk(node, reach) AS (
+  SELECT u, u FROM sym
+  UNION
+  SELECT w.node, s.v FROM walk w JOIN sym s ON w.reach = s.u
+)
+SELECT node, MIN(reach) AS comp FROM walk GROUP BY node ORDER BY node
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_components": dedup_components,
     "dedup_jaccard_prefix": dedup_jaccard_prefix,
     "dedup_minhash_sig": dedup_minhash_sig,
     "dedup_minhash_pairs": dedup_minhash_pairs,
@@ -306,6 +341,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_components": _components_oracle(),
     "dedup_jaccard_prefix": ORACLE_DEDUP_JACCARD,
     "dedup_minhash_sig": _minhash_sig_oracle(),
     "dedup_minhash_pairs": _minhash_pairs_oracle(),

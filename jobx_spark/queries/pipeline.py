@@ -337,8 +337,66 @@ ORDER BY hour, event_type
 """
 
 
+# --------------------------------------------------------------------------
+# pipe_corpus_stats — the "dataset card": per (lang, source) doc counts,
+# exact token totals, mean/extreme lengths, and each cell's share of the
+# corpus (a windowless scalar subquery → one broadcast value). One
+# explode-free pass: token counts come from the whitespace-split array
+# size, so 100 TB of text is a scan + a tiny two-key aggregation.
+# --------------------------------------------------------------------------
+def pipe_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_toks = F.size(tokens(F.col("text"))).cast("long")
+    cells = (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(n_toks).alias("total_tokens"),
+            F.min(n_toks).alias("min_tokens"),
+            F.max(n_toks).alias("max_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+    total = docs.select(F.count("*").alias("corpus_docs"))
+    return (
+        cells.crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "total_tokens",
+            (F.col("total_tokens").cast("double") / F.col("n_docs"))
+            .alias("mean_tokens"),
+            "min_tokens",
+            "max_tokens",
+            "total_chars",
+            (F.col("n_docs").cast("double") / F.col("corpus_docs"))
+            .alias("doc_share"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+ORACLE_PIPE_CORPUS_STATS = f"""
+SELECT lang, source,
+       count(*) AS n_docs,
+       CAST(SUM(len({_TOKS})) AS BIGINT) AS total_tokens,
+       CAST(CAST(SUM(len({_TOKS})) AS BIGINT) AS DOUBLE) / count(*)
+           AS mean_tokens,
+       CAST(MIN(len({_TOKS})) AS BIGINT) AS min_tokens,
+       CAST(MAX(len({_TOKS})) AS BIGINT) AS max_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM documents)
+           AS doc_share
+FROM documents
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+
 QUERIES = {
     "pipe_sample_hash": pipe_sample_hash,
+    "pipe_corpus_stats": pipe_corpus_stats,
     "pipe_pack_offsets": pipe_pack_offsets,
     "pipe_bpe_token_count": pipe_bpe_token_count,
     "pipe_gapfill_hours": pipe_gapfill_hours,
@@ -349,6 +407,7 @@ QUERIES = {
 
 ORACLES = {
     "pipe_sample_hash": ORACLE_PIPE_SAMPLE,
+    "pipe_corpus_stats": ORACLE_PIPE_CORPUS_STATS,
     "pipe_pack_offsets": ORACLE_PIPE_PACK,
     "pipe_bpe_token_count": ORACLE_PIPE_BPE,
     "pipe_gapfill_hours": ORACLE_PIPE_GAPFILL,

@@ -606,6 +606,254 @@ ORDER BY c_custkey
 """
 
 
+# --------------------------------------------------------------------------
+# q30: EXISTS subquery (TPC-H Q4 shape) — orders counted per priority when
+# at least one lineitem shipped >60 days after the order date. Expressed
+# as SQL EXISTS so Catalyst's RewritePredicateSubquery turns it into a
+# left-semi join; the semi join stops probing an order on first match,
+# so the build side never materializes per-order duplicates. At 100 TB
+# both sides shuffle once on orderkey and AQE handles skewed orders.
+# --------------------------------------------------------------------------
+def q30_exists_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAYS
+          )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+ORACLE_Q30 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# q31: NOT EXISTS + uncorrelated scalar subquery (TPC-H Q22 shape) —
+# well-funded customers who never ordered, counted per nation. The
+# scalar avg is one tiny broadcast value; NOT EXISTS becomes a left-anti
+# join on custkey. The decimal-exact avg keeps the threshold identical
+# across engines (SUM(double) would be order-dependent).
+# --------------------------------------------------------------------------
+def q31_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_nationkey, count(*) AS n_idle,
+               CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,8))) AS STRING) AS DOUBLE)
+                   AS total_bal
+        FROM customer
+        WHERE c_acctbal > (
+            SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,8))) AS STRING) AS DOUBLE)
+                   / COUNT(c_acctbal)
+            FROM customer WHERE c_acctbal > 0.0
+          )
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+        """
+    )
+
+
+ORACLE_Q31 = f"""
+SELECT c_nationkey, count(*) AS n_idle, {dsum_sql('c_acctbal')} AS total_bal
+FROM customer
+WHERE c_acctbal > (
+    SELECT {davg_sql('c_acctbal')} FROM customer WHERE c_acctbal > 0.0
+  )
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+# --------------------------------------------------------------------------
+# q32: lateral explode (UDTF-shaped relational op) — part names split to
+# one row per word with its position. posexplode is JVM-side Generate
+# (no Python); the generator multiplies rows ~5× but stays inside the
+# scan's stage — zero shuffle, and column pruning still reaches parquet.
+# --------------------------------------------------------------------------
+def q32_explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_size") <= 5)
+        .select(
+            "p_partkey",
+            F.posexplode(F.split(F.col("p_name"), " ")).alias("pos", "word"),
+        )
+        .withColumn("pos", (F.col("pos") + 1).cast("int"))
+        .orderBy("p_partkey", "pos")
+    )
+
+
+ORACLE_Q32 = """
+WITH w AS (
+  SELECT p_partkey, string_split(p_name, ' ') AS words
+  FROM part WHERE p_size <= 5
+), e AS (
+  SELECT p_partkey, words,
+         unnest(generate_series(1, len(words))) AS pos
+  FROM w
+)
+SELECT p_partkey, CAST(pos AS INTEGER) AS pos, words[pos] AS word
+FROM e
+ORDER BY p_partkey, pos
+"""
+
+
+# --------------------------------------------------------------------------
+# q33: distribution window functions — ntile / percent_rank / cume_dist
+# per nation over account balance. The ORDER BY carries c_custkey as a
+# unique tiebreak so ntile's row-order-dependent bucketing is
+# deterministic. One shuffle on the partition key; each partition sorts
+# locally (25 nations → add more keys or range-partition at 100 TB).
+# --------------------------------------------------------------------------
+def q33_balance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.select(
+            "c_custkey",
+            "c_nationkey",
+            "c_acctbal",
+            F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+ORACLE_Q33 = """
+SELECT c_custkey, c_nationkey, c_acctbal,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+ORDER BY c_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# q34: conditional aggregation (FILTER-clause shape) — one pass over
+# orders computes differently-filtered aggregates side by side instead
+# of three scans + joins. All branches are map-side combinable, so the
+# shuffle carries one partial row per (task, priority) at any scale.
+# --------------------------------------------------------------------------
+def q34_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    big = F.when(F.col("o_totalprice") > 200000.0, 1)
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.count(big).alias("n_big"),
+            dsum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))).alias(
+                "finished_value"
+            ),
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_Q34 = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       count(*) FILTER (WHERE o_totalprice > 200000.0) AS n_big,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,8)))
+                 FILTER (WHERE o_orderstatus = 'F') AS VARCHAR) AS DOUBLE)
+           AS finished_value,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# q35: ordered string aggregation (LISTAGG/STRING_AGG) — supplier names
+# per nation, sorted inside the group for determinism. collect_list's
+# arrival order is nondeterministic under parallel merge, so the sort
+# happens after collection (array_sort), matching STRING_AGG ORDER BY.
+# Group payloads are bounded by nation cardinality, not input size.
+# --------------------------------------------------------------------------
+def q35_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = _t(spark, sf_dir, "supplier")
+    return (
+        sup.groupBy("s_nationkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias("names"),
+            F.count("*").alias("n_suppliers"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+ORACLE_Q35 = """
+SELECT s_nationkey,
+       string_agg(s_name, ',' ORDER BY s_name) AS names,
+       count(*) AS n_suppliers
+FROM supplier
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+"""
+
+
+# --------------------------------------------------------------------------
+# q36: unpivot (wide → long) — per-returnflag aggregates melted into
+# (flag, metric, value) rows. Spark's unpivot is a zero-shuffle Expand
+# over the 3-row aggregate; the only exchange is the aggregation's own.
+# --------------------------------------------------------------------------
+def q36_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_price"),
+        davg("l_discount").alias("avg_disc"),
+    )
+    return (
+        wide.unpivot("l_returnflag", ["sum_qty", "sum_price", "avg_disc"],
+                     "metric", "value")
+        .orderBy("l_returnflag", "metric")
+    )
+
+
+ORACLE_Q36 = f"""
+WITH wide AS (
+  SELECT l_returnflag,
+         {dsum_sql('l_quantity')} AS sum_qty,
+         {dsum_sql('l_extendedprice')} AS sum_price,
+         {davg_sql('l_discount')} AS avg_disc
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, metric, value
+FROM wide UNPIVOT (value FOR metric IN (sum_qty, sum_price, avg_disc))
+ORDER BY l_returnflag, metric
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -626,6 +874,13 @@ QUERIES = {
     "q17_pivot": q17_pivot,
     "q18_grouping_sets": q18_grouping_sets,
     "q19_above_nation_avg": q19_above_nation_avg,
+    "q30_exists_late_ship": q30_exists_late_ship,
+    "q31_idle_rich_customers": q31_idle_rich_customers,
+    "q32_explode_words": q32_explode_words,
+    "q33_balance_distribution": q33_balance_distribution,
+    "q34_conditional_agg": q34_conditional_agg,
+    "q35_string_agg": q35_string_agg,
+    "q36_unpivot_metrics": q36_unpivot_metrics,
 }
 
 ORACLES = {
@@ -648,4 +903,11 @@ ORACLES = {
     "q17_pivot": ORACLE_Q17,
     "q18_grouping_sets": ORACLE_Q18,
     "q19_above_nation_avg": ORACLE_Q19,
+    "q30_exists_late_ship": ORACLE_Q30,
+    "q31_idle_rich_customers": ORACLE_Q31,
+    "q32_explode_words": ORACLE_Q32,
+    "q33_balance_distribution": ORACLE_Q33,
+    "q34_conditional_agg": ORACLE_Q34,
+    "q35_string_agg": ORACLE_Q35,
+    "q36_unpivot_metrics": ORACLE_Q36,
 }

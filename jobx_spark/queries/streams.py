@@ -126,8 +126,44 @@ ORDER BY purchase_id, click_id
 """
 
 
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.sources import load_table
+
+    ev = S.stream_events(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    out = S.run_available_now(S.static_enrich_agg(ev, cust), "complete", "enrich")
+    return out.orderBy("c_mktsegment", "event_type")
+
+
+ORACLE_STREAM_STATIC_ENRICH = f"""
+SELECT c_mktsegment, event_type, count(*) AS n,
+       {dsum_sql('value')} AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment, event_type
+ORDER BY c_mktsegment, event_type
+"""
+
+
+def stream_dedup_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = S.stream_events(spark, sf_dir)
+    out = S.run_available_now(S.streaming_dedup(ev), "append", "dedup")
+    return out.orderBy("user_id", "event_type", "day")
+
+
+# Every kept column is in the dedup key, so streaming first-wins dedup
+# is exactly batch DISTINCT over the same projection.
+ORACLE_STREAM_DEDUP = """
+SELECT DISTINCT user_id, event_type,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+FROM events
+ORDER BY user_id, event_type, day
+"""
+
+
 QUERIES = {
     "stream_tumbling_agg": stream_tumbling_agg,
+    "stream_dedup_activity": stream_dedup_activity,
+    "stream_static_enrich": stream_static_enrich,
     "stream_interval_join": stream_interval_join,
     "stream_sliding_agg": stream_sliding_agg,
     "stream_session_window": stream_session_window,
@@ -136,6 +172,8 @@ QUERIES = {
 
 ORACLES = {
     "stream_tumbling_agg": ORACLE_STREAM_TUMBLING,
+    "stream_dedup_activity": ORACLE_STREAM_DEDUP,
+    "stream_static_enrich": ORACLE_STREAM_STATIC_ENRICH,
     "stream_interval_join": ORACLE_STREAM_INTERVAL_JOIN,
     "stream_sliding_agg": ORACLE_STREAM_SLIDING,
     "stream_session_window": ORACLE_STREAM_SESSION,

@@ -135,8 +135,63 @@ LIMIT 50
 """
 
 
+# --------------------------------------------------------------------------
+# text_repetition: per-document repetition detection — the training-data
+# filter that drops degenerate/boilerplate docs. distinct-token ratio and
+# the share of the single most frequent token, all from one explode +
+# two-level aggregation; each doc's work is local to its doc_id group,
+# so the op scales linearly and shuffles once on doc_id.
+# --------------------------------------------------------------------------
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_tok = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        per_tok.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.max("c").alias("top_count"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            (1.0 - F.col("n_distinct").cast("double") / F.col("n_tokens"))
+            .alias("repetition_ratio"),
+            (F.col("top_count").cast("double") / F.col("n_tokens"))
+            .alias("top_token_share"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_TEXT_REPETITION = f"""
+WITH per_tok AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+  GROUP BY doc_id, tok
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       count(*) AS n_distinct,
+       1.0 - CAST(count(*) AS DOUBLE) / CAST(SUM(c) AS BIGINT)
+           AS repetition_ratio,
+       CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS top_token_share
+FROM per_tok
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_quality": text_quality,
+    "text_repetition": text_repetition,
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
     "text_token_histogram": text_token_histogram,
@@ -144,6 +199,7 @@ QUERIES = {
 
 ORACLES = {
     "text_quality": ORACLE_TEXT_QUALITY,
+    "text_repetition": ORACLE_TEXT_REPETITION,
     "text_lang_id": _lang_oracle(),
     "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
     "text_token_histogram": ORACLE_TEXT_TOKEN_HISTOGRAM,

@@ -21,7 +21,12 @@ Layout guidance encoded in the API:
 
 from __future__ import annotations
 
+import math
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_parquet(
@@ -71,3 +76,83 @@ def write_bucketed(
 
 def drop_table(spark: SparkSession, table_name: str) -> None:
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into files of
+    ~``target_file_bytes`` each. Returns the file count written.
+
+    Streaming sinks and over-parallel writers leave thousands of tiny
+    files; at 100 TB that turns every downstream scan into a metadata
+    storm (one task + one footer fetch per file). Compaction = read →
+    ``repartition(ceil(bytes/target))`` → atomic swap via a temp dir
+    (write the compacted copy first, then replace, so readers never see
+    a half-written dataset; on object stores use a manifest/table
+    format for true atomicity).
+
+    The repartition is a round-robin shuffle of the full dataset — the
+    price of perfect file sizing. For merely-reducing-count,
+    ``coalesce`` would avoid the shuffle but inherits upstream skew.
+    """
+    src = spark.read.parquet(path)
+    # Size from the filesystem, not Spark stats: sum of data-file sizes.
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    tmp = path.rstrip("/") + ".compacting"
+    w = src.repartition(n_files).write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(tmp)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    return n_files
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+) -> None:
+    """MERGE-by-key for plain parquet: new rows win over existing rows
+    with the same key; among duplicates the highest ``version_col``
+    survives (ties broken toward the update batch).
+
+    Implementation is union → per-key top-1 (max_by over a precedence
+    struct) → atomic-swap rewrite. Without a table format there is no
+    row-level update in parquet, so upsert IS a rewrite — at scale,
+    partition the dataset and rewrite only partitions the update batch
+    touches (join the update keys against partition values first), or
+    adopt a table format; this function is the single-partition core
+    of that loop.
+    """
+    existing = spark.read.parquet(path)
+    cols = existing.columns
+    tagged = existing.withColumn("__prio", F.lit(0)).unionByName(
+        updates.select(*cols).withColumn("__prio", F.lit(1))
+    )
+    precedence = F.struct(F.col(version_col), F.col("__prio"))
+    merged = (
+        tagged.groupBy(*key_cols)
+        .agg(
+            F.max_by(
+                F.struct(*[F.col(c) for c in cols]), precedence
+            ).alias("__row")
+        )
+        .select("__row.*")
+    )
+    tmp = path.rstrip("/") + ".upserting"
+    merged.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)

@@ -158,6 +158,51 @@ def session_window_agg(events: DataFrame) -> DataFrame:
     )
 
 
+def static_enrich_agg(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join + windowless aggregation: each micro-batch of
+    events is enriched against a static dimension table and rolled up
+    per (segment, event_type).
+
+    The static side is re-planned per micro-batch (so a dim refresh is
+    picked up on the next batch) and broadcast — no shuffle of the
+    stream, no state for the join itself; only the aggregation keeps
+    state, keyed by the tiny (segment, type) domain.
+    """
+    enriched = events.join(
+        F.broadcast(dim.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")),
+        "user_id",
+    )
+    return enriched.groupBy("c_mktsegment", "event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(38,8)"))
+        .cast("string")
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+def streaming_dedup(events: DataFrame) -> DataFrame:
+    """Watermarked streaming deduplication: first sighting of each
+    (user_id, event_type, day) activity key is emitted; repeats are
+    dropped against the state store.
+
+    The watermark bounds dedup state: a key older than watermark - 1 day
+    is evicted, so state size tracks the active time window rather than
+    all history — the property that makes continuous dedup of an
+    unbounded event stream feasible. Every kept column is part of the
+    dedup key, so "first arrival wins" is order-insensitive and the
+    result equals batch SELECT DISTINCT.
+    """
+    return (
+        events.withWatermark("ts", "1 day")
+        # window(), unlike date_trunc, keeps the event-time tag on the
+        # bucket column, so the dedup state store actually evicts.
+        .select("user_id", "event_type", F.window("ts", "1 day").alias("w"))
+        .dropDuplicates(["user_id", "event_type", "w"])
+        .select("user_id", "event_type", F.col("w.start").alias("day"))
+    )
+
+
 def interval_join(events: DataFrame, events2: DataFrame) -> DataFrame:
     """Stream-stream inner join: each purchase matched to the same
     user's clicks from the preceding hour.

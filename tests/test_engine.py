@@ -177,6 +177,47 @@ def test_async_submit_with_file_writer(engine, tmp_path):
     assert req.result["n_pairs"] == len(lines)
 
 
+def test_http_result_writer_posts_result(engine):
+    """HTTP sink parity (reference: mr/result_writers/http.py:11-33):
+    the JSON result and identifying headers arrive at the target URL,
+    once, after completion."""
+    import http.server
+    import json as _json
+    import threading
+
+    received = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            received.append((dict(self.headers), _json.loads(body)))
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):  # keep test output quiet
+            pass
+
+    server = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{server.server_port}/result"
+        req = engine.submit(
+            "wf", "job5", {"arg1": 40}, blocking=False,
+            result_writer="http", writer_options={"url": url},
+        )
+        req.wait(timeout=120)
+        assert req.error is None
+        assert len(received) == 1
+        headers, body = received[0]
+        assert headers["X-Mr-Request-Id"] == req.request_id
+        assert headers["X-Mr-Workflow-Name"] == "wf"
+        assert body["pairs"] and all(len(p) == 2 for p in body["pairs"])
+        assert req.result["status"] == 200
+    finally:
+        server.shutdown()
+
+
 def test_argument_casting_and_validation(engine):
     """SURVEY §1.1: argument_spec casts via builtin types; missing/extra
     arguments rejected."""

@@ -9,12 +9,62 @@ from jobx_spark import plans as P
 from jobx_spark.operators.skew import salted_aggregate, salted_join
 from jobx_spark.sources import load_table, read_csv, read_json
 from jobx_spark.sources.sinks import (
+    compact,
     drop_table,
+    upsert_parquet,
     write_bucketed,
     write_csv,
     write_json,
     write_parquet,
 )
+
+
+def test_compact_reduces_files_preserves_data(spark, sf_dir, tmp_path):
+    li = load_table(spark, sf_dir, "lineitem")
+    path = str(tmp_path / "li_shattered")
+    li.repartition(64).write.parquet(path)  # 64 tiny files
+    import glob
+
+    before = len(glob.glob(f"{path}/*.parquet"))
+    assert before >= 32
+    expected_rows = li.count()
+    expected_sum = li.agg(F.sum("l_orderkey")).collect()[0][0]
+    n = compact(spark, path, target_file_bytes=64 * 1024 * 1024)
+    after = len(glob.glob(f"{path}/*.parquet"))
+    assert after == n and after < before
+    back = spark.read.parquet(path)
+    assert back.count() == expected_rows
+    assert back.agg(F.sum("l_orderkey")).collect()[0][0] == expected_sum
+
+
+def test_upsert_parquet_merges_by_key(spark, sf_dir, tmp_path):
+    cust = load_table(spark, sf_dir, "customer")
+    path = str(tmp_path / "cust_upsert")
+    cust.write.parquet(path)
+    n0 = cust.count()
+    # updates: bump two existing customers' balance (higher version) and
+    # add one brand-new key
+    updates = spark.createDataFrame(
+        [
+            (0, "updated-0", 0, 99999.0, "BUILDING"),
+            (1, "updated-1", 0, 88888.0, "BUILDING"),
+            (10_000_000, "brand-new", 0, 1.0, "MACHINERY"),
+        ],
+        schema=cust.schema,
+    ).withColumn("c_acctbal", F.col("c_acctbal").cast("double"))
+    upsert_parquet(
+        spark, path, updates, key_cols=["c_custkey"], version_col="c_acctbal"
+    )
+    back = spark.read.parquet(path)
+    assert back.count() == n0 + 1
+    got = {
+        r["c_custkey"]: r["c_name"]
+        for r in back.filter(
+            F.col("c_custkey").isin([0, 1, 10_000_000])
+        ).collect()
+    }
+    assert got[0] == "updated-0" and got[1] == "updated-1"
+    assert got[10_000_000] == "brand-new"
 
 
 def test_csv_round_trip(spark, sf_dir, tmp_path):
