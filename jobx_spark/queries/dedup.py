@@ -309,7 +309,9 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).orderBy("node")
 
 
-def _components_oracle() -> str:
+def _components_cte() -> str:
+    """Shared WITH RECURSIVE prefix: LSH pairs → transitive closure →
+    per-node component label, as DuckDB CTEs named ``comp``."""
     pairs = _minhash_pairs_oracle(order_by="")
     return f"""
 WITH RECURSIVE pairs AS ({pairs}),
@@ -322,14 +324,87 @@ walk(node, reach) AS (
   SELECT u, u FROM sym
   UNION
   SELECT w.node, s.v FROM walk w JOIN sym s ON w.reach = s.u
+),
+comp AS (SELECT node, MIN(reach) AS comp FROM walk GROUP BY node)"""
+
+
+def _components_oracle() -> str:
+    return f"""{_components_cte()}
+SELECT node, comp FROM comp ORDER BY node
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup_keep_canonical — the dedup *decision*: every document assigned
+# to its near-dup cluster (singletons are their own cluster), and each
+# cluster's canonical survivor chosen by (longest text, then smallest
+# doc_id). This is the step that turns cluster labels into a keep list.
+#
+# Shape: components (above) → LEFT join back to documents (label table
+# is ≤ docs-with-dup-edges rows, broadcast at any realistic dup rate) →
+# one window + one aggregation BOTH partitioned by comp, so Catalyst
+# plans a single exchange on comp and the hash-agg runs on the window's
+# partitioning. Oracle: identical selection over the recursive-CTE
+# components.
+# --------------------------------------------------------------------------
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from jobx_spark.operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, n_hashes=N_HASHES, bands=BANDS, shingle_n=SHINGLE_N, seed=SEED
+    )
+    labels = connected_components(pairs)
+    member = (
+        docs.join(
+            F.broadcast(labels), docs.doc_id == labels.node, "left"
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce(F.col("comp"), F.col("doc_id")).alias("comp"),
+        )
+    )
+    w = W.partitionBy("comp").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        member.withColumn("rn", F.row_number().over(w))
+        .groupBy("comp")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias(
+                "canonical_doc"
+            ),
+            F.count("*").alias("n_members"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("comp")
+    )
+
+
+def _keep_canonical_oracle() -> str:
+    return f"""{_components_cte()},
+member AS (
+  SELECT d.doc_id, d.n_chars, COALESCE(c.comp, d.doc_id) AS comp
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY comp ORDER BY n_chars DESC, doc_id) AS rn
+  FROM member
 )
-SELECT node, MIN(reach) AS comp FROM walk GROUP BY node ORDER BY node
+SELECT comp,
+       MAX(CASE WHEN rn = 1 THEN doc_id END) AS canonical_doc,
+       count(*) AS n_members,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM ranked GROUP BY comp ORDER BY comp
 """
 
 
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_components": dedup_components,
+    "dedup_keep_canonical": dedup_keep_canonical,
     "dedup_jaccard_prefix": dedup_jaccard_prefix,
     "dedup_minhash_sig": dedup_minhash_sig,
     "dedup_minhash_pairs": dedup_minhash_pairs,
@@ -342,6 +417,7 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_components": _components_oracle(),
+    "dedup_keep_canonical": _keep_canonical_oracle(),
     "dedup_jaccard_prefix": ORACLE_DEDUP_JACCARD,
     "dedup_minhash_sig": _minhash_sig_oracle(),
     "dedup_minhash_pairs": _minhash_pairs_oracle(),

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from jobx_spark.functions import md5_long
+from jobx_spark.functions import dsum, dsum_sql, md5_long
 from jobx_spark.operators.text import tokens
 from jobx_spark.sources import load_table
 
@@ -394,9 +394,190 @@ ORDER BY lang, source
 """
 
 
+# --------------------------------------------------------------------------
+# pipe_vocab_topk — vocabulary build (the tokenizer-training step): the
+# top-K corpus tokens by frequency, ranked. explode → groupBy(token)
+# does partial aggregation before the exchange, so the shuffle carries
+# one (token, partial_count) row per distinct token per input partition
+# — bounded by vocabulary size, not corpus size. The ranking window has
+# no PARTITION BY, which is only safe because it runs over the already-
+# aggregated vocabulary (≤ distinct-token rows); at 100 TB the input to
+# the window is still just the vocabulary. Ties break on the token
+# itself so the cut at K is deterministic cross-engine.
+# --------------------------------------------------------------------------
+VOCAB_K = 200
+
+
+def pipe_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.orderBy(F.col("n").desc(), F.col("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= VOCAB_K)
+        .orderBy("rank")
+    )
+
+
+ORACLE_PIPE_VOCAB = f"""
+WITH tok AS (SELECT unnest({_TOKS}) AS token FROM documents),
+c AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+r AS (
+  SELECT token, CAST(n AS BIGINT) AS n,
+         CAST(row_number() OVER (ORDER BY n DESC, token) AS INTEGER) AS rank
+  FROM c
+)
+SELECT token, n, rank FROM r WHERE rank <= {VOCAB_K} ORDER BY rank
+"""
+
+
+# --------------------------------------------------------------------------
+# pipe_length_buckets — curriculum / batch-shape report: documents
+# bucketed by token length on fixed boundaries (fixed, not ntile, so
+# bucket membership is a per-row expression — no shuffle to assign, and
+# the same doc lands in the same bucket at any scale). One scan + a
+# bucket-cardinality aggregation.
+# --------------------------------------------------------------------------
+LENGTH_BOUNDS = [16, 32, 48, 64]  # upper-exclusive bucket edges
+
+
+def pipe_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_toks = F.size(tokens(F.col("text"))).cast("long")
+    bucket = F.lit(f"{LENGTH_BOUNDS[-1]}+")
+    for lo, hi in reversed(list(zip([0] + LENGTH_BOUNDS[:-1], LENGTH_BOUNDS))):
+        bucket = F.when(n_toks < hi, F.lit(f"{lo:03d}-{hi:03d}")).otherwise(bucket)
+    return (
+        docs.select(bucket.alias("bucket"), n_toks.alias("n_toks"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+            F.min("n_toks").alias("min_tokens"),
+            F.max("n_toks").alias("max_tokens"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _length_buckets_case() -> str:
+    arms = " ".join(
+        f"WHEN len({_TOKS}) < {hi} THEN '{lo:03d}-{hi:03d}'"
+        for lo, hi in zip([0] + LENGTH_BOUNDS[:-1], LENGTH_BOUNDS)
+    )
+    return f"CASE {arms} ELSE '{LENGTH_BOUNDS[-1]}+' END"
+
+
+ORACLE_PIPE_LENGTH_BUCKETS = f"""
+SELECT {_length_buckets_case()} AS bucket,
+       count(*) AS n_docs,
+       CAST(SUM(len({_TOKS})) AS BIGINT) AS total_tokens,
+       CAST(MIN(len({_TOKS})) AS BIGINT) AS min_tokens,
+       CAST(MAX(len({_TOKS})) AS BIGINT) AS max_tokens
+FROM documents
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+# --------------------------------------------------------------------------
+# pipe_split_train_val_test — deterministic 3-way dataset split: the
+# hash gate buckets [0,90) / [90,95) / [95,100) assign every doc to
+# train/val/test identically on any cluster/run/retry (same guarantee
+# as pipe_sample_hash, extended to a partition of the corpus). Output
+# is the split × lang census used to sanity-check mixture drift.
+# --------------------------------------------------------------------------
+def pipe_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    gate = md5_long(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    split = (
+        F.when(gate < 90, F.lit("train"))
+        .when(gate < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("split", "lang")
+    )
+
+
+_SPLIT_GATE = _MD5.format(e="'split:'||CAST(doc_id AS VARCHAR)") + " % 100"
+ORACLE_PIPE_SPLIT = f"""
+SELECT CASE WHEN {_SPLIT_GATE} < 90 THEN 'train'
+            WHEN {_SPLIT_GATE} < 95 THEN 'val'
+            ELSE 'test' END AS split,
+       lang, count(*) AS n_docs
+FROM documents
+GROUP BY split, lang
+ORDER BY split, lang
+"""
+
+
+# --------------------------------------------------------------------------
+# pipe_sample_join — referential-integrity sampling: gate ORDERS by the
+# content hash, then take each sampled order's lineitems via join. The
+# gate is on the JOIN KEY, so "sample both tables at 5%" degenerates to
+# one gate + one equi-join — every sampled order arrives with ALL its
+# lineitems (row-level sampling of each table independently would keep
+# ~5% × 5% of pairs and break every downstream per-order aggregate).
+# At 100 TB: the gate pushes into both scans (it's a pure column
+# expression on each side), the join shuffles only the 5% survivors.
+# --------------------------------------------------------------------------
+def pipe_sample_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    gate_o = (
+        md5_long(F.concat(F.lit("osample:"), F.col("o_orderkey").cast("string")))
+        % 100
+    )
+    gate_l = (
+        md5_long(F.concat(F.lit("osample:"), F.col("l_orderkey").cast("string")))
+        % 100
+    )
+    s_orders = orders.filter(gate_o < SAMPLE_PCT)
+    s_li = li.filter(gate_l < SAMPLE_PCT)
+    return (
+        s_orders.join(s_li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count_distinct("o_orderkey").alias("n_orders"),
+            F.count("*").alias("n_lineitems"),
+            dsum("l_quantity").alias("total_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_OGATE = _MD5.format(e="'osample:'||CAST(o_orderkey AS VARCHAR)") + " % 100"
+_LGATE = _MD5.format(e="'osample:'||CAST(l_orderkey AS VARCHAR)") + " % 100"
+ORACLE_PIPE_SAMPLE_JOIN = f"""
+SELECT o_orderpriority,
+       count(DISTINCT o_orderkey) AS n_orders,
+       count(*) AS n_lineitems,
+       {dsum_sql('l_quantity')} AS total_qty
+FROM (SELECT * FROM orders WHERE {_OGATE} < {SAMPLE_PCT}) o
+JOIN (SELECT * FROM lineitem WHERE {_LGATE} < {SAMPLE_PCT}) l
+  ON o.o_orderkey = l.l_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "pipe_sample_hash": pipe_sample_hash,
+    "pipe_sample_join": pipe_sample_join,
+    "pipe_split_train_val_test": pipe_split_train_val_test,
     "pipe_corpus_stats": pipe_corpus_stats,
+    "pipe_vocab_topk": pipe_vocab_topk,
+    "pipe_length_buckets": pipe_length_buckets,
     "pipe_pack_offsets": pipe_pack_offsets,
     "pipe_bpe_token_count": pipe_bpe_token_count,
     "pipe_gapfill_hours": pipe_gapfill_hours,
@@ -407,7 +588,11 @@ QUERIES = {
 
 ORACLES = {
     "pipe_sample_hash": ORACLE_PIPE_SAMPLE,
+    "pipe_sample_join": ORACLE_PIPE_SAMPLE_JOIN,
+    "pipe_split_train_val_test": ORACLE_PIPE_SPLIT,
     "pipe_corpus_stats": ORACLE_PIPE_CORPUS_STATS,
+    "pipe_vocab_topk": ORACLE_PIPE_VOCAB,
+    "pipe_length_buckets": ORACLE_PIPE_LENGTH_BUCKETS,
     "pipe_pack_offsets": ORACLE_PIPE_PACK,
     "pipe_bpe_token_count": ORACLE_PIPE_BPE,
     "pipe_gapfill_hours": ORACLE_PIPE_GAPFILL,

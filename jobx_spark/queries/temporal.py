@@ -539,8 +539,77 @@ ORDER BY o_orderkey
 """
 
 
+# --------------------------------------------------------------------------
+# q37_approx_distinct_kmv — approximate distinct-count via a KMV
+# (k-minimum-values) sketch, per event_type, next to the exact count.
+#
+# Spark's production path for this is approx_count_distinct (HLL++),
+# but HLL sketches are engine-internal and can't be cross-checked
+# bit-for-bit. KMV over the portable 60-bit md5 hash is DETERMINISTIC:
+# the k-th smallest distinct hash is a pure function of the data, so
+# the *approximation itself* gets an exact DuckDB oracle — estimate
+# = (k-1) · 2^60 / kth_min_hash. Groups with < k distinct users keep
+# all their hashes, where KMV is exact by construction.
+#
+# Scale shape: distinct (event_type, hash) is one shuffle with map-side
+# dedup; the per-group k-th min is a window on the same key (exchange
+# reused). KMV is union-mergeable (merge = min-k of the union), i.e.
+# the same sketch distributes as a partial aggregate at 100 TB.
+# --------------------------------------------------------------------------
+KMV_K = 64
+_KMV_NUM = float((KMV_K - 1) << 60)  # exact: 6 significant bits
+
+
+def q37_approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.functions import md5_long
+
+    ev = _t(spark, sf_dir, "events")
+    h = md5_long(F.concat(F.lit("kmv:"), F.col("user_id").cast("string")))
+    d = ev.select("event_type", h.alias("h")).distinct()
+    w = W.partitionBy("event_type").orderBy("h")
+    kth = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == KMV_K)
+        .select("event_type", F.col("h").alias("kth"))
+    )
+    exact = d.groupBy("event_type").agg(
+        F.count("*").alias("exact_distinct")
+    )
+    return (
+        exact.join(kth, "event_type", "left")
+        .select(
+            "event_type",
+            "exact_distinct",
+            F.coalesce(
+                F.lit(_KMV_NUM) / F.col("kth"),
+                F.col("exact_distinct").cast("double"),
+            ).alias("kmv_estimate"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_KMV_H = "('0x'||substr(md5('kmv:'||CAST(user_id AS VARCHAR)),1,15))::BIGINT"
+ORACLE_Q37 = f"""
+WITH d AS (SELECT DISTINCT event_type, {_KMV_H} AS h FROM events),
+r AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM d
+),
+kth AS (SELECT event_type, h AS kth FROM r WHERE rn = {KMV_K}),
+ex AS (SELECT event_type, count(*) AS exact_distinct FROM d GROUP BY event_type)
+SELECT ex.event_type, ex.exact_distinct,
+       COALESCE({_KMV_NUM!r} / kth.kth,
+                CAST(ex.exact_distinct AS DOUBLE)) AS kmv_estimate
+FROM ex LEFT JOIN kth ON ex.event_type = kth.event_type
+ORDER BY ex.event_type
+"""
+
+
 QUERIES = {
     "q20_asof_join": q20_asof_join,
+    "q37_approx_distinct_kmv": q37_approx_distinct_kmv,
     "q28_cheapest_supplier": q28_cheapest_supplier,
     "q29_array_map_functions": q29_array_map_functions,
     "q26_outer_join_dist": q26_outer_join_dist,
@@ -554,6 +623,7 @@ QUERIES = {
 
 ORACLES = {
     "q20_asof_join": ORACLE_Q20,
+    "q37_approx_distinct_kmv": ORACLE_Q37,
     "q28_cheapest_supplier": ORACLE_Q28,
     "q29_array_map_functions": ORACLE_Q29,
     "q26_outer_join_dist": ORACLE_Q26,

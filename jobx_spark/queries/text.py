@@ -14,6 +14,7 @@ from jobx_spark.operators.text import (
     lang_guess,
     lang_scores,
     quality_stats,
+    tokens,
 )
 from jobx_spark.sources import load_table
 
@@ -189,9 +190,83 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# text_tfidf_terms — per-document top-K salient terms by TF-IDF, with a
+# rational idf (score = tf · N / df, monotone in tf/df) instead of
+# tf·ln(N/df): ln() is not correctly rounded and the JVM's Math.log and
+# DuckDB's libm log can differ in the last ulp, which a bit-exact hash
+# compare would flag. The ranking it induces per (doc, tf) is identical.
+#
+# Shape: explode → (doc_id, token) counts with map-side partial agg
+# (the exchange carries per-partition-distinct tf rows, not raw
+# tokens); document frequency is a tiny agg over those rows, broadcast
+# back (vocabulary-sized). The per-doc top-K window re-exchanges on
+# doc_id — deliberately AFTER aggregation, so that second shuffle
+# moves (doc_id, token, tf) rows, a fraction of the corpus bytes.
+# --------------------------------------------------------------------------
+TFIDF_K = 3
+
+
+def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    total = docs.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            (F.col("tf").cast("double") * F.col("n_docs") / F.col("df"))
+            .alias("score"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_K)
+        .orderBy("doc_id", "rank")
+    )
+
+
+ORACLE_TEXT_TFIDF = f"""
+WITH tf AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_TOKS}) AS token FROM documents)
+  GROUP BY doc_id, token
+),
+dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+scored AS (
+  SELECT t.doc_id, t.token,
+         CAST(t.tf AS BIGINT) AS tf, CAST(d.df AS BIGINT) AS df,
+         CAST(t.tf AS DOUBLE) * (SELECT count(*) FROM documents) / d.df
+             AS score
+  FROM tf t JOIN dfreq d USING (token)
+),
+r AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY doc_id ORDER BY score DESC, token) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT doc_id, token, tf, df, score, rank
+FROM r WHERE rank <= {TFIDF_K}
+ORDER BY doc_id, rank
+"""
+
+
 QUERIES = {
     "text_quality": text_quality,
     "text_repetition": text_repetition,
+    "text_tfidf_terms": text_tfidf_terms,
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
     "text_token_histogram": text_token_histogram,
@@ -200,6 +275,7 @@ QUERIES = {
 ORACLES = {
     "text_quality": ORACLE_TEXT_QUALITY,
     "text_repetition": ORACLE_TEXT_REPETITION,
+    "text_tfidf_terms": ORACLE_TEXT_TFIDF,
     "text_lang_id": _lang_oracle(),
     "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
     "text_token_histogram": ORACLE_TEXT_TOKEN_HISTOGRAM,

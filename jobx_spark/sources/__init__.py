@@ -87,3 +87,19 @@ def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same columnar pushdown/pruning contract as parquet
+    (Spark's native vectorized ORC reader)."""
+    return spark.read.orc(path)
+
+
+def read_text(spark: SparkSession, path: str, wholetext: bool = False) -> DataFrame:
+    """Line-oriented (or whole-file) text scan → one ``value`` string
+    column; the raw-corpus entry point before tokenization. Each file
+    splits by line across tasks unless ``wholetext`` forces
+    file-per-row (then parallelism = file count — only for small-doc
+    layouts). NB: must be the ``text()`` kwarg — a ``.option()`` string
+    is silently ignored by Spark 4's reader."""
+    return spark.read.text(path, wholetext=wholetext)

@@ -87,6 +87,43 @@ def test_json_round_trip(spark, sf_dir, tmp_path):
     assert back.count() == cust.count()
 
 
+def test_orc_round_trip_with_pushdown(spark, sf_dir, tmp_path):
+    from jobx_spark.sources import read_orc
+    from jobx_spark.sources.sinks import write_orc
+
+    part = load_table(spark, sf_dir, "part")
+    path = str(tmp_path / "part_orc")
+    write_orc(part, path)
+    back = read_orc(spark, path).filter(F.col("p_size") <= 10).select(
+        "p_partkey", "p_size"
+    )
+    plan = P.plan_str(back)
+    # ORC scan must receive the pushed predicate and prune columns
+    assert "PushedFilters" in plan and "p_size" in plan
+    expected = part.filter(F.col("p_size") <= 10).count()
+    assert back.count() == expected
+    a = {tuple(r) for r in part.filter(F.col("p_size") <= 10)
+         .select("p_partkey", "p_size").collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b
+
+
+def test_text_source_reads_lines(spark, tmp_path):
+    from jobx_spark.sources import read_text
+
+    p = tmp_path / "corpus"
+    p.mkdir()
+    (p / "a.txt").write_text("alpha beta\ngamma\n")
+    (p / "b.txt").write_text("delta\n")
+    df = read_text(spark, str(p))
+    assert df.columns == ["value"]
+    assert sorted(r.value for r in df.collect()) == [
+        "alpha beta", "delta", "gamma",
+    ]
+    whole = read_text(spark, str(p), wholetext=True)
+    assert whole.count() == 2  # one row per file
+
+
 def test_partitioned_parquet_prunes_partitions(spark, sf_dir, tmp_path):
     ev = load_table(spark, sf_dir, "events")
     path = str(tmp_path / "events_part")

@@ -18,3 +18,30 @@ def test_streaming_query_matches_oracle(name, spark, sf_dir, duck):
     df = streams.QUERIES[name](spark, sf_dir)
     res = compare(name, df, duck, streams.ORACLES[name])
     assert res.ok, str(res)
+
+
+def test_foreach_batch_parquet_sink_is_idempotent(spark, sf_dir, tmp_path):
+    """stream → foreachBatch parquet sink: content matches the batch
+    filter, and a second run from the same checkpoint (no new input)
+    replays nothing — the exactly-once contract."""
+    from pyspark.sql import functions as F
+
+    from jobx_spark.sources import load_table
+    from jobx_spark.streaming import stream_events, stream_to_parquet
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    src = stream_events(spark, sf_dir).filter(F.col("event_type") == "click")
+    stream_to_parquet(src, out, ckpt)
+
+    expected = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .count()
+    )
+    back = spark.read.parquet(out)
+    assert back.filter(F.col("event_id").isNotNull()).count() == expected
+
+    # rerun: checkpoint says everything is processed → no duplicates
+    src2 = stream_events(spark, sf_dir).filter(F.col("event_type") == "click")
+    stream_to_parquet(src2, out, ckpt)
+    assert spark.read.parquet(out).count() == expected
