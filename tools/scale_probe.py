@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Scale-up probe: replicate sf0.1 in memory (documents ×20 → 100k
+docs, events ×10 → 1M rows) and time the heavy operators, checking
+none goes superlinear in input size. Feeds SURVEY.md §8.4.
+
+Replication remaps ids into disjoint ranges (doc_id + k·10^9), so the
+corpus keeps its near-dup cluster structure — every original cluster
+appears REP times — and pair-producers face the worst case: each
+near-dup cluster becomes a clique REP× larger.
+
+Usage: python tools/scale_probe.py [sf_dir] (default /root/testdata/sf0.1)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+DOC_REP, EV_REP = 20, 10
+
+
+def main() -> None:
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from jobx_spark.operators.dedup import (
+        connected_components,
+        exact_dedup,
+        minhash_lsh_pairs,
+        simhash,
+    )
+    from jobx_spark.session import get_spark
+    from jobx_spark.sources import load_table
+
+    spark = get_spark("scale_probe")
+    docs0 = load_table(spark, SF_DIR, "documents")
+    reps = spark.range(DOC_REP).select(F.col("id").alias("rep"))
+    docs = (
+        docs0.crossJoin(F.broadcast(reps))
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * F.lit(10**9))
+        .drop("rep")
+        .repartition(32)
+        .persist()
+    )
+    n_docs = docs.count()
+
+    ev0 = load_table(spark, SF_DIR, "events")
+    ev_reps = spark.range(EV_REP).select(F.col("id").alias("rep"))
+    events = (
+        ev0.crossJoin(F.broadcast(ev_reps))
+        .withColumn("event_id", F.col("event_id") + F.col("rep") * F.lit(10**9))
+        .drop("rep")
+        .repartition(32)
+        .persist()
+    )
+    n_events = events.count()
+
+    results: dict[str, float] = {}
+
+    def probe(name: str, fn) -> None:
+        t0 = time.monotonic()
+        out = fn()
+        results[name] = round(time.monotonic() - t0, 2)
+        print(f"[{results[name]:8.2f}s] {name}: {out}", flush=True)
+
+    probe("exact_dedup", lambda: exact_dedup(docs).count())
+    probe("simhash", lambda: simhash(docs).count())
+    probe(
+        "minhash_lsh_pairs",
+        lambda: minhash_lsh_pairs(docs, n_hashes=16, bands=4).count(),
+    )
+    probe(
+        "connected_components",
+        lambda: connected_components(
+            minhash_lsh_pairs(docs, n_hashes=16, bands=4)
+        ).count(),
+    )
+    probe(
+        "sessionize_events",
+        lambda: events.select("user_id", "ts")
+        .withColumn(
+            "prev", F.lag("ts").over(W.partitionBy("user_id").orderBy("ts"))
+        )
+        .filter(
+            F.col("prev").isNull()
+            | (F.col("ts").cast("long") - F.col("prev").cast("long") > 1800)
+        )
+        .count(),
+    )
+
+    print(
+        json.dumps(
+            {
+                "n_docs": n_docs,
+                "n_events": n_events,
+                "doc_rep": DOC_REP,
+                "ev_rep": EV_REP,
+                "timings_s": results,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
