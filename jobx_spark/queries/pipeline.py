@@ -338,6 +338,50 @@ ORDER BY hour, event_type
 
 
 # --------------------------------------------------------------------------
+# pipe_rollup_reagg — continuous-aggregate re-rollup (the hypertable
+# pattern): hourly partial aggregates re-aggregated to daily WITHOUT
+# touching the raw events again. Counts merge by summing; value totals
+# stay DECIMAL(38,8) through both levels so the two-level merge is
+# exact and order-independent — the oracle computes daily straight from
+# the raw table, proving partial+final == direct. At 100 TB this is the
+# materialized-rollup maintenance path: the daily pass reads hours ×
+# types rows, not events, and the same merge works incrementally as new
+# hours land.
+# --------------------------------------------------------------------------
+def pipe_rollup_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(38,8)")).alias("dec_sum"),
+    )
+    return (
+        hourly.groupBy(
+            F.date_trunc("day", F.col("hour")).alias("day"), "event_type"
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("dec_sum").cast("string").cast("double").alias("total_value"),
+            F.count("*").alias("n_hours"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+ORACLE_PIPE_ROLLUP_REAGG = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+       count(*) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)
+           AS total_value,
+       count(DISTINCT date_trunc('hour', ts)) AS n_hours
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
 # pipe_corpus_stats — the "dataset card": per (lang, source) doc counts,
 # exact token totals, mean/extreme lengths, and each cell's share of the
 # corpus (a windowless scalar subquery → one broadcast value). One
@@ -581,6 +625,7 @@ QUERIES = {
     "pipe_pack_offsets": pipe_pack_offsets,
     "pipe_bpe_token_count": pipe_bpe_token_count,
     "pipe_gapfill_hours": pipe_gapfill_hours,
+    "pipe_rollup_reagg": pipe_rollup_reagg,
     "pipe_mix_weighted": pipe_mix_weighted,
     "pipe_text_chunks": pipe_text_chunks,
     "pipe_clean_corpus": pipe_clean_corpus,
@@ -596,6 +641,7 @@ ORACLES = {
     "pipe_pack_offsets": ORACLE_PIPE_PACK,
     "pipe_bpe_token_count": ORACLE_PIPE_BPE,
     "pipe_gapfill_hours": ORACLE_PIPE_GAPFILL,
+    "pipe_rollup_reagg": ORACLE_PIPE_ROLLUP_REAGG,
     "pipe_mix_weighted": ORACLE_PIPE_MIX,
     "pipe_text_chunks": ORACLE_PIPE_CHUNKS,
     "pipe_clean_corpus": _clean_corpus_oracle(),
