@@ -72,6 +72,47 @@ except ImportError:  # pragma: no cover
 
 if HAVE_HYPOTHESIS:
 
+    @given(
+        edges=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=30),
+                st.integers(min_value=0, max_value=30),
+            ),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    def test_connected_components_matches_union_find(spark, edges):
+        """Pregel-style min-label propagation == textbook union-find,
+        for ANY random edge list (self-loops and duplicates included)."""
+        from jobx_spark.operators.dedup import connected_components
+
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edges:
+            parent.setdefault(u, u), parent.setdefault(v, v)
+            parent[find(u)] = find(v)
+        expected = {
+            node: min(m for m in parent if find(m) == find(node))
+            for node in parent
+        }
+
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r["node"]: r["comp"]
+            for r in connected_components(df).collect()
+        }
+        assert got == expected
+
     @given(arg=st.integers(min_value=2, max_value=10_000))
     @settings(max_examples=5, deadline=None,
               suppress_health_check=list(HealthCheck))
