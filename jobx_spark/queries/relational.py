@@ -854,7 +854,53 @@ ORDER BY l_returnflag, metric
 """
 
 
+# --------------------------------------------------------------------------
+# q38: skew-proof aggregation through the EXPLICIT salted two-phase
+# path (operators/skew.py) — l_returnflag has 3 values, so every group
+# is a maximally hot key: the case where a single group's rows exceed
+# one task. Phase 1 spreads each group over 16 salts, phase 2 merges
+# partials; the quantity total stays DECIMAL(38,8) through both phases
+# so salting cannot perturb the result. Oracle: the plain GROUP BY —
+# a hash match proves the salted decomposition is exact, end-to-end,
+# in the driver's correctness gate (not just in CI equivalence tests).
+# --------------------------------------------------------------------------
+def q38_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.operators.skew import salted_aggregate
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = salted_aggregate(
+        li,
+        ["l_returnflag"],
+        {
+            "n_items": F.count(F.lit(1)),
+            "qty_dec": F.sum(F.col("l_quantity").cast("decimal(38,8)")),
+            "min_ship": F.min("l_shipdate"),
+            "max_ship": F.max("l_shipdate"),
+        },
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("n_items").cast("long").alias("n_items"),
+        F.col("qty_dec").cast("string").cast("double").alias("sum_qty"),
+        "min_ship",
+        "max_ship",
+    ).orderBy("l_returnflag")
+
+
+ORACLE_Q38 = f"""
+SELECT l_returnflag,
+       count(*) AS n_items,
+       {dsum_sql('l_quantity')} AS sum_qty,
+       MIN(l_shipdate) AS min_ship,
+       MAX(l_shipdate) AS max_ship
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
+    "q38_salted_skew_agg": q38_salted_skew_agg,
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
     "q03_shipping_priority": q03_shipping_priority,
@@ -884,6 +930,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q38_salted_skew_agg": ORACLE_Q38,
     "q01_pricing_summary": ORACLE_Q01,
     "q02_filter_project": ORACLE_Q02,
     "q03_shipping_priority": ORACLE_Q03,
