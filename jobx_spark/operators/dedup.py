@@ -407,21 +407,29 @@ def ngram_jaccard_prefix_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    # One agg carries BOTH the verify payload (token array) and the set
+    # size, so each candidate side is a single join — two shuffles fewer
+    # than joining tokens and sizes separately. (sz here equals the
+    # ``sizes`` count for every id that can appear in candidates: the
+    # explode_outer null row only exists for token-less docs, which
+    # never produce a prefix.)
     tok_arrays = sh.filter(F.col("h").isNotNull()).groupBy("id").agg(
-        F.collect_list("h").alias("hs")
+        F.collect_list("h").alias("hs"), F.count("*").alias("tsz")
     )
-    ta = tok_arrays.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
-    tb = tok_arrays.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
-    sza = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
-    szb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    ta = tok_arrays.select(
+        F.col("id").alias("id_a"), F.col("hs").alias("hs_a"),
+        F.col("tsz").alias("sz_a"),
+    )
+    tb = tok_arrays.select(
+        F.col("id").alias("id_b"), F.col("hs").alias("hs_b"),
+        F.col("tsz").alias("sz_b"),
+    )
     return (
         candidates.join(ta, "id_a")
         .join(tb, "id_b")
         .withColumn(
             "n_inter", F.size(F.array_intersect("hs_a", "hs_b")).cast("long")
         )
-        .join(sza, "id_a")
-        .join(szb, "id_b")
         .withColumn(
             "jaccard",
             F.col("n_inter").cast("double")
