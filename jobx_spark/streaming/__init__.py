@@ -315,6 +315,55 @@ def stream_to_parquet(
     query.awaitTermination()
 
 
+def stream_upsert_parquet(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    key_cols: list[str],
+    version_col: str,
+) -> None:
+    """Streaming MERGE: each micro-batch upserts into a keyed parquet
+    dataset via ``foreachBatch`` + :func:`jobx_spark.sources.sinks.
+    upsert_parquet` (union → max_by precedence → atomic-swap rewrite).
+
+    Replayed batches are absorbed, not duplicated: re-upserting rows
+    already merged picks the same per-key winner, so the sink converges
+    to the same state — idempotence from the MERGE semantics themselves
+    rather than from batch-id bookkeeping. This is the pattern for
+    maintaining a continuously-updated dimension/state table from a
+    change stream. Runs to completion (AvailableNow).
+    """
+    from jobx_spark.sources.sinks import upsert_parquet
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if not os.path.exists(path):
+            # bootstrap: the first batch must itself collapse to one
+            # winner per key (same precedence the upserts use)
+            cols = batch_df.columns
+            winners = (
+                batch_df.groupBy(*key_cols)
+                .agg(
+                    F.max_by(
+                        F.struct(*[F.col(c) for c in cols]),
+                        F.col(version_col),
+                    ).alias("__row")
+                )
+                .select("__row.*")
+            )
+            winners.write.mode("overwrite").parquet(path)
+            return
+        upsert_parquet(spark, path, batch_df, key_cols, version_col)
+
+    query = (
+        df.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+
 def finalize_update_stream(snapshot: DataFrame) -> DataFrame:
     """An update-mode memory sink appends one row per key per batch; the
     final state per key is the row with the highest running count

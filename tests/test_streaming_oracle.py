@@ -45,3 +45,42 @@ def test_foreach_batch_parquet_sink_is_idempotent(spark, sf_dir, tmp_path):
     src2 = stream_events(spark, sf_dir).filter(F.col("event_type") == "click")
     stream_to_parquet(src2, out, ckpt)
     assert spark.read.parquet(out).count() == expected
+
+
+def test_stream_upsert_keeps_latest_per_key(spark, sf_dir, tmp_path):
+    """Streaming MERGE: the keyed parquet state converges to one row
+    per user carrying that user's max event ts, and a replay (fresh
+    checkpoint, same input) is absorbed without growing the table."""
+    from pyspark.sql import functions as F
+
+    from jobx_spark.sources import load_table
+    from jobx_spark.streaming import stream_events, stream_upsert_parquet
+
+    out = str(tmp_path / "state")
+    src = stream_events(spark, sf_dir).select("user_id", "ts", "value")
+    stream_upsert_parquet(
+        src, out, str(tmp_path / "c1"), key_cols=["user_id"], version_col="ts"
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    expected = (
+        ev.groupBy("user_id").agg(F.max("ts").alias("ts"))
+        .orderBy("user_id")
+        .collect()
+    )
+    got = (
+        spark.read.parquet(out)
+        .select("user_id", "ts")
+        .orderBy("user_id")
+        .collect()
+    )
+    assert [(r.user_id, r.ts) for r in got] == [
+        (r.user_id, r.ts) for r in expected
+    ]
+
+    # replay with a fresh checkpoint: merge semantics absorb it
+    src2 = stream_events(spark, sf_dir).select("user_id", "ts", "value")
+    stream_upsert_parquet(
+        src2, out, str(tmp_path / "c2"), key_cols=["user_id"], version_col="ts"
+    )
+    assert spark.read.parquet(out).count() == len(expected)
