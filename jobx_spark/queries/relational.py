@@ -855,6 +855,66 @@ ORDER BY l_returnflag, metric
 
 
 # --------------------------------------------------------------------------
+# q39: nation-pair trade volume (TPC-H Q7 shape) — a 6-table join tree
+# (lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ×2) left to
+# Catalyst to reorder. The nation filters are on the two tiny dims, so
+# the OR-of-pairs predicate prunes early; both nation joins broadcast,
+# and the fact-side joins shuffle on their keys with AQE free to pick
+# sizes at runtime. The SQL formulation (vs DataFrame) is deliberate:
+# join reordering from statistics is exactly what we should NOT
+# hand-schedule at 100 TB.
+# --------------------------------------------------------------------------
+def q39_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "orders", "customer", "supplier", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(CAST(SUM(CAST(volume AS DECIMAL(38,8))) AS STRING)
+                    AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 year(l_shipdate) AS l_year,
+                 l_extendedprice * (1 - l_discount) AS volume
+          FROM lineitem
+          JOIN orders   ON o_orderkey = l_orderkey
+          JOIN customer ON c_custkey = o_custkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        )
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+        """
+    )
+
+
+ORACLE_Q39 = f"""
+SELECT supp_nation, cust_nation, l_year,
+       {dsum_sql('volume')} AS revenue,
+       count(*) AS n_items
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+) t
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+# --------------------------------------------------------------------------
 # q38: skew-proof aggregation through the EXPLICIT salted two-phase
 # path (operators/skew.py) — l_returnflag has 3 values, so every group
 # is a maximally hot key: the case where a single group's rows exceed
@@ -901,6 +961,7 @@ ORDER BY l_returnflag
 
 QUERIES = {
     "q38_salted_skew_agg": q38_salted_skew_agg,
+    "q39_nation_trade": q39_nation_trade,
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
     "q03_shipping_priority": q03_shipping_priority,
@@ -931,6 +992,7 @@ QUERIES = {
 
 ORACLES = {
     "q38_salted_skew_agg": ORACLE_Q38,
+    "q39_nation_trade": ORACLE_Q39,
     "q01_pricing_summary": ORACLE_Q01,
     "q02_filter_project": ORACLE_Q02,
     "q03_shipping_priority": ORACLE_Q03,
