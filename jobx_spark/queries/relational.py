@@ -915,6 +915,59 @@ ORDER BY supp_nation, cust_nation, l_year
 
 
 # --------------------------------------------------------------------------
+# q40: month-over-month revenue growth — the time-series reporting
+# shape: aggregate to a monthly series (shuffle carries months ×
+# statuses, nothing else), THEN window with lag over the tiny series.
+# The window's per-status partitions hold ≤ months rows, so the
+# "no PARTITION BY key explosion" concern doesn't apply; at 100 TB the
+# expensive part stays the first aggregation, which is partial+final.
+# Growth is computed from decimal-exact monthly sums, so the ratio is
+# bit-identical cross-engine.
+# --------------------------------------------------------------------------
+def q40_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        "o_orderstatus",
+    ).agg(
+        dsum("o_totalprice").alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+    w = W.partitionBy("o_orderstatus").orderBy("month")
+    return (
+        monthly.select(
+            "month",
+            "o_orderstatus",
+            "revenue",
+            "n_orders",
+            F.lag("revenue").over(w).alias("prev_revenue"),
+            (F.col("revenue") / F.lag("revenue").over(w) - 1.0).alias(
+                "growth"
+            ),
+        )
+        .orderBy("month", "o_orderstatus")
+    )
+
+
+ORACLE_Q40 = f"""
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+         o_orderstatus,
+         {dsum_sql('o_totalprice')} AS revenue,
+         count(*) AS n_orders
+  FROM orders
+  GROUP BY 1, 2
+)
+SELECT month, o_orderstatus, revenue, n_orders,
+       lag(revenue) OVER w AS prev_revenue,
+       revenue / lag(revenue) OVER w - 1.0 AS growth
+FROM monthly
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY month)
+ORDER BY month, o_orderstatus
+"""
+
+
+# --------------------------------------------------------------------------
 # q38: skew-proof aggregation through the EXPLICIT salted two-phase
 # path (operators/skew.py) — l_returnflag has 3 values, so every group
 # is a maximally hot key: the case where a single group's rows exceed
@@ -962,6 +1015,7 @@ ORDER BY l_returnflag
 QUERIES = {
     "q38_salted_skew_agg": q38_salted_skew_agg,
     "q39_nation_trade": q39_nation_trade,
+    "q40_monthly_growth": q40_monthly_growth,
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
     "q03_shipping_priority": q03_shipping_priority,
@@ -993,6 +1047,7 @@ QUERIES = {
 ORACLES = {
     "q38_salted_skew_agg": ORACLE_Q38,
     "q39_nation_trade": ORACLE_Q39,
+    "q40_monthly_growth": ORACLE_Q40,
     "q01_pricing_summary": ORACLE_Q01,
     "q02_filter_project": ORACLE_Q02,
     "q03_shipping_priority": ORACLE_Q03,
