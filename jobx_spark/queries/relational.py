@@ -915,6 +915,41 @@ ORDER BY supp_nation, cust_nation, l_year
 
 
 # --------------------------------------------------------------------------
+# q41: interpolated (continuous) percentiles — the PERCENTILE_CONT
+# complement of q24's discrete percentiles. Spark's exact `percentile`
+# and DuckDB's `quantile_cont` share the lo + (hi-lo)·frac
+# interpolation, verified bit-exact (same IEEE ops on the same sorted
+# neighbors). Exact percentiles sort within each group — fine for
+# bounded groups like these; the unbounded-cardinality path is
+# percentile_approx (error-bound-tested in tests/test_recovery_approx).
+# --------------------------------------------------------------------------
+def q41_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.25)").alias("p25"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_Q41 = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.25) AS p25,
+       quantile_cont(l_extendedprice, 0.5) AS p50,
+       quantile_cont(l_extendedprice, 0.9) AS p90,
+       count(*) AS n_items
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
 # q40: month-over-month revenue growth — the time-series reporting
 # shape: aggregate to a monthly series (shuffle carries months ×
 # statuses, nothing else), THEN window with lag over the tiny series.
@@ -1016,6 +1051,7 @@ QUERIES = {
     "q38_salted_skew_agg": q38_salted_skew_agg,
     "q39_nation_trade": q39_nation_trade,
     "q40_monthly_growth": q40_monthly_growth,
+    "q41_percentile_cont": q41_percentile_cont,
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
     "q03_shipping_priority": q03_shipping_priority,
@@ -1048,6 +1084,7 @@ ORACLES = {
     "q38_salted_skew_agg": ORACLE_Q38,
     "q39_nation_trade": ORACLE_Q39,
     "q40_monthly_growth": ORACLE_Q40,
+    "q41_percentile_cont": ORACLE_Q41,
     "q01_pricing_summary": ORACLE_Q01,
     "q02_filter_project": ORACLE_Q02,
     "q03_shipping_priority": ORACLE_Q03,
