@@ -382,6 +382,50 @@ ORDER BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# pipe_minmax_scale — per-group feature normalization through the
+# grouped-map Arrow path (`applyInPandas`): each event_type's values
+# min-max scaled inside a pandas batch. This is the template for
+# custom per-group logic Spark can't express declaratively — the group
+# arrives as ONE Arrow-backed DataFrame, so the shuffle is the only
+# distributed cost and the Python work is vectorized numpy, not
+# per-row. The arithmetic ((x−lo)/(hi−lo) in float64) is IEEE-identical
+# to the SQL window formulation, which is exactly what the oracle runs
+# — proving the Arrow round-trip is value-exact. At 100 TB the caveat
+# is group size (a group must fit one executor's memory); for unbounded
+# groups, compute lo/hi by aggregation and scale with a column
+# expression instead.
+# --------------------------------------------------------------------------
+def pipe_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    sub = ev.select("event_id", "event_type", "value")
+
+    def _scale(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        lo, hi = pdf["value"].min(), pdf["value"].max()
+        out = pdf[["event_id", "event_type"]].copy()
+        rng = hi - lo
+        out["scaled"] = (pdf["value"] - lo) / rng if rng != 0 else 0.0
+        return out
+
+    return (
+        sub.groupBy("event_type")
+        .applyInPandas(_scale, "event_id long, event_type string, scaled double")
+        .orderBy("event_id")
+    )
+
+
+ORACLE_PIPE_MINMAX = """
+SELECT event_id, event_type,
+       (value - MIN(value) OVER w)
+           / (MAX(value) OVER w - MIN(value) OVER w) AS scaled
+FROM events
+WINDOW w AS (PARTITION BY event_type)
+ORDER BY event_id
+"""
+
+
+# --------------------------------------------------------------------------
 # pipe_corpus_stats — the "dataset card": per (lang, source) doc counts,
 # exact token totals, mean/extreme lengths, and each cell's share of the
 # corpus (a windowless scalar subquery → one broadcast value). One
@@ -626,6 +670,7 @@ QUERIES = {
     "pipe_bpe_token_count": pipe_bpe_token_count,
     "pipe_gapfill_hours": pipe_gapfill_hours,
     "pipe_rollup_reagg": pipe_rollup_reagg,
+    "pipe_minmax_scale": pipe_minmax_scale,
     "pipe_mix_weighted": pipe_mix_weighted,
     "pipe_text_chunks": pipe_text_chunks,
     "pipe_clean_corpus": pipe_clean_corpus,
@@ -642,6 +687,7 @@ ORACLES = {
     "pipe_bpe_token_count": ORACLE_PIPE_BPE,
     "pipe_gapfill_hours": ORACLE_PIPE_GAPFILL,
     "pipe_rollup_reagg": ORACLE_PIPE_ROLLUP_REAGG,
+    "pipe_minmax_scale": ORACLE_PIPE_MINMAX,
     "pipe_mix_weighted": ORACLE_PIPE_MIX,
     "pipe_text_chunks": ORACLE_PIPE_CHUNKS,
     "pipe_clean_corpus": _clean_corpus_oracle(),
