@@ -80,6 +80,25 @@ def main() -> None:
             minhash_lsh_pairs(docs, n_hashes=16, bands=4)
         ).count(),
     )
+    from jobx_spark.operators.similarity import brute_force_topk
+
+    emb0 = load_table(spark, SF_DIR, "embeddings")
+    emb = (
+        emb0.crossJoin(F.broadcast(ev_reps))
+        .withColumn("vec_id", F.col("vec_id") + F.col("rep") * F.lit(10**9))
+        .drop("rep")
+        .repartition(32)
+        .persist()
+    )
+    n_emb = emb.count()
+    queries = emb.filter(F.col("vec_id") % F.lit(997) == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    probe(
+        "ann_bruteforce_topk",
+        lambda: brute_force_topk(emb, queries, k=10).count(),
+    )
+
     probe(
         "sessionize_events",
         lambda: events.select("user_id", "ts")
@@ -98,6 +117,7 @@ def main() -> None:
             {
                 "n_docs": n_docs,
                 "n_events": n_events,
+                "n_embeddings": n_emb,
                 "doc_rep": DOC_REP,
                 "ev_rep": EV_REP,
                 "timings_s": results,
