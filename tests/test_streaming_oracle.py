@@ -47,6 +47,38 @@ def test_foreach_batch_parquet_sink_is_idempotent(spark, sf_dir, tmp_path):
     assert spark.read.parquet(out).count() == expected
 
 
+def test_foreach_batch_sink_across_multiple_batches(spark, sf_dir, tmp_path):
+    """The per-batch dynamic-overwrite sink must also be correct when
+    the stream actually runs MANY micro-batches: 4 source files at
+    maxFilesPerTrigger=1 → ≥2 batches, each landing in its own
+    _batch_id partition, union == input."""
+    from pyspark.sql import functions as F
+
+    from jobx_spark.sources import load_table
+    from jobx_spark.streaming import stream_to_parquet
+
+    ev = load_table(spark, sf_dir, "events")
+    src_dir = str(tmp_path / "src")
+    ev.repartition(4).write.parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream_to_parquet(stream, out, ckpt)
+
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+    n_batches = back.select("_batch_id").distinct().count()
+    assert n_batches >= 2
+    assert (
+        back.agg(F.count_distinct("event_id")).first()[0]
+        == ev.select("event_id").distinct().count()
+    )
+
+
 def test_stream_upsert_keeps_latest_per_key(spark, sf_dir, tmp_path):
     """Streaming MERGE: the keyed parquet state converges to one row
     per user carrying that user's max event ts, and a replay (fresh
