@@ -526,6 +526,60 @@ SELECT token, n, rank FROM r WHERE rank <= {VOCAB_K} ORDER BY rank
 
 
 # --------------------------------------------------------------------------
+# pipe_bigram_counts — n-gram language-model statistics: the top-K
+# token bigrams with occurrence counts and the count of distinct
+# documents containing each (the document-frequency side of
+# contamination / memorization checks). Same vocabulary-bounded
+# shuffle argument as pipe_vocab_topk: partial aggregation collapses
+# repeats before the exchange, and the ranking window runs over the
+# aggregated bigram table only.
+# --------------------------------------------------------------------------
+BIGRAM_K = 100
+
+
+def pipe_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from jobx_spark.operators.text import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    bg = docs.select(
+        "doc_id", F.explode(shingles(F.col("text"), 2)).alias("bigram")
+    )
+    counts = bg.groupBy("bigram").agg(
+        F.count("*").alias("n"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+    w = W.orderBy(F.col("n").desc(), F.col("bigram"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BIGRAM_K)
+        .orderBy("rank")
+    )
+
+
+_BIGRAMS = (
+    f"list_transform(generate_series(1, greatest(len({_TOKS})-1, 0)),"
+    f" i -> array_to_string(list_slice({_TOKS}, i, i+1), ' '))"
+)
+ORACLE_PIPE_BIGRAMS = f"""
+WITH bg AS (
+  SELECT doc_id, unnest({_BIGRAMS}) AS bigram FROM documents
+),
+c AS (
+  SELECT bigram, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+  FROM bg GROUP BY bigram
+),
+r AS (
+  SELECT bigram, CAST(n AS BIGINT) AS n, CAST(n_docs AS BIGINT) AS n_docs,
+         CAST(row_number() OVER (ORDER BY n DESC, bigram) AS INTEGER) AS rank
+  FROM c
+)
+SELECT bigram, n, n_docs, rank FROM r WHERE rank <= {BIGRAM_K} ORDER BY rank
+"""
+
+
+# --------------------------------------------------------------------------
 # pipe_length_buckets — curriculum / batch-shape report: documents
 # bucketed by token length on fixed boundaries (fixed, not ntile, so
 # bucket membership is a per-row expression — no shuffle to assign, and
@@ -665,6 +719,7 @@ QUERIES = {
     "pipe_split_train_val_test": pipe_split_train_val_test,
     "pipe_corpus_stats": pipe_corpus_stats,
     "pipe_vocab_topk": pipe_vocab_topk,
+    "pipe_bigram_counts": pipe_bigram_counts,
     "pipe_length_buckets": pipe_length_buckets,
     "pipe_pack_offsets": pipe_pack_offsets,
     "pipe_bpe_token_count": pipe_bpe_token_count,
@@ -682,6 +737,7 @@ ORACLES = {
     "pipe_split_train_val_test": ORACLE_PIPE_SPLIT,
     "pipe_corpus_stats": ORACLE_PIPE_CORPUS_STATS,
     "pipe_vocab_topk": ORACLE_PIPE_VOCAB,
+    "pipe_bigram_counts": ORACLE_PIPE_BIGRAMS,
     "pipe_length_buckets": ORACLE_PIPE_LENGTH_BUCKETS,
     "pipe_pack_offsets": ORACLE_PIPE_PACK,
     "pipe_bpe_token_count": ORACLE_PIPE_BPE,
