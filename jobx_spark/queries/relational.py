@@ -1047,6 +1047,226 @@ ORDER BY l_returnflag
 """
 
 
+# --------------------------------------------------------------------------
+# q42: TPC-H Q11 shape — per-part revenue HAVING > 1/2000 of the global
+# total. The global total is an uncorrelated scalar subquery: one extra
+# full-agg job whose single row broadcasts into the HAVING filter. Both
+# sides stay DECIMAL end-to-end and the threshold test is written as
+# 2000 * part_sum > total (integer×decimal — exact; a decimal division
+# would round differently per engine). At 100 TB the per-part agg is the
+# only real shuffle; the scalar total reuses the same scan via exchange
+# reuse when Catalyst spots it.
+# --------------------------------------------------------------------------
+def q42_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_partkey,
+               CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                   AS DECIMAL(38,8))) AS STRING) AS DOUBLE) AS part_revenue
+        FROM lineitem
+        GROUP BY l_partkey
+        HAVING SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,8))) * 2000
+             > (SELECT SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,8)))
+                FROM lineitem)
+        ORDER BY l_partkey
+        """
+    )
+
+
+ORACLE_Q42 = f"""
+SELECT l_partkey,
+       {dsum_sql('l_extendedprice * (1 - l_discount)')} AS part_revenue
+FROM lineitem
+GROUP BY l_partkey
+HAVING SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,8))) * 2000
+     > (SELECT SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,8)))
+        FROM lineitem)
+ORDER BY l_partkey
+"""
+
+
+# --------------------------------------------------------------------------
+# q43: TPC-H Q17 shape — correlated AVG subquery: revenue from "small"
+# orders (quantity below half the part's average), per brand. Catalyst
+# decorrelates into an aggregate-then-join; the per-part avg side is
+# partkey-partitioned like the probe side, so AQE can plan a single
+# co-partitioned join. The threshold is davg (exact decimal mean →
+# double) so both engines compare against bit-identical doubles.
+# --------------------------------------------------------------------------
+def q43_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        davg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(per_part, li.l_partkey == per_part.pk)
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            dsum("l_extendedprice").alias("small_qty_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+ORACLE_Q43 = f"""
+WITH pp AS (
+  SELECT l_partkey AS pk, {davg_sql('l_quantity')} AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p_brand,
+       {dsum_sql('l_extendedprice')} AS small_qty_revenue,
+       count(*) AS n_lines
+FROM lineitem
+JOIN pp ON l_partkey = pk
+JOIN part ON l_partkey = p_partkey
+WHERE l_quantity < 0.5 * avg_qty
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+# --------------------------------------------------------------------------
+# q44: TPC-H Q15 shape — top supplier(s) by shipped revenue in a window.
+# The "revenue view" aggregates once; the max is an uncorrelated scalar
+# over that same aggregate. Ties are kept (= comparison on the exact
+# decimal), exactly like the spec query. supplier is a dim → broadcast.
+# --------------------------------------------------------------------------
+def q44_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(
+        """
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,8)))
+                     AS total_dec
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1997-01-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name,
+               CAST(CAST(total_dec AS STRING) AS DOUBLE) AS total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_dec = (SELECT MAX(total_dec) FROM revenue)
+        ORDER BY s_suppkey
+        """
+    )
+
+
+ORACLE_Q44 = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,8)))
+             AS total_dec
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-01-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name,
+       CAST(CAST(total_dec AS VARCHAR) AS DOUBLE) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_dec = (SELECT MAX(total_dec) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+# --------------------------------------------------------------------------
+# q45: TPC-H Q18 shape — large-volume orders: IN over a GROUP BY ...
+# HAVING subquery, then a 3-way join back to customer/orders. Catalyst
+# rewrites the IN into a left-semi join against the aggregated keys;
+# the heavy lineitem agg shuffles once on orderkey and the semi join
+# reuses that partitioning. Quantity sums stay integral doubles (no
+# decimal needed for a hash-exact sum of whole numbers).
+# --------------------------------------------------------------------------
+def q45_big_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               SUM(CAST(l_quantity AS DECIMAL(38,8))) AS total_qty
+        FROM customer, orders, lineitem
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey
+            HAVING SUM(CAST(l_quantity AS DECIMAL(38,8))) > 300
+          )
+          AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_orderkey
+        """
+    )
+
+
+ORACLE_Q45 = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       SUM(CAST(l_quantity AS DECIMAL(38,8))) AS total_qty
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(38,8))) > 300
+  )
+  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_orderkey
+"""
+
+
+# --------------------------------------------------------------------------
+# q46: blocked fuzzy join (edit distance) — entity-resolution over the
+# part-name catalog: candidate pairs share a blocking key (the noun =
+# last token), then exact levenshtein verifies ≤3. Blocking turns the
+# O(N²) cross join into per-block self-joins — the 100 TB pattern for
+# fuzzy matching (block on a cheap key, verify with the expensive
+# metric inside the block). levenshtein() is JVM-side in Spark and
+# built-in in DuckDB, so the oracle verifies the identical metric.
+# --------------------------------------------------------------------------
+def q46_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    names = (
+        part.select(F.col("p_name").alias("name"))
+        .distinct()
+        .withColumn("block", F.element_at(F.split(F.col("name"), " "), -1))
+    )
+    a = names.alias("a")
+    b = names.alias("b")
+    return (
+        a.join(b, F.col("a.block") == F.col("b.block"))
+        .filter(F.col("a.name") < F.col("b.name"))
+        .withColumn("dist", F.levenshtein(F.col("a.name"), F.col("b.name")))
+        .filter(F.col("dist") <= 3)
+        .select(
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            F.col("dist").cast("int").alias("dist"),
+        )
+        .orderBy("name_a", "name_b")
+    )
+
+
+ORACLE_Q46 = """
+WITH names AS (
+  SELECT DISTINCT p_name AS name,
+         string_split(p_name, ' ')[-1] AS block
+  FROM part
+)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
+FROM names a JOIN names b ON a.block = b.block AND a.name < b.name
+WHERE levenshtein(a.name, b.name) <= 3
+ORDER BY name_a, name_b
+"""
+
+
 QUERIES = {
     "q38_salted_skew_agg": q38_salted_skew_agg,
     "q39_nation_trade": q39_nation_trade,
@@ -1078,6 +1298,11 @@ QUERIES = {
     "q34_conditional_agg": q34_conditional_agg,
     "q35_string_agg": q35_string_agg,
     "q36_unpivot_metrics": q36_unpivot_metrics,
+    "q42_important_parts": q42_important_parts,
+    "q43_small_qty_revenue": q43_small_qty_revenue,
+    "q44_top_supplier": q44_top_supplier,
+    "q45_big_volume_orders": q45_big_volume_orders,
+    "q46_fuzzy_name_pairs": q46_fuzzy_name_pairs,
 }
 
 ORACLES = {
@@ -1111,4 +1336,9 @@ ORACLES = {
     "q34_conditional_agg": ORACLE_Q34,
     "q35_string_agg": ORACLE_Q35,
     "q36_unpivot_metrics": ORACLE_Q36,
+    "q42_important_parts": ORACLE_Q42,
+    "q43_small_qty_revenue": ORACLE_Q43,
+    "q44_top_supplier": ORACLE_Q44,
+    "q45_big_volume_orders": ORACLE_Q45,
+    "q46_fuzzy_name_pairs": ORACLE_Q46,
 }
