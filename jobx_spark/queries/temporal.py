@@ -607,8 +607,111 @@ ORDER BY ex.event_type
 """
 
 
+# --------------------------------------------------------------------------
+# q47: cohort retention — assign each user to the ISO week of their
+# first event, then count distinct users active in each later week,
+# reported as (cohort_week, week_offset, n_users). Two shuffles total:
+# the per-user min (user_id-keyed) and the cohort×offset distinct-count
+# — the classic product-analytics report, no self-join of events
+# against events (the naive formulation). At 100 TB the per-user agg is
+# the heavy stage; everything after runs on |users|, not |events|.
+# --------------------------------------------------------------------------
+def q47_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    weeks = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("active_week")
+    ).distinct()
+    return (
+        weeks.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("active_week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+ORACLE_Q47 = """
+WITH first AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+),
+weeks AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
+  FROM events
+)
+SELECT cohort_week,
+       CAST(datediff('day', cohort_week, active_week) / 7 AS INTEGER)
+           AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM weeks JOIN first USING (user_id)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# q48: funnel analysis — signup → view → purchase, ordered by each
+# user's first timestamp per stage. One conditional-aggregation pass
+# over events (min ts per type per user: a single user_id shuffle with
+# map-side combine), then the strict-ordering test per user; stage
+# counts are a tiny final reduction. No per-stage self-joins — the
+# O(|events|²) trap the single-pass form avoids at 100 TB.
+# --------------------------------------------------------------------------
+def q48_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    per_user = ev.groupBy("user_id").agg(
+        first_ts("signup").alias("t_signup"),
+        first_ts("view").alias("t_view"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_signup").alias("n_signup"),
+        F.sum(
+            (F.col("t_view") > F.col("t_signup")).cast("long")
+        ).alias("n_signup_then_view"),
+        F.sum(
+            (
+                (F.col("t_view") > F.col("t_signup"))
+                & (F.col("t_purchase") > F.col("t_view"))
+            ).cast("long")
+        ).alias("n_full_funnel"),
+    )
+
+
+ORACLE_Q48 = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup'   THEN ts END) AS t_signup,
+         min(CASE WHEN event_type = 'view'     THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(count(t_signup) AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN t_view > t_signup THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_signup_then_view,
+       CAST(sum(CASE WHEN t_view > t_signup AND t_purchase > t_view
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+FROM per_user
+"""
+
+
 QUERIES = {
     "q20_asof_join": q20_asof_join,
+    "q47_cohort_retention": q47_cohort_retention,
+    "q48_funnel_steps": q48_funnel_steps,
     "q37_approx_distinct_kmv": q37_approx_distinct_kmv,
     "q28_cheapest_supplier": q28_cheapest_supplier,
     "q29_array_map_functions": q29_array_map_functions,
@@ -623,6 +726,8 @@ QUERIES = {
 
 ORACLES = {
     "q20_asof_join": ORACLE_Q20,
+    "q47_cohort_retention": ORACLE_Q47,
+    "q48_funnel_steps": ORACLE_Q48,
     "q37_approx_distinct_kmv": ORACLE_Q37,
     "q28_cheapest_supplier": ORACLE_Q28,
     "q29_array_map_functions": ORACLE_Q29,
