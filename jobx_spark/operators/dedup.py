@@ -338,6 +338,55 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = None,
+    n: int = 1,
+    min_containment: float = 0.0,
+) -> DataFrame:
+    """Asymmetric set containment |A∩B| / |A| for pairs sharing a block
+    — the near-SUBSET detector (quote extraction, boilerplate wrapping,
+    truncated re-crawls) that symmetric Jaccard misses: a 50-token doc
+    fully embedded in a 5000-token doc has Jaccard ≈ 0.01 but
+    containment 1.0. Directed output: ``id_a`` is the (smaller)
+    contained side. Same shingle-hash equi-join shape as
+    :func:`ngram_jaccard_pairs`, so the shuffle is keyed by shingle and
+    scales with shared-shingle volume, not |docs|².
+    """
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"),
+            *([F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")]),
+            F.explode_outer(
+                F.array_distinct(shingles(text_col, n) if n > 1 else tokens(text_col))
+            ).alias("sh"),
+        )
+        .select("id", "blk", md5_long("sh").alias("h"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, ["blk", "h"])
+        .filter(F.col("a.id") != F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sza = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    return (
+        inter.join(sza, "id_a")
+        .withColumn(
+            "containment",
+            F.col("n_inter").cast("double") / F.col("sz_a").cast("double"),
+        )
+        .filter(F.col("containment") >= min_containment)
+        .select("id_a", "id_b", "n_inter", "containment")
+    )
+
+
 def ngram_jaccard_prefix_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

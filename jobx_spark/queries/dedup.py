@@ -293,6 +293,46 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# dedup_containment — asymmetric 3-gram shingle containment |A∩B|/|A|
+# within source blocks: the near-SUBSET detector symmetric Jaccard
+# misses (a short doc embedded in a long one scores ~1.0 here but ~0.01
+# Jaccard). Directed pairs: id_a is the contained side.
+# --------------------------------------------------------------------------
+CONTAINMENT_MIN = 0.8
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(
+        docs, block_col="source", n=SHINGLE_N, min_containment=CONTAINMENT_MIN
+    ).orderBy("id_a", "id_b")
+
+
+ORACLE_DEDUP_CONTAINMENT = f"""
+WITH d AS (
+  SELECT doc_id, source, {_MD5.format(e='s')} AS h
+  FROM (SELECT doc_id, source, unnest(list_distinct({_SHINGLES3})) AS s
+        FROM documents)
+), sizes AS (
+  SELECT doc_id, count(DISTINCT h) AS sz FROM d GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM (SELECT DISTINCT doc_id, source, h FROM d) a
+  JOIN (SELECT DISTINCT doc_id, source, h FROM d) b
+    ON a.source = b.source AND a.h = b.h AND a.doc_id != b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_inter,
+       n_inter::DOUBLE / sa.sz::DOUBLE AS containment
+FROM inter JOIN sizes sa ON sa.doc_id = id_a
+WHERE n_inter::DOUBLE / sa.sz::DOUBLE >= {CONTAINMENT_MIN}
+ORDER BY id_a, id_b
+"""
+
+
+# --------------------------------------------------------------------------
 # dedup_components — cluster resolution: LSH candidate pairs folded into
 # connected components (node → min reachable doc_id), the step that
 # turns pairwise near-dup evidence into keep/drop decisions. Oracle:
@@ -412,6 +452,7 @@ QUERIES = {
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding": dedup_embedding,
+    "dedup_containment": dedup_containment,
 }
 
 ORACLES = {
@@ -425,4 +466,5 @@ ORACLES = {
     "dedup_simhash_pairs": _simhash_pairs_oracle(),
     "dedup_ngram_jaccard": ORACLE_DEDUP_JACCARD,
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
+    "dedup_containment": ORACLE_DEDUP_CONTAINMENT,
 }

@@ -89,6 +89,115 @@ ORDER BY lang
 
 
 # --------------------------------------------------------------------------
+# pipe_blocklist_scrub — term-blocklist masking (the PII/toxicity-scrub
+# shape: replace blocked tokens, keep provenance counts). Pure map-side
+# per-row array ops — no shuffle until the tiny per-lang rollup. The
+# per-lang bit_xor over the scrubbed-text hash certifies the actual
+# post-scrub CONTENT (order-insensitive), not just the counts, so the
+# oracle proves the transform itself survived distribution.
+# --------------------------------------------------------------------------
+BLOCKLIST = ("customer", "key", "value")
+
+
+def pipe_blocklist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.functions import md5_long
+    from jobx_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    blocked = F.filter(toks, lambda t: t.isin(*BLOCKLIST))
+    kept = F.filter(toks, lambda t: ~t.isin(*BLOCKLIST))
+    scrubbed = docs.select(
+        "doc_id",
+        "lang",
+        F.size(blocked).cast("long").alias("n_masked"),
+        md5_long(F.array_join(kept, " ")).alias("scrub_hash"),
+    )
+    return (
+        scrubbed.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_masked") > 0).cast("long")).alias("docs_affected"),
+            F.sum("n_masked").alias("total_masked"),
+            F.bit_xor("scrub_hash").alias("content_xor"),
+        )
+        .orderBy("lang")
+    )
+
+
+_BL_IN = ", ".join(f"'{t}'" for t in BLOCKLIST)
+_SCRUB_KEPT = f"array_to_string(list_filter({_TOKS}, t -> t NOT IN ({_BL_IN})), ' ')"
+_N_MASKED = f"len(list_filter({_TOKS}, t -> t IN ({_BL_IN})))"
+
+ORACLE_PIPE_BLOCKLIST = f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         CAST({_N_MASKED} AS BIGINT) AS n_masked,
+         {_MD5.format(e=_SCRUB_KEPT)} AS scrub_hash
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_masked > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS docs_affected,
+       CAST(sum(n_masked) AS BIGINT) AS total_masked,
+       bit_xor(scrub_hash) AS content_xor
+FROM s
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# pipe_manifest — dataset integrity manifest: per-source row count,
+# byte total, and an ORDER-INSENSITIVE content checksum (bit_xor over a
+# row fingerprint covering every column). This is how a 100 TB copy is
+# verified after migration/compaction without sorting anything: both
+# sides compute the manifest independently (map-side combine → one tiny
+# shuffle) and diff the ~|sources| rows.
+# --------------------------------------------------------------------------
+def pipe_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.functions import md5_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    row_fp = md5_long(
+        F.concat_ws(
+            "\x1f",
+            F.col("doc_id").cast("string"),
+            F.col("text"),
+            F.col("lang"),
+            F.col("source"),
+            F.col("n_chars").cast("string"),
+        )
+    )
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_chars").alias("total_chars"),
+            F.bit_xor(row_fp).alias("content_xor"),
+        )
+        .orderBy("source")
+    )
+
+
+_ROW_FP = (
+    "CAST(doc_id AS VARCHAR) || chr(31) || text || chr(31) || lang || chr(31)"
+    " || source || chr(31) || CAST(n_chars AS VARCHAR)"
+)
+
+ORACLE_PIPE_MANIFEST = f"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       bit_xor({_MD5.format(e=_ROW_FP)}) AS content_xor
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
 # pipe_text_chunks — overlapping token-window chunking (stride 40,
 # width 50): the context-window packing precursor. Pure per-row explode:
 # at scale this is a map-only job whose output feeds tokenization.
@@ -729,6 +838,8 @@ QUERIES = {
     "pipe_mix_weighted": pipe_mix_weighted,
     "pipe_text_chunks": pipe_text_chunks,
     "pipe_clean_corpus": pipe_clean_corpus,
+    "pipe_blocklist_scrub": pipe_blocklist_scrub,
+    "pipe_manifest": pipe_manifest,
 }
 
 ORACLES = {
@@ -747,4 +858,6 @@ ORACLES = {
     "pipe_mix_weighted": ORACLE_PIPE_MIX,
     "pipe_text_chunks": ORACLE_PIPE_CHUNKS,
     "pipe_clean_corpus": _clean_corpus_oracle(),
+    "pipe_blocklist_scrub": ORACLE_PIPE_BLOCKLIST,
+    "pipe_manifest": ORACLE_PIPE_MANIFEST,
 }
