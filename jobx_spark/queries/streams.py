@@ -160,8 +160,76 @@ ORDER BY user_id, event_type, day
 """
 
 
+def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev1 = S.stream_events(spark, sf_dir)
+    ev2 = S.stream_events(spark, sf_dir)
+    out = S.run_available_now(
+        S.interval_join_left_outer(ev1, ev2), "append", "lojoin"
+    )
+    return out.orderBy("purchase_id", "click_id")
+
+
+# Matched rows ≡ the inner interval join. Null rows are watermark-gated:
+# matching clicks satisfy c.ts <= p.ts (they *precede* the purchase),
+# so a purchase's match window is already closed once the watermark
+# passes p.ts — unmatched purchases emit iff p.ts < watermark, and the
+# open tail stays withheld. The global watermark is the MIN across both
+# sides' watermark operators (each side tracks its own filtered max
+# event time), truncated to milliseconds, minus the 2 h delay. The
+# oracle restates that eviction rule in SQL.
+ORACLE_STREAM_LEFT_OUTER = """
+WITH mx AS (
+  SELECT make_timestamp(epoch_ms(least(
+           max(CASE WHEN event_type = 'purchase' THEN ts END),
+           max(CASE WHEN event_type = 'click'    THEN ts END))) * 1000)
+         AS m
+  FROM events
+),
+p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+c AS (SELECT * FROM events WHERE event_type = 'click'),
+matched AS (
+  SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+         c.event_id AS click_id, epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+  FROM p JOIN c ON p.user_id = c.user_id
+   AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+),
+evicted AS (
+  SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+         CAST(NULL AS BIGINT) AS click_id, CAST(NULL AS BIGINT) AS gap_us
+  FROM p, mx
+  WHERE p.ts < mx.m - INTERVAL 2 HOUR
+    AND NOT EXISTS (
+      SELECT 1 FROM c WHERE c.user_id = p.user_id
+        AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    )
+)
+SELECT * FROM matched
+UNION ALL
+SELECT * FROM evicted
+ORDER BY purchase_id, click_id
+"""
+
+
+def stream_replay_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev1 = S.stream_events(spark, sf_dir)
+    ev2 = S.stream_events(spark, sf_dir)
+    out = S.run_available_now(S.replay_dedup(ev1, ev2), "append", "replay")
+    return out.orderBy("event_id")
+
+
+# Double delivery collapsed by event_id: the result is exactly the
+# original events (ids are unique), proving at-least-once → exactly-once.
+ORACLE_STREAM_REPLAY_DEDUP = """
+SELECT event_id, user_id, event_type, ts, value
+FROM events
+ORDER BY event_id
+"""
+
+
 QUERIES = {
     "stream_tumbling_agg": stream_tumbling_agg,
+    "stream_left_outer_join": stream_left_outer_join,
+    "stream_replay_dedup": stream_replay_dedup,
     "stream_dedup_activity": stream_dedup_activity,
     "stream_static_enrich": stream_static_enrich,
     "stream_interval_join": stream_interval_join,
@@ -172,6 +240,8 @@ QUERIES = {
 
 ORACLES = {
     "stream_tumbling_agg": ORACLE_STREAM_TUMBLING,
+    "stream_left_outer_join": ORACLE_STREAM_LEFT_OUTER,
+    "stream_replay_dedup": ORACLE_STREAM_REPLAY_DEDUP,
     "stream_dedup_activity": ORACLE_STREAM_DEDUP,
     "stream_static_enrich": ORACLE_STREAM_STATIC_ENRICH,
     "stream_interval_join": ORACLE_STREAM_INTERVAL_JOIN,

@@ -244,6 +244,72 @@ def interval_join(events: DataFrame, events2: DataFrame) -> DataFrame:
     )
 
 
+def interval_join_left_outer(events: DataFrame, events2: DataFrame) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every purchase, with its
+    same-user clicks from the preceding hour — or a null click if none
+    arrives before the watermark closes the match window.
+
+    The outer side's null rows cannot emit eagerly (a matching click
+    may still arrive); they emit on state eviction, once the click-side
+    watermark passes the end of the purchase's match window. Matching
+    clicks satisfy ``c_ts <= p_ts`` (they precede the purchase), so
+    that window closes at ``p_ts`` itself: a purchase emits its null
+    row iff ``p_ts < watermark``, and purchases inside the final
+    watermark delay stay open and unEmitted at end-of-input. This is
+    the production semantics of unbounded outer joins: completeness is
+    only ever claimed up to the watermark.
+    """
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        events2.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left_outer",
+    ).select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        "click_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+    )
+
+
+def replay_dedup(events: DataFrame, events2: DataFrame) -> DataFrame:
+    """Exactly-once ingestion from an at-least-once source: the same
+    stream arrives twice (replay / duplicated delivery) and
+    ``dropDuplicatesWithinWatermark`` on the event id keeps one copy.
+
+    Unlike ``dropDuplicates``, state for an id is held only until the
+    watermark passes its event time + delay, so the state store tracks
+    the redelivery window (what a queue actually guarantees), not all
+    history — the formulation that survives an unbounded stream.
+    First sighting emits immediately (append mode).
+    """
+    both = events.unionByName(events2)
+    return (
+        both.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type", "ts", "value")
+    )
+
+
 # ------------------------------------------------------- custom stateful op
 
 _USER_STATS_OUTPUT = "user_id bigint, n_events bigint, max_value double"
