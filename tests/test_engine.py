@@ -120,6 +120,85 @@ def test_job4_fanout_and_fold(engine):
     assert req.trace.step_sequence() == ["step_split", "step_chunk"]
 
 
+def combiner_presum(scope, results):
+    """Custom combiner (SURVEY §2.1 #4): receives the raw map-result
+    pair stream, pre-merges per key (sum), yields grouped pairs — the
+    'groups similar or duplicate map output' contract of
+    mr_kv_step_create:25."""
+    totals = {}
+    for k, v in results:
+        totals[k] = totals.get(k, 0) + v
+    for k in sorted(totals):
+        yield (k, [totals[k]])
+
+
+def mapper_modulo(scope, arguments):
+    """Deterministic chunker: value units spread over keys 0-2 (RNG-free
+    so the combiner-transparency comparison can be exact across jobs)."""
+    yield MrConfigureToReturn()
+    for _name, value in arguments:
+        for i in range(value):
+            yield (i % 3, 1 + i % 5)
+
+
+def test_custom_combiner_transparent_to_reducer(engine):
+    """A pre-summing combiner must not change the reduced totals
+    (combiner transparency — the invariant that makes map-side combine
+    legal), but it shrinks the grouped dataset to one value per key."""
+    engine.register_handler("wf", "modchunk", fn=mapper_modulo,
+                            handler_type="mapper",
+                            argument_spec=[("arg1", "int")])
+    engine.register_handler("wf", "presum", fn=combiner_presum,
+                            handler_type="combiner")
+    engine.create_step("wf", "step_mod_plain", "modchunk", "sum")
+    engine.create_step("wf", "step_mod_comb", "modchunk", "sum", "presum")
+    engine.create_job("wf", "job_mod_plain", "step_mod_plain")
+    engine.create_job("wf", "job_mod_comb", "step_mod_comb")
+
+    plain = engine.submit("wf", "job_mod_plain", {"arg1": 144}).result["pairs"]
+    combined = engine.submit("wf", "job_mod_comb", {"arg1": 144}).result["pairs"]
+    assert combined == plain
+    assert sorted(k for k, _ in plain) == [0, 1, 2]
+    assert sum(v for _, v in plain) == sum(1 + i % 5 for i in range(144))
+
+
+def mapper_split_deep(scope, arguments):
+    """split semantics but fanning out to another split step — exercises
+    two levels of MrConfigureToMap recursion before the chunk leaf."""
+    yield MrConfigureToMap("step_split_mid")
+    for _name, value in arguments:
+        yield (0, value // 2)
+        yield (1, value // 2 + value % 2)
+
+
+def test_three_level_fanout_and_fold(engine):
+    """map→map→map→reduce: totals stay conserved through two fan-out
+    levels and the post-order fold; the trace records the full chain."""
+    engine.register_handler("wf", "split_deep", fn=mapper_split_deep,
+                            handler_type="mapper",
+                            argument_spec=[("arg1", "int")])
+    engine.create_step("wf", "step_split_mid", "split", "noop")
+    engine.create_step("wf", "step_split_top", "split_deep", "noop")
+    engine.create_job("wf", "job_deep", "step_split_top")
+
+    req = engine.submit("wf", "job_deep", {"arg1": 144})
+    pairs = req.result["pairs"]
+    assert pairs
+    # two noop folds wrap the leaf's (k, total) pairs in value-lists —
+    # nesting depth reflects the no-flatten default-combiner semantics.
+    def flat_total(v):
+        if isinstance(v, list):
+            return sum(flat_total(x) for x in v)
+        return v
+    total = sum(flat_total(v) for _, v in pairs)
+    assert 0 < total < 144
+    assert req.trace.step_sequence() == [
+        "step_split_top", "step_split_mid", "step_chunk"
+    ]
+    assert ("step_split_top", "step_split_mid") in req.trace.edges()
+    assert ("step_split_mid", "step_chunk") in req.trace.edges()
+
+
 def test_sessions_mapper_write_reducer_read(engine):
     """FIXTURES A.4 #4: session written by the mapper is readable in the
     paired (fold) reducer."""
