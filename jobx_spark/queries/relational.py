@@ -1267,8 +1267,113 @@ ORDER BY name_a, name_b
 """
 
 
+# --------------------------------------------------------------------------
+# q49: TPC-H Q5 shape — local-supplier volume: revenue per nation where
+# the customer and the supplier sit in the SAME nation, one region, one
+# year. Six tables; region/nation/supplier/customer are dims (broadcast
+# in the plan), lineitem⨝orders is the one real shuffle. The
+# same-nation predicate lands on the join output as a cheap filter —
+# Catalyst pushes the region restriction down through nation to prune
+# both dim sides before they broadcast.
+# --------------------------------------------------------------------------
+def q49_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "orders", "customer", "supplier", "nation", "region"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT n_name,
+               CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                   AS DECIMAL(38,8))) AS STRING) AS DOUBLE) AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey
+          AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey
+          AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+        ORDER BY n_name
+        """
+    )
+
+
+ORACLE_Q49 = f"""
+SELECT n_name,
+       {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# q50: TPC-H Q10 shape — returned-items customer report: top 20
+# customers by refund-quarter revenue from RETURNED lineitems. The
+# returnflag filter reaches the lineitem scan (PushedFilters), the
+# orders date filter prunes the probe side before the orderkey shuffle,
+# and the final TakeOrderedAndProject keeps only 20 rows per partition
+# before the single-partition merge.
+# --------------------------------------------------------------------------
+def q50_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    revenue = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01"))
+                & (F.col("o_orderdate") < F.lit("1996-04-01"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+    return (
+        revenue.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+ORACLE_Q50 = f"""
+WITH rev AS (
+  SELECT o_custkey, {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate <  TIMESTAMP '1996-04-01'
+  GROUP BY o_custkey
+)
+SELECT c_custkey, c_name, revenue, c_acctbal, n_name
+FROM rev
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
 QUERIES = {
     "q38_salted_skew_agg": q38_salted_skew_agg,
+    "q49_local_supplier_volume": q49_local_supplier_volume,
+    "q50_returned_items": q50_returned_items,
     "q39_nation_trade": q39_nation_trade,
     "q40_monthly_growth": q40_monthly_growth,
     "q41_percentile_cont": q41_percentile_cont,
@@ -1307,6 +1412,8 @@ QUERIES = {
 
 ORACLES = {
     "q38_salted_skew_agg": ORACLE_Q38,
+    "q49_local_supplier_volume": ORACLE_Q49,
+    "q50_returned_items": ORACLE_Q50,
     "q39_nation_trade": ORACLE_Q39,
     "q40_monthly_growth": ORACLE_Q40,
     "q41_percentile_cont": ORACLE_Q41,
