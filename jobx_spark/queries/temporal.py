@@ -610,22 +610,28 @@ ORDER BY ex.event_type
 # --------------------------------------------------------------------------
 # q47: cohort retention — assign each user to the ISO week of their
 # first event, then count distinct users active in each later week,
-# reported as (cohort_week, week_offset, n_users). Two shuffles total:
-# the per-user min (user_id-keyed) and the cohort×offset distinct-count
-# — the classic product-analytics report, no self-join of events
-# against events (the naive formulation). At 100 TB the per-user agg is
-# the heavy stage; everything after runs on |users|, not |events|.
+# reported as (cohort_week, week_offset, n_users). ONE events shuffle:
+# a single user_id-keyed aggregation computes the cohort (min ts) AND
+# the distinct active weeks (collect_set — bounded by the calendar, so
+# per-user state is tiny and map-side combine still collapses the
+# event volume); the explode + cohort×offset rollup then run on
+# |users|, not |events|. The naive formulation (per-user min, separate
+# DISTINCT, join) shuffles the events twice and joins — strictly worse
+# at 100 TB.
 # --------------------------------------------------------------------------
 def q47_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    first = ev.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    wk = F.date_trunc("week", F.col("ts")).cast("date")
+    per_user = ev.select("user_id", F.col("ts"), wk.alias("wk")).groupBy(
+        "user_id"
+    ).agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week"),
+        F.collect_set("wk").alias("active_weeks"),
     )
-    weeks = ev.select(
-        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("active_week")
-    ).distinct()
     return (
-        weeks.join(first, "user_id")
+        per_user.select(
+            "cohort_week", F.explode("active_weeks").alias("active_week")
+        )
         .groupBy(
             "cohort_week",
             (F.datediff(F.col("active_week"), F.col("cohort_week")) / 7)

@@ -80,6 +80,15 @@ def main() -> None:
             minhash_lsh_pairs(docs, n_hashes=16, bands=4)
         ).count(),
     )
+    from jobx_spark.operators.dedup import containment_pairs
+
+    probe(
+        "containment_pairs",
+        lambda: containment_pairs(
+            docs, block_col="source", n=3, min_containment=0.8
+        ).count(),
+    )
+
     from jobx_spark.operators.similarity import brute_force_topk
 
     emb0 = load_table(spark, SF_DIR, "embeddings")
