@@ -140,6 +140,7 @@ def _run_reduce(
     reducer: Handler = step_plan["reducer"]
     scope = HandlerScope(
         inv, session_snapshot=session_snapshot, allow_session_writes=False,
+        workdir=step_plan.get("workdir"),
         extra=step_plan.get("scope_values"),
     )
     _seeded_random(inv, "reduce")
@@ -326,6 +327,7 @@ class Engine:
         wf = step.workflow_name
         return {
             "name": step.name,
+            "workdir": self.workdir,
             "scope_values": self.catalog.get_workflow(wf).scope_values,
             "mapper": self.catalog.get_handler(wf, step.map_handler_name),
             "combiner": (

@@ -20,6 +20,8 @@ from __future__ import annotations
 import io
 import json
 import logging
+import os
+import shutil
 import subprocess
 
 
@@ -40,6 +42,72 @@ class MrConfigureToMap:
 class SessionWriteLockedError(RuntimeError):
     """Raised when a reducer attempts a session write (the reference
     disables session writes in reduce paths — mr/job_engine.py:795-800)."""
+
+
+class FsVerbs:
+    """The workflow-scoped filesystem surface handlers see as ``FS``.
+
+    Verb-for-verb parity with the reference's shared-FS wrapper
+    (mr/fs/general.py:49-224: mkdir/ls/cp/cpr/rm/rmdir/mv/stat/exists/
+    isfile/isdir/open), rooted at a workdir. The reference needed
+    Tahoe-LAFS because its workers share nothing; Spark executors see
+    shared storage (NFS/HDFS-mount/local in tests) directly, so plain
+    ``os``/``shutil`` against the root is the whole implementation.
+    Paths are handler-relative; escaping the root is rejected. Instances
+    hold only the root string → picklable into executor UDFs.
+    """
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def _abs(self, path: str) -> str:
+        p = os.path.normpath(os.path.join(self.root, path.lstrip("/")))
+        if not p.startswith(os.path.normpath(self.root)):
+            raise ValueError(f"path escapes workdir: {path!r}")
+        return p
+
+    def mkdir(self, path: str) -> None:
+        os.makedirs(self._abs(path), exist_ok=True)
+
+    def ls(self, path: str = "."):
+        base = self._abs(path)
+        return sorted(
+            (name, os.stat(os.path.join(base, name)))
+            for name in os.listdir(base)
+        )
+
+    def cp(self, src: str, dst: str) -> None:
+        shutil.copy2(self._abs(src), self._abs(dst))
+
+    def cpr(self, src: str, dst: str) -> None:
+        shutil.copytree(self._abs(src), self._abs(dst), dirs_exist_ok=True)
+
+    def rm(self, path: str) -> None:
+        os.unlink(self._abs(path))
+
+    def rmdir(self, path: str) -> None:
+        shutil.rmtree(self._abs(path))
+
+    def mv(self, src: str, dst: str) -> None:
+        shutil.move(self._abs(src), self._abs(dst))
+
+    def stat(self, path: str):
+        return os.stat(self._abs(path))
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(self._abs(path))
+
+    def isfile(self, path: str) -> bool:
+        return os.path.isfile(self._abs(path))
+
+    def isdir(self, path: str) -> bool:
+        return os.path.isdir(self._abs(path))
+
+    def open(self, path: str, mode: str = "r"):
+        if any(c in mode for c in "wax"):
+            os.makedirs(os.path.dirname(self._abs(path)) or self.root,
+                        exist_ok=True)
+        return open(self._abs(path), mode)
 
 
 class HandlerScope:
@@ -65,6 +133,7 @@ class HandlerScope:
         self._session_writes: dict[str, str] = {}
         self._allow_session_writes = allow_session_writes
         self.workdir = workdir
+        self.fs = FsVerbs(workdir) if workdir else None
         self._stdout = io.StringIO()
         self.extra = extra or {}
 
@@ -118,6 +187,7 @@ class HandlerScope:
             "SEP": "/",
             "JOIN": "/".join,
             "WORKDIR": self.workdir,
+            "FS": FsVerbs(self.workdir) if self.workdir else None,
             "S_SET": self.session_set,
             "S_GET": self.session_get,
             "S_LIST": self.session_list,

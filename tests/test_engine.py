@@ -199,6 +199,60 @@ def test_three_level_fanout_and_fold(engine):
     assert ("step_split_mid", "step_chunk") in req.trace.edges()
 
 
+def mapper_fs_write(scope, arguments):
+    """random_yield_grouped's FS usage (FIXTURES A.3): mkdir + write a
+    per-invocation work file through the injected FS verbs."""
+    scope.fs.mkdir("tempdir")
+    with scope.fs.open(f"tempdir/{scope.invocation_id}.txt", "w") as f:
+        f.write(scope.invocation_id)
+    yield MrConfigureToReturn()
+    for _name, value in arguments:
+        yield (0, value)
+
+
+def reducer_fs_read(scope, results):
+    """Reads back what the paired mapper wrote: shared-FS visibility
+    across the map→reduce boundary (the reference's Tahoe-LAFS role)."""
+    names = [n for n, _ in scope.fs.ls("tempdir")]
+    for k, value_list in results:
+        yield (k, [sum(value_list), len(names)])
+
+
+def test_fs_verbs_shared_across_phases(engine, tmp_path):
+    from jobx_spark.engine import Engine
+    from jobx_spark.handlers import FsVerbs
+
+    e2 = Engine(engine.spark, workdir=str(tmp_path))
+    e2.catalog = engine.catalog
+    engine.register_handler("wf", "fs_write", fn=mapper_fs_write,
+                            handler_type="mapper",
+                            argument_spec=[("arg1", "int")])
+    engine.register_handler("wf", "fs_read", fn=reducer_fs_read,
+                            handler_type="reducer")
+    e2.create_step("wf", "step_fs", "fs_write", "fs_read")
+    e2.create_job("wf", "job_fs", "step_fs")
+    req = e2.submit("wf", "job_fs", {"arg1": 7})
+    ((k, (total, n_files)),) = req.result["pairs"]
+    assert (k, total) == (0, 7)
+    assert n_files >= 1  # the mapper's work file is visible to the reducer
+
+    # verb surface parity: mkdir/ls/cp/mv/stat/exists/isfile/isdir/rm/rmdir
+    fs = FsVerbs(str(tmp_path))
+    fs.mkdir("d")
+    with fs.open("d/a.txt", "w") as f:
+        f.write("x")
+    fs.cp("d/a.txt", "d/b.txt")
+    fs.mv("d/b.txt", "d/c.txt")
+    assert fs.exists("d/a.txt") and fs.isfile("d/c.txt") and fs.isdir("d")
+    assert fs.stat("d/a.txt").st_size == 1
+    assert [n for n, _ in fs.ls("d")] == ["a.txt", "c.txt"]
+    fs.rm("d/c.txt")
+    fs.rmdir("d")
+    assert not fs.exists("d")
+    with pytest.raises(ValueError):
+        fs.open("../escape.txt", "w")
+
+
 def test_sessions_mapper_write_reducer_read(engine):
     """FIXTURES A.4 #4: session written by the mapper is readable in the
     paired (fold) reducer."""
