@@ -714,10 +714,95 @@ FROM per_user
 """
 
 
+# --------------------------------------------------------------------------
+# q51: window navigation — first_value / last_value / nth_value over a
+# full-partition frame: each lineitem of a supplier alongside that
+# supplier's first, last, and second shipment in shipdate order. The
+# unbounded frame evaluates once per partition (Spark's UnboundedWindow
+# path), not once per row.
+# --------------------------------------------------------------------------
+def q51_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 5)
+    order_cols = [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")]
+    wfull = (
+        W.partitionBy("l_suppkey")
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.first_value(F.col("l_shipdate")).over(wfull).alias("first_ship"),
+        F.last_value(F.col("l_shipdate")).over(wfull).alias("last_ship"),
+        F.nth_value(F.col("l_orderkey"), 2).over(wfull).alias("second_orderkey"),
+    ).orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+
+
+ORACLE_Q51 = """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       first_value(l_shipdate) OVER w AS first_ship,
+       last_value(l_shipdate) OVER w AS last_ship,
+       nth_value(l_orderkey, 2) OVER w AS second_orderkey
+FROM lineitem
+WHERE l_suppkey <= 5
+WINDOW w AS (PARTITION BY l_suppkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY l_suppkey, l_orderkey, l_linenumber
+"""
+
+
+# --------------------------------------------------------------------------
+# q52: ratio-to-report — each nation's share of global customer balance,
+# computed as agg-then-window: the share window runs over the ~25-row
+# aggregate, never over the base table. Numerator and denominator are
+# both exact decimals converted once to double, so the division is a
+# single deterministic IEEE op in both engines.
+# --------------------------------------------------------------------------
+def q52_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    per_nation = cust.groupBy("c_nationkey").agg(
+        F.sum(F.col("c_acctbal").cast("decimal(38,8)")).alias("bal_dec"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+    wall = W.partitionBy()
+    return (
+        per_nation.select(
+            "c_nationkey",
+            "n_customers",
+            F.col("bal_dec").cast("string").cast("double").alias("nation_bal"),
+            (
+                F.col("bal_dec").cast("string").cast("double")
+                / F.sum("bal_dec").over(wall).cast("string").cast("double")
+            ).alias("share"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+ORACLE_Q52 = """
+WITH pn AS (
+  SELECT c_nationkey,
+         SUM(CAST(c_acctbal AS DECIMAL(38,8))) AS bal_dec,
+         CAST(count(*) AS BIGINT) AS n_customers
+  FROM customer GROUP BY c_nationkey
+)
+SELECT c_nationkey, n_customers,
+       CAST(CAST(bal_dec AS VARCHAR) AS DOUBLE) AS nation_bal,
+       CAST(CAST(bal_dec AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(SUM(bal_dec) OVER () AS VARCHAR) AS DOUBLE) AS share
+FROM pn
+ORDER BY c_nationkey
+"""
+
+
 QUERIES = {
     "q20_asof_join": q20_asof_join,
     "q47_cohort_retention": q47_cohort_retention,
     "q48_funnel_steps": q48_funnel_steps,
+    "q51_window_navigation": q51_window_navigation,
+    "q52_revenue_share": q52_revenue_share,
     "q37_approx_distinct_kmv": q37_approx_distinct_kmv,
     "q28_cheapest_supplier": q28_cheapest_supplier,
     "q29_array_map_functions": q29_array_map_functions,
@@ -734,6 +819,8 @@ ORACLES = {
     "q20_asof_join": ORACLE_Q20,
     "q47_cohort_retention": ORACLE_Q47,
     "q48_funnel_steps": ORACLE_Q48,
+    "q51_window_navigation": ORACLE_Q51,
+    "q52_revenue_share": ORACLE_Q52,
     "q37_approx_distinct_kmv": ORACLE_Q37,
     "q28_cheapest_supplier": ORACLE_Q28,
     "q29_array_map_functions": ORACLE_Q29,
