@@ -198,6 +198,47 @@ ORDER BY source
 
 
 # --------------------------------------------------------------------------
+# pipe_table_diff — dataset regression diff: the rows that changed
+# between two versions of a table, as tagged EXCEPT ALL in both
+# directions. Here the two "versions" are two deterministic hash-gated
+# samples (gates [0,50) vs [25,75)) of documents, so the diff is exactly
+# the non-overlapping gate ranges. exceptAll is a hash anti-aggregation
+# — one shuffle per side keyed on the full row, no sort; at 100 TB this
+# is how you audit a migration beyond pipe_manifest's checksum: the
+# manifest says WHETHER something changed, the diff says WHAT.
+# --------------------------------------------------------------------------
+def pipe_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.functions import md5_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    gate = md5_long(F.concat(F.lit("diff:"), F.col("doc_id").cast("string"))) % 100
+    cols = ["doc_id", "lang", "source"]
+    v1 = docs.filter(gate < 50).select(*cols)
+    v2 = docs.filter((gate >= 25) & (gate < 75)).select(*cols)
+    removed = v1.exceptAll(v2).withColumn("change", F.lit("removed"))
+    added = v2.exceptAll(v1).withColumn("change", F.lit("added"))
+    return removed.unionByName(added).orderBy("doc_id", "change")
+
+
+_DIFF_GATE = _MD5.format(e="'diff:'||CAST(doc_id AS VARCHAR)") + " % 100"
+
+ORACLE_PIPE_DIFF = f"""
+WITH v1 AS (
+  SELECT doc_id, lang, source FROM documents WHERE {_DIFF_GATE} < 50
+), v2 AS (
+  SELECT doc_id, lang, source FROM documents
+  WHERE {_DIFF_GATE} >= 25 AND {_DIFF_GATE} < 75
+)
+SELECT doc_id, lang, source, 'removed' AS change
+FROM (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v2)
+UNION ALL
+SELECT doc_id, lang, source, 'added' AS change
+FROM (SELECT * FROM v2 EXCEPT ALL SELECT * FROM v1)
+ORDER BY doc_id, change
+"""
+
+
+# --------------------------------------------------------------------------
 # pipe_text_chunks — overlapping token-window chunking (stride 40,
 # width 50): the context-window packing precursor. Pure per-row explode:
 # at scale this is a map-only job whose output feeds tokenization.
@@ -840,6 +881,7 @@ QUERIES = {
     "pipe_clean_corpus": pipe_clean_corpus,
     "pipe_blocklist_scrub": pipe_blocklist_scrub,
     "pipe_manifest": pipe_manifest,
+    "pipe_table_diff": pipe_table_diff,
 }
 
 ORACLES = {
@@ -860,4 +902,5 @@ ORACLES = {
     "pipe_clean_corpus": _clean_corpus_oracle(),
     "pipe_blocklist_scrub": ORACLE_PIPE_BLOCKLIST,
     "pipe_manifest": ORACLE_PIPE_MANIFEST,
+    "pipe_table_diff": ORACLE_PIPE_DIFF,
 }

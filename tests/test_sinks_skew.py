@@ -108,6 +108,29 @@ def test_orc_round_trip_with_pushdown(spark, sf_dir, tmp_path):
     assert a == b
 
 
+def test_parquet_schema_evolution_merge(spark, sf_dir, tmp_path):
+    """Schema evolution across appended batches: a later batch adds a
+    column; mergeSchema reads union the schemas, old rows null-fill.
+    This is how a long-lived 100 TB dataset takes new columns without
+    rewriting history."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "evolving")
+    docs.select("doc_id", "lang").write.parquet(path)
+    docs.select(
+        "doc_id", "lang", F.length("text").alias("text_len")
+    ).write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"doc_id", "lang", "text_len"}
+    n = docs.count()
+    assert merged.count() == 2 * n
+    # exactly the first batch's rows have the null-filled new column
+    assert merged.filter(F.col("text_len").isNull()).count() == n
+    # and the evolved column round-trips its values for the second batch
+    expect = docs.agg(F.sum(F.length("text"))).collect()[0][0]
+    assert merged.agg(F.sum("text_len")).collect()[0][0] == expect
+
+
 def test_text_source_reads_lines(spark, tmp_path):
     from jobx_spark.sources import read_text
 
