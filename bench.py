@@ -30,6 +30,9 @@ HEADLINE = [
     "q20_asof_join",
     "q22_window_frames",
     "q24_percentile_disc",
+    "q47_cohort_retention",
+    "q49_local_supplier_volume",
+    "q50_returned_items",
     "stream_tumbling_agg",
     "stream_stateful_user_stats",
     "multimodal_features",
