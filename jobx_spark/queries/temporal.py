@@ -797,12 +797,48 @@ ORDER BY c_nationkey
 """
 
 
+# --------------------------------------------------------------------------
+# q53: correlated scalar subquery in the SELECT list — each nation with
+# its customer count and richest customer's balance. Catalyst
+# decorrelates the SELECT-list subquery into a left outer aggregate
+# join (a different rewrite than WHERE-clause correlation, q19/q28);
+# at scale both sides aggregate before joining, so the join input is
+# |nations|, not |customers|.
+# --------------------------------------------------------------------------
+def q53_select_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT n_nationkey, n_name,
+               (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey)
+                   AS n_customers,
+               (SELECT max(c_acctbal) FROM customer
+                WHERE c_nationkey = n_nationkey) AS top_balance
+        FROM nation
+        ORDER BY n_nationkey
+        """
+    )
+
+
+ORACLE_Q53 = """
+SELECT n_nationkey, n_name,
+       CAST((SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey)
+            AS BIGINT) AS n_customers,
+       (SELECT max(c_acctbal) FROM customer
+        WHERE c_nationkey = n_nationkey) AS top_balance
+FROM nation
+ORDER BY n_nationkey
+"""
+
+
 QUERIES = {
     "q20_asof_join": q20_asof_join,
     "q47_cohort_retention": q47_cohort_retention,
     "q48_funnel_steps": q48_funnel_steps,
     "q51_window_navigation": q51_window_navigation,
     "q52_revenue_share": q52_revenue_share,
+    "q53_select_scalar_subquery": q53_select_scalar_subquery,
     "q37_approx_distinct_kmv": q37_approx_distinct_kmv,
     "q28_cheapest_supplier": q28_cheapest_supplier,
     "q29_array_map_functions": q29_array_map_functions,
@@ -821,6 +857,7 @@ ORACLES = {
     "q48_funnel_steps": ORACLE_Q48,
     "q51_window_navigation": ORACLE_Q51,
     "q52_revenue_share": ORACLE_Q52,
+    "q53_select_scalar_subquery": ORACLE_Q53,
     "q37_approx_distinct_kmv": ORACLE_Q37,
     "q28_cheapest_supplier": ORACLE_Q28,
     "q29_array_map_functions": ORACLE_Q29,
