@@ -226,8 +226,50 @@ ORDER BY event_id
 """
 
 
+def stream_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = S.stream_events(spark, sf_dir)
+    out = S.run_available_now(S.timeout_sessions(ev), "append", "tosess")
+    return out.orderBy("user_id", "session_start")
+
+
+# Same gap-session definition as ORACLE_STREAM_SESSION, restricted to
+# sessions the event-time timeout can have fired for: the zero-delay
+# watermark at end-of-input is floor-to-ms(max ts), and a session is
+# closeable iff its last event + 30 min ≤ that watermark. Sessions still
+# inside the gap at stream end stay open (unemitted) — the honest
+# semantics of continuous sessionization, restated here in SQL.
+ORACLE_STREAM_TIMEOUT_SESSIONS = """
+WITH stamped AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800 * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sessioned AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM stamped
+), sess AS (
+  SELECT user_id,
+         MIN(ts) AS session_start,
+         MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+         CAST(count(*) AS BIGINT) AS n_events,
+         MAX(epoch_us(ts)) AS last_us
+  FROM sessioned
+  GROUP BY user_id, session_id
+)
+SELECT user_id, session_start, session_end, n_events
+FROM sess, (SELECT epoch_ms(max(ts)) * 1000 AS wm_us FROM events)
+WHERE last_us + 1800 * 1000000 <= wm_us
+ORDER BY user_id, session_start
+"""
+
+
 QUERIES = {
     "stream_tumbling_agg": stream_tumbling_agg,
+    "stream_timeout_sessions": stream_timeout_sessions,
     "stream_left_outer_join": stream_left_outer_join,
     "stream_replay_dedup": stream_replay_dedup,
     "stream_dedup_activity": stream_dedup_activity,
@@ -240,6 +282,7 @@ QUERIES = {
 
 ORACLES = {
     "stream_tumbling_agg": ORACLE_STREAM_TUMBLING,
+    "stream_timeout_sessions": ORACLE_STREAM_TIMEOUT_SESSIONS,
     "stream_left_outer_join": ORACLE_STREAM_LEFT_OUTER,
     "stream_replay_dedup": ORACLE_STREAM_REPLAY_DEDUP,
     "stream_dedup_activity": ORACLE_STREAM_DEDUP,

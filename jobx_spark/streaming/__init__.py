@@ -347,6 +347,119 @@ def stateful_user_stats(events: DataFrame) -> DataFrame:
     )
 
 
+_SESS_GAP_US = 1800 * 1_000_000
+_SESS_OUTPUT = (
+    "user_id bigint, session_start timestamp, session_end timestamp,"
+    " n_events bigint"
+)
+_SESS_STATE = "starts array<bigint>, lasts array<bigint>, counts array<bigint>"
+
+
+def _timeout_sessions_fn(key, pdf_iter, state: GroupState):
+    """Gap-sessionization driven by EVENT-TIME TIMEOUTS: sessions live in
+    keyed state and are emitted only when the watermark proves no
+    further event can extend them (last_ts + gap ≤ watermark). This is
+    the emission discipline session_window uses internally, built here
+    on the raw GroupState API — the template for custom stateful
+    operators Spark has no built-in for.
+
+    State is the open-session list as parallel (start, last, n) arrays
+    in event-time µs. New batches merge into it by interval order, so
+    the function is correct for any in-order batch split of the input
+    (maxFilesPerTrigger) and deterministic for the oracle because only
+    event-time — never arrival order within a batch — decides sessions.
+    """
+    (user_id,) = key
+    sessions: list[list[int]] = (
+        [list(t) for t in zip(*state.get)] if state.exists else []
+    )
+
+    if not state.hasTimedOut:
+        stamps: list[int] = []
+        for pdf in pdf_iter:
+            if len(pdf):
+                stamps.extend(
+                    int(v)
+                    for v in pdf["ts"]
+                    .astype("datetime64[us]")
+                    .astype("int64")
+                    .tolist()
+                )
+        for us in sorted(stamps):
+            placed = False
+            for s in sessions:
+                if s[0] - _SESS_GAP_US < us < s[1] + _SESS_GAP_US:
+                    s[0] = min(s[0], us)
+                    s[1] = max(s[1], us)
+                    s[2] += 1
+                    placed = True
+                    break
+            if not placed:
+                sessions.append([us, us, 1])
+        sessions.sort()
+        merged: list[list[int]] = []
+        for s in sessions:
+            if merged and s[0] < merged[-1][1] + _SESS_GAP_US:
+                merged[-1][1] = max(merged[-1][1], s[1])
+                merged[-1][2] += s[2]
+            else:
+                merged.append(s)
+        sessions = merged
+
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    closed = [s for s in sessions if s[1] + _SESS_GAP_US <= wm_us]
+    open_ = [s for s in sessions if s[1] + _SESS_GAP_US > wm_us]
+
+    if open_:
+        state.update((
+            [s[0] for s in open_],
+            [s[1] for s in open_],
+            [s[2] for s in open_],
+        ))
+        # fire when the watermark can close the earliest open session
+        # (clamped one ms past the watermark — Spark rejects arming at
+        # or before it)
+        deadline_ms = min(s[1] for s in open_) // 1000 + 1800 * 1000
+        state.setTimeoutTimestamp(max(deadline_ms, wm_us // 1000 + 1))
+    elif state.exists:
+        state.remove()
+
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(closed),
+                "session_start": [pd.Timestamp(s[0], unit="us") for s in closed],
+                "session_end": [
+                    pd.Timestamp(s[1] + _SESS_GAP_US, unit="us") for s in closed
+                ],
+                "n_events": [s[2] for s in closed],
+            }
+        )
+
+
+def timeout_sessions(events: DataFrame) -> DataFrame:
+    """Custom stateful sessionization (see :func:`_timeout_sessions_fn`).
+
+    The zero-second watermark delay makes end-of-input emission maximal:
+    every session except those still extendable at the final watermark
+    (last event within the gap of the stream's max event time) is
+    emitted. One user_id shuffle per batch; state is the open-session
+    tail per user, bounded by the gap — not history.
+    """
+    return (
+        events.withWatermark("ts", "0 seconds")
+        .select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _timeout_sessions_fn,
+            outputStructType=_SESS_OUTPUT,
+            stateStructType=_SESS_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def stream_to_parquet(
     df: DataFrame, path: str, checkpoint: str
 ) -> None:
