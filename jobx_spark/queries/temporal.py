@@ -832,9 +832,82 @@ ORDER BY n_nationkey
 """
 
 
+# --------------------------------------------------------------------------
+# q54: within-session conversion — sessionize (30-min gap), then per
+# session test the ordered pattern view → purchase via min/max
+# timestamps (for a two-step pattern, "a view precedes a purchase in
+# this session" ⟺ min(view ts) < max(purchase ts) — no array
+# materialization, no per-event state). Two window passes over
+# user-partitioned events + one session rollup; at 100 TB the
+# user_id partitioning bounds every window.
+# --------------------------------------------------------------------------
+def q54_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 1800 * 1_000_000
+    stamped = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+                >= gap_us
+            ),
+            1,
+        ).otherwise(0).alias("is_new"),
+    )
+    sessions = stamped.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "last_purchase"
+        ),
+    )
+    return per_session.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count("first_view").alias("n_with_view"),
+        F.sum(
+            (F.col("first_view") < F.col("last_purchase")).cast("long")
+        ).alias("n_converted"),
+    )
+
+
+ORACLE_Q54 = """
+WITH stamped AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800 * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessioned AS (
+  SELECT user_id, ts, event_type,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM stamped
+), per_session AS (
+  SELECT user_id, session_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+         max(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase
+  FROM sessioned
+  GROUP BY user_id, session_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(count(first_view) AS BIGINT) AS n_with_view,
+       CAST(sum(CASE WHEN first_view < last_purchase THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_converted
+FROM per_session
+"""
+
+
 QUERIES = {
     "q20_asof_join": q20_asof_join,
     "q47_cohort_retention": q47_cohort_retention,
+    "q54_session_conversion": q54_session_conversion,
     "q48_funnel_steps": q48_funnel_steps,
     "q51_window_navigation": q51_window_navigation,
     "q52_revenue_share": q52_revenue_share,
@@ -858,6 +931,7 @@ ORACLES = {
     "q51_window_navigation": ORACLE_Q51,
     "q52_revenue_share": ORACLE_Q52,
     "q53_select_scalar_subquery": ORACLE_Q53,
+    "q54_session_conversion": ORACLE_Q54,
     "q37_approx_distinct_kmv": ORACLE_Q37,
     "q28_cheapest_supplier": ORACLE_Q28,
     "q29_array_map_functions": ORACLE_Q29,
