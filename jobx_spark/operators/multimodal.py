@@ -105,6 +105,51 @@ def decode_features(df: DataFrame, fake: bool = True) -> DataFrame:
     return df.mapInPandas(extract, schema=out_schema)
 
 
+INFER_DENOM = float(1 << 32)
+
+
+def batch_infer(df: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Model-inference plumbing: score every asset with a batched
+    mapInPandas "model" — the shape of running a real classifier/encoder
+    over 100 TB of payloads (load weights once per worker, score whole
+    Arrow batches, emit narrow results).
+
+    The stand-in model is deterministic and SQL-portable: the first 32
+    bits of the payload md5, scaled to [0, 1). A dyadic rational over
+    2^32, so the double is EXACT and the DuckDB oracle reproduces it
+    bit-for-bit — the plumbing is verifiable even though the model is
+    fake. Swap ``_score_batch`` for a real forward pass; nothing else
+    changes.
+    """
+    out_schema = "asset_id bigint, kind string, score double, label string"
+
+    def _score_batch(payloads) -> list[float]:
+        import hashlib
+
+        return [
+            int(hashlib.md5(bytes(p)).hexdigest()[:8], 16) / INFER_DENOM
+            for p in payloads
+        ]
+
+    def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-worker one-time setup would go here (model load)
+        for pdf in batches:
+            scores = _score_batch(pdf["data"])
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].values,
+                    "kind": pdf["kind"].values,
+                    "score": scores,
+                    "label": [
+                        "positive" if s >= threshold else "negative"
+                        for s in scores
+                    ],
+                }
+            )
+
+    return df.mapInPandas(infer, schema=out_schema)
+
+
 def sample_frames(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """Frame-sampling plumbing for video-like payloads: emit one row per
     sampled offset (the real decoder would emit decoded frames). One

@@ -333,6 +333,67 @@ ORDER BY id_a, id_b
 
 
 # --------------------------------------------------------------------------
+# dedup_two_hop_reach — multi-hop graph aggregation over the LSH pair
+# graph: per node, the count of distinct nodes within ≤2 hops (the
+# "how contaminated is this doc's neighborhood" signal that ranks dup
+# clusters by blast radius without running full components). One
+# edge⨝edge self-join keyed on the shared middle node + a distinct
+# count — both partition on node ids, no driver-side graph. Exact
+# integers end-to-end.
+# --------------------------------------------------------------------------
+def dedup_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, n_hashes=N_HASHES, bands=BANDS, shingle_n=SHINGLE_N, seed=SEED
+    ).select("id_a", "id_b")
+    sym = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    one_hop = sym
+    two_hop = (
+        sym.alias("e1")
+        .join(
+            sym.alias("e2"),
+            F.col("e1.dst") == F.col("e2.src"),
+        )
+        .select(F.col("e1.src").alias("src"), F.col("e2.dst").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    return (
+        one_hop.unionByName(two_hop)
+        .distinct()
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("reach_2hop"))
+        .orderBy("node")
+    )
+
+
+def _two_hop_oracle() -> str:
+    pairs_sql = _minhash_pairs_oracle(order_by="")
+    return f"""
+WITH pairs AS ({pairs_sql}),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT e1.src, e2.dst
+  FROM sym e1 JOIN sym e2 ON e1.dst = e2.src
+  WHERE e1.src != e2.dst
+)
+SELECT src AS node, CAST(count(*) AS BIGINT) AS reach_2hop
+FROM (SELECT DISTINCT src, dst FROM reach)
+GROUP BY src
+ORDER BY node
+"""
+
+
+# --------------------------------------------------------------------------
 # dedup_components — cluster resolution: LSH candidate pairs folded into
 # connected components (node → min reachable doc_id), the step that
 # turns pairwise near-dup evidence into keep/drop decisions. Oracle:
@@ -453,6 +514,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding": dedup_embedding,
     "dedup_containment": dedup_containment,
+    "dedup_two_hop_reach": dedup_two_hop_reach,
 }
 
 ORACLES = {
@@ -467,4 +529,5 @@ ORACLES = {
     "dedup_ngram_jaccard": ORACLE_DEDUP_JACCARD,
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
     "dedup_containment": ORACLE_DEDUP_CONTAINMENT,
+    "dedup_two_hop_reach": _two_hop_oracle(),
 }

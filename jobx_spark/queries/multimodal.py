@@ -90,14 +90,41 @@ ORDER BY asset_id, frame_idx
 """
 
 
+# --------------------------------------------------------------------------
+# multimodal_infer — batched model-inference plumbing (mapInPandas).
+# The fake model's score is the payload md5's first 32 bits over 2^32
+# (an exact dyadic double), so the oracle reproduces the whole
+# classify-at-scale pipeline bit-for-bit.
+# --------------------------------------------------------------------------
+def multimodal_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.operators.multimodal import batch_infer
+
+    return batch_infer(_assets(spark, sf_dir), threshold=0.5).orderBy("asset_id")
+
+
+ORACLE_MULTIMODAL_INFER = """
+WITH scored AS (
+  SELECT doc_id AS asset_id, 'text/plain' AS kind,
+         ('0x' || substr(md5(text), 1, 8))::BIGINT / 4294967296.0 AS score
+  FROM documents
+)
+SELECT asset_id, kind, score,
+       CASE WHEN score >= 0.5 THEN 'positive' ELSE 'negative' END AS label
+FROM scored
+ORDER BY asset_id
+"""
+
+
 QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,
     "multimodal_frames": multimodal_frames,
+    "multimodal_infer": multimodal_infer,
 }
 
 ORACLES = {
     "multimodal_meta": ORACLE_MULTIMODAL_META,
     "multimodal_features": _features_oracle(),
     "multimodal_frames": ORACLE_MULTIMODAL_FRAMES,
+    "multimodal_infer": ORACLE_MULTIMODAL_INFER,
 }
