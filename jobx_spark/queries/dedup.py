@@ -346,10 +346,18 @@ def dedup_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(
         docs, n_hashes=N_HASHES, bands=BANDS, shingle_n=SHINGLE_N, seed=SEED
     ).select("id_a", "id_b")
-    sym = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    from pyspark.storagelevel import StorageLevel
+
+    # materialize the edge list once — the union + self-join reference it
+    # four times, and re-deriving the LSH pipeline per reference would
+    # re-scan and re-shuffle the corpus each time (plan audit showed 12
+    # scans without this persist).
+    sym = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     one_hop = sym
     two_hop = (
