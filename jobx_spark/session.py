@@ -39,6 +39,11 @@ def get_spark(app_name: str = "jobx_spark", cpus: str | None = None) -> SparkSes
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # testdata parquet stores timestamp[us] with isAdjustedToUTC=false;
+        # read it as session-TZ TIMESTAMP (UTC) not TIMESTAMP_NTZ so
+        # time functions (unix_micros, window) apply and values match the
+        # DuckDB oracle's naive timestamps.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -56,4 +61,5 @@ def tune_for_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     return spark
