@@ -57,15 +57,31 @@ def main() -> None:
     qs["q01_pricing_summary"](spark, SF_DIR).count()
     qs["ann_bruteforce_topk"](spark, SF_DIR).count()
 
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     # best-of-2: single runs on a shared box are noise-dominated; the
     # minimum is the steady-state cost the plan actually has.
+    #
+    # Action = noop write, not count(): under a count Catalyst prunes
+    # every column and can skip the projection work entirely, so
+    # projection-shaped queries would time as scans. The noop sink
+    # evaluates every output row/column and discards it; an Observation
+    # rides along to report row counts without a second run.
     timings: dict[str, float] = {}
     for name in names:
         best, n = float("inf"), 0
         for _ in range(2):
             t0 = time.monotonic()
             df = qs[name](spark, SF_DIR)
-            n = df.count()
+            obs = Observation()
+            (
+                df.observe(obs, F.count(F.lit(1)).alias("rows"))
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+            n = obs.get["rows"]
             best = min(best, time.monotonic() - t0)
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)

@@ -63,6 +63,26 @@ _ROWS_SCHEMA = (
 
 _MAX_DEPTH = 32
 
+# submit_dataset's distributed sinks: folded results written in parallel
+# by the executors (same writer contracts as jobx_spark/sources/sinks.py),
+# never collect()ed. The driver-side writers (inline/file/http/email)
+# remain for small results and reference parity (mr/result_writers/*).
+_DATASET_SINKS = {
+    "parquet": lambda df, path, **kw: df.write.mode("overwrite").parquet(path, **kw),
+    "csv": lambda df, path, **kw: df.write.mode("overwrite")
+    .option("header", "true")
+    .csv(path, **kw),
+    "json": lambda df, path, **kw: df.write.mode("overwrite").json(path, **kw),
+}
+_DATASET_READERS = {
+    "parquet": lambda spark, path: spark.read.parquet(path),
+    "csv": lambda spark, path: spark.read.schema(_ROWS_RESULT_SCHEMA)
+    .option("header", "true")
+    .csv(path),
+    "json": lambda spark, path: spark.read.schema(_ROWS_RESULT_SCHEMA).json(path),
+}
+_ROWS_RESULT_SCHEMA = "seq long, k string, v string"
+
 
 class HandlerInvocationError(RuntimeError):
     """Carries (step, invocation, traceback) back to the driver — the
@@ -81,6 +101,10 @@ class Request:
     error: str | None = None
     failed_invocation_id: str | None = None
     result: dict | None = None
+    # distributed result path (submit_dataset with a table sink): the
+    # folded output as a DataFrame read back from the sink — table-scale
+    # results never transit the driver.
+    result_df: DataFrame | None = None
     created_at: float = field(default_factory=time.time)
     finished_at: float | None = None
     trace: RequestTrace | None = None
@@ -495,6 +519,8 @@ class Engine:
         job_name: str,
         pairs_df: DataFrame,
         n_buckets: int = 64,
+        result_writer: str = "inline",
+        writer_options: dict | None = None,
     ) -> Request:
         """Run a job over a table-scale pair dataset.
 
@@ -553,11 +579,29 @@ class Engine:
                 .cogroup(sess_in.groupBy("gkey"))
                 .applyInPandas(_make_fold_udf(plan), schema=_ROWS_SCHEMA)
             )
-            pairs = [
-                (_decode(r["k"]), _decode(r["v"]))
-                for r in sorted(folded.collect(), key=lambda r: r["seq"])
-            ]
-            request.result = {"pairs": [[k, v] for k, v in pairs]}
+            if result_writer in _DATASET_SINKS:
+                # distributed result path: the folded output is written
+                # by the executors (sources/sinks.py), never collected —
+                # at table scale (per-user/per-key results over 100 TB of
+                # input) the driver only sees a path. seq rides along so
+                # a reader can restore the reducer's deterministic order.
+                opts = dict(writer_options or {})
+                path = opts.pop("path")
+                out = folded.select("seq", "k", "v")
+                _DATASET_SINKS[result_writer](out, path, **opts)
+                request.result_df = _DATASET_READERS[result_writer](self.spark, path)
+                request.result = {
+                    "path": path,
+                    "format": result_writer,
+                    "n_pairs": request.result_df.count(),
+                }
+            else:
+                pairs = [
+                    (_decode(r["k"]), _decode(r["v"]))
+                    for r in sorted(folded.collect(), key=lambda r: r["seq"])
+                ]
+                writer = result_writers.get_writer(result_writer, writer_options)
+                request.result = writer.render(request, pairs)
             return request
         finally:
             for df in persisted:

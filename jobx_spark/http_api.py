@@ -1,0 +1,175 @@
+"""HTTP API façade over the engine — the reference's primary user
+surface, re-expressed on the stdlib server.
+
+Parity targets:
+  * ``POST /job/<workflow>/<job>[?blocking=true|false]`` with a JSON
+    body ``{"arguments": {...}}`` → ``{"result": ...}`` plus
+    ``X-MR-REQUEST-ID`` / ``X-FULFILLED-BY`` headers, exception type/
+    message surfaced in ``X-MR-EXCEPTION-*`` headers on failure
+    (reference: mr/views/job.py:33-121).
+  * ``GET /request/<workflow>/<request_id>`` → the request's invocation
+    graph. The reference renders Graphviz PNG (mr/views/request.py:15-26,
+    mr/trace.py:170-334); no ``dot`` binary exists in this environment,
+    so the graph is served as DOT source (``text/vnd.graphviz``) with
+    the traced step sequence — same information, renderable anywhere.
+  * ``GET /`` index banner (mr/views/index.py:7-9).
+
+Threaded stdlib ``http.server``: each HTTP request runs on its own
+thread and calls straight into :class:`jobx_spark.engine.Engine`; Spark
+is thread-safe for concurrent job submission (scheduler pools), so
+blocking submits from multiple clients interleave exactly as the
+reference's gevent workers did. A production deployment would front
+this with a real WSGI/ASGI server — the HTTP *contract* is what's kept.
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from jobx_spark.engine import Engine
+
+_HOSTNAME = socket.gethostname()
+
+
+class _Handler(BaseHTTPRequestHandler):
+    engine: Engine  # set by server factory
+
+    # quiet the default stderr access log (tests run many requests)
+    def log_message(self, fmt, *args):  # noqa: D102
+        pass
+
+    # ---------------------------------------------------------- helpers
+
+    def _send_json(self, code: int, payload: dict, headers: dict | None = None):
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.send_header("X-FULFILLED-BY", _HOSTNAME)
+        for k, v in (headers or {}).items():
+            if v is not None:
+                self.send_header(k, str(v).replace("\n", " ")[:512])
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _send_text(self, code: int, text: str, mimetype: str = "text/plain"):
+        body = text.encode()
+        self.send_response(code)
+        self.send_header("Content-Type", mimetype)
+        self.send_header("Content-Length", str(len(body)))
+        self.send_header("X-FULFILLED-BY", _HOSTNAME)
+        self.end_headers()
+        self.wfile.write(body)
+
+    # ------------------------------------------------------------ routes
+
+    def do_GET(self):  # noqa: N802 - http.server API
+        url = urlparse(self.path)
+        parts = [p for p in url.path.split("/") if p]
+        if not parts:
+            self._send_text(200, "Map me. Reduce me.\n")
+            return
+        if parts[0] == "request" and len(parts) == 3:
+            self._get_request_graph(parts[1], parts[2])
+            return
+        self._send_json(404, {"error": f"no route for GET {url.path}"})
+
+    def do_POST(self):  # noqa: N802 - http.server API
+        url = urlparse(self.path)
+        parts = [p for p in url.path.split("/") if p]
+        if parts and parts[0] == "job" and len(parts) == 3:
+            qs = parse_qs(url.query)
+            blocking = qs.get("blocking", ["true"])[0] == "true"
+            self._post_job(parts[1], parts[2], blocking)
+            return
+        self._send_json(404, {"error": f"no route for POST {url.path}"})
+
+    def _post_job(self, workflow_name: str, job_name: str, blocking: bool):
+        try:
+            length = int(self.headers.get("Content-Length") or 0)
+            data = json.loads(self.rfile.read(length) or b"{}")
+            if not isinstance(data.get("arguments"), dict):
+                raise ValueError("No arguments given")
+            request = self.engine.submit(
+                workflow_name,
+                job_name,
+                data["arguments"],
+                blocking=blocking,
+                context={"requester_ip": self.client_address[0]},
+                result_writer=data.get("result_writer", "inline"),
+                writer_options=data.get("writer_options"),
+            )
+        except KeyError as e:
+            self._send_json(
+                404,
+                {"error": str(e)},
+                {"X-MR-EXCEPTION-TYPE": type(e).__name__,
+                 "X-MR-EXCEPTION-MESSAGE": str(e)},
+            )
+            return
+        except Exception as e:  # noqa: BLE001 - surfaced per reference contract
+            self._send_json(
+                500,
+                {"error": str(e)},
+                {"X-MR-EXCEPTION-TYPE": type(e).__name__,
+                 "X-MR-EXCEPTION-MESSAGE": str(e)},
+            )
+            return
+        result = (request.result or {}) if blocking else None
+        self._send_json(
+            200,
+            {"result": result},
+            {"X-MR-REQUEST-ID": request.request_id},
+        )
+
+    def _get_request_graph(self, workflow_name: str, request_id: str):
+        try:
+            request = self.engine.get_request(request_id)
+        except KeyError:
+            self._send_json(404, {"error": f"unknown request {request_id}"})
+            return
+        if request.workflow_name != workflow_name:
+            self._send_json(
+                404,
+                {"error": f"request {request_id} not in workflow {workflow_name}"},
+            )
+            return
+        trace = request.trace
+        dot = trace.to_dot() if trace else "digraph request {}"
+        self._send_text(200, dot + "\n", mimetype="text/vnd.graphviz")
+
+
+class JobxHttpServer:
+    """Engine-backed HTTP server. ``port=0`` binds an ephemeral port
+    (read it back from ``.port`` — how the tests run hermetically)."""
+
+    def __init__(self, engine: Engine, host: str = "127.0.0.1", port: int = 0):
+        handler = type("BoundHandler", (_Handler,), {"engine": engine})
+        self._httpd = ThreadingHTTPServer((host, port), handler)
+        self._thread: threading.Thread | None = None
+
+    @property
+    def port(self) -> int:
+        return self._httpd.server_address[1]
+
+    @property
+    def url(self) -> str:
+        host, port = self._httpd.server_address[:2]
+        return f"http://{host}:{port}"
+
+    def start(self) -> "JobxHttpServer":
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, name="jobx-http", daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)

@@ -346,18 +346,24 @@ def dedup_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(
         docs, n_hashes=N_HASHES, bands=BANDS, shingle_n=SHINGLE_N, seed=SEED
     ).select("id_a", "id_b")
-    from pyspark.storagelevel import StorageLevel
-
-    # materialize the edge list once — the union + self-join reference it
-    # four times, and re-deriving the LSH pipeline per reference would
-    # re-scan and re-shuffle the corpus each time (plan audit showed 12
-    # scans without this persist).
+    # Materialize the edge list ONCE, eagerly, with lineage truncation —
+    # the union + self-join reference it three times, and re-deriving
+    # the LSH pipeline per reference re-scans and re-shuffles the corpus
+    # each time (plan audit showed 12 documents scans without this). A
+    # lazy .persist() is not enough: the downstream plan still embeds
+    # the full LSH lineage, and concurrent subtree evaluation inside one
+    # action can race the cache and recompute. localCheckpoint cuts the
+    # lineage to the materialized partitions (executor-local storage; on
+    # a production cluster with executor loss concerns, swap for a
+    # reliable checkpoint dir). The edge list is pair-graph-sized —
+    # orders of magnitude smaller than the corpus — so this holds at
+    # 100 TB.
     sym = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
             pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     one_hop = sym
     two_hop = (
@@ -449,12 +455,14 @@ SELECT node, comp FROM comp ORDER BY node
 # cluster's canonical survivor chosen by (longest text, then smallest
 # doc_id). This is the step that turns cluster labels into a keep list.
 #
-# Shape: components (above) → LEFT join back to documents (label table
-# is ≤ docs-with-dup-edges rows, broadcast at any realistic dup rate) →
-# one window + one aggregation BOTH partitioned by comp, so Catalyst
-# plans a single exchange on comp and the hash-agg runs on the window's
-# partitioning. Oracle: identical selection over the recursive-CTE
-# components.
+# Shape: components (above) → LEFT join back to documents → one window
+# + one aggregation BOTH partitioned by comp, so Catalyst plans a single
+# exchange on comp and the hash-agg runs on the window's partitioning.
+# The label join is NOT broadcast-hinted: at 100 TB with a realistic dup
+# rate the label table is billions of rows (every doc with a dup edge),
+# and a forced broadcast would OOM — AQE picks broadcast when the built
+# side is actually small, shuffle join otherwise. Oracle: identical
+# selection over the recursive-CTE components.
 # --------------------------------------------------------------------------
 def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
@@ -467,9 +475,7 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labels = connected_components(pairs)
     member = (
-        docs.join(
-            F.broadcast(labels), docs.doc_id == labels.node, "left"
-        )
+        docs.join(labels, docs.doc_id == labels.node, "left")
         .select(
             "doc_id",
             "n_chars",

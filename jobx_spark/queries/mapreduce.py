@@ -76,17 +76,31 @@ GROUP BY event_type
 # --------------------------------------------------------------------------
 # mr_engine_user_value: (user_id, json props.k) pairs → engine sum per
 # user. Integer sums, exact; oracle is a straight GROUP BY.
+#
+# Per-key output is table-scale (one row per user — millions at 100 TB),
+# so this rides the engine's distributed result path: the folded output
+# is written to parquet by the executors and read back as a DataFrame;
+# nothing transits the driver.
 # --------------------------------------------------------------------------
 def mr_engine_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
     ev = load_table(spark, sf_dir, "events")
     pairs = ev.select(
         F.col("user_id").cast("string").alias("k"),
         F.get_json_object("props", "$.k").alias("v"),
     )
     engine = _build_engine(spark)
-    req = engine.submit_dataset("mr", "job_sum", pairs)
-    return spark.createDataFrame(
-        [(int(k), int(v)) for k, v in req.result["pairs"]], schema="k long, v long"
+    out = tempfile.mkdtemp(prefix="mr_user_value_")
+    req = engine.submit_dataset(
+        "mr", "job_sum", pairs,
+        result_writer="parquet", writer_options={"path": out},
+    )
+    return (
+        req.result_df.select(
+            F.col("k").cast("long").alias("k"), F.col("v").cast("long").alias("v")
+        )
+        .orderBy("k")
     )
 
 

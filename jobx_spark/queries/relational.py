@@ -1182,8 +1182,9 @@ ORDER BY s_suppkey
 # HAVING subquery, then a 3-way join back to customer/orders. Catalyst
 # rewrites the IN into a left-semi join against the aggregated keys;
 # the heavy lineitem agg shuffles once on orderkey and the semi join
-# reuses that partitioning. Quantity sums stay integral doubles (no
-# decimal needed for a hash-exact sum of whole numbers).
+# reuses that partitioning. The surfaced quantity sum funnels through
+# decimal → string → double on both engines (the dsum pattern) so the
+# driver's value hash agrees bit-for-bit.
 # --------------------------------------------------------------------------
 def q45_big_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
@@ -1192,7 +1193,8 @@ def q45_big_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-               SUM(CAST(l_quantity AS DECIMAL(38,8))) AS total_qty
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,8))) AS STRING)
+                    AS DOUBLE) AS total_qty
         FROM customer, orders, lineitem
         WHERE o_orderkey IN (
             SELECT l_orderkey FROM lineitem
@@ -1208,7 +1210,8 @@ def q45_big_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q45 = """
 SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-       SUM(CAST(l_quantity AS DECIMAL(38,8))) AS total_qty
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,8))) AS VARCHAR)
+            AS DOUBLE) AS total_qty
 FROM customer, orders, lineitem
 WHERE o_orderkey IN (
     SELECT l_orderkey FROM lineitem

@@ -267,16 +267,20 @@ ORDER BY user_id, session_start
 """
 
 
+# Dict order matters: the driver's correctness gate checks the first 50
+# entries of the global registry, and only the first five streams fit —
+# lead with the five that span the surface (tumbling + sliding windows,
+# session window, stream-stream interval join, watermarked dedup).
 QUERIES = {
     "stream_tumbling_agg": stream_tumbling_agg,
+    "stream_sliding_agg": stream_sliding_agg,
+    "stream_session_window": stream_session_window,
+    "stream_interval_join": stream_interval_join,
+    "stream_dedup_activity": stream_dedup_activity,
     "stream_timeout_sessions": stream_timeout_sessions,
     "stream_left_outer_join": stream_left_outer_join,
     "stream_replay_dedup": stream_replay_dedup,
-    "stream_dedup_activity": stream_dedup_activity,
     "stream_static_enrich": stream_static_enrich,
-    "stream_interval_join": stream_interval_join,
-    "stream_sliding_agg": stream_sliding_agg,
-    "stream_session_window": stream_session_window,
     "stream_stateful_user_stats": stream_stateful_user_stats,
 }
 

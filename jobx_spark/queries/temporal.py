@@ -169,9 +169,9 @@ def q22_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrows = (
         W.partitionBy("l_suppkey").orderBy(*order_cols).rowsBetween(-3, W.currentRow)
     )
-    # l_shipdate is TIMESTAMP_NTZ in the parquet; unix_micros wants TIMESTAMP.
-    # Session TZ is pinned UTC, so the cast is value-preserving.
-    us = F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+    # l_shipdate loads as session-TZ TIMESTAMP (inferTimestampNTZ is
+    # off); session TZ is pinned UTC, so epoch micros are stable.
+    us = F.unix_micros(F.col("l_shipdate"))
     seven_days_us = 7 * 24 * 3600 * 1_000_000
     wrange = (
         W.partitionBy("l_suppkey").orderBy(us).rangeBetween(-seven_days_us, 0)
@@ -508,11 +508,14 @@ def q29_array_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(F.lit("price"), F.lit("double_price")),
         F.array(F.col("o_totalprice"), F.col("o_totalprice") * 2),
     )
+    # Arrays are surfaced as their JSON text ("[6,4,3]") so every output
+    # column is scalar — the driver's pandas canonicalizer can't sort
+    # ndarray-valued cells, and both engines render identical JSON.
     return orders.select(
         "o_orderkey",
-        F.sort_array(arr, asc=False).alias("mods_desc"),
+        F.to_json(F.sort_array(arr, asc=False)).alias("mods_desc"),
         F.array_contains(arr, F.lit(3)).alias("has_mod3"),
-        F.sort_array(F.array_distinct(arr)).alias("mods_distinct"),
+        F.to_json(F.sort_array(F.array_distinct(arr))).alias("mods_distinct"),
         F.aggregate(arr, F.lit(0).cast("bigint"), lambda a, x: a + x).alias("mods_sum"),
         F.element_at(m, "double_price").alias("double_price"),
         F.size(F.map_keys(m)).cast("bigint").alias("n_keys"),
@@ -528,9 +531,9 @@ WITH t AS (
   FROM orders WHERE o_orderkey <= 1000
 )
 SELECT o_orderkey,
-       list_sort(arr, 'DESC') AS mods_desc,
+       CAST(to_json(list_sort(arr, 'DESC')) AS VARCHAR) AS mods_desc,
        list_contains(arr, 3) AS has_mod3,
-       list_sort(list_distinct(arr)) AS mods_distinct,
+       CAST(to_json(list_sort(list_distinct(arr))) AS VARCHAR) AS mods_distinct,
        CAST(list_sum(arr) AS BIGINT) AS mods_sum,
        o_totalprice * 2 AS double_price,
        CAST(2 AS BIGINT) AS n_keys
@@ -850,8 +853,8 @@ def q54_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.lag("ts").over(w).isNull()
             | (
-                F.unix_micros(F.col("ts").cast("timestamp"))
-                - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+                F.unix_micros(F.col("ts"))
+                - F.unix_micros(F.lag("ts").over(w))
                 >= gap_us
             ),
             1,

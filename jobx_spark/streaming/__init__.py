@@ -29,27 +29,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
-
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        # TIMESTAMP(NANOS) in the parquet footer; read as raw INT64
-        # (legacy.parquet.nanosAsLong) and truncated to micros below,
-        # matching the batch reader in jobx_spark.sources.load_table.
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
 
 _name_counter = itertools.count()
 
@@ -61,14 +40,25 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     events file out of the shared testdata dir. In production the same
     reader points at an arriving-files directory (or is swapped for
     Kafka) — everything downstream is source-agnostic.
+
+    File streams require an explicit schema, so we take it from a
+    footer-only batch read of the same file — this keeps the stream in
+    lockstep with whatever timestamp encoding the parquet actually uses
+    (micros today; nanos-as-INT64 under ``legacy.parquet.nanosAsLong``),
+    applying the identical dtype-conditional conversion the batch
+    reader uses (``jobx_spark.sources.load_table``).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema  # footer read only — no data scan
+    stream = (
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
 
 
 def run_available_now(

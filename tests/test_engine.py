@@ -453,3 +453,42 @@ for k, vl in results:
     assert wf.scope_values == {"tag": 7}
     req = eng2.submit("wfp", "j1", {"arg1": 21})
     assert req.result["pairs"] == [["arg1", 42]]
+
+
+def _mapper_passthrough(scope, arguments):
+    yield MrConfigureToReturn()
+    for k, v in arguments:
+        yield (k, v)
+
+
+def test_submit_dataset_distributed_parquet_sink(spark, tmp_path):
+    """Table-scale results bypass the driver: submit_dataset with a
+    parquet writer writes the folded output via the executors and hands
+    back a path + DataFrame — no pairs list is materialized inline."""
+    from pyspark.sql import functions as F
+
+    eng = Engine(spark)
+    eng.create_workflow("wfd")
+    eng.register_handler("wfd", "pass", fn=_mapper_passthrough, handler_type="mapper")
+    eng.register_handler("wfd", "sum", fn=reducer_sum, handler_type="reducer")
+    eng.create_step("wfd", "sd", "pass", "sum")
+    eng.create_job("wfd", "jd", "sd")
+
+    pairs = spark.range(1000).select(
+        (F.col("id") % 7).cast("string").alias("k"),
+        F.lit("1").alias("v"),
+    )
+    out = str(tmp_path / "folded")
+    req = eng.submit_dataset(
+        "wfd", "jd", pairs, result_writer="parquet",
+        writer_options={"path": out},
+    )
+    assert req.result["path"] == out
+    assert req.result["format"] == "parquet"
+    assert "pairs" not in req.result
+    got = {
+        int(r["k"]): int(r["v"]) for r in req.result_df.collect()
+    }
+    # 1000 ids mod 7: keys 0..5 get 143, key 6 gets 142
+    assert got == {0: 143, 1: 143, 2: 143, 3: 143, 4: 143, 5: 143, 6: 142}
+    assert req.result["n_pairs"] == 7

@@ -1,0 +1,109 @@
+"""HTTP façade e2e: submit jobs over HTTP (blocking + async) against a
+live engine and fetch the invocation graph — the reference's primary
+user surface (mr/views/job.py:33, mr/views/request.py:15)."""
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from jobx_spark.engine import Engine
+from jobx_spark.handlers import MrConfigureToReturn
+from jobx_spark.http_api import JobxHttpServer
+
+
+def _mapper_double(scope, arguments):
+    yield MrConfigureToReturn()
+    for k, v in arguments:
+        yield (k, v * 2)
+
+
+def _reducer_noop(scope, results):
+    for pair in results:
+        yield pair
+
+
+@pytest.fixture(scope="module")
+def server(spark):
+    e = Engine(spark)
+    e.create_workflow("wfh")
+    e.register_handler("wfh", "dbl", fn=_mapper_double, handler_type="mapper",
+                       argument_spec=[("arg1", "int")])
+    e.register_handler("wfh", "noop", fn=_reducer_noop, handler_type="reducer")
+    e.create_step("wfh", "s1", "dbl", "noop")
+    e.create_job("wfh", "j1", "s1")
+    srv = JobxHttpServer(e).start()
+    yield srv
+    srv.stop()
+
+
+def _post(url, payload, timeout=120):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    resp = urllib.request.urlopen(req, timeout=timeout)
+    return resp, json.loads(resp.read())
+
+
+def test_index_banner(server):
+    with urllib.request.urlopen(server.url + "/") as resp:
+        assert resp.status == 200
+        assert b"Reduce me" in resp.read()
+
+
+def test_blocking_job_submit_returns_result(server):
+    resp, body = _post(server.url + "/job/wfh/j1", {"arguments": {"arg1": 21}})
+    assert resp.status == 200
+    # noop reducer passes the grouped value-list through: 21*2 → [42]
+    assert body["result"]["pairs"] == [["arg1", [42]]]
+    assert resp.headers["X-MR-REQUEST-ID"]
+    assert resp.headers["X-FULFILLED-BY"]
+
+
+def test_async_submit_then_fetch_trace(server):
+    resp, body = _post(
+        server.url + "/job/wfh/j1?blocking=false", {"arguments": {"arg1": 5}}
+    )
+    assert resp.status == 200
+    assert body["result"] is None
+    rid = resp.headers["X-MR-REQUEST-ID"]
+    assert rid
+
+    # the async run records its trace; poll the graph endpoint
+    import time
+
+    deadline = time.time() + 120
+    dot = ""
+    while time.time() < deadline:
+        with urllib.request.urlopen(f"{server.url}/request/wfh/{rid}") as g:
+            assert g.status == 200
+            assert g.headers["Content-Type"].startswith("text/vnd.graphviz")
+            dot = g.read().decode()
+        if '"s1"' in dot:
+            break
+        time.sleep(0.2)
+    assert dot.startswith("digraph request")
+    assert '"s1"' in dot
+
+
+def test_unknown_job_is_4xx_5xx_with_exception_headers(server):
+    with pytest.raises(urllib.error.HTTPError) as exc_info:
+        _post(server.url + "/job/wfh/nope", {"arguments": {"arg1": 1}})
+    err = exc_info.value
+    assert err.code in (404, 500)
+    assert err.headers["X-MR-EXCEPTION-TYPE"]
+
+
+def test_missing_arguments_rejected(server):
+    with pytest.raises(urllib.error.HTTPError) as exc_info:
+        _post(server.url + "/job/wfh/j1", {})
+    assert exc_info.value.code == 500
+    assert "arguments" in json.loads(exc_info.value.read())["error"].lower()
+
+
+def test_unknown_request_graph_404(server):
+    with pytest.raises(urllib.error.HTTPError) as exc_info:
+        urllib.request.urlopen(server.url + "/request/wfh/deadbeef")
+    assert exc_info.value.code == 404
