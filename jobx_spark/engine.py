@@ -53,7 +53,7 @@ from jobx_spark.handlers import (
     parse_docstring_metadata,
 )
 from jobx_spark import result_writers
-from jobx_spark.trace import RequestTrace
+from jobx_spark.trace import INVOCATION_CAP, InvocationRecord, RequestTrace
 
 # unified row schema for every engine dataset
 _ROWS_SCHEMA = (
@@ -362,6 +362,69 @@ class Engine:
             "reducer": self.catalog.get_handler(wf, step.reduce_handler_name),
         }
 
+    def _capture_invocations(
+        self, frontier: DataFrame, map_out: DataFrame,
+        trace: RequestTrace | None, depth: int, step_name: str,
+    ) -> None:
+        """Forensic capture: one record per invocation at this step —
+        parent edge, dataset sizes, a ≤3-pair argument sample. The
+        aggregation runs on the executors (map_out is already persisted,
+        so this reads cache, not the source); only the capped record set
+        transits to the driver (the reference stores full per-invocation
+        datasets in etcd, mr/models/kv/invocation.py — at 100 TB the cap
+        is what keeps forensics from becoming a driver OOM)."""
+        if trace is None or len(trace.invocations) >= INVOCATION_CAP:
+            return
+        room = INVOCATION_CAP - len(trace.invocations)
+        args = frontier.groupBy("inv").agg(
+            F.first("parent_inv", ignorenulls=True).alias("parent_inv"),
+            F.count(F.lit(1)).alias("n_args"),
+            F.slice(
+                F.sort_array(F.collect_list(F.struct("seq", "k", "v"))), 1, 3
+            ).alias("sample"),
+        )
+        # child rows carry the CHILD's inv with parent_inv pointing back,
+        # so a parent's post-map (fan-out) count groups on parent_inv;
+        # reduced rows carry the producing invocation's own inv.
+        outs = (
+            map_out.select(
+                F.when(F.col("row_type") == "child", F.col("parent_inv"))
+                .otherwise(F.col("inv"))
+                .alias("okey"),
+                "row_type",
+            )
+            .groupBy("okey")
+            .agg(
+                F.sum(F.when(F.col("row_type") == "child", 1).otherwise(0)).alias(
+                    "n_mapped"
+                ),
+                F.sum(F.when(F.col("row_type") == "reduced", 1).otherwise(0)).alias(
+                    "n_reduced"
+                ),
+            )
+        )
+        rows = (
+            args.join(outs, args.inv == outs.okey, "left")
+            .orderBy("inv")
+            .limit(room + 1)
+            .collect()
+        )
+        trace.record_invocations(
+            [
+                InvocationRecord(
+                    inv=r["inv"],
+                    parent_inv=r["parent_inv"],
+                    step=step_name,
+                    depth=depth,
+                    n_args=r["n_args"],
+                    n_mapped=r["n_mapped"] or 0,
+                    n_reduced=r["n_reduced"] or 0,
+                    arg_sample=[(s["k"], s["v"]) for s in (r["sample"] or [])],
+                )
+                for r in rows
+            ]
+        )
+
     def _run_step(
         self, workflow_name: str, step_name: str, frontier: DataFrame,
         trace: RequestTrace, persisted: list, depth: int = 0,
@@ -384,6 +447,7 @@ class Engine:
             _make_phase1_udf(plan, self.workdir), schema=_ROWS_SCHEMA
         ).persist()
         persisted.append(map_out)
+        self._capture_invocations(frontier, map_out, trace, depth, step_name)
         reduced = map_out.filter(F.col("row_type") == "reduced")
         child_rows = map_out.filter(F.col("row_type") == "child")
         # routing decisions: one tiny collect of the distinct next steps

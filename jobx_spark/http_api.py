@@ -127,6 +127,8 @@ class _Handler(BaseHTTPRequestHandler):
         )
 
     def _get_request_graph(self, workflow_name: str, request_id: str):
+        from jobx_spark.trace import InvocationGraph
+
         try:
             request = self.engine.get_request(request_id)
         except KeyError:
@@ -138,9 +140,27 @@ class _Handler(BaseHTTPRequestHandler):
                 {"error": f"request {request_id} not in workflow {workflow_name}"},
             )
             return
-        trace = request.trace
-        dot = trace.to_dot() if trace else "digraph request {}"
-        self._send_text(200, dot + "\n", mimetype="text/vnd.graphviz")
+        steps = self.engine.catalog.list_steps(workflow_name)
+        graph = InvocationGraph(
+            request,
+            map_handler_names={s.name: s.map_handler_name for s in steps},
+            reduce_handler_names={s.name: s.reduce_handler_name for s in steps},
+        )
+        dot = graph.draw_graph()
+        # PNG when Graphviz is installed (the reference's image
+        # response, mr/views/request.py:22-26); DOT source otherwise.
+        try:
+            fmt, image = graph.get_image_data(dot)
+        except (RuntimeError, ValueError):
+            self._send_text(200, dot + "\n", mimetype="text/vnd.graphviz")
+            return
+        body = image
+        self.send_response(200)
+        self.send_header("Content-Type", f"image/{fmt}")
+        self.send_header("Content-Length", str(len(body)))
+        self.send_header("X-FULFILLED-BY", _HOSTNAME)
+        self.end_headers()
+        self.wfile.write(body)
 
 
 class JobxHttpServer:

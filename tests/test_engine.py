@@ -492,3 +492,32 @@ def test_submit_dataset_distributed_parquet_sink(spark, tmp_path):
     # 1000 ids mod 7: keys 0..5 get 143, key 6 gets 142
     assert got == {0: 143, 1: 143, 2: 143, 3: 143, 4: 143, 5: 143, 6: 142}
     assert req.result["n_pairs"] == 7
+
+
+def test_invocation_trace_and_graph(engine):
+    """Invocation forensics parity (reference mr/trace.py:170-334):
+    fan-out job records parent->child invocation edges with dataset
+    counts, and the DOT render carries the reference's labels."""
+    from jobx_spark.trace import InvocationGraph
+
+    req = engine.submit("wf", "job4", {"arg1": 100})
+    recs = req.trace.invocations
+    assert recs, "expected invocation records"
+    root = [r for r in recs if r.parent_inv is None]
+    assert len(root) == 1
+    assert root[0].n_args == 1 and root[0].n_mapped > 0
+    # children reference the root
+    children = [r for r in recs if r.parent_inv == root[0].inv]
+    assert children and all(c.depth == 1 for c in children)
+    assert all(c.n_reduced > 0 for c in children)
+
+    dot = InvocationGraph(
+        req,
+        map_handler_names={"step_split": "split", "step_chunk": "chunk"},
+        reduce_handler_names={"step_split": "noop", "step_chunk": "sum"},
+    ).draw_graph()
+    assert 'Q -> W [label="resolve workflow"]' in dot
+    assert '[label="mapped to"]' in dot
+    assert '[label="data reduced by"]' in dot or '[label="step reduced by"]' in dot
+    assert '[label="stored to"]' in dot
+    assert 'H "split"' in dot and 'H "chunk"' in dot

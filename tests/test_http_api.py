@@ -81,11 +81,16 @@ def test_async_submit_then_fetch_trace(server):
             assert g.status == 200
             assert g.headers["Content-Type"].startswith("text/vnd.graphviz")
             dot = g.read().decode()
-        if '"s1"' in dot:
+        if "MI " in dot:  # invocation records landed (not just step events)
             break
         time.sleep(0.2)
-    assert dot.startswith("digraph request")
+    assert "digraph request" in dot
     assert '"s1"' in dot
+    # invocation-level forensics: reference-shaped header chain, nodes
+    # labelled with step/handler/invocation id and dataset counts
+    assert 'Q -> W [label="resolve workflow"]' in dot
+    assert 'S "s1" H "dbl" MI ' in dot
+    assert "args=" in dot and "mapped=" in dot and "reduced=" in dot
 
 
 def test_unknown_job_is_4xx_5xx_with_exception_headers(server):
