@@ -190,24 +190,81 @@ def brute_force_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Exact cosine top-k: broadcast the query set against the corpus,
-    rank per query. Output (query_id, vec_id, rank, cosine)."""
-    q = queries.select(
+    """Exact cosine top-k, corpus-scan-once. Output
+    (query_id, vec_id, rank, cosine); ids must be integral.
+
+    The query set is small by contract (a probe set — the same bound
+    that justified broadcasting it); it is collected into a numpy
+    matrix and shipped in the task closure. Each corpus batch then
+    scores ALL queries in one vectorized pass and keeps only its local
+    top-k per query, so (a) the corpus streams through exactly once —
+    the previous broadcast-join shape re-shipped every corpus vector
+    through Arrow once per query — and (b) the shuffle into the global
+    ranking carries ≤ batches·|Q|·k candidate rows instead of |corpus|·
+    |Q| scored pairs. That map-side k-selection is what makes exact
+    brute force viable as the verification pass at 100 TB; for query
+    sets too large for one closure, chunk them and union.
+
+    Numerics are bit-identical to :func:`jobx_spark.operators.dedup.
+    scaled_dot` / ``cosine_from_scaled``: per-element
+    ``floor((x·y)·1e12)`` int64 terms, exact integer sum, then
+    ``dot / (sqrt(qnorm)·sqrt(cnorm))`` in IEEE doubles — the partial
+    selection changes which rows survive, never their values, and its
+    comparator (cosine desc, vec_id asc) matches the final ranking, so
+    the global result is exactly the full-scored answer."""
+    qrows = queries.select(
         F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv")
-    ).withColumn("qnorm_s", _sdot(F.col("qv"), F.col("qv")))
-    c = corpus.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
-    ).withColumn("cnorm_s", _sdot(F.col("cv"), F.col("cv")))
-    scored = c.join(F.broadcast(q)).select(
-        "qid",
-        "vec_id",
-        cosine_from_scaled(
-            _sdot(F.col("qv"), F.col("cv")), F.col("qnorm_s"), F.col("cnorm_s")
-        ).alias("cosine"),
+    ).collect()
+    if not qrows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, vec_id long, rank int, cosine double"
+        )
+    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    qmat = np.array([r["qv"] for r in qrows], dtype=np.float64)  # (nq, dim)
+    qnorm_sqrt = np.sqrt(
+        np.floor((qmat * qmat) * 1e12).astype(np.int64).sum(axis=1).astype(np.float64)
+    )
+
+    def score_partition(pdfs):
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.stack(pdf[vec_col].values).astype(np.float64)
+            cnorm_sqrt = np.sqrt(
+                np.floor((mat * mat) * 1e12)
+                .astype(np.int64)
+                .sum(axis=1)
+                .astype(np.float64)
+            )
+            out_q, out_id, out_cos = [], [], []
+            for j in range(len(qids)):
+                dot = (
+                    np.floor((mat * qmat[j]) * 1e12)
+                    .astype(np.int64)
+                    .sum(axis=1)
+                    .astype(np.float64)
+                )
+                cos = dot / (qnorm_sqrt[j] * cnorm_sqrt)
+                # local top-k with the FINAL comparator (cos desc, id asc)
+                keep = np.lexsort((ids, -cos))[:k]
+                out_q.append(np.full(len(keep), qids[j], dtype=np.int64))
+                out_id.append(ids[keep])
+                out_cos.append(cos[keep])
+            yield pd.DataFrame(
+                {
+                    "qid": np.concatenate(out_q),
+                    "vec_id": np.concatenate(out_id),
+                    "cosine": np.concatenate(out_cos),
+                }
+            )
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(
+        score_partition, schema="qid long, vec_id long, cosine double"
     )
     w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(F.col("qid").alias("query_id"), "vec_id", "rank", "cosine")
     )
