@@ -95,6 +95,33 @@ def minhash_signature(
     return base.groupBy("id").agg(*aggs)
 
 
+def banded_signature(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    seed: int = 7,
+) -> DataFrame:
+    """(id, band, bh): each document's minhash signature split into
+    `bands` band hashes — the LSH blocking key. Two documents are
+    near-dup candidates iff they share at least one (band, bh)."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signature(df, id_col, text_col, n_hashes, shingle_n, seed)
+    band_cols = []
+    for b in range(bands):
+        member = F.concat_ws(
+            ",", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        )
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), md5_long(member).alias("bh"))
+        )
+    return sig.select(
+        "id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -110,19 +137,7 @@ def minhash_lsh_pairs(
     a candidate when at least one band hash collides. Output
     (id_a, id_b, n_shared_bands), id_a < id_b.
     """
-    rows_per_band = n_hashes // bands
-    sig = minhash_signature(df, id_col, text_col, n_hashes, shingle_n, seed)
-    band_cols = []
-    for b in range(bands):
-        member = F.concat_ws(
-            ",", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        )
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), md5_long(member).alias("bh"))
-        )
-    banded = sig.select(
-        "id", F.explode(F.array(*band_cols)).alias("bb")
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    banded = banded_signature(df, id_col, text_col, n_hashes, bands, shingle_n, seed)
     # Materialize one exchange on the join keys: the self-join then
     # reads BOTH sides from the same shuffle (ReusedExchange) instead of
     # recomputing the whole signature pipeline twice, and needs no
@@ -136,6 +151,45 @@ def minhash_lsh_pairs(
         .filter(F.col("a.id") < F.col("b.id"))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    seed: int = 7,
+) -> DataFrame:
+    """Training-corpus decontamination: drop every training document
+    that shares at least one LSH band with any eval/benchmark document
+    (near-dup contamination, not just exact matches).
+
+    Scale shape: the eval side is small by contract (benchmarks are
+    thousands of docs, the training corpus is the 100 TB side), so its
+    distinct band hashes broadcast. The train side computes banded
+    signatures (map-side-combined aggregation, shuffle carries
+    docs × bands rows) and takes a broadcast LEFT SEMI to find
+    contaminated ids, then a broadcast-able LEFT ANTI removes them —
+    the corpus is never shuffled by the joins themselves. Output: the
+    surviving training rows (same schema as ``train``).
+    """
+    tb = banded_signature(train, id_col, text_col, n_hashes, bands, shingle_n, seed)
+    eb = (
+        banded_signature(eval_df, id_col, text_col, n_hashes, bands, shingle_n, seed)
+        .select("band", "bh")
+        .distinct()
+    )
+    contaminated = (
+        tb.join(F.broadcast(eb), ["band", "bh"], "left_semi")
+        .select(F.col("id"))
+        .distinct()
+    )
+    return train.join(
+        contaminated, train[id_col] == contaminated["id"], "left_anti"
     )
 
 

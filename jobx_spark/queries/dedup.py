@@ -129,6 +129,73 @@ GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# dedup_decontaminate — training-corpus decontamination: docs whose
+# LSH band collides with any eval/benchmark doc are dropped from the
+# training side (near-dup contamination removal — the anti-join every
+# training pipeline runs against its benchmark suites). Eval set here:
+# every 10th doc_id; train: the rest. Oracle: NOT EXISTS over the
+# identical band SQL on both sides.
+# --------------------------------------------------------------------------
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.operators.dedup import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    eval_df = docs.filter(F.col("doc_id") % 10 == 0)
+    survivors = decontaminate(
+        train, eval_df, n_hashes=N_HASHES, bands=BANDS,
+        shingle_n=SHINGLE_N, seed=SEED,
+    )
+    return survivors.select("doc_id").orderBy("doc_id")
+
+
+def _banded_sql(suffix: str, pred: str) -> str:
+    """CTE chain producing ``banded_{suffix}`` (doc_id, band, bh) for
+    the documents subset matching ``pred`` — the same constants as the
+    Spark operator, so the SQL is the algorithm re-derived."""
+    rows_per_band = N_HASHES // BANDS
+    mins = ",\n       ".join(
+        f"min(((h % {MINHASH_P}) * {a} + {b}) % {MINHASH_P}) AS mh{j}"
+        for j, (a, b) in enumerate(_COEFFS)
+    )
+    band_rows = []
+    for b in range(BANDS):
+        members = " || ',' || ".join(
+            f"CAST(mh{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
+        )
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band, {_MD5.format(e='(' + members + ')')} AS bh"
+            f" FROM sig_{suffix}"
+        )
+    banded = "\nUNION ALL\n".join(band_rows)
+    return f"""sh_{suffix} AS (
+  SELECT doc_id, unnest({_SHINGLES3}) AS s FROM documents WHERE {pred}
+), hashed_{suffix} AS (
+  SELECT doc_id, {_MD5.format(e='s')} AS h FROM sh_{suffix}
+), sig_{suffix} AS (
+  SELECT doc_id, {mins} FROM hashed_{suffix} GROUP BY doc_id
+), banded_{suffix} AS (
+{banded}
+)"""
+
+
+def _decontaminate_oracle() -> str:
+    return f"""
+WITH {_banded_sql('t', 'doc_id % 10 != 0')},
+{_banded_sql('e', 'doc_id % 10 = 0')}
+SELECT d.doc_id
+FROM documents d
+WHERE d.doc_id % 10 != 0
+  AND NOT EXISTS (
+    SELECT 1 FROM banded_t t JOIN banded_e e
+      ON t.band = e.band AND t.bh = e.bh
+    WHERE t.doc_id = d.doc_id
+  )
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # dedup_simhash — 60-bit SimHash sketch per document.
 # --------------------------------------------------------------------------
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -529,6 +596,7 @@ QUERIES = {
     "dedup_embedding": dedup_embedding,
     "dedup_containment": dedup_containment,
     "dedup_two_hop_reach": dedup_two_hop_reach,
+    "dedup_decontaminate": dedup_decontaminate,
 }
 
 ORACLES = {
@@ -544,4 +612,5 @@ ORACLES = {
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
     "dedup_containment": ORACLE_DEDUP_CONTAINMENT,
     "dedup_two_hop_reach": _two_hop_oracle(),
+    "dedup_decontaminate": _decontaminate_oracle(),
 }
