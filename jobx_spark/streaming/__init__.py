@@ -490,6 +490,7 @@ def stream_upsert_parquet(
     checkpoint: str,
     key_cols: list[str],
     version_col: str,
+    output_mode: str | None = None,
 ) -> None:
     """Streaming MERGE: each micro-batch upserts into a keyed parquet
     dataset via ``foreachBatch`` + :func:`jobx_spark.sources.sinks.
@@ -524,9 +525,16 @@ def stream_upsert_parquet(
             return
         upsert_parquet(spark, path, batch_df, key_cols, version_col)
 
+    writer = df.writeStream.foreachBatch(_merge)
+    if output_mode:
+        # aggregations feed the MERGE in "update" mode: each batch emits
+        # only the keys whose values changed, and the keyed upsert folds
+        # them into the state table — append mode would hold every
+        # window until the watermark passes it, which an AvailableNow
+        # run over finite input never does for the tail windows.
+        writer = writer.outputMode(output_mode)
     query = (
-        df.writeStream.foreachBatch(_merge)
-        .option("checkpointLocation", checkpoint)
+        writer.option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )
