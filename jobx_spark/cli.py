@@ -73,6 +73,19 @@ def sync_handlers_from_dir(catalog: Catalog, workflow_name: str, root: str) -> d
     return {"created": created, "updated": updated, "deleted": sorted(deleted)}
 
 
+def serve(catalog: Catalog, host: str = "127.0.0.1", port: int = 0, cpus: str = "8"):
+    """Start the HTTP façade over an engine built from ``catalog``;
+    returns the running :class:`jobx_spark.http_api.JobxHttpServer`
+    (non-blocking — callers own its lifetime)."""
+    from jobx_spark.engine import Engine
+    from jobx_spark.http_api import JobxHttpServer
+    from jobx_spark.session import get_spark
+
+    spark = get_spark("jobx_serve", cpus=cpus)
+    eng = Engine(spark, catalog=catalog)
+    return JobxHttpServer(eng, host=host, port=port).start()
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="jobx_spark.cli")
     ap.add_argument("--catalog", required=True, help="JSON catalog file")
@@ -98,6 +111,11 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("entity-list").add_argument("workflow")
 
+    p = sub.add_parser("serve")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--cpus", default="8")
+
     args = ap.parse_args(argv)
     cat = _load(args.catalog)
     out: dict
@@ -120,6 +138,19 @@ def main(argv: list[str] | None = None) -> int:
             "steps": [s.name for s in cat.list_steps(args.workflow)],
             "jobs": [j.name for j in cat.list_jobs(args.workflow)],
         }
+    elif args.cmd == "serve":
+        # the reference ships gunicorn launcher scripts (setup.py:37-71);
+        # here one command serves the same HTTP contract over the catalog
+        srv = serve(cat, host=args.host, port=args.port, cpus=args.cpus)
+        print(json.dumps({"url": srv.url}), flush=True)
+        try:
+            while True:
+                import time
+
+                time.sleep(3600)
+        except KeyboardInterrupt:
+            srv.stop()
+        return 0
     elif args.cmd == "submit":
         from jobx_spark.engine import Engine
         from jobx_spark.session import get_spark

@@ -112,3 +112,53 @@ def test_unknown_request_graph_404(server):
     with pytest.raises(urllib.error.HTTPError) as exc_info:
         urllib.request.urlopen(server.url + "/request/wfh/deadbeef")
     assert exc_info.value.code == 404
+
+
+def test_cli_serve_over_saved_catalog(spark, tmp_path):
+    """The CLI's serve path: a catalog built via the CRUD surface and
+    saved to JSON comes back up behind the HTTP façade; a job submitted
+    over the wire runs against it (reference: gunicorn launchers in
+    setup.py + mr/app/main.py wiring)."""
+    from jobx_spark.catalog import Catalog
+    from jobx_spark.cli import serve
+
+    src_mapper = '''
+"""double each argument.
+**
+{"handler_type": "mapper", "argument_spec": [["arg1", "int"]]}
+"""
+yield MrConfigureToReturn()
+for k, v in arguments:
+    yield (k, v * 2)
+'''
+    src_reducer = '''
+"""sum values per key.
+**
+{"handler_type": "reducer", "argument_spec": []}
+"""
+for k, vl in results:
+    yield (k, sum(vl))
+'''
+    cat = Catalog()
+    cat.create_workflow("wfs", "served")
+    from jobx_spark.catalog import Handler
+    from jobx_spark.handlers import parse_docstring_metadata
+
+    for name, src in (("dbl", src_mapper), ("tot", src_reducer)):
+        meta = parse_docstring_metadata(src)
+        cat.register_handler(Handler(
+            workflow_name="wfs", name=name, handler_type=meta["handler_type"],
+            source_code=src, argument_spec=meta["argument_spec"],
+        ))
+    cat.create_step("wfs", "s1", "dbl", "tot")
+    cat.create_job("wfs", "j1", "s1")
+    path = str(tmp_path / "cat.json")
+    cat.save(path)
+
+    srv = serve(Catalog.load(path), port=0)
+    try:
+        resp, body = _post(srv.url + "/job/wfs/j1", {"arguments": {"arg1": 7}})
+        assert resp.status == 200
+        assert body["result"]["pairs"] == [["arg1", 14]]
+    finally:
+        srv.stop()
