@@ -341,6 +341,69 @@ def connected_components(
     return labels
 
 
+def pagerank(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    iters: int = 5,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Damped PageRank over the (symmetrized) dup-pair graph in
+    scaled-INTEGER arithmetic — (node, rank_s, rank), rank_s = rank ×
+    `scale` as an exact BIGINT, after exactly `iters` rounds from a
+    uniform start.
+
+    Why integers: float PageRank is iteration-order-dependent across
+    engines, so it can't be hash-verified. Here every step is integer
+    division/floor — ``share = r // deg``, ``r' = (15·S)//100 +
+    (85·Σshares)//100`` (damping 0.85) — bit-identical in any engine
+    that evaluates the same unrolled rounds (the DuckDB oracle chains
+    `iters` plain GROUP-BY CTEs; no recursion, no floats until the final
+    display column).
+
+    Scale shape: one shuffle per round keyed on node id (join ranks to
+    edges + re-aggregate), identical to the components loop; the edge
+    list is materialized once. int64 headroom: Σ rank_s ≈ N·S, and the
+    85·Σ intermediate must stay under 2^63 — S=1e9 holds to ~10^8
+    nodes; drop S for bigger graphs (ranks keep ~9 significant digits).
+
+    Every node in a symmetrized pair graph has degree ≥ 1, so there is
+    no dangling-mass term.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    )
+    sym = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
+    edges_deg = sym.join(deg, "u").localCheckpoint()
+    nodes = deg.select(F.col("u").alias("node"), "deg")
+    ranks = nodes.select("node", F.lit(scale).cast("long").alias("r"))
+    base = (15 * scale) // 100
+    for _ in range(iters):
+        shares = (
+            edges_deg.join(ranks, edges_deg["u"] == ranks["node"])
+            .select(F.col("v").alias("node"), F.expr("r div deg").alias("share"))
+        )
+        ranks = (
+            shares.groupBy("node")
+            .agg(F.sum("share").alias("total"))
+            .select(
+                "node",
+                (F.lit(base) + F.expr("(85 * total) div 100")).cast("long").alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(
+        "node",
+        F.col("r").alias("rank_s"),
+        (F.col("r").cast("double") / F.lit(float(scale))).alias("rank"),
+    )
+
+
 # ------------------------------------------------------------- n-gram jaccard
 def ngram_jaccard_pairs(
     df: DataFrame,

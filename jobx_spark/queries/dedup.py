@@ -129,6 +129,55 @@ GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# dedup_pagerank — damped PageRank over the LSH dup-pair graph: ranks
+# documents by how centrally they sit in near-dup neighborhoods (the
+# "hub template" signal — boilerplate that everything resembles scores
+# high). Exactly 5 rounds of scaled-integer arithmetic, so the oracle
+# (the same rounds unrolled as chained GROUP-BY CTEs) matches
+# bit-for-bit — float PageRank could never be hash-verified.
+# --------------------------------------------------------------------------
+PR_ITERS, PR_SCALE = 5, 10**9
+
+
+def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.operators.dedup import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, n_hashes=N_HASHES, bands=BANDS, shingle_n=SHINGLE_N, seed=SEED
+    )
+    return pagerank(pairs, iters=PR_ITERS, scale=PR_SCALE).orderBy("node")
+
+
+def _pagerank_oracle() -> str:
+    pairs_sql = _minhash_pairs_oracle(order_by="")
+    base = (15 * PR_SCALE) // 100
+    iter_ctes = []
+    for i in range(1, PR_ITERS + 1):
+        iter_ctes.append(f"""pr{i} AS (
+  SELECT s.v AS node,
+         CAST({base} + (85 * SUM(p.r // d.deg)) // 100 AS BIGINT) AS r
+  FROM sym s JOIN deg d ON s.u = d.u JOIN pr{i - 1} p ON p.node = s.u
+  GROUP BY s.v
+)""")
+    iters_sql = ",\n".join(iter_ctes)
+    return f"""
+WITH pairs AS ({pairs_sql}),
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY u),
+pr0 AS (SELECT u AS node, CAST({PR_SCALE} AS BIGINT) AS r FROM deg),
+{iters_sql}
+SELECT node, r AS rank_s, r::DOUBLE / {PR_SCALE} AS rank
+FROM pr{PR_ITERS}
+ORDER BY node
+"""
+
+
+# --------------------------------------------------------------------------
 # dedup_decontaminate — training-corpus decontamination: docs whose
 # LSH band collides with any eval/benchmark doc are dropped from the
 # training side (near-dup contamination removal — the anti-join every
@@ -597,6 +646,7 @@ QUERIES = {
     "dedup_containment": dedup_containment,
     "dedup_two_hop_reach": dedup_two_hop_reach,
     "dedup_decontaminate": dedup_decontaminate,
+    "dedup_pagerank": dedup_pagerank,
 }
 
 ORACLES = {
@@ -613,4 +663,5 @@ ORACLES = {
     "dedup_containment": ORACLE_DEDUP_CONTAINMENT,
     "dedup_two_hop_reach": _two_hop_oracle(),
     "dedup_decontaminate": _decontaminate_oracle(),
+    "dedup_pagerank": _pagerank_oracle(),
 }
