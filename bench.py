@@ -35,6 +35,7 @@ HEADLINE = [
     "q50_returned_items",
     "stream_tumbling_agg",
     "stream_stateful_user_stats",
+    "stream_sink_rollup",
     "multimodal_features",
     "mr_engine_event_counts",
     "mr_engine_user_value",

@@ -76,7 +76,37 @@ class _Handler(BaseHTTPRequestHandler):
         if parts[0] == "request" and len(parts) == 3:
             self._get_request_graph(parts[1], parts[2])
             return
+        if parts[0] == "result" and len(parts) == 3:
+            self._get_result(parts[1], parts[2])
+            return
         self._send_json(404, {"error": f"no route for GET {url.path}"})
+
+    def _get_result(self, workflow_name: str, request_id: str):
+        """Async-flow polling: the request's completion state and (when
+        finished) its result envelope. The reference delivers async
+        results only through result writers; polling is the natural
+        HTTP companion and costs nothing (driver-side state lookup)."""
+        try:
+            request = self.engine.get_request(request_id)
+        except KeyError:
+            self._send_json(404, {"error": f"unknown request {request_id}"})
+            return
+        if request.workflow_name != workflow_name:
+            self._send_json(
+                404,
+                {"error": f"request {request_id} not in workflow {workflow_name}"},
+            )
+            return
+        self._send_json(
+            200,
+            {
+                "request_id": request.request_id,
+                "is_done": request.is_done,
+                "error": request.error,
+                "failed_invocation_id": request.failed_invocation_id,
+                "result": request.result if request.is_done else None,
+            },
+        )
 
     def do_POST(self):  # noqa: N802 - http.server API
         url = urlparse(self.path)

@@ -162,3 +162,24 @@ for k, vl in results:
         assert body["result"]["pairs"] == [["arg1", 14]]
     finally:
         srv.stop()
+
+
+def test_async_result_polling(server):
+    """Submit async, poll GET /result until done, read the envelope."""
+    import time
+
+    resp, body = _post(
+        server.url + "/job/wfh/j1?blocking=false", {"arguments": {"arg1": 4}}
+    )
+    rid = resp.headers["X-MR-REQUEST-ID"]
+    deadline = time.time() + 120
+    state = {}
+    while time.time() < deadline:
+        with urllib.request.urlopen(f"{server.url}/result/wfh/{rid}") as g:
+            state = json.loads(g.read())
+        if state["is_done"]:
+            break
+        time.sleep(0.2)
+    assert state["is_done"] is True
+    assert state["error"] is None
+    assert state["result"]["pairs"] == [["arg1", [8]]]
