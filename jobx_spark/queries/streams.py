@@ -281,7 +281,10 @@ def stream_sink_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     ev = S.stream_events(spark, sf_dir)
-    agg = S.tumbling_window_agg(ev)
+    # replay semantics: the watermark must cover the dataset's span so
+    # no batch's events count as late (see tumbling_window_agg docs);
+    # rollup state is bounded by windows × types regardless.
+    agg = S.tumbling_window_agg(ev, watermark="3650 days")
     root = tempfile.mkdtemp(prefix="stream_rollup_")
     state, ckpt = f"{root}/state", f"{root}/ckpt"
     S.stream_upsert_parquet(

@@ -89,15 +89,20 @@ def run_available_now(
 # ------------------------------------------------------------------ windows
 
 
-def tumbling_window_agg(events: DataFrame) -> DataFrame:
+def tumbling_window_agg(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """1-hour tumbling windows per event type: count + exact sum.
 
-    The watermark bounds state (and admits ≤2 h late data) in a
-    continuous run; with AvailableNow over finite input it is a no-op
-    but keeps the plan production-shaped.
+    The watermark bounds state (and admits ≤`watermark` late data) in a
+    continuous run. Choose it for the INPUT's disorder, not just
+    lateness: a historical replay/backfill whose files are not
+    time-ordered makes every event "late" relative to the max timestamp
+    already seen, so a replay must pass a watermark covering the whole
+    data span (state then bounds at total-windows × types — tiny for a
+    rollup) or events silently drop; a live feed uses the real lateness
+    budget.
     """
     return (
-        events.withWatermark("ts", "2 hours")
+        events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(
             F.count("*").alias("n"),

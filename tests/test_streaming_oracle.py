@@ -116,3 +116,60 @@ def test_stream_upsert_keeps_latest_per_key(spark, sf_dir, tmp_path):
         src2, out, str(tmp_path / "c2"), key_cols=["user_id"], version_col="ts"
     )
     assert spark.read.parquet(out).count() == len(expected)
+
+
+def test_update_mode_rollup_converges_across_batches(spark, sf_dir, tmp_path):
+    """The update-mode agg → MERGE rollup must converge to the batch
+    answer when windows are UPDATED across several micro-batches (not
+    just written once): 4 source files at maxFilesPerTrigger=1 → ≥2
+    batches, later batches re-emitting grown windows; the monotone-count
+    MERGE must keep exactly the final value per key."""
+    from pyspark.sql import functions as F
+
+    from jobx_spark.sources import load_table
+    from jobx_spark.streaming import (
+        stream_upsert_parquet,
+        tumbling_window_agg,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    src_dir = str(tmp_path / "src")
+    # split WITHOUT clustering by time so every batch touches most windows
+    ev.repartition(4).write.parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    # replay over UNORDERED files: the watermark must span the data or
+    # later batches' events are all "late" and silently dropped — the
+    # exact failure this test exists to catch.
+    stream_upsert_parquet(
+        tumbling_window_agg(stream, watermark="3650 days"), state, ckpt,
+        key_cols=["window_start", "event_type"], version_col="n",
+        output_mode="update",
+    )
+
+    got = (
+        spark.read.parquet(state)
+        .select("window_start", "event_type", "n", "total_value")
+        .orderBy("window_start", "event_type")
+        .collect()
+    )
+    want = (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(38,8)"))
+            .cast("string")
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("window_start", "event_type")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
