@@ -182,6 +182,104 @@ def ivf_topk(
     )
 
 
+def kmeans_train(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_base: int = 10,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Deterministic spherical k-means for IVF centroid training —
+    (vec_id, cell, cosine): each vector's final cell and its cosine to
+    that cell's centroid after exactly `iters` Lloyd rounds.
+
+    Cross-engine exactness (the reason this is hash-verifiable when
+    textbook float k-means is not): centroids live as scaled-INTEGER
+    vectors — init ``floor(x·S)`` from the `k` seed vectors (ids
+    ``cent_base..cent_base+k``), update ``Σ floor(x·S) // count`` per
+    dimension (exact int64) — and assignment uses the same scaled-dot
+    cosine as the rest of the similarity stack, with ties to the lowest
+    cent_id. Every operation is either integer or a deterministic IEEE
+    double op on identical inputs, so DuckDB running the same unrolled
+    rounds reproduces bit-identical centroids and assignments.
+
+    Scale shape per round: centroids (k rows) broadcast into the
+    assignment join — the corpus never shuffles for assignment; the
+    update is one posexplode + (cell, dim)-keyed aggregation (map-side
+    partial) whose output is k·dim rows. Driver never sees vectors;
+    centroid frames are localCheckpoint'ed (tiny) to cut lineage.
+    """
+    e = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    e = e.withColumn("vnorm_s", _sdot(F.col("v"), F.col("v")))
+    cent = (
+        e.filter((F.col("id") >= cent_base) & (F.col("id") < cent_base + k))
+        .select(
+            (F.col("id") - cent_base).alias("cent_id"),
+            F.transform(
+                "v", lambda x: F.floor(x.cast("double") * scale).cast("long")
+            ).alias("cv_s"),
+        )
+        .localCheckpoint()
+    )
+
+    def assign(cent_df: DataFrame) -> DataFrame:
+        cd = cent_df.select(
+            "cent_id",
+            F.transform("cv_s", lambda c: c.cast("double") / scale).alias("cv"),
+        ).withColumn("cnorm_s", _sdot(F.col("cv"), F.col("cv")))
+        scored = e.join(F.broadcast(cd)).select(
+            "id",
+            "v",
+            F.struct(
+                cosine_from_scaled(
+                    _sdot(F.col("v"), F.col("cv")),
+                    F.col("vnorm_s"),
+                    F.col("cnorm_s"),
+                ).alias("cos"),
+                (-F.col("cent_id")).alias("neg_cent"),
+            ).alias("sc"),
+        )
+        return (
+            scored.groupBy("id")
+            .agg(F.max("sc").alias("best"), F.first("v").alias("v"))
+            .select(
+                "id",
+                "v",
+                (-F.col("best.neg_cent")).alias("cell"),
+                F.col("best.cos").alias("cosine"),
+            )
+        )
+
+    for _ in range(iters):
+        members = assign(cent)
+        upd = (
+            members.select("cell", F.posexplode("v").alias("idx", "val"))
+            .groupBy("cell", "idx")
+            .agg(
+                F.sum(F.floor(F.col("val").cast("double") * scale).cast("long")).alias(
+                    "s"
+                ),
+                F.count("*").alias("n"),
+            )
+            .select("cell", "idx", F.expr("s div n").alias("val_s"))
+        )
+        cent = (
+            upd.groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "val_s"))),
+                    lambda st: st["val_s"],
+                ).alias("cv_s")
+            )
+            .select(F.col("cell").alias("cent_id"), "cv_s")
+            .localCheckpoint()
+        )
+    final = assign(cent)
+    return final.select(F.col("id").alias("vec_id"), "cell", "cosine")
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,

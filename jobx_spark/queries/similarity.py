@@ -113,6 +113,81 @@ ORDER BY query_id, rank
 
 
 # --------------------------------------------------------------------------
+# ann_kmeans_train — deterministic spherical k-means (IVF centroid
+# training): 3 Lloyd rounds with scaled-integer centroids, so the
+# oracle (the same rounds unrolled as CTEs) reproduces assignments and
+# cosines bit-for-bit. Float k-means could never be hash-verified;
+# integer centroids make the iteration exact in any engine.
+# --------------------------------------------------------------------------
+KM_K, KM_ITERS, KM_BASE, KM_SCALE = 8, 3, 10, 10**6
+
+
+def ann_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.operators.similarity import kmeans_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_train(
+        emb, k=KM_K, iters=KM_ITERS, cent_base=KM_BASE, scale=KM_SCALE
+    ).orderBy("vec_id")
+
+
+def _kmeans_oracle() -> str:
+    S = KM_SCALE
+
+    def assign_cte(t: int) -> str:
+        # assignment a{t} against centroids c{t-1} (as scaled ints)
+        return f"""d{t - 1} AS (
+  SELECT cent_id, list_transform(cv_s, c -> c::DOUBLE / {S}) AS cv FROM c{t - 1}
+), n{t - 1} AS (
+  SELECT cent_id, cv, {_SDOT.format(a='cv', b='cv')} AS cnorm_s FROM d{t - 1}
+), a{t} AS (
+  SELECT vec_id, embedding, cell, cosine FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+           ORDER BY cosine DESC, cell ASC) AS rn
+    FROM (
+      SELECT e.vec_id, e.embedding, n.cent_id AS cell,
+             {_SDOT.format(a='e.embedding', b='n.cv')}::DOUBLE
+               / (sqrt(e.vnorm_s::DOUBLE) * sqrt(n.cnorm_s::DOUBLE)) AS cosine
+      FROM e, n{t - 1} n
+    )
+  ) WHERE rn = 1
+)"""
+
+    def update_cte(t: int) -> str:
+        return f"""u{t} AS (
+  SELECT cell, u.idx,
+         CAST(SUM(CAST(floor(u.val::DOUBLE * {S}) AS BIGINT)) // COUNT(*) AS BIGINT) AS val_s
+  FROM a{t}, unnest(list_transform(generate_series(1, len(embedding)),
+       i -> {{'idx': i, 'val': embedding[i]}})) AS tt(u)
+  GROUP BY cell, u.idx
+), c{t} AS (
+  SELECT cell AS cent_id, list(val_s ORDER BY idx) AS cv_s FROM u{t} GROUP BY cell
+)"""
+
+    parts = [
+        f"""e AS (
+  SELECT vec_id, embedding, {_SDOT.format(a='embedding', b='embedding')} AS vnorm_s
+  FROM embeddings
+), c0 AS (
+  SELECT vec_id - {KM_BASE} AS cent_id,
+         list_transform(embedding, x -> CAST(floor(x::DOUBLE * {S}) AS BIGINT)) AS cv_s
+  FROM embeddings WHERE vec_id >= {KM_BASE} AND vec_id < {KM_BASE + KM_K}
+)"""
+    ]
+    for t in range(1, KM_ITERS + 1):
+        parts.append(assign_cte(t))
+        parts.append(update_cte(t))
+    parts.append(assign_cte(KM_ITERS + 1))
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT vec_id, cell, cosine
+FROM a{KM_ITERS + 1}
+ORDER BY vec_id
+"""
+
+
+# --------------------------------------------------------------------------
 # ann_ivf_topk — IVF coarse quantization: corpus vectors assigned to
 # their nearest of 16 deterministic centroids (the embeddings of
 # vec_id 10..25); each query probes its 4 closest cells and ranks
@@ -187,10 +262,12 @@ QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_kmeans_train": ann_kmeans_train,
 }
 
 ORACLES = {
     "ann_bruteforce_topk": ORACLE_ANN_BRUTEFORCE,
     "ann_lsh_topk": _lsh_oracle(),
     "ann_ivf_topk": ORACLE_ANN_IVF,
+    "ann_kmeans_train": _kmeans_oracle(),
 }
