@@ -190,10 +190,13 @@ def kmeans_train(
     vec_col: str = "embedding",
     cent_base: int = 10,
     scale: int = 10**6,
+    output: str = "assignments",
 ) -> DataFrame:
     """Deterministic spherical k-means for IVF centroid training —
     (vec_id, cell, cosine): each vector's final cell and its cosine to
-    that cell's centroid after exactly `iters` Lloyd rounds.
+    that cell's centroid after exactly `iters` Lloyd rounds. With
+    ``output="centroids"`` returns the trained (cent_id, cv) table
+    instead — the input :func:`ivf_topk` expects.
 
     Cross-engine exactness (the reason this is hash-verifiable when
     textbook float k-means is not): centroids live as scaled-INTEGER
@@ -275,6 +278,11 @@ def kmeans_train(
             )
             .select(F.col("cell").alias("cent_id"), "cv_s")
             .localCheckpoint()
+        )
+    if output == "centroids":
+        return cent.select(
+            "cent_id",
+            F.transform("cv_s", lambda c: c.cast("double") / scale).alias("cv"),
         )
     final = assign(cent)
     return final.select(F.col("id").alias("vec_id"), "cell", "cosine")

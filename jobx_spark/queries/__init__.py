@@ -40,12 +40,15 @@ def all_queries() -> dict[str, QueryFn]:
 
     out: dict[str, QueryFn] = {}
     # Registry order IS verification order: the driver's correctness
-    # gate checks the first 50 entries, so the modules whose queries have
-    # no banked driver rows come first (dedup/ANN/text/pipeline/
-    # multimodal/MR-engine = 45, plus the first 5 streams); the
-    # relational/temporal surface already holds 48 green rows from r1.
-    for mod in (dedup, similarity, text, pipeline, multimodal,
-                mapreduce, streams, temporal, relational):
+    # gate checks the first 50 entries, so the modules whose queries
+    # have no banked driver rows come first — dedup(14) + ann(5) +
+    # text(6) + multimodal(4) + MR-engine(2) + all 11 streams (r1's
+    # broken area) = 42, then the first 8 pipeline queries fill the
+    # gate; the remaining pipeline entries are CI-oracle-verified and
+    # rotate into the gate next round. relational/temporal hold 48
+    # green rows banked from r1.
+    for mod in (dedup, similarity, text, multimodal, mapreduce,
+                streams, pipeline, temporal, relational):
         out.update(mod.QUERIES)
     return {name: _utc_pinned(fn) for name, fn in out.items()}
 
@@ -57,7 +60,7 @@ def all_oracles() -> dict[str, str]:
     )
 
     out: dict[str, str] = {}
-    for mod in (dedup, similarity, text, pipeline, multimodal,
-                mapreduce, streams, temporal, relational):
+    for mod in (dedup, similarity, text, multimodal, mapreduce,
+                streams, pipeline, temporal, relational):
         out.update(mod.ORACLES)
     return out

@@ -131,7 +131,9 @@ def ann_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
-def _kmeans_oracle() -> str:
+def _kmeans_ctes():
+    """Shared CTE chain for the k-means rounds: returns (parts ending at
+    the trained ``c{KM_ITERS}`` centroid table, assign_cte builder)."""
     S = KM_SCALE
 
     def assign_cte(t: int) -> str:
@@ -177,13 +179,93 @@ def _kmeans_oracle() -> str:
     for t in range(1, KM_ITERS + 1):
         parts.append(assign_cte(t))
         parts.append(update_cte(t))
-    parts.append(assign_cte(KM_ITERS + 1))
+    return parts, assign_cte
+
+
+def _kmeans_oracle() -> str:
+    parts, assign_cte = _kmeans_ctes()
+    parts = parts + [assign_cte(KM_ITERS + 1)]
     body = ",\n".join(parts)
     return f"""
 WITH {body}
 SELECT vec_id, cell, cosine
 FROM a{KM_ITERS + 1}
 ORDER BY vec_id
+"""
+
+
+# --------------------------------------------------------------------------
+# ann_ivf_trained_topk — the index pipeline end-to-end: k-means-trained
+# centroids (3 Lloyd rounds, scaled-int) feed the IVF index, each query
+# probes its nprobe closest trained cells and ranks exactly within
+# them. Oracle: the k-means CTE chain composed with the IVF SQL — one
+# statement reproducing train → index → probe bit-for-bit.
+# --------------------------------------------------------------------------
+def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.operators.similarity import ivf_topk, kmeans_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = kmeans_train(
+        emb, k=KM_K, iters=KM_ITERS, cent_base=KM_BASE, scale=KM_SCALE,
+        output="centroids",
+    )
+    return ivf_topk(
+        emb, _probe_queries(emb), centroids, k=K, nprobe=KM_NPROBE
+    ).orderBy("query_id", "rank")
+
+
+KM_NPROBE = 3
+
+
+def _ivf_trained_oracle() -> str:
+    parts, _assign = _kmeans_ctes()
+    body = ",\n".join(parts)
+    return f"""
+WITH {body},
+cent AS (
+  SELECT cent_id, list_transform(cv_s, c -> c::DOUBLE / {KM_SCALE}) AS cv
+  FROM c{KM_ITERS}
+), centn AS (
+  SELECT cent_id, cv, {_SDOT.format(a='cv', b='cv')} AS cnorm_s FROM cent
+), ascore AS (
+  SELECT e.vec_id, e.embedding, e.vnorm_s, n.cent_id,
+         {_SDOT.format(a='e.embedding', b='n.cv')}::DOUBLE
+           / (sqrt(e.vnorm_s::DOUBLE) * sqrt(n.cnorm_s::DOUBLE)) AS cos
+  FROM e, centn n
+), cells AS (
+  SELECT vec_id, embedding, vnorm_s, cent_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+           ORDER BY cos DESC, cent_id ASC) AS rn
+    FROM ascore
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv, vnorm_s AS qnorm_s
+  FROM e WHERE vec_id < {N_QUERIES}
+), qscore AS (
+  SELECT q.query_id, q.qv, q.qnorm_s, n.cent_id AS cell,
+         {_SDOT.format(a='q.qv', b='n.cv')}::DOUBLE
+           / (sqrt(q.qnorm_s::DOUBLE) * sqrt(n.cnorm_s::DOUBLE)) AS ccos
+  FROM q, centn n
+), probes AS (
+  SELECT query_id, qv, qnorm_s, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+           ORDER BY ccos DESC, cell ASC) AS pr
+    FROM qscore
+  ) WHERE pr <= {KM_NPROBE}
+), scored AS (
+  SELECT p.query_id, c.vec_id,
+         {_SDOT.format(a='p.qv', b='c.embedding')}::DOUBLE
+           / (sqrt(p.qnorm_s::DOUBLE) * sqrt(c.vnorm_s::DOUBLE)) AS cosine
+  FROM cells c JOIN probes p ON c.cell = p.cell
+), ranked AS (
+  SELECT query_id, vec_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, rank, cosine
+FROM ranked WHERE rank <= {K}
+ORDER BY query_id, rank
 """
 
 
@@ -263,6 +345,7 @@ QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_kmeans_train": ann_kmeans_train,
+    "ann_ivf_trained_topk": ann_ivf_trained_topk,
 }
 
 ORACLES = {
@@ -270,4 +353,5 @@ ORACLES = {
     "ann_lsh_topk": _lsh_oracle(),
     "ann_ivf_topk": ORACLE_ANN_IVF,
     "ann_kmeans_train": _kmeans_oracle(),
+    "ann_ivf_trained_topk": _ivf_trained_oracle(),
 }
