@@ -1271,6 +1271,48 @@ ORDER BY name_a, name_b
 
 
 # --------------------------------------------------------------------------
+# q55: recursive CTE — BOM-style explosion over a synthetic part tree
+# (part p contains parts 2p and 2p+1): per root, the transitive
+# component count and exact total retail price. Spark 4's WITH
+# RECURSIVE executes this as iterated joins under Catalyst (the same
+# loop the dedup Pregel operators hand-roll, here expressed purely in
+# SQL); the oracle is the identical statement — recursive SQL is the
+# one surface where both engines accept the same text. Root 0 must be
+# excluded: p_partkey starts at 0 and 0·2 = 0 self-loops forever.
+# --------------------------------------------------------------------------
+_BOM_SQL = """
+WITH RECURSIVE bom(root, node) AS (
+  SELECT p_partkey, p_partkey FROM part WHERE p_partkey BETWEEN 1 AND 10
+  UNION ALL
+  SELECT b.root, c.p_partkey
+  FROM bom b JOIN part c ON c.p_partkey IN (b.node * 2, b.node * 2 + 1)
+  WHERE c.p_partkey <= 400
+)
+SELECT root,
+       CAST(COUNT(*) AS BIGINT) AS n_components,
+       {total} AS total_price
+FROM bom JOIN part ON node = p_partkey
+GROUP BY root
+ORDER BY root
+"""
+
+
+def q55_bom_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        _BOM_SQL.format(
+            total="CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(38,8)))"
+            " AS STRING) AS DOUBLE)"
+        )
+    )
+
+
+ORACLE_Q55 = _BOM_SQL.format(
+    total="CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)"
+)
+
+
+# --------------------------------------------------------------------------
 # q49: TPC-H Q5 shape — local-supplier volume: revenue per nation where
 # the customer and the supplier sit in the SAME nation, one region, one
 # year. Six tables; region/nation/supplier/customer are dims (broadcast
@@ -1411,6 +1453,7 @@ QUERIES = {
     "q44_top_supplier": q44_top_supplier,
     "q45_big_volume_orders": q45_big_volume_orders,
     "q46_fuzzy_name_pairs": q46_fuzzy_name_pairs,
+    "q55_bom_explosion": q55_bom_explosion,
 }
 
 ORACLES = {
@@ -1451,4 +1494,5 @@ ORACLES = {
     "q44_top_supplier": ORACLE_Q44,
     "q45_big_volume_orders": ORACLE_Q45,
     "q46_fuzzy_name_pairs": ORACLE_Q46,
+    "q55_bom_explosion": ORACLE_Q55,
 }
