@@ -62,4 +62,9 @@ def tune_for_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # Spark still defaults timestamp writes to deprecated INT96, which
+    # carries NO min/max footer stats — every timestamp predicate then
+    # reads every row group. Micros is the modern encoding and makes
+    # sort-on-write layouts (sinks.write_sorted) actually prune.
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     return spark

@@ -86,6 +86,31 @@ def write_bucketed(
     w.saveAsTable(table_name)
 
 
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Sort-on-write layout: range-partition then sort within partitions
+    before writing parquet, so each row group's min/max footer stats
+    span a narrow slice of ``sort_cols`` — point/range filters on those
+    columns then skip most row groups at scan time (Spark's parquet
+    reader prunes on footer stats; at 100 TB this is the difference
+    between touching ~selectivity of the data and touching all of it).
+    The Z-order-lite for a single dominant filter column: pick the
+    column your hottest predicates hit.
+
+    ``repartitionByRange`` samples the data to build balanced ranges —
+    one extra job, paid once at write time, amortized over every read.
+    """
+    parts = df.repartitionByRange(*sort_cols) if n_files is None else (
+        df.repartitionByRange(n_files, *sort_cols)
+    )
+    parts.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)
+
+
 def drop_table(spark: SparkSession, table_name: str) -> None:
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
 

@@ -218,3 +218,59 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     a = {tuple(r) for r in salted.select("l_orderkey", "l_quantity", "o_totalprice").collect()}
     b = {tuple(r) for r in plain.select("l_orderkey", "l_quantity", "o_totalprice").collect()}
     assert a == b
+
+
+def test_write_sorted_enables_row_group_skipping(spark, sf_dir, tmp_path):
+    """Sort-on-write must produce parquet whose row-group min/max stats
+    actually prune: for a narrow shipdate range, the sorted layout
+    leaves most row groups skippable while the natural (orderkey) order
+    leaves nearly all of them overlapping the predicate."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from jobx_spark.sources import load_table
+    from jobx_spark.sources.sinks import write_sorted
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_quantity"
+    )
+    unsorted_path = str(tmp_path / "unsorted")
+    sorted_path = str(tmp_path / "sorted")
+    # small row groups so both layouts have enough groups to measure;
+    # micros timestamps (the session default) carry footer stats, INT96
+    # would not
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    spark.conf.set("spark.hadoop.parquet.block.size", str(64 * 1024))
+    li.repartition(4).write.parquet(unsorted_path)
+    write_sorted(li, sorted_path, ["l_shipdate"], n_files=4)
+    spark.conf.unset("spark.hadoop.parquet.block.size")
+
+    lo = li.selectExpr("min(l_shipdate)").first()[0]
+    hi = li.selectExpr(
+        "min(l_shipdate) + INTERVAL 30 DAYS"
+    ).first()[0]
+
+    def prunable_fraction(path: str) -> tuple[int, float]:
+        total = kept = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx["l_shipdate"]).statistics
+                total += 1
+                # footer stats decode tz-aware; Spark rows are naive UTC
+                mn = st.min.replace(tzinfo=None)
+                mx = st.max.replace(tzinfo=None)
+                if mn <= hi and mx >= lo:  # overlaps -> must read
+                    kept += 1
+        return total, 1 - kept / total
+
+    n_u, frac_u = prunable_fraction(unsorted_path)
+    n_s, frac_s = prunable_fraction(sorted_path)
+    assert n_u >= 4 and n_s >= 4, "need several row groups to compare"
+    # sorted layout: the 30-day slice lives in few groups
+    assert frac_s >= 0.5, f"sorted layout prunes too little: {frac_s:.2f}"
+    # natural order: shipdates are scattered, almost nothing prunes
+    assert frac_u <= 0.25, f"unsorted unexpectedly prunable: {frac_u:.2f}"
+    assert frac_s > frac_u
