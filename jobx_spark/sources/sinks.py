@@ -111,6 +111,73 @@ def write_sorted(
     parts.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)
 
 
+def zorder_key(
+    df: DataFrame, cols: list[str], bits: int = 6
+) -> tuple[DataFrame, "F.Column"]:
+    """Z-order (Morton) key over `cols`: each column is quantized into
+    2^bits rank buckets via approxQuantile boundaries, and the bucket
+    bits are interleaved into one BIGINT. Sorting by that key clusters
+    rows so that a range predicate on ANY of the columns maps to a
+    contiguous-ish set of row groups — the multi-column generalization
+    of :func:`write_sorted` (Delta/Iceberg's OPTIMIZE ZORDER, expressed
+    in plain Spark).
+
+    Quantile boundaries come from ``approxQuantile`` — a bounded
+    driver-side sketch (Greenwald-Khanna), not a collect; at 100 TB the
+    sketch pass is one scan and the boundaries are `2^bits − 1` doubles
+    per column, shipped as literals. The per-row bucket is a
+    boundary-count fold over that small array — 2^bits comparisons per
+    row per column, which is why the default is 6 bits (64 buckets):
+    clustering quality at row-group granularity saturates well below
+    the row count per group, and the expression stays cheap. Returns
+    (df with ``_z`` column, the column) — callers sort by ``_z`` and
+    drop it.
+    """
+    n_buckets = 1 << bits
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    key = F.lit(0).cast("long")
+    for ci, c in enumerate(cols):
+        cuts = df.approxQuantile(c, probs, 0.001)
+        arr = F.array(*[F.lit(float(x)) for x in cuts])
+        # bucket = number of boundaries ≤ value (monotone, dense ranks)
+        bucket = F.aggregate(
+            arr,
+            F.lit(0).cast("long"),
+            lambda acc, v: acc
+            + F.when(v <= F.col(c).cast("double"), 1).otherwise(0).cast("long"),
+        )
+        # interleave: bit b of this column's bucket lands at position
+        # b * n_cols + ci of the z key
+        for b in range(bits):
+            key = key + (
+                F.shiftright(bucket, b).bitwiseAND(F.lit(1)).cast("long")
+                * F.lit(1 << (b * len(cols) + ci)).cast("long")
+            )
+    return df.withColumn("_z", key), F.col("_z")
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 6,
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet clustered by the Z-order key of `cols` — range
+    predicates on any of the columns skip row groups via footer stats
+    (verified by the layout test). One sketch pass + one range
+    exchange + the write; pay it once, every read on either column
+    benefits."""
+    zdf, zcol = zorder_key(df, cols, bits)
+    parts = (
+        zdf.repartitionByRange("_z")
+        if n_files is None
+        else zdf.repartitionByRange(n_files, "_z")
+    )
+    parts.sortWithinPartitions("_z").drop("_z").write.mode(mode).parquet(path)
+
+
 def drop_table(spark: SparkSession, table_name: str) -> None:
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
 

@@ -274,3 +274,54 @@ def test_write_sorted_enables_row_group_skipping(spark, sf_dir, tmp_path):
     # natural order: shipdates are scattered, almost nothing prunes
     assert frac_u <= 0.25, f"unsorted unexpectedly prunable: {frac_u:.2f}"
     assert frac_s > frac_u
+
+
+def test_zorder_layout_prunes_on_both_columns(spark, sf_dir, tmp_path):
+    """Z-order clustering must make range predicates on EITHER column
+    skip row groups, where a single-column sort only serves its own
+    column: partkey predicates prune ~nothing under an orderkey sort
+    but substantially under the interleaved layout."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from jobx_spark.sources import load_table
+    from jobx_spark.sources.sinks import write_sorted, write_zordered
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    # tiny test data fits one row group per file, so granularity comes
+    # from file count: 16 files ~= 16 row groups
+    by_order = str(tmp_path / "by_order")
+    zordered = str(tmp_path / "zorder")
+    write_sorted(li, by_order, ["l_orderkey"], n_files=16)
+    write_zordered(li, zordered, ["l_orderkey", "l_partkey"], n_files=16)
+
+    stats = li.selectExpr(
+        "min(l_partkey)", "max(l_partkey)", "min(l_orderkey)", "max(l_orderkey)"
+    ).first()
+    pk_lo, pk_hi = stats[0], stats[0] + (stats[1] - stats[0]) // 8
+    ok_lo, ok_hi = stats[2], stats[2] + (stats[3] - stats[2]) // 8
+
+    def prunable(path: str, col: str, lo, hi) -> float:
+        total = kept = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[col]).statistics
+                total += 1
+                if st.min <= hi and st.max >= lo:
+                    kept += 1
+        assert total >= 12, f"need row groups to measure, got {total}"
+        return 1 - kept / total
+
+    # single-column sort: own column prunes hard, the other ~not at all
+    assert prunable(by_order, "l_orderkey", ok_lo, ok_hi) >= 0.5
+    assert prunable(by_order, "l_partkey", pk_lo, pk_hi) <= 0.2
+    # z-order: BOTH columns prune meaningfully
+    z_ok = prunable(zordered, "l_orderkey", ok_lo, ok_hi)
+    z_pk = prunable(zordered, "l_partkey", pk_lo, pk_hi)
+    assert z_ok >= 0.3, f"zorder orderkey pruning too weak: {z_ok:.2f}"
+    assert z_pk >= 0.3, f"zorder partkey pruning too weak: {z_pk:.2f}"
