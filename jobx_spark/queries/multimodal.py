@@ -115,11 +115,51 @@ ORDER BY asset_id
 """
 
 
+# --------------------------------------------------------------------------
+# multimodal_resize — binary → resized binary through mapInPandas; the
+# fake "resize" (md5 hex repeated to width·height bytes) is restated in
+# SQL, so the whole binary-in/binary-out pipeline is hash-verified via
+# its output metadata.
+# --------------------------------------------------------------------------
+RS_W, RS_H = 16, 16
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.operators.multimodal import payload_metadata, resize_assets
+
+    resized = resize_assets(_assets(spark, sf_dir), width=RS_W, height=RS_H)
+    return (
+        resized.select(
+            "asset_id",
+            "kind",
+            "width",
+            "height",
+            F.octet_length("data").cast("bigint").alias("out_len"),
+            F.md5("data").alias("out_digest"),
+        )
+        .orderBy("asset_id")
+    )
+
+
+ORACLE_MULTIMODAL_RESIZE = f"""
+SELECT doc_id AS asset_id,
+       'image/resized' AS kind,
+       CAST({RS_W} AS BIGINT) AS width,
+       CAST({RS_H} AS BIGINT) AS height,
+       CAST({RS_W * RS_H} AS BIGINT) AS out_len,
+       md5(substr(repeat(md5(text), {RS_W * RS_H // 32 + 1}), 1, {RS_W * RS_H}))
+         AS out_digest
+FROM documents
+ORDER BY asset_id
+"""
+
+
 QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,
     "multimodal_frames": multimodal_frames,
     "multimodal_infer": multimodal_infer,
+    "multimodal_resize": multimodal_resize,
 }
 
 ORACLES = {
@@ -127,4 +167,5 @@ ORACLES = {
     "multimodal_features": _features_oracle(),
     "multimodal_frames": ORACLE_MULTIMODAL_FRAMES,
     "multimodal_infer": ORACLE_MULTIMODAL_INFER,
+    "multimodal_resize": ORACLE_MULTIMODAL_RESIZE,
 }
