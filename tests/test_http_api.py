@@ -183,3 +183,23 @@ def test_async_result_polling(server):
     assert state["is_done"] is True
     assert state["error"] is None
     assert state["result"]["pairs"] == [["arg1", [8]]]
+
+
+def test_concurrent_blocking_submits(server):
+    """Eight clients submit blocking jobs simultaneously: Spark
+    schedules the jobs concurrently (FAIR-ish interleave on local),
+    and every response carries its own request's correct result —
+    no cross-request state bleed in the engine or the HTTP layer."""
+    import concurrent.futures
+
+    def one(i):
+        resp, body = _post(
+            server.url + "/job/wfh/j1", {"arguments": {"arg1": i}}, timeout=300
+        )
+        return i, resp.status, body["result"]["pairs"]
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as pool:
+        results = list(pool.map(one, range(3, 11)))
+    for i, status, pairs in results:
+        assert status == 200
+        assert pairs == [["arg1", [i * 2]]], f"wrong result for arg {i}"
