@@ -112,3 +112,50 @@ def fingerprint(col: Column | str) -> Column:
         F.lit(0).cast("long"),
         lambda acc, tok: (acc * 31 + md5_long(tok)) % FINGERPRINT_MOD,
     )
+
+
+# ------------------------------------------------------------ count-min sketch
+CMS_DEPTH, CMS_WIDTH = 4, 256
+
+
+def cms_counters(
+    df: DataFrame,
+    text_col: str = "text",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Count-Min sketch over the token stream: (r, bucket, c) counters,
+    ``depth`` hash rows × ``width`` buckets.
+
+    CMS is THE mergeable frequency sketch for 100 TB streams — and
+    unlike quantile or heavy-hitter sketches whose state depends on
+    arrival order, its counters are pure sums, so the sketch is
+    partition- and order-independent: the same depth×width table comes
+    out of any cluster layout, which is what makes it exactly
+    reproducible in SQL. The groupBy partial-aggregates map-side, so
+    each task ships at most depth·width counter rows regardless of
+    input size; estimates are ``min_r counter[r][h_r(x)]`` and only
+    ever overcount (by ≤ n/width in expectation per row).
+    """
+    tok = df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+    hashed = tok.select(
+        "tok",
+        F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("r"),
+    ).select(
+        "r",
+        F.pmod(
+            md5_long(
+                F.concat(F.col("r").cast("string"), F.lit(":"), F.col("tok"))
+            ),
+            F.lit(width),
+        ).alias("bucket"),
+    )
+    return hashed.groupBy("r", "bucket").agg(F.count("*").alias("c"))
+
+
+def cms_bucket(tok_col: Column, r_col: Column, width: int = CMS_WIDTH) -> Column:
+    """The sketch's hash: bucket of token `tok_col` in row `r_col`."""
+    return F.pmod(
+        md5_long(F.concat(r_col.cast("string"), F.lit(":"), tok_col)),
+        F.lit(width),
+    )

@@ -42,8 +42,8 @@ def all_queries() -> dict[str, QueryFn]:
     # Registry order IS verification order: the driver's correctness
     # gate checks the first 50 entries, so the modules whose queries
     # have no banked driver rows come first — dedup(14) + ann(5) +
-    # text(6) + multimodal(5) + MR-engine(2) + all 11 streams (r1's
-    # broken area) = 43, then the first 7 pipeline queries fill the
+    # text(7) + multimodal(5) + MR-engine(2) + all 11 streams (r1's
+    # broken area) = 44, then the first 6 pipeline queries fill the
     # gate; the remaining pipeline entries are CI-oracle-verified and
     # rotate into the gate next round. relational/temporal hold 48
     # green rows banked from r1.

@@ -263,6 +263,82 @@ ORDER BY doc_id, rank
 """
 
 
+# --------------------------------------------------------------------------
+# text_cms_heavy_hitters — Count-Min-sketched frequencies for the exact
+# top-20 tokens, next to their true counts. The sketch's counters are
+# pure sums (order/partition-independent), so the whole thing — build,
+# probe, overcount — is reproducible in SQL and hash-verified; the
+# overcount column is the sketch's error, structurally ≥ 0.
+# --------------------------------------------------------------------------
+CMS_TOP = 20
+
+
+def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.operators.text import (
+        CMS_DEPTH,
+        cms_bucket,
+        cms_counters,
+        tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    counters = cms_counters(docs)
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    exact = (
+        tok.groupBy("tok")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("tok"))
+        .limit(CMS_TOP)
+    )
+    probes = exact.select(
+        "tok",
+        "exact_n",
+        F.explode(F.array(*[F.lit(r) for r in range(CMS_DEPTH)])).alias("r"),
+    ).withColumn("bucket", cms_bucket(F.col("tok"), F.col("r")))
+    est = (
+        probes.join(F.broadcast(counters), ["r", "bucket"])
+        .groupBy("tok", "exact_n")
+        .agg(F.min("c").alias("cms_n"))
+    )
+    return est.select(
+        "tok",
+        "exact_n",
+        "cms_n",
+        (F.col("cms_n") - F.col("exact_n")).alias("overcount"),
+    ).orderBy(F.desc("exact_n"), F.asc("tok"))
+
+
+def _cms_oracle() -> str:
+    from jobx_spark.operators.text import CMS_DEPTH, CMS_WIDTH
+
+    rows = ", ".join(f"({r})" for r in range(CMS_DEPTH))
+    h = _MD5.format(e="(CAST(rr.r AS VARCHAR) || ':' || tok)")
+    hp = _MD5.format(e="(CAST(rr.r AS VARCHAR) || ':' || e.tok)")
+    return f"""
+WITH tok AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+counters AS (
+  SELECT rr.r, ({h}) % {CMS_WIDTH} AS bucket, CAST(count(*) AS BIGINT) AS c
+  FROM tok, (VALUES {rows}) AS rr(r)
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS exact_n
+  FROM tok GROUP BY tok
+  ORDER BY exact_n DESC, tok ASC LIMIT {CMS_TOP}
+),
+est AS (
+  SELECT e.tok, e.exact_n, MIN(c.c) AS cms_n
+  FROM exact e
+  CROSS JOIN (VALUES {rows}) AS rr(r)
+  JOIN counters c ON c.r = rr.r AND c.bucket = ({hp}) % {CMS_WIDTH}
+  GROUP BY e.tok, e.exact_n
+)
+SELECT tok, exact_n, cms_n, cms_n - exact_n AS overcount
+FROM est
+ORDER BY exact_n DESC, tok ASC
+"""
+
+
 QUERIES = {
     "text_quality": text_quality,
     "text_repetition": text_repetition,
@@ -270,6 +346,7 @@ QUERIES = {
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
     "text_token_histogram": text_token_histogram,
+    "text_cms_heavy_hitters": text_cms_heavy_hitters,
 }
 
 ORACLES = {
@@ -279,4 +356,5 @@ ORACLES = {
     "text_lang_id": _lang_oracle(),
     "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
     "text_token_histogram": ORACLE_TEXT_TOKEN_HISTOGRAM,
+    "text_cms_heavy_hitters": _cms_oracle(),
 }
