@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from jobx_spark.functions import md5_long, minhash_coeffs, perm_hash
+from jobx_spark.lineage import cut_lineage
 from jobx_spark.operators.text import shingles, tokens
 
 DOT_SCALE = 1e12
@@ -291,9 +292,10 @@ def connected_components(
     joins current labels across the (symmetrized) edge list and takes
     the per-node min — one shuffle per round, converging in O(graph
     diameter) rounds. Dup-candidate graphs from LSH banding are near-
-    cliques, so 2-3 rounds settle them in practice; `localCheckpoint`
-    truncates the growing lineage each round (on a cluster, periodic
-    reliable checkpointing instead). At the 100 TB extreme the same loop
+    cliques, so 2-3 rounds settle them in practice; ``cut_lineage``
+    (reliable parquet round-trip, jobx_spark/lineage.py) truncates the
+    growing lineage each round — unlike localCheckpoint it survives
+    executor loss on a cluster. At the 100 TB extreme the same loop
     is the large-star/small-star algorithm's simpler cousin — rounds are
     plain shuffles on node id, so AQE/skew handling applies untouched.
 
@@ -306,15 +308,14 @@ def connected_components(
     # Materialize the edge list once — every round joins against it, and
     # without this each round would recompute the (possibly expensive)
     # upstream pair-generation pipeline from scratch.
-    sym = (
-        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
-        .localCheckpoint()
+    sym = cut_lineage(
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct(),
+        "cc-edges",
     )
-    labels = (
+    labels = cut_lineage(
         sym.select(F.col("u").alias("node")).distinct()
-        .withColumn("comp", F.col("node"))
-        .localCheckpoint()
+        .withColumn("comp", F.col("node")),
+        "cc-labels",
     )
     for _ in range(max_iter):
         msgs = (
@@ -322,11 +323,11 @@ def connected_components(
             .join(labels.alias("l"), F.col("e.u") == F.col("l.node"))
             .select(F.col("e.v").alias("node"), F.col("l.comp").alias("comp"))
         )
-        new_labels = (
+        new_labels = cut_lineage(
             labels.union(msgs)
             .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
-            .localCheckpoint()
+            .agg(F.min("comp").alias("comp")),
+            "cc-labels",
         )
         improved = (
             new_labels.alias("n")
@@ -373,13 +374,12 @@ def pagerank(
     e = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     )
-    sym = (
-        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
-        .localCheckpoint()
+    sym = cut_lineage(
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct(),
+        "pr-edges",
     )
     deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
-    edges_deg = sym.join(deg, "u").localCheckpoint()
+    edges_deg = cut_lineage(sym.join(deg, "u"), "pr-edges-deg")
     nodes = deg.select(F.col("u").alias("node"), "deg")
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("r"))
     base = (15 * scale) // 100
@@ -388,14 +388,14 @@ def pagerank(
             edges_deg.join(ranks, edges_deg["u"] == ranks["node"])
             .select(F.col("v").alias("node"), F.expr("r div deg").alias("share"))
         )
-        ranks = (
+        ranks = cut_lineage(
             shares.groupBy("node")
             .agg(F.sum("share").alias("total"))
             .select(
                 "node",
                 (F.lit(base) + F.expr("(85 * total) div 100")).cast("long").alias("r"),
-            )
-            .localCheckpoint()
+            ),
+            "pr-ranks",
         )
     return ranks.select(
         "node",
@@ -646,23 +646,52 @@ def cosine_from_scaled(dot_s: Column, norm_a_s: Column, norm_b_s: Column) -> Col
     )
 
 
+ALL_PAIRS_LIMIT = 20_000
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str | None = "label",
     min_cosine: float = 0.9,
+    auto_block_planes: int = 8,
+    allow_all_pairs: bool = False,
 ) -> DataFrame:
     """Cosine near-duplicate pairs within blocks.
 
-    Blocking (a label, an LSH bucket from similarity.hyperplane_bucket,
-    or a coarse quantization) bounds the pair enumeration; the exact
-    cosine then verifies. Output (id_a, id_b, cosine).
+    Blocking (a label, an LSH bucket, or a coarse quantization) bounds
+    the pair enumeration; the exact cosine then verifies. Output
+    (id_a, id_b, cosine).
+
+    Safe by default: ``block_col=None`` does NOT fall back to all-pairs
+    — it auto-blocks with deterministic hyperplane LSH
+    (``similarity.hyperplane_bucket_udf``, ``auto_block_planes`` sign
+    bits), so the worst case stays pairs-within-buckets at any corpus
+    size (at the cost of missing cross-bucket pairs, the standard LSH
+    recall trade). The true all-pairs cross product — O(n²) and a
+    cluster-killer at 100 TB — must be requested with
+    ``allow_all_pairs=True`` and raises above ``ALL_PAIRS_LIMIT`` rows.
     """
     sdot = scaled_dot_udf()
+    if block_col is not None:
+        blk = F.col(block_col)
+    elif allow_all_pairs:
+        n = df.count()
+        if n > ALL_PAIRS_LIMIT:
+            raise ValueError(
+                f"allow_all_pairs=True on {n} rows (> {ALL_PAIRS_LIMIT}): "
+                "the unblocked cross product is O(n²). Pass a block_col "
+                "or use the default LSH auto-blocking (block_col=None)."
+            )
+        blk = F.lit(1)
+    else:
+        from jobx_spark.operators.similarity import hyperplane_bucket_udf
+
+        blk = hyperplane_bucket_udf(auto_block_planes)(F.col(vec_col))
     base = df.select(
         F.col(id_col).alias("id"),
-        *( [F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")] ),
+        blk.alias("blk"),
         F.col(vec_col).alias("v"),
     ).withColumn("norm_s", sdot(F.col("v"), F.col("v")))
     a, b = base.alias("a"), base.alias("b")

@@ -21,6 +21,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from jobx_spark.lineage import cut_lineage
 from jobx_spark.operators.dedup import cosine_from_scaled, scaled_dot, scaled_dot_udf
 
 # hyperplane weights: w(plane j, dim i) = +1 if ((j*1000003 + i*7919) mod 97)
@@ -212,7 +213,8 @@ def kmeans_train(
     assignment join — the corpus never shuffles for assignment; the
     update is one posexplode + (cell, dim)-keyed aggregation (map-side
     partial) whose output is k·dim rows. Driver never sees vectors;
-    centroid frames are localCheckpoint'ed (tiny) to cut lineage.
+    centroid frames (tiny) are reliably checkpointed each round via
+    ``cut_lineage`` — survives executor loss, unlike localCheckpoint.
     """
     e = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     e = e.withColumn("vnorm_s", _sdot(F.col("v"), F.col("v")))
@@ -224,8 +226,8 @@ def kmeans_train(
                 "v", lambda x: F.floor(x.cast("double") * scale).cast("long")
             ).alias("cv_s"),
         )
-        .localCheckpoint()
     )
+    cent = cut_lineage(cent, "km-cent")
 
     def assign(cent_df: DataFrame) -> DataFrame:
         cd = cent_df.select(
@@ -277,8 +279,8 @@ def kmeans_train(
                 ).alias("cv_s")
             )
             .select(F.col("cell").alias("cent_id"), "cv_s")
-            .localCheckpoint()
         )
+        cent = cut_lineage(cent, "km-cent")
     if output == "centroids":
         return cent.select(
             "cent_id",

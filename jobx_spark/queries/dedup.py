@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from jobx_spark.functions import MINHASH_P, minhash_coeffs
+from jobx_spark.lineage import cut_lineage
 from jobx_spark.operators.dedup import (
     SIMHASH_BITS,
     embedding_dup_pairs,
@@ -391,6 +392,51 @@ ORDER BY id_a, id_b
 
 
 # --------------------------------------------------------------------------
+# dedup_embedding_lsh — cosine near-dup pairs with NO label column: the
+# operator's safe default auto-blocks by deterministic hyperplane LSH
+# (block_col=None never degrades to all-pairs; see operators/dedup.py
+# embedding_dup_pairs). The oracle re-derives the identical bucket
+# arithmetic in SQL, so the green row attests the auto-blocking path
+# end-to-end.
+# --------------------------------------------------------------------------
+LSH_BLOCK_PLANES = 6
+
+
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        embedding_dup_pairs(
+            emb,
+            block_col=None,
+            min_cosine=COSINE_MIN,
+            auto_block_planes=LSH_BLOCK_PLANES,
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _embedding_lsh_oracle() -> str:
+    from jobx_spark.queries.similarity import bucket_sql
+
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         {_SDOT.format(a='embedding', b='embedding')} AS norm_s,
+         {bucket_sql(LSH_BLOCK_PLANES)} AS blk
+  FROM embeddings
+), p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_SDOT.format(a='a.embedding', b='b.embedding')}::DOUBLE
+           / (sqrt(a.norm_s::DOUBLE) * sqrt(b.norm_s::DOUBLE)) AS cosine
+  FROM e a JOIN e b ON a.blk = b.blk AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM p
+WHERE cosine >= {COSINE_MIN}
+ORDER BY id_a, id_b
+"""
+
+
+# --------------------------------------------------------------------------
 # dedup_jaccard_prefix — the SAME result as dedup_ngram_jaccard (same
 # oracle), computed with prefix filtering: candidates come from rare-
 # token prefixes instead of the full token self-join, which is the
@@ -468,18 +514,16 @@ def dedup_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each time (plan audit showed 12 documents scans without this). A
     # lazy .persist() is not enough: the downstream plan still embeds
     # the full LSH lineage, and concurrent subtree evaluation inside one
-    # action can race the cache and recompute. localCheckpoint cuts the
-    # lineage to the materialized partitions (executor-local storage; on
-    # a production cluster with executor loss concerns, swap for a
-    # reliable checkpoint dir). The edge list is pair-graph-sized —
-    # orders of magnitude smaller than the corpus — so this holds at
-    # 100 TB.
-    sym = (
+    # action can race the cache and recompute. cut_lineage (reliable
+    # parquet round-trip) truncates to a bare file scan and survives
+    # executor loss. The edge list is pair-graph-sized — orders of
+    # magnitude smaller than the corpus — so this holds at 100 TB.
+    sym = cut_lineage(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
             pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-        )
-        .localCheckpoint(eager=True)
+        ),
+        "twohop-edges",
     )
     one_hop = sym
     two_hop = (
@@ -643,6 +687,7 @@ QUERIES = {
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding": dedup_embedding,
+    "dedup_embedding_lsh": dedup_embedding_lsh,
     "dedup_containment": dedup_containment,
     "dedup_two_hop_reach": dedup_two_hop_reach,
     "dedup_decontaminate": dedup_decontaminate,
@@ -660,6 +705,7 @@ ORACLES = {
     "dedup_simhash_pairs": _simhash_pairs_oracle(),
     "dedup_ngram_jaccard": ORACLE_DEDUP_JACCARD,
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
+    "dedup_embedding_lsh": _embedding_lsh_oracle(),
     "dedup_containment": ORACLE_DEDUP_CONTAINMENT,
     "dedup_two_hop_reach": _two_hop_oracle(),
     "dedup_decontaminate": _decontaminate_oracle(),

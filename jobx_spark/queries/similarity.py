@@ -32,6 +32,24 @@ def _probe_queries(emb: DataFrame) -> DataFrame:
     )
 
 
+def bucket_sql(n_planes: int, col: str = "embedding") -> str:
+    """DuckDB rendering of ``operators.similarity.hyperplane_bucket``:
+    bucket bit j = sign of sum_i floor(e[i] * w(j, i-1) * 1e12), w = ±1
+    from ((j*WP1 + (i-1)*WP2) % WMOD) parity. DuckDB lists are 1-based,
+    Spark's index sequence is 0-based — hence (i-1). Shared by the ANN
+    LSH oracle and the dedup embedding-LSH oracle so both attest the
+    same bucketing arithmetic."""
+    bits = " + ".join(
+        f"""(CASE WHEN CAST(list_sum(list_transform(generate_series(1, len({col})),
+            i -> CAST(floor({col}[i]::DOUBLE *
+                 (CASE WHEN (({j} * {_WP1} + (i - 1) * {_WP2}) % {_WMOD}) % 2 = 0
+                       THEN 1.0 ELSE -1.0 END) * 1e12) AS BIGINT))) AS BIGINT) >= 0
+            THEN {1 << j}::BIGINT ELSE 0::BIGINT END)"""
+        for j in range(n_planes)
+    )
+    return f"CAST({bits} AS BIGINT)"
+
+
 # --------------------------------------------------------------------------
 # ann_bruteforce_topk — exact cosine top-k for the probe set.
 # --------------------------------------------------------------------------
@@ -75,22 +93,11 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_oracle() -> str:
-    # bucket bit j: sign of sum_i floor(e[i] * w(j, i-1) * 1e12), w = ±1
-    # from ((j*WP1 + (i-1)*WP2) % WMOD) parity; DuckDB lists are 1-based,
-    # Spark's index sequence is 0-based — hence (i-1).
-    bits = " + ".join(
-        f"""(CASE WHEN CAST(list_sum(list_transform(generate_series(1, len(embedding)),
-            i -> CAST(floor(embedding[i]::DOUBLE *
-                 (CASE WHEN (({j} * {_WP1} + (i - 1) * {_WP2}) % {_WMOD}) % 2 = 0
-                       THEN 1.0 ELSE -1.0 END) * 1e12) AS BIGINT))) AS BIGINT) >= 0
-            THEN {1 << j}::BIGINT ELSE 0::BIGINT END)"""
-        for j in range(N_PLANES)
-    )
     return f"""
 WITH e AS (
   SELECT vec_id, embedding,
          {_SDOT.format(a='embedding', b='embedding')} AS norm_s,
-         CAST({bits} AS BIGINT) AS bucket
+         {bucket_sql(N_PLANES)} AS bucket
   FROM embeddings
 ), q AS (
   SELECT vec_id AS query_id, embedding AS qv, norm_s AS qnorm_s, bucket
