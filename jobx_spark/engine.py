@@ -287,11 +287,16 @@ class Engine:
 
     def __init__(
         self, spark: SparkSession, workdir: str | None = None,
-        catalog: Catalog | None = None,
+        catalog: Catalog | None = None, capture_forensics: bool = True,
     ):
         self.spark = spark
         self.catalog = catalog or Catalog()
         self.workdir = workdir
+        # Invocation forensics add one extra groupBy/join/collect Spark
+        # job per step per submit. Default on for reference parity
+        # (trace/graph endpoints); turn off for hot submit paths where
+        # the per-step latency matters more than forensics.
+        self.capture_forensics = capture_forensics
         self._requests: dict[str, Request] = {}
 
     # ---------------------------------------------------------------- CRUD
@@ -373,7 +378,11 @@ class Engine:
         transits to the driver (the reference stores full per-invocation
         datasets in etcd, mr/models/kv/invocation.py — at 100 TB the cap
         is what keeps forensics from becoming a driver OOM)."""
-        if trace is None or len(trace.invocations) >= INVOCATION_CAP:
+        if (
+            not self.capture_forensics
+            or trace is None
+            or len(trace.invocations) >= INVOCATION_CAP
+        ):
             return
         room = INVOCATION_CAP - len(trace.invocations)
         args = frontier.groupBy("inv").agg(
@@ -597,6 +606,13 @@ class Engine:
         partial/final aggregation. ``pairs_df`` must have columns
         ``k``/``v`` as JSON-encoded strings.
 
+        Result contract: for dataset sinks, ``request.result_df``
+        carries DECODED ``k``/``v`` string columns (JSON-string quoting
+        stripped; numbers as their text; arrays/objects as JSON text) —
+        mirroring the inline path's ``_decode``, so string keys read
+        back as ``foo``, not ``"foo"``. The files on disk keep the
+        JSON-encoded pairs for lossless round-trips.
+
         At 100 TB: buckets are groups, not tasks — size n_buckets ~
         2-3x total cores; each bucket's pairs stream through one Arrow
         batch pipeline.
@@ -653,7 +669,17 @@ class Engine:
                 path = opts.pop("path")
                 out = folded.select("seq", "k", "v")
                 _DATASET_SINKS[result_writer](out, path, **opts)
-                request.result_df = _DATASET_READERS[result_writer](self.spark, path)
+                # Decode on read-back (JVM-side): get_json_object('$')
+                # unquotes JSON strings and passes other scalars/
+                # composites through as text — the inline _decode
+                # contract, so k.cast(...) and string keys both behave.
+                request.result_df = _DATASET_READERS[result_writer](
+                    self.spark, path
+                ).select(
+                    "seq",
+                    F.get_json_object("k", "$").alias("k"),
+                    F.get_json_object("v", "$").alias("v"),
+                )
                 request.result = {
                     "path": path,
                     "format": result_writer,

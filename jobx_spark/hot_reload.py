@@ -65,6 +65,11 @@ class HandlerUpdateLoop:
         self._exit = threading.Event()
         self._thread: threading.Thread | None = None
         self.last_result: dict | None = None
+        # Observable failure signal: a permanently broken tree must not
+        # look like "quietly in sync" (last_result would keep showing
+        # the last good pass). Cleared on the next successful pass.
+        self.last_error: str | None = None
+        self._last_error_sig: str | None = None
 
     def check_once(self) -> dict:
         """One sync pass. Skips the (comparatively) expensive parse+diff
@@ -77,14 +82,27 @@ class HandlerUpdateLoop:
         result = sync_handlers_from_dir(self.catalog, self.workflow_name, self.source_dir)
         self._known_state = state
         self.last_result = result
+        self.last_error = None
         return result
 
     def _run(self) -> None:
+        import logging
+        import traceback
+
         while not self._exit.is_set():
             try:
                 self.check_once()
             except Exception:  # noqa: BLE001 - a broken source file must not
-                pass  # kill the daemon; next interval retries (ref behavior)
+                # kill the daemon; next interval retries (ref behavior) —
+                # but record it so callers can detect a stuck loop, and
+                # log once per distinct error to avoid interval spam.
+                self.last_error = traceback.format_exc()
+                sig = self.last_error.strip().splitlines()[-1]
+                if sig != self._last_error_sig:
+                    logging.getLogger(__name__).warning(
+                        "hot-reload pass failed for %s: %s", self.source_dir, sig
+                    )
+                    self._last_error_sig = sig
             self._exit.wait(self.interval_s)
 
     def start(self) -> "HandlerUpdateLoop":

@@ -83,7 +83,7 @@ GROUP BY event_type
 # nothing transits the driver.
 # --------------------------------------------------------------------------
 def mr_engine_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from jobx_spark.lineage import scratch_dir
 
     ev = load_table(spark, sf_dir, "events")
     pairs = ev.select(
@@ -91,7 +91,7 @@ def mr_engine_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").alias("v"),
     )
     engine = _build_engine(spark)
-    out = tempfile.mkdtemp(prefix="mr_user_value_")
+    out = scratch_dir("mr_user_value")
     req = engine.submit_dataset(
         "mr", "job_sum", pairs,
         result_writer="parquet", writer_options={"path": out},

@@ -278,14 +278,14 @@ def stream_sink_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     complete aggregation — which is exactly what the batch oracle
     computes. This puts the file-sink/MERGE machinery itself, not just
     the in-memory results, under the correctness gate."""
-    import tempfile
+    from jobx_spark.lineage import scratch_dir
 
     ev = S.stream_events(spark, sf_dir)
     # replay semantics: the watermark must cover the dataset's span so
     # no batch's events count as late (see tumbling_window_agg docs);
     # rollup state is bounded by windows × types regardless.
     agg = S.tumbling_window_agg(ev, watermark="3650 days")
-    root = tempfile.mkdtemp(prefix="stream_rollup_")
+    root = scratch_dir("stream_rollup")
     state, ckpt = f"{root}/state", f"{root}/ckpt"
     S.stream_upsert_parquet(
         agg, state, ckpt,

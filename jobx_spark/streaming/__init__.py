@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import itertools
 import os
-import tempfile
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -31,6 +30,15 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 _name_counter = itertools.count()
+
+
+def _scratch(tag: str) -> str:
+    """Streaming checkpoints live under the atexit-cleaned process
+    scratch root, not bare mkdtemp — bench/verify loops previously
+    leaked one checkpoint dir per query run into /tmp."""
+    from jobx_spark.lineage import scratch_dir
+
+    return scratch_dir(tag)
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -78,7 +86,7 @@ def run_available_now(
         df.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+        .option("checkpointLocation", _scratch(f"ckpt_{name}"))
         .trigger(availableNow=True)
         .start()
     )

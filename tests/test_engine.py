@@ -494,6 +494,33 @@ def test_submit_dataset_distributed_parquet_sink(spark, tmp_path):
     assert req.result["n_pairs"] == 7
 
 
+def test_submit_dataset_sink_decodes_string_keys(spark, tmp_path):
+    """result_df follows the inline contract: DECODED k/v (ADVICE r2).
+    String keys must read back as ``user_a``, not the JSON-quoted
+    ``"user_a"`` — and not silently NULL under a cast."""
+    from pyspark.sql import functions as F
+
+    eng = Engine(spark)
+    eng.create_workflow("wfs")
+    eng.register_handler("wfs", "pass", fn=_mapper_passthrough, handler_type="mapper")
+    eng.register_handler("wfs", "sum", fn=reducer_sum, handler_type="reducer")
+    eng.create_step("wfs", "ss", "pass", "sum")
+    eng.create_job("wfs", "js", "ss")
+
+    pairs = spark.range(100).select(
+        # JSON-encoded *string* keys per the pairs_df contract
+        F.concat(F.lit('"user_'), (F.col("id") % 3).cast("string"), F.lit('"')).alias("k"),
+        F.lit("1").alias("v"),
+    )
+    out = str(tmp_path / "folded_str")
+    req = eng.submit_dataset(
+        "wfs", "js", pairs, result_writer="parquet",
+        writer_options={"path": out},
+    )
+    got = {r["k"]: int(r["v"]) for r in req.result_df.collect()}
+    assert got == {"user_0": 34, "user_1": 33, "user_2": 33}
+
+
 def test_invocation_trace_and_graph(engine):
     """Invocation forensics parity (reference mr/trace.py:170-334):
     fan-out job records parent->child invocation edges with dataset

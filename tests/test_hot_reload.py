@@ -86,3 +86,31 @@ def test_deleted_source_is_garbage_collected(workbench):
     (src / "extra.py").unlink()
     loop.check_once()
     assert not any(h.name == "extra" for h in eng.catalog.list_handlers("wfr"))
+
+
+def test_failed_pass_is_observable(workbench):
+    """A broken tree must not look 'quietly in sync' (ADVICE r2): the
+    daemon loop records failures on last_error and clears it on the
+    next good pass."""
+    eng, loop, src = workbench
+    good = (src / "dbl.py").read_text()
+    (src / "dbl.py").write_text('"""broken\n**\nnot-json\n"""\nyield 1\n')
+    loop.interval_s = 0.05
+    loop._known_state = None  # force a re-scan of the broken tree
+    loop._thread = None
+    import threading
+
+    t = threading.Thread(target=loop._run, daemon=True)
+    t.start()
+    deadline = time.time() + 5
+    while time.time() < deadline and loop.last_error is None:
+        time.sleep(0.02)
+    assert loop.last_error is not None and "not-json" not in (loop.last_result or {})
+
+    (src / "dbl.py").write_text(good)
+    deadline = time.time() + 5
+    while time.time() < deadline and loop.last_error is not None:
+        time.sleep(0.02)
+    loop._exit.set()
+    t.join(timeout=5)
+    assert loop.last_error is None
