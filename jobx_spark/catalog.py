@@ -171,6 +171,23 @@ class Catalog:
     def list_workflows(self) -> list[Workflow]:
         return list(self._workflows.values())
 
+    def delete_workflow(self, name: str) -> None:
+        """Refuses while child entities exist (delete those first) — a
+        dangling (workflow, *) key space would orphan every lookup."""
+        self.get_workflow(name)
+        kinds = (
+            ("handler", self._handlers),
+            ("step", self._steps),
+            ("job", self._jobs),
+        )
+        for kind, store in kinds:
+            held = [n for (wf, n) in store if wf == name]
+            if held:
+                raise CatalogError(
+                    f"workflow {name!r} still has {kind}s: {sorted(held)}"
+                )
+        del self._workflows[name]
+
     # -- handlers ----------------------------------------------------------
     def register_handler(self, handler: Handler) -> Handler:
         self.get_workflow(handler.workflow_name)
@@ -188,6 +205,7 @@ class Catalog:
         return [h for (wf, _), h in self._handlers.items() if wf == workflow_name]
 
     def delete_handler(self, workflow_name: str, name: str) -> None:
+        self.get_handler(workflow_name, name)
         del self._handlers[(workflow_name, name)]
         self._update_handlers_state(workflow_name)
 
@@ -237,6 +255,18 @@ class Catalog:
     def list_steps(self, workflow_name: str) -> list[Step]:
         return [s for (wf, _), s in self._steps.items() if wf == workflow_name]
 
+    def delete_step(self, workflow_name: str, name: str) -> None:
+        """Refuses while a job points at the step as its initial step."""
+        self.get_step(workflow_name, name)
+        users = [
+            j.name
+            for (wf, _), j in self._jobs.items()
+            if wf == workflow_name and j.initial_step_name == name
+        ]
+        if users:
+            raise CatalogError(f"step {name!r} is initial step of jobs: {sorted(users)}")
+        del self._steps[(workflow_name, name)]
+
     # -- jobs --------------------------------------------------------------
     def create_job(
         self, workflow_name: str, name: str, initial_step_name: str,
@@ -255,6 +285,10 @@ class Catalog:
 
     def list_jobs(self, workflow_name: str) -> list[Job]:
         return [j for (wf, _), j in self._jobs.items() if wf == workflow_name]
+
+    def delete_job(self, workflow_name: str, name: str) -> None:
+        self.get_job(workflow_name, name)
+        del self._jobs[(workflow_name, name)]
 
     # -- persistence (optional JSON snapshot of the metadata) --------------
     def to_json(self) -> str:

@@ -73,14 +73,34 @@ def sync_handlers_from_dir(catalog: Catalog, workflow_name: str, root: str) -> d
     return {"created": created, "updated": updated, "deleted": sorted(deleted)}
 
 
-def serve(catalog: Catalog, host: str = "127.0.0.1", port: int = 0, cpus: str = "8"):
+def serve(
+    catalog: Catalog,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    cpus: str = "8",
+    insecure_bind: bool = False,
+):
     """Start the HTTP façade over an engine built from ``catalog``;
     returns the running :class:`jobx_spark.http_api.JobxHttpServer`
-    (non-blocking — callers own its lifetime)."""
+    (non-blocking — callers own its lifetime).
+
+    Trust model: the API has NO authentication and the engine compiles
+    and executes handler source from the catalog — exposing the port on
+    a non-loopback interface hands remote code execution to anyone who
+    can reach it. Binding anywhere but 127.0.0.1/localhost therefore
+    requires the explicit ``insecure_bind`` opt-in (``--insecure-bind``
+    on the CLI); put a real authenticating proxy in front for anything
+    beyond a trusted host."""
     from jobx_spark.engine import Engine
     from jobx_spark.http_api import JobxHttpServer
     from jobx_spark.session import get_spark
 
+    if host not in ("127.0.0.1", "localhost", "::1") and not insecure_bind:
+        raise SystemExit(
+            f"refusing to bind {host!r}: the API is unauthenticated and "
+            "executes catalog handler source (remote code execution). "
+            "Pass --insecure-bind to bind a non-loopback interface anyway."
+        )
     spark = get_spark("jobx_serve", cpus=cpus)
     eng = Engine(spark, catalog=catalog)
     return JobxHttpServer(eng, host=host, port=port).start()
@@ -111,10 +131,34 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("entity-list").add_argument("workflow")
 
+    # per-entity get/delete/list — the reference's mr_kv_{workflow,
+    # handler,step,job}_{get,delete,list} scripts (mr/resources/
+    # scripts/, setup.py:37-71), one subcommand each.
+    sub.add_parser("workflow-get").add_argument("workflow")
+    sub.add_parser("workflow-delete").add_argument("workflow")
+    sub.add_parser("workflow-list")
+    for ent in ("handler", "step", "job"):
+        p = sub.add_parser(f"{ent}-get")
+        p.add_argument("workflow"); p.add_argument("name")
+        p = sub.add_parser(f"{ent}-delete")
+        p.add_argument("workflow"); p.add_argument("name")
+        sub.add_parser(f"{ent}-list").add_argument("workflow")
+
+    # mr_kv_step_set_handler: swap one handler on an existing step
+    p = sub.add_parser("step-set-handler")
+    p.add_argument("workflow"); p.add_argument("name")
+    p.add_argument("slot", choices=["map", "reduce", "combine"])
+    p.add_argument("handler")
+
     p = sub.add_parser("serve")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--cpus", default="8")
+    p.add_argument(
+        "--insecure-bind", action="store_true",
+        help="allow binding a non-loopback host (unauthenticated RCE "
+        "surface — see cli.serve docstring)",
+    )
 
     args = ap.parse_args(argv)
     cat = _load(args.catalog)
@@ -138,6 +182,47 @@ def main(argv: list[str] | None = None) -> int:
             "steps": [s.name for s in cat.list_steps(args.workflow)],
             "jobs": [j.name for j in cat.list_jobs(args.workflow)],
         }
+    elif args.cmd == "workflow-get":
+        out = vars(cat.get_workflow(args.workflow))
+    elif args.cmd == "workflow-delete":
+        cat.delete_workflow(args.workflow)
+        out = {"deleted": args.workflow}
+    elif args.cmd == "workflow-list":
+        out = {"workflows": [w.name for w in cat.list_workflows()]}
+    elif args.cmd == "handler-get":
+        out = {
+            k: v for k, v in vars(cat.get_handler(args.workflow, args.name)).items()
+            if k != "fn"
+        }
+    elif args.cmd == "handler-delete":
+        cat.delete_handler(args.workflow, args.name)
+        out = {"deleted": args.name}
+    elif args.cmd == "handler-list":
+        out = {"handlers": [h.name for h in cat.list_handlers(args.workflow)]}
+    elif args.cmd == "step-get":
+        out = vars(cat.get_step(args.workflow, args.name))
+    elif args.cmd == "step-delete":
+        cat.delete_step(args.workflow, args.name)
+        out = {"deleted": args.name}
+    elif args.cmd == "step-list":
+        out = {"steps": [s.name for s in cat.list_steps(args.workflow)]}
+    elif args.cmd == "job-get":
+        out = vars(cat.get_job(args.workflow, args.name))
+    elif args.cmd == "job-delete":
+        cat.delete_job(args.workflow, args.name)
+        out = {"deleted": args.name}
+    elif args.cmd == "job-list":
+        out = {"jobs": [j.name for j in cat.list_jobs(args.workflow)]}
+    elif args.cmd == "step-set-handler":
+        from jobx_spark.catalog import HT_COMBINER, HT_MAPPER, HT_REDUCER, CatalogError
+
+        step = cat.get_step(args.workflow, args.name)
+        h = cat.get_handler(args.workflow, args.handler)
+        want = {"map": HT_MAPPER, "reduce": HT_REDUCER, "combine": HT_COMBINER}[args.slot]
+        if h.handler_type != want:
+            raise CatalogError(f"{args.handler!r} is not a {args.slot} handler")
+        setattr(step, f"{args.slot}_handler_name", args.handler)
+        out = {"step": step.name, "slot": args.slot, "handler": args.handler}
     elif args.cmd == "serve":
         # the reference ships gunicorn launcher scripts (setup.py:37-71);
         # here one command serves the same HTTP contract over the catalog

@@ -44,6 +44,123 @@ class SessionWriteLockedError(RuntimeError):
     disables session writes in reduce paths — mr/job_engine.py:795-800)."""
 
 
+# --------------------------------------------------------------- notifications
+# Reference parity: handler scope exposes NOTIFY (mr/handlers/general.py:
+# 252-253, mr/log.py _Notify) plus EMAIL/HTTP child loggers when the
+# corresponding hook is enabled (general.py:256-264). Hooks are wired
+# from env vars exactly like mr/config/log.py, but evaluated lazily (at
+# scope construction, executor-side) instead of import time, so tests
+# and deployments can flip them per-process without re-importing.
+DO_HOOK_EMAIL_ENV = "JOBX_LOG_EMAIL_HOOK"
+DO_HOOK_HTTP_ENV = "JOBX_LOG_HTTP_HOOK"
+_hooked_loggers: dict[str, logging.Logger | None] = {}
+
+
+def _email_hook_logger() -> logging.Logger | None:
+    """MR_HANDLER.EMAIL equivalent: an SMTPHandler-backed logger built
+    from JOBX_LOG_EMAIL_* env (hostname/port/from/to/subject —
+    mr/config/log.py:_configure_email). Memoized per process so the
+    handler attaches once."""
+    if "email" not in _hooked_loggers:
+        lg = None
+        if os.environ.get(DO_HOOK_EMAIL_ENV, "0") not in ("0", ""):
+            import logging.handlers
+
+            host = os.environ.get("JOBX_LOG_EMAIL_HOSTNAME", "localhost")
+            port = int(os.environ.get("JOBX_LOG_EMAIL_HOST_PORT", "25"))
+            lg = logging.getLogger("jobx_spark.handler.EMAIL")
+            lg.addHandler(
+                logging.handlers.SMTPHandler(
+                    (host, port),
+                    os.environ.get("JOBX_LOG_EMAIL_FROM", "jobx@local"),
+                    os.environ.get("JOBX_LOG_EMAIL_TO", "jobx@local").split(","),
+                    os.environ.get("JOBX_LOG_EMAIL_SUBJECT", "JobX Notification"),
+                )
+            )
+            lg.setLevel(
+                getattr(logging, os.environ.get("JOBX_LOG_EMAIL_LEVEL", "INFO").upper())
+            )
+        _hooked_loggers["email"] = lg
+    return _hooked_loggers["email"]
+
+
+def _http_hook_logger() -> logging.Logger | None:
+    """MR_HANDLER.HTTP equivalent: an HTTPHandler-backed logger from
+    JOBX_LOG_HTTP_* env (mr/config/log.py:_configure_http)."""
+    if "http" not in _hooked_loggers:
+        lg = None
+        if os.environ.get(DO_HOOK_HTTP_ENV, "0") not in ("0", ""):
+            import logging.handlers
+
+            host = os.environ.get("JOBX_LOG_HTTP_HOSTNAME", "localhost")
+            port = os.environ.get("JOBX_LOG_HTTP_PORT", "3333")
+            lg = logging.getLogger("jobx_spark.handler.HTTP")
+            lg.addHandler(
+                logging.handlers.HTTPHandler(
+                    f"{host}:{port}",
+                    os.environ.get("JOBX_LOG_HTTP_PATH", "/"),
+                    method=os.environ.get("JOBX_LOG_HTTP_VERB", "POST").upper(),
+                )
+            )
+            lg.setLevel(
+                getattr(logging, os.environ.get("JOBX_LOG_HTTP_LEVEL", "INFO").upper())
+            )
+        _hooked_loggers["http"] = lg
+    return _hooked_loggers["http"]
+
+
+def reset_log_hooks() -> None:
+    """Drop memoized hook loggers (tests flip env between cases)."""
+    for lg in _hooked_loggers.values():
+        if lg is not None:
+            for h in list(lg.handlers):
+                lg.removeHandler(h)
+    _hooked_loggers.clear()
+
+
+class Notify:
+    """The ``NOTIFY`` scope object (reference mr/log.py ``_Notify``):
+    fan a notification out to every hooked channel (EMAIL/HTTP); with
+    no hooks enabled, fall back to a plain warning log so the call
+    never breaks a ported handler. Callable form is shorthand for
+    ``.info`` (reference handlers call both styles)."""
+
+    def __init__(self, invocation_id: str = "?"):
+        self.invocation_id = invocation_id
+
+    def _log(self, level: str, message: str, *args) -> None:
+        if args:
+            message = message % args
+        targets = [lg for lg in (_email_hook_logger(), _http_hook_logger()) if lg]
+        if not targets:
+            logging.getLogger("jobx_spark.handler.notify").warning(
+                "[%s] notifications aren't hooked: %s", self.invocation_id, message
+            )
+            return
+        for lg in targets:
+            getattr(lg, level)("[%s] %s", self.invocation_id, message)
+
+    def __call__(self, message: str, *args) -> None:
+        self._log("info", message, *args)
+
+    def debug(self, message: str, *args) -> None:
+        self._log("debug", message, *args)
+
+    def info(self, message: str, *args) -> None:
+        self._log("info", message, *args)
+
+    def warning(self, message: str, *args) -> None:
+        self._log("warning", message, *args)
+
+    def error(self, message: str, *args) -> None:
+        self._log("error", message, *args)
+
+    def exception(self, message: str, *args) -> None:
+        import traceback
+
+        self._log("error", message + "\n\n" + traceback.format_exc(), *args)
+
+
 class FsVerbs:
     """The workflow-scoped filesystem surface handlers see as ``FS``.
 
@@ -194,7 +311,14 @@ class HandlerScope:
             "MrConfigureToMap": MrConfigureToMap,
             "MrConfigureToReturn": MrConfigureToReturn,
             "INVOCATION_ID": self.invocation_id,
+            "NOTIFY": Notify(self.invocation_id),
         }
+        # EMAIL/HTTP appear only when hooked — reference general.py:256-264
+        email_lg, http_lg = _email_hook_logger(), _http_hook_logger()
+        if email_lg is not None:
+            d["EMAIL"] = email_lg
+        if http_lg is not None:
+            d["HTTP"] = http_lg
         d.update(self.extra)
         return d
 

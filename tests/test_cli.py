@@ -77,3 +77,67 @@ def test_handler_sync_update_and_delete(tmp_path, handler_dir):
     (handler_dir / "tot.py").unlink()
     r3 = sync_handlers_from_dir(cat, "wf", str(handler_dir))
     assert r3 == {"created": [], "updated": ["dbl"], "deleted": ["tot"]}
+
+
+def test_per_entity_get_delete_roundtrips(tmp_path, handler_dir, capsys):
+    """Per-entity CLI parity with the reference's mr_kv_{workflow,
+    handler,step,job}_{get,delete,list} scripts."""
+    cat_path = str(tmp_path / "cat.json")
+
+    def run(*args):
+        assert main(["--catalog", cat_path, *args]) == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    run("workflow-create", "wf", "d")
+    run("handler-sync", "wf", str(handler_dir))
+    run("step-create", "wf", "s1", "dbl", "tot")
+    run("job-create", "wf", "j1", "s1")
+
+    assert run("workflow-list") == {"workflows": ["wf"]}
+    assert run("workflow-get", "wf")["name"] == "wf"
+    h = run("handler-get", "wf", "dbl")
+    assert h["handler_type"] == "mapper" and "fn" not in h
+    s = run("step-get", "wf", "s1")
+    assert s["map_handler_name"] == "dbl"
+    assert run("job-get", "wf", "j1")["initial_step_name"] == "s1"
+    assert run("handler-list", "wf") == {"handlers": ["dbl", "tot"]}
+    assert run("step-list", "wf") == {"steps": ["s1"]}
+    assert run("job-list", "wf") == {"jobs": ["j1"]}
+
+    # deletes respect referential integrity: step in use refuses
+    from jobx_spark.catalog import CatalogError
+    with pytest.raises(CatalogError, match="initial step"):
+        run("step-delete", "wf", "s1")
+    assert run("job-delete", "wf", "j1") == {"deleted": "j1"}
+    assert run("step-delete", "wf", "s1") == {"deleted": "s1"}
+    with pytest.raises(CatalogError, match="still has"):
+        run("workflow-delete", "wf")
+    assert run("handler-delete", "wf", "dbl") == {"deleted": "dbl"}
+    assert run("handler-delete", "wf", "tot") == {"deleted": "tot"}
+    assert run("workflow-delete", "wf") == {"deleted": "wf"}
+    assert run("workflow-list") == {"workflows": []}
+
+
+def test_step_set_handler(tmp_path, handler_dir, capsys):
+    cat_path = str(tmp_path / "cat.json")
+
+    def run(*args):
+        assert main(["--catalog", cat_path, *args]) == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    run("workflow-create", "wf", "d")
+    run("handler-sync", "wf", str(handler_dir))
+    run("step-create", "wf", "s1", "dbl", "tot")
+    out = run("step-set-handler", "wf", "s1", "map", "dbl")
+    assert out == {"step": "s1", "slot": "map", "handler": "dbl"}
+    from jobx_spark.catalog import CatalogError
+    with pytest.raises(CatalogError, match="not a reduce"):
+        run("step-set-handler", "wf", "s1", "reduce", "dbl")
+
+
+def test_serve_refuses_non_loopback_without_opt_in():
+    from jobx_spark.catalog import Catalog
+    from jobx_spark.cli import serve
+
+    with pytest.raises(SystemExit, match="refusing to bind"):
+        serve(Catalog(), host="0.0.0.0")
