@@ -1,17 +1,18 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 decode / feature-extraction operators as Arrow-batched Pandas UDFs.
 
-The container has no image/audio codecs (PIL/ffmpeg/torchvision), so the
-*decode* step is stubbed two ways:
+Decode paths, in preference order:
 
-  * real decoders are attempted behind an import-try and raise
-    ``NotImplementedError`` with a clear message when the library is
-    absent — the call sites, schemas and batch shapes are production
-    code;
-  * a **deterministic fake decoder** derives pseudo-features from the
-    md5 of the payload, so the whole distributed pipeline (binary column
-    → mapInPandas → fixed-width feature vectors) is testable bit-for-bit
-    (and even oracle-checkable in SQL, since md5 is portable).
+  * **PIL**, when installed (import-try — absent in this container);
+  * the **pure-stdlib PNG codec** (operators/png.py): real zlib
+    inflation + full scanline unfiltering, no external dependency —
+    PNG payloads decode for real here (``decode_image``,
+    ``decode_stats``, ``resize_assets(fake=False)``);
+  * for non-PNG payloads with no library, ``NotImplementedError`` with
+    a clear message;
+  * a **deterministic fake decoder** (md5-derived pseudo-features) kept
+    for payloads that aren't images at all, so the distributed pipeline
+    shape stays testable bit-for-bit on any input.
 
 Scale notes: binary payloads stay opaque to the shuffle (never decoded
 into Python until the Arrow batch reaches the UDF); feature extraction
@@ -58,15 +59,35 @@ def payload_metadata(df: DataFrame) -> DataFrame:
     )
 
 
-def _try_real_image_decode(payload: bytes):
+def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Real image decode → (width, height, channels, raw pixels).
+
+    PIL when present; otherwise the stdlib PNG codec for PNG payloads
+    (real inflate + unfilter, operators/png.py). Non-PNG payloads with
+    no imaging library raise ``NotImplementedError``."""
+    from jobx_spark.operators import png as _png
+
     try:
-        from PIL import Image  # noqa: F401 — absent in this container
+        import io as _io
+
+        from PIL import Image
+
+        img = Image.open(_io.BytesIO(payload))
+        img = img.convert("L") if img.mode == "L" else img.convert("RGB")
+        return img.width, img.height, (1 if img.mode == "L" else 3), img.tobytes()
     except ImportError:
-        raise NotImplementedError(
-            "image decode requires PIL/pillow — not installed in this "
-            "environment; use decode_features(fake=True) for the "
-            "deterministic stand-in"
-        ) from None
+        pass
+    if payload[:8] == _png.PNG_MAGIC:
+        w, h, c, pix = _png.decode_png(payload)
+        return w, h, c, pix
+    raise NotImplementedError(
+        "only PNG decodes without an imaging library (stdlib codec); "
+        "install PIL/pillow for other formats, or use the fake decoder"
+    )
+
+
+def _try_real_image_decode(payload: bytes):
+    return decode_image(payload)
 
 
 def _fake_features(payload: bytes) -> list[int]:
@@ -103,6 +124,47 @@ def decode_features(df: DataFrame, fake: bool = True) -> DataFrame:
             yield out
 
     return df.mapInPandas(extract, schema=out_schema)
+
+
+def decode_stats(df: DataFrame) -> DataFrame:
+    """REAL decode over PNG payloads: mapInPandas → per-asset pixel
+    statistics (width, height, channels, exact pixel-byte sum, md5 of
+    the raw pixel bytes).
+
+    This is the attestable form of "a real decoder ran": the payload
+    goes through actual zlib inflation and scanline reconstruction
+    (operators/png.py via :func:`decode_image`), and the output stats
+    are over DECODED pixels — an oracle that derives the expected
+    pixels independently (without touching PNG) proves the codec
+    round-trips bit-exactly. Batch shape identical to every other
+    decode stage: payloads stay binary until the Arrow batch reaches
+    the UDF."""
+    out_schema = (
+        "asset_id bigint, width bigint, height bigint, channels bigint, "
+        "pix_sum bigint, pix_md5 string"
+    )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["data"]):
+                w, h, c, pix = decode_image(bytes(payload))
+                # md5 over the lowercase-hex rendering (not the raw
+                # bytes): a bijection of the pixels that DuckDB can
+                # reproduce — its md5() only takes VARCHAR.
+                rows.append(
+                    (int(aid), w, h, c, sum(pix), hashlib.md5(pix.hex().encode()).hexdigest())
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "width", "height", "channels", "pix_sum", "pix_md5"],
+            )
+
+    return df.mapInPandas(stats, schema=out_schema)
 
 
 INFER_DENOM = float(1 << 32)
@@ -188,12 +250,15 @@ def resize_assets(
     output bytes = width·height per asset regardless of input size, so
     the stage's output volume is predictable and small).
 
-    No codecs exist in this container, so ``fake=False`` attempts PIL
-    and raises ``NotImplementedError`` when absent; the default fake
-    "resize" emits a deterministic pseudo-payload — the md5 hex of the
-    source repeated and truncated to exactly width·height bytes — which
-    is reproducible in SQL, letting the full distributed pipeline
-    (binary → UDF → binary → metadata) be oracle-verified bit-for-bit.
+    ``fake=False`` is the REAL path: decode (PIL or the stdlib PNG
+    codec), nearest-neighbor resample (deterministic integer
+    arithmetic), re-encode as PNG — thumbnail-pipeline semantics with
+    no external dependency for PNG inputs. The default fake "resize"
+    emits a deterministic pseudo-payload — the md5 hex of the source
+    repeated and truncated to exactly width·height bytes — which is
+    reproducible in SQL, letting the full distributed pipeline (binary
+    → UDF → binary → metadata) be oracle-verified bit-for-bit even on
+    non-image payloads.
     """
     out_len = width * height
     out_schema = "asset_id bigint, kind string, width bigint, height bigint, data binary"
@@ -201,22 +266,23 @@ def resize_assets(
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        from jobx_spark.operators.png import encode_png, resize_nearest
+
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            if not fake:
-                try:
-                    from PIL import Image  # noqa: F401
-                except ImportError as exc:
-                    raise NotImplementedError(
-                        "real image resize needs PIL, absent in this environment"
-                    ) from exc
             payloads = []
             for b in pdf["data"]:
-                digest = hashlib.md5(bytes(b)).hexdigest()
-                payloads.append(
-                    (digest * (out_len // len(digest) + 1))[:out_len].encode()
-                )
+                raw = bytes(b)
+                if fake:
+                    digest = hashlib.md5(raw).hexdigest()
+                    payloads.append(
+                        (digest * (out_len // len(digest) + 1))[:out_len].encode()
+                    )
+                else:
+                    w, h, c, pix = decode_image(raw)
+                    resized = resize_nearest(pix, w, h, c, width, height)
+                    payloads.append(encode_png(width, height, resized, channels=c))
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
