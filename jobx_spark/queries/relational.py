@@ -1415,7 +1415,65 @@ LIMIT 20
 """
 
 
+# --------------------------------------------------------------------------
+# q56: skew-stress JOIN through the explicit salted-replication path
+# (operators/skew.py salted_join) — the round-2 verdict's stretch item.
+# The fact side is events with a DELIBERATELY hot join key: 60% of all
+# rows collapse onto custkey 0 (pmod(user_id,10) < 6), a single key no
+# hash-partitioned join could balance. salted_join spreads that key
+# over 16 salts and replicates the dimension 16×, joining on
+# (custkey, _salt); a MERGE hint forces the shuffle join so the salted
+# exchange shape is the one actually executed (PLANS.md shows the
+# two-column join keys), not hidden behind a broadcast. Oracle: the
+# plain unsalted join + GROUP BY — the hash match proves salting is
+# semantically invisible end-to-end under the driver gate.
+# --------------------------------------------------------------------------
+def q56_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    fact = ev.select(
+        F.when(F.pmod("user_id", F.lit(10)) < 6, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .cast("long")
+        .alias("custkey"),
+        "event_type",
+        "value",
+    )
+    dim = cust.select(
+        F.col("c_custkey").cast("long").alias("custkey"), "c_mktsegment", "c_acctbal"
+    )
+    joined = salted_join(fact, dim.hint("merge"), on="custkey", n_salts=16)
+    return (
+        joined.groupBy("event_type", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+            dsum("c_acctbal", 2).alias("sum_acctbal"),
+        )
+        .orderBy("event_type", "c_mktsegment")
+    )
+
+
+ORACLE_Q56 = f"""
+WITH fact AS (
+  SELECT CASE WHEN user_id % 10 < 6 THEN 0 ELSE user_id END AS custkey,
+         event_type, value
+  FROM events
+)
+SELECT event_type, c_mktsegment,
+       count(*) AS n_events,
+       {dsum_sql('value')} AS sum_value,
+       {dsum_sql('c_acctbal', 2)} AS sum_acctbal
+FROM fact JOIN customer ON custkey = c_custkey
+GROUP BY event_type, c_mktsegment
+ORDER BY event_type, c_mktsegment
+"""
+
+
 QUERIES = {
+    "q56_salted_skew_join": q56_salted_skew_join,
     "q38_salted_skew_agg": q38_salted_skew_agg,
     "q49_local_supplier_volume": q49_local_supplier_volume,
     "q50_returned_items": q50_returned_items,
@@ -1457,6 +1515,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q56_salted_skew_join": ORACLE_Q56,
     "q38_salted_skew_agg": ORACLE_Q38,
     "q49_local_supplier_volume": ORACLE_Q49,
     "q50_returned_items": ORACLE_Q50,
