@@ -37,6 +37,8 @@ HEADLINE = [
     "stream_stateful_user_stats",
     "stream_sink_rollup",
     "multimodal_features",
+    "multimodal_decode",
+    "q56_salted_skew_join",
     "mr_engine_event_counts",
     "mr_engine_user_value",
 ]

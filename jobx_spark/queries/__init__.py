@@ -32,24 +32,68 @@ def _utc_pinned(fn: QueryFn) -> QueryFn:
     return wrapped
 
 
+# Registry order IS verification order: the driver's correctness gate
+# checks the first 50 entries. Round-3 cut (VERDICT r2 item 1):
+#   * the 12 pipe_* queries that have never held a driver row;
+#   * q22-q25 + q55 (never gated) and q45 + q29 (fixed in r2 but their
+#     driver record is still r1-stale-red);
+#   * every query NEW this round (LSH-blocked embedding dedup, real
+#     PNG decode, salted skew join);
+#   * every query whose code path changed this round and therefore
+#     needs re-attestation: the graph loops + kmeans (localCheckpoint →
+#     reliable cut_lineage), embedding dedup (safe-default API), the MR
+#     engine pair (sink decode + scratch dirs), and all 11 streams
+#     (checkpoint dirs moved to the atexit-cleaned scratch root);
+#   * backfill: spot re-attestations of r1-banked relational/temporal
+#     rows to prove no regression.
+# Everything else holds a banked green row from r1/r2 and unchanged
+# code. Recount after ANY registry change:
+#   python -c "from jobx_spark.queries import all_queries;
+#              print(list(all_queries())[:50])"
+GATE_FIRST_50 = [
+    # 12 never-gated pipeline queries
+    "pipe_length_buckets", "pipe_pack_offsets", "pipe_bpe_token_count",
+    "pipe_gapfill_hours", "pipe_rollup_reagg", "pipe_minmax_scale",
+    "pipe_mix_weighted", "pipe_text_chunks", "pipe_clean_corpus",
+    "pipe_blocklist_scrub", "pipe_manifest", "pipe_table_diff",
+    # never-gated relational/temporal + the two stale-red fixes
+    "q22_window_frames", "q23_stats_moments", "q24_percentile_disc",
+    "q25_argmax_per_group", "q55_bom_explosion",
+    "q45_big_volume_orders", "q29_array_map_functions",
+    # new in round 3
+    "dedup_embedding_lsh", "multimodal_decode", "q56_salted_skew_join",
+    # changed code paths this round → re-attest
+    "dedup_components", "dedup_pagerank", "dedup_two_hop_reach",
+    "dedup_keep_canonical", "dedup_embedding",
+    "ann_kmeans_train", "ann_ivf_trained_topk",
+    "mr_engine_event_counts", "mr_engine_user_value",
+    "stream_tumbling_agg", "stream_sliding_agg", "stream_session_window",
+    "stream_interval_join", "stream_dedup_activity",
+    "stream_timeout_sessions", "stream_left_outer_join",
+    "stream_replay_dedup", "stream_static_enrich",
+    "stream_stateful_user_stats", "stream_sink_rollup",
+    # spot re-attestations of r1-banked rows (regression canaries)
+    "q38_salted_skew_agg", "q01_pricing_summary", "q02_filter_project",
+    "q20_asof_join", "q46_fuzzy_name_pairs", "q16_sessionize",
+    "q07_topk_per_group", "q09_rollup",
+]
+
+
 def all_queries() -> dict[str, QueryFn]:
     from jobx_spark.queries import (
         dedup, mapreduce, multimodal, pipeline, relational, similarity,
         streams, temporal, text,
     )
 
-    out: dict[str, QueryFn] = {}
-    # Registry order IS verification order: the driver's correctness
-    # gate checks the first 50 entries, so the modules whose queries
-    # have no banked driver rows come first — dedup(14) + ann(5) +
-    # text(7) + multimodal(5) + MR-engine(2) + all 11 streams (r1's
-    # broken area) = 44, then the first 6 pipeline queries fill the
-    # gate; the remaining pipeline entries are CI-oracle-verified and
-    # rotate into the gate next round. relational/temporal hold 48
-    # green rows banked from r1.
+    merged: dict[str, QueryFn] = {}
     for mod in (dedup, similarity, text, multimodal, mapreduce,
                 streams, pipeline, temporal, relational):
-        out.update(mod.QUERIES)
+        merged.update(mod.QUERIES)
+    missing = [n for n in GATE_FIRST_50 if n not in merged]
+    if missing:  # a rename must never silently shrink the gate
+        raise KeyError(f"GATE_FIRST_50 names not in registry: {missing}")
+    out: dict[str, QueryFn] = {n: merged[n] for n in GATE_FIRST_50}
+    out.update(merged)
     return {name: _utc_pinned(fn) for name, fn in out.items()}
 
 
