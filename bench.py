@@ -39,6 +39,9 @@ HEADLINE = [
     "multimodal_features",
     "multimodal_decode",
     "q56_salted_skew_join",
+    "q57_range_bin_join",
+    "pipe_sample_fixed_k",
+    "pipe_pii_scrub",
     "mr_engine_event_counts",
     "mr_engine_user_value",
 ]

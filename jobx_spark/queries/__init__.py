@@ -62,6 +62,8 @@ GATE_FIRST_50 = [
     "q45_big_volume_orders", "q29_array_map_functions",
     # new in round 3
     "dedup_embedding_lsh", "multimodal_decode", "q56_salted_skew_join",
+    "pipe_sample_fixed_k", "pipe_pii_scrub", "q57_range_bin_join",
+    "ann_quantize_int8",
     # changed code paths this round → re-attest
     "dedup_components", "dedup_pagerank", "dedup_two_hop_reach",
     "dedup_keep_canonical", "dedup_embedding",
@@ -73,9 +75,8 @@ GATE_FIRST_50 = [
     "stream_replay_dedup", "stream_static_enrich",
     "stream_stateful_user_stats", "stream_sink_rollup",
     # spot re-attestations of r1-banked rows (regression canaries)
-    "q38_salted_skew_agg", "q01_pricing_summary", "q02_filter_project",
-    "q20_asof_join", "q46_fuzzy_name_pairs", "q16_sessionize",
-    "q07_topk_per_group", "q09_rollup",
+    "q38_salted_skew_agg", "q01_pricing_summary",
+    "q20_asof_join", "q16_sessionize",
 ]
 
 

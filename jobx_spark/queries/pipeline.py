@@ -863,6 +863,117 @@ ORDER BY o_orderpriority
 """
 
 
+# --------------------------------------------------------------------------
+# pipe_sample_fixed_k — fixed-SIZE uniform sample (the "give me exactly
+# K documents" ask that rand()-based reservoir sampling usually answers).
+# Ordering by the content hash and taking the first K is an exact
+# uniform sample without replacement, and Catalyst executes
+# orderBy+limit as TakeOrderedAndProject: every task keeps only its
+# local top-K rows by hash, the driver merges K-sized heaps — no global
+# sort, no reservoir state, no second pass. At 100 TB this is one scan
+# with O(K) memory per task, and the selected set is independent of
+# partitioning, task retries, and cluster size (same rows every run).
+# --------------------------------------------------------------------------
+FIXED_K = 500
+
+
+def pipe_sample_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = md5_long(F.concat(F.lit("ksample:"), F.col("doc_id").cast("string")))
+    return (
+        docs.select("doc_id", "lang", "source", h.alias("h"))
+        .orderBy("h", "doc_id")
+        .limit(FIXED_K)
+        .select("doc_id", "lang", "source")
+    )
+
+
+_KGATE = _MD5.format(e="'ksample:'||CAST(doc_id AS VARCHAR)")
+ORACLE_PIPE_SAMPLE_FIXED_K = f"""
+SELECT doc_id, lang, source
+FROM documents
+ORDER BY {_KGATE}, doc_id
+LIMIT {FIXED_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# pipe_pii_scrub — regex PII redaction (the scrub pass every training
+# corpus runs before tokenization). Patterns are applied in order
+# (IP → email → bare digit run) so a digit inside an IP is redacted as
+# part of the IP, not as a second <NUM> hit; match counts are taken per
+# stage on the partially-scrubbed string, exactly as the redactor sees
+# it. Everything is a per-row regexp_count/regexp_replace chain — pure
+# scan shape, zero shuffles before the final per-type rollup, so 100 TB
+# is embarrassingly parallel. The content XOR-hash lets the oracle
+# verify the redacted BYTES, not just the counts.
+# --------------------------------------------------------------------------
+PII_PATTERNS = [
+    ("[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"),
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("[0-9]+", "<NUM>"),
+]
+
+
+def pipe_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    scrubbed = F.col("props")
+    counts = []
+    for pat, tag in PII_PATTERNS:
+        counts.append(F.regexp_count(scrubbed, F.lit(pat)))
+        scrubbed = F.regexp_replace(scrubbed, pat, tag)
+    hit = counts[0] + counts[1] + counts[2]
+    per_row = events.select(
+        "event_type",
+        counts[0].cast("long").alias("n_ip"),
+        counts[1].cast("long").alias("n_email"),
+        counts[2].cast("long").alias("n_num"),
+        (hit > 0).cast("long").alias("has_pii"),
+        md5_long(scrubbed).alias("h"),
+    )
+    return (
+        per_row.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("has_pii").alias("events_with_pii"),
+            F.sum("n_ip").alias("ip_hits"),
+            F.sum("n_email").alias("email_hits"),
+            F.sum("n_num").alias("num_hits"),
+            F.bit_xor("h").alias("scrub_xor"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _pii_oracle() -> str:
+    s = "props"
+    stages = []
+    for pat, tag in PII_PATTERNS:
+        stages.append(f"len(regexp_extract_all({s}, '{pat}'))")
+        s = f"regexp_replace({s}, '{pat}', '{tag}', 'g')"
+    n_ip, n_email, n_num = stages
+    return f"""
+WITH per_row AS (
+  SELECT event_type,
+         CAST({n_ip} AS BIGINT) AS n_ip,
+         CAST({n_email} AS BIGINT) AS n_email,
+         CAST({n_num} AS BIGINT) AS n_num,
+         {_MD5.format(e=s)} AS h
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n_events,
+       SUM(CASE WHEN n_ip + n_email + n_num > 0 THEN 1 ELSE 0 END) AS events_with_pii,
+       SUM(n_ip) AS ip_hits,
+       SUM(n_email) AS email_hits,
+       SUM(n_num) AS num_hits,
+       bit_xor(h) AS scrub_xor
+FROM per_row
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "pipe_sample_hash": pipe_sample_hash,
     "pipe_sample_join": pipe_sample_join,
@@ -882,6 +993,8 @@ QUERIES = {
     "pipe_blocklist_scrub": pipe_blocklist_scrub,
     "pipe_manifest": pipe_manifest,
     "pipe_table_diff": pipe_table_diff,
+    "pipe_sample_fixed_k": pipe_sample_fixed_k,
+    "pipe_pii_scrub": pipe_pii_scrub,
 }
 
 ORACLES = {
@@ -903,4 +1016,6 @@ ORACLES = {
     "pipe_blocklist_scrub": ORACLE_PIPE_BLOCKLIST,
     "pipe_manifest": ORACLE_PIPE_MANIFEST,
     "pipe_table_diff": ORACLE_PIPE_DIFF,
+    "pipe_sample_fixed_k": ORACLE_PIPE_SAMPLE_FIXED_K,
+    "pipe_pii_scrub": _pii_oracle(),
 }

@@ -1472,7 +1472,65 @@ ORDER BY event_type, c_mktsegment
 """
 
 
+# --------------------------------------------------------------------------
+# q57_range_bin_join — point-in-interval join rewritten as arithmetic
+# binning. The naive formulation (which the ORACLE deliberately keeps)
+# is a theta join `e.value >= lo AND e.value < hi`: Spark can only run
+# that as BroadcastNestedLoopJoin — O(n_events × n_bands) comparisons,
+# a scale killer once the band table isn't tiny. Because the bands are
+# uniform-width, membership is computable: band_id = floor(value / W),
+# turning the theta join into a per-row projection — zero joins, zero
+# shuffles before the final 10-key rollup. The driver's hash compare
+# against the BETWEEN-join oracle proves the rewrite is semantically
+# invisible. This is the standard trick for range-dimension joins at
+# 100 TB (calendar buckets, size classes, price bands): make the dim
+# computable, or bin both sides and join on the bin key.
+# --------------------------------------------------------------------------
+N_BANDS = 10
+BAND_W = 50.0
+
+
+def q57_range_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").filter(
+        (F.col("value") >= F.lit(0.0)) & (F.col("value") < F.lit(N_BANDS * BAND_W))
+    )
+    return (
+        events.withColumn(
+            "band_id", F.floor(F.col("value") / F.lit(BAND_W)).cast("long")
+        )
+        .groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+            dsum("value").alias("sum_value"),
+        )
+        .withColumn("band_lo", F.col("band_id").cast("double") * F.lit(BAND_W))
+        .select("band_id", "band_lo", "n_events", "n_users", "sum_value")
+        .orderBy("band_id")
+    )
+
+
+ORACLE_Q57 = f"""
+WITH bands AS (
+  SELECT CAST(r AS BIGINT) AS band_id,
+         CAST(r AS DOUBLE) * {BAND_W} AS lo,
+         CAST(r + 1 AS DOUBLE) * {BAND_W} AS hi
+  FROM range({N_BANDS}) t(r)
+)
+SELECT b.band_id,
+       b.lo AS band_lo,
+       count(*) AS n_events,
+       count(DISTINCT e.user_id) AS n_users,
+       {dsum_sql('e.value')} AS sum_value
+FROM events e
+JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+GROUP BY b.band_id, b.lo
+ORDER BY b.band_id
+"""
+
+
 QUERIES = {
+    "q57_range_bin_join": q57_range_bin_join,
     "q56_salted_skew_join": q56_salted_skew_join,
     "q38_salted_skew_agg": q38_salted_skew_agg,
     "q49_local_supplier_volume": q49_local_supplier_volume,
@@ -1515,6 +1573,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q57_range_bin_join": ORACLE_Q57,
     "q56_salted_skew_join": ORACLE_Q56,
     "q38_salted_skew_agg": ORACLE_Q38,
     "q49_local_supplier_volume": ORACLE_Q49,

@@ -347,15 +347,103 @@ ORDER BY query_id, rank
 """
 
 
+# --------------------------------------------------------------------------
+# ann_quantize_int8 — symmetric per-vector int8 quantization, the
+# standard memory diet for ANN indexes: a 100 TB float32 corpus becomes
+# ~25 TB of int8 codes (+1 double scale per vector), which is the
+# difference between an index that fits executor memory and one that
+# doesn't. Quantized code q_i = trunc(v_i * 127 / max|v|) — truncation
+# toward zero, not round(), because double→int truncation is identical
+# in Spark and DuckDB while round() half-way ties on noisy doubles are
+# not portable. All arithmetic is IEEE double ops in the same order on
+# both sides, so the per-label XOR checksum of the code strings is
+# bit-exact. The whole thing is one scan + one bounded-key rollup.
+# --------------------------------------------------------------------------
+def ann_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.functions import md5_long
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    maxabs = F.array_max(
+        F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    )
+    with_q = (
+        emb.withColumn("maxabs", maxabs)
+        .filter(F.col("maxabs") > 0)
+        .withColumn(
+            "qv",
+            F.transform(
+                "embedding",
+                lambda x: (x.cast("double") * F.lit(127.0) / F.col("maxabs"))
+                .cast("long"),
+            ),
+        )
+    )
+    per_vec = with_q.select(
+        "label",
+        F.aggregate(
+            "qv", F.lit(0).cast("long"), lambda acc, v: acc + v
+        ).alias("sum_q"),
+        F.aggregate(
+            "qv", F.lit(0).cast("long"), lambda acc, v: acc + F.abs(v)
+        ).alias("sum_abs_q"),
+        md5_long(
+            F.concat_ws(",", F.transform("qv", lambda v: v.cast("string")))
+        ).alias("h"),
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("sum_q").alias("total_q"),
+            F.sum("sum_abs_q").alias("total_abs_q"),
+            F.bit_xor("h").alias("code_xor"),
+        )
+        .orderBy("label")
+    )
+
+
+_Q_MD5 = "('0x'||substr(md5({e}),1,15))::BIGINT"
+ORACLE_ANN_QUANTIZE = f"""
+WITH m AS (
+  SELECT label, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+  FROM embeddings
+), q AS (
+  SELECT label,
+         list_transform(
+           embedding,
+           x -> CAST(trunc(CAST(x AS DOUBLE) * 127.0 / ma) AS BIGINT)
+         ) AS qv
+  FROM m WHERE ma > 0
+), r AS (
+  SELECT label,
+         CAST(list_sum(qv) AS BIGINT) AS sum_q,
+         CAST(list_sum(list_transform(qv, v -> abs(v))) AS BIGINT) AS sum_abs_q,
+         {_Q_MD5.format(e="array_to_string(qv, ',')")} AS h
+  FROM q
+)
+SELECT label,
+       count(*) AS n_vecs,
+       SUM(sum_q) AS total_q,
+       SUM(sum_abs_q) AS total_abs_q,
+       bit_xor(h) AS code_xor
+FROM r
+GROUP BY label
+ORDER BY label
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_kmeans_train": ann_kmeans_train,
     "ann_ivf_trained_topk": ann_ivf_trained_topk,
+    "ann_quantize_int8": ann_quantize_int8,
 }
 
 ORACLES = {
+    "ann_quantize_int8": ORACLE_ANN_QUANTIZE,
     "ann_bruteforce_topk": ORACLE_ANN_BRUTEFORCE,
     "ann_lsh_topk": _lsh_oracle(),
     "ann_ivf_topk": ORACLE_ANN_IVF,
