@@ -42,6 +42,8 @@ HEADLINE = [
     "q57_range_bin_join",
     "pipe_sample_fixed_k",
     "pipe_pii_scrub",
+    "pipe_corpus_build",
+    "pipe_stratified_k",
     "mr_engine_event_counts",
     "mr_engine_user_value",
 ]

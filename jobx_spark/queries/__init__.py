@@ -63,7 +63,8 @@ GATE_FIRST_50 = [
     # new in round 3
     "dedup_embedding_lsh", "multimodal_decode", "q56_salted_skew_join",
     "pipe_sample_fixed_k", "pipe_pii_scrub", "q57_range_bin_join",
-    "ann_quantize_int8",
+    "ann_quantize_int8", "dedup_triangle_count", "pipe_corpus_build",
+    "pipe_stratified_k", "stream_pii_scrub",
     # changed code paths this round → re-attest
     "dedup_components", "dedup_pagerank", "dedup_two_hop_reach",
     "dedup_keep_canonical", "dedup_embedding",
@@ -74,9 +75,6 @@ GATE_FIRST_50 = [
     "stream_timeout_sessions", "stream_left_outer_join",
     "stream_replay_dedup", "stream_static_enrich",
     "stream_stateful_user_stats", "stream_sink_rollup",
-    # spot re-attestations of r1-banked rows (regression canaries)
-    "q38_salted_skew_agg", "q01_pricing_summary",
-    "q20_asof_join", "q16_sessionize",
 ]
 
 

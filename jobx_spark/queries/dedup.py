@@ -676,7 +676,107 @@ FROM ranked GROUP BY comp ORDER BY comp
 """
 
 
+# --------------------------------------------------------------------------
+# dedup_triangle_count — per-node triangle participation over the LSH
+# dup-pair graph (triangle density separates tight boilerplate cliques
+# from chains of pairwise near-misses — a clique of N templated pages
+# has ~N³ triangles, a drift chain has none). Spark enumerates with the
+# DEGREE-ORIENTATION trick: orient every edge from the (degree, id)-
+# smaller endpoint to the larger, build wedges only at each edge's
+# source, and close them with a third oriented edge. Out-degree under
+# this orientation is O(sqrt(m)) regardless of hub size, so the wedge
+# join is bounded even when one boilerplate doc pairs with millions —
+# the plain formulation's hub² wedge blowup is the thing that dies at
+# 100 TB. The oracle enumerates the same triangles with the naive
+# id-ordering (a<b<c) — the triangle SET is orientation-invariant, so
+# the hash match proves the bounded algorithm exact.
+# --------------------------------------------------------------------------
+def dedup_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, n_hashes=N_HASHES, bands=BANDS, shingle_n=SHINGLE_N, seed=SEED
+    ).select("id_a", "id_b")
+    edges = cut_lineage(pairs, "tri-edges")
+    deg = (
+        edges.select(F.col("id_a").alias("node"))
+        .unionByName(edges.select(F.col("id_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    e = (
+        edges.join(
+            deg.select(F.col("node").alias("id_a"), F.col("deg").alias("da")), "id_a"
+        ).join(
+            deg.select(F.col("node").alias("id_b"), F.col("deg").alias("db")), "id_b"
+        )
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("id_a") < F.col("id_b"))
+    )
+    oriented = cut_lineage(
+        e.select(
+            F.when(a_first, F.col("id_a")).otherwise(F.col("id_b")).alias("src"),
+            F.when(a_first, F.col("id_b")).otherwise(F.col("id_a")).alias("dst"),
+            F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dst_deg"),
+        ),
+        "tri-oriented",
+    )
+    # Wedge at the common source; e1.dst ≺ e2.dst in the SAME
+    # (degree, id) order, so the closing edge — if it exists — is
+    # oriented exactly e1.dst → e2.dst.
+    dst_lt = (F.col("e1.dst_deg") < F.col("e2.dst_deg")) | (
+        (F.col("e1.dst_deg") == F.col("e2.dst_deg"))
+        & (F.col("e1.dst") < F.col("e2.dst"))
+    )
+    wedges = (
+        oriented.alias("e1")
+        .join(oriented.alias("e2"), F.col("e1.src") == F.col("e2.src"))
+        .filter(dst_lt)
+        .select(
+            F.col("e1.src").alias("u"),
+            F.col("e1.dst").alias("v"),
+            F.col("e2.dst").alias("w"),
+        )
+    )
+    closing = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tri = wedges.join(closing, ["v", "w"], "left_semi")
+    # explode, not a 3-way self-union: a union re-evaluates the wedge
+    # join once per branch; explode walks the triangle rows once.
+    member = tri.select(
+        F.explode(F.array(F.col("u"), F.col("v"), F.col("w"))).alias("node")
+    )
+    return (
+        member.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy("node")
+    )
+
+
+def _triangle_oracle() -> str:
+    pairs_sql = _minhash_pairs_oracle(order_by="")
+    return f"""
+WITH pairs AS ({pairs_sql}),
+e AS (SELECT id_a, id_b FROM pairs),
+tri AS (
+  SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+  FROM e e1
+  JOIN e e2 ON e2.id_a = e1.id_b
+  JOIN e e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+),
+member AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT node, count(*) AS n_triangles
+FROM member
+GROUP BY node
+ORDER BY node
+"""
+
+
 QUERIES = {
+    "dedup_triangle_count": dedup_triangle_count,
     "dedup_exact": dedup_exact,
     "dedup_components": dedup_components,
     "dedup_keep_canonical": dedup_keep_canonical,
@@ -695,6 +795,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_triangle_count": _triangle_oracle(),
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_components": _components_oracle(),
     "dedup_keep_canonical": _keep_canonical_oracle(),

@@ -898,6 +898,42 @@ LIMIT {FIXED_K}
 
 
 # --------------------------------------------------------------------------
+# pipe_stratified_k — exactly K documents PER STRATUM (here: language),
+# the balanced-evaluation-set draw. Same hash-order trick as
+# pipe_sample_fixed_k but rank within each group: one shuffle keyed on
+# the stratum, rank by content hash, keep rank ≤ K. Deterministic
+# across clusters/retries like every sampler here. At 100 TB the
+# stratum shuffle is the cost — when K ≪ stratum size, pre-filtering
+# with a per-stratum approximate hash threshold (keep the shuffle input
+# tiny) is the standard refinement; the rank semantics stay identical.
+# --------------------------------------------------------------------------
+STRAT_K = 100
+
+
+def pipe_stratified_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = md5_long(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
+    w = W.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= STRAT_K)
+        .select("doc_id", "lang", "source")
+        .orderBy("lang", "doc_id")
+    )
+
+
+_STRAT_H = _MD5.format(e="'strat:'||CAST(doc_id AS VARCHAR)")
+ORACLE_PIPE_STRATIFIED_K = f"""
+SELECT doc_id, lang, source
+FROM documents
+QUALIFY row_number() OVER (PARTITION BY lang ORDER BY {_STRAT_H}, doc_id) <= {STRAT_K}
+ORDER BY lang, doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # pipe_pii_scrub — regex PII redaction (the scrub pass every training
 # corpus runs before tokenization). Patterns are applied in order
 # (IP → email → bare digit run) so a digit inside an IP is redacted as
@@ -915,15 +951,17 @@ PII_PATTERNS = [
 ]
 
 
-def pipe_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
+def pii_scrub_rollup(rel: DataFrame) -> DataFrame:
+    """Per-event-type PII-redaction rollup over any relation with
+    (event_type, props) — batch table or stream alike (the expression
+    chain is stateless, so the same plan fragment serves both)."""
     scrubbed = F.col("props")
     counts = []
     for pat, tag in PII_PATTERNS:
         counts.append(F.regexp_count(scrubbed, F.lit(pat)))
         scrubbed = F.regexp_replace(scrubbed, pat, tag)
     hit = counts[0] + counts[1] + counts[2]
-    per_row = events.select(
+    per_row = rel.select(
         "event_type",
         counts[0].cast("long").alias("n_ip"),
         counts[1].cast("long").alias("n_email"),
@@ -931,18 +969,19 @@ def pipe_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         (hit > 0).cast("long").alias("has_pii"),
         md5_long(scrubbed).alias("h"),
     )
-    return (
-        per_row.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum("has_pii").alias("events_with_pii"),
-            F.sum("n_ip").alias("ip_hits"),
-            F.sum("n_email").alias("email_hits"),
-            F.sum("n_num").alias("num_hits"),
-            F.bit_xor("h").alias("scrub_xor"),
-        )
-        .orderBy("event_type")
+    return per_row.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("has_pii").alias("events_with_pii"),
+        F.sum("n_ip").alias("ip_hits"),
+        F.sum("n_email").alias("email_hits"),
+        F.sum("n_num").alias("num_hits"),
+        F.bit_xor("h").alias("scrub_xor"),
     )
+
+
+def pipe_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return pii_scrub_rollup(events).orderBy("event_type")
 
 
 def _pii_oracle() -> str:
@@ -974,6 +1013,105 @@ ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# pipe_corpus_build — the END-TO-END corpus build as ONE declarative
+# plan: quality filter → language filter → exact dedup (survivor
+# selection) → deterministic train/val/test assignment → final census
+# with per-cell token totals and an order-insensitive content
+# certificate (manifest-style bit_xor of the normalized-text digests).
+# This is the composition a user actually ships: because every stage is
+# a DataFrame transformation, Catalyst fuses the three filters into the
+# scan, the whole thing is ONE corpus read + one dedup shuffle + one
+# census rollup — no intermediate materialization between stages. The
+# oracle restates all five stages in a single SQL statement.
+# --------------------------------------------------------------------------
+def pipe_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.operators.dedup import normalized_digest
+    from jobx_spark.operators.text import lang_guess, punct_count, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    filtered = docs.filter(
+        (token_count(F.col("text")) >= MIN_TOKENS)
+        & (punct_count(F.col("text")).cast("double") / F.length("text") < MAX_PUNCT_RATIO)
+        & (lang_guess(F.col("text")) == "en")
+    )
+    survivors = (
+        filtered.withColumn("digest", normalized_digest("text"))
+        .groupBy("digest")
+        .agg(
+            F.min(F.struct(F.col("doc_id"), F.col("source"), F.col("text"))).alias("k")
+        )
+        .select(
+            F.col("k.doc_id").alias("doc_id"),
+            F.col("k.source").alias("source"),
+            F.col("k.text").alias("text"),
+            "digest",
+        )
+    )
+    gate = md5_long(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    split = (
+        F.when(gate < 90, F.lit("train"))
+        .when(gate < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        survivors.select(
+            split.alias("split"),
+            "source",
+            token_count(F.col("text")).alias("n_tokens"),
+            "digest",
+        )
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.bit_xor("digest").alias("content_xor"),
+        )
+        .orderBy("split", "source")
+    )
+
+
+def _corpus_build_oracle() -> str:
+    from jobx_spark.operators.text import LANG_STOPWORDS
+
+    langs = sorted(LANG_STOPWORDS)
+    scores = {
+        lang: f"len(list_intersect(toks, {LANG_STOPWORDS[lang]!r}))" for lang in langs
+    }
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    cases = " ".join(
+        f"WHEN {scores[lang]} = {best} AND {best} > 0 THEN '{lang}'" for lang in langs
+    )
+    digest = _MD5.format(e="regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')")
+    split_gate = _MD5.format(e="'split:'||CAST(doc_id AS VARCHAR)") + " % 100"
+    return f"""
+WITH t AS (SELECT doc_id, source, text, {_TOKS} AS toks FROM documents),
+f AS (
+  SELECT doc_id, source, text, len(toks) AS n_tokens FROM t
+  WHERE len(toks) >= {MIN_TOKENS}
+    AND length(regexp_replace(text, '[^.,!?;:]', '', 'g'))::DOUBLE / length(text) < {MAX_PUNCT_RATIO}
+    AND (CASE {cases} ELSE 'und' END) = 'en'
+),
+d AS (
+  SELECT {digest} AS dg, min(doc_id) AS keep_id FROM f GROUP BY 1
+),
+s AS (
+  SELECT f.doc_id AS doc_id, f.source AS source, f.n_tokens AS n_tokens, d.dg AS digest
+  FROM f JOIN d ON f.doc_id = d.keep_id
+)
+SELECT CASE WHEN {split_gate} < 90 THEN 'train'
+            WHEN {split_gate} < 95 THEN 'val'
+            ELSE 'test' END AS split,
+       source,
+       count(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       bit_xor(digest) AS content_xor
+FROM s
+GROUP BY split, source
+ORDER BY split, source
+"""
+
+
 QUERIES = {
     "pipe_sample_hash": pipe_sample_hash,
     "pipe_sample_join": pipe_sample_join,
@@ -995,6 +1133,8 @@ QUERIES = {
     "pipe_table_diff": pipe_table_diff,
     "pipe_sample_fixed_k": pipe_sample_fixed_k,
     "pipe_pii_scrub": pipe_pii_scrub,
+    "pipe_corpus_build": pipe_corpus_build,
+    "pipe_stratified_k": pipe_stratified_k,
 }
 
 ORACLES = {
@@ -1018,4 +1158,6 @@ ORACLES = {
     "pipe_table_diff": ORACLE_PIPE_DIFF,
     "pipe_sample_fixed_k": ORACLE_PIPE_SAMPLE_FIXED_K,
     "pipe_pii_scrub": _pii_oracle(),
+    "pipe_corpus_build": _corpus_build_oracle(),
+    "pipe_stratified_k": ORACLE_PIPE_STRATIFIED_K,
 }

@@ -310,7 +310,30 @@ ORACLE_STREAM_SINK_ROLLUP = ORACLE_STREAM_TUMBLING
 # lead with those that span the surface (tumbling + sliding windows,
 # session window, stream-stream interval join); the file-sink rollup,
 # dedup and the rest are CI-verified at sf0.001/0.01.
+def stream_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch PII-redaction rollup (`pipe_pii_scrub`) applied to the
+    SAME events as a stream — literally the same plan fragment
+    (`pii_scrub_rollup`), demonstrating batch/stream unification: a
+    stateless expression chain needs no watermark, the complete-mode
+    aggregation over AvailableNow input is exactly the batch GROUP BY,
+    and the oracle IS the batch oracle."""
+    from jobx_spark.queries.pipeline import pii_scrub_rollup
+
+    ev = S.stream_events(spark, sf_dir)
+    out = S.run_available_now(
+        pii_scrub_rollup(ev.select("event_type", "props")), "complete", "pii"
+    )
+    return out.orderBy("event_type")
+
+
+def _stream_pii_oracle() -> str:
+    from jobx_spark.queries.pipeline import _pii_oracle
+
+    return _pii_oracle()
+
+
 QUERIES = {
+    "stream_pii_scrub": stream_pii_scrub,
     "stream_tumbling_agg": stream_tumbling_agg,
     "stream_sliding_agg": stream_sliding_agg,
     "stream_session_window": stream_session_window,
@@ -325,6 +348,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_pii_scrub": _stream_pii_oracle(),
     "stream_tumbling_agg": ORACLE_STREAM_TUMBLING,
     "stream_timeout_sessions": ORACLE_STREAM_TIMEOUT_SESSIONS,
     "stream_left_outer_join": ORACLE_STREAM_LEFT_OUTER,
