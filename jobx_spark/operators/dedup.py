@@ -383,25 +383,99 @@ def pagerank(
     nodes = deg.select(F.col("u").alias("node"), "deg")
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("r"))
     base = (15 * scale) // 100
-    for _ in range(iters):
+    for i in range(iters):
         shares = (
             edges_deg.join(ranks, edges_deg["u"] == ranks["node"])
             .select(F.col("v").alias("node"), F.expr("r div deg").alias("share"))
         )
-        ranks = cut_lineage(
+        ranks = (
             shares.groupBy("node")
             .agg(F.sum("share").alias("total"))
             .select(
                 "node",
                 (F.lit(base) + F.expr("(85 * total) div 100")).cast("long").alias("r"),
-            ),
-            "pr-ranks",
+            )
         )
+        # Reliable checkpoint every SECOND round (and on the last): the
+        # loop has no mid-round action, so lineage depth stays ≤ 2
+        # rounds between cuts — bounded recomputation on executor loss
+        # at half the fixed per-round write-job cost.
+        if i % 2 == 1 or i == iters - 1:
+            ranks = cut_lineage(ranks, "pr-ranks")
     return ranks.select(
         "node",
         F.col("r").alias("rank_s"),
         (F.col("r").cast("double") / F.lit(float(scale))).alias("rank"),
     )
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Per-node triangle participation counts — (node, n_triangles),
+    nodes in ≥ 1 triangle only — over an undirected edge list (each
+    edge once, either orientation; self-loops and duplicates tolerated).
+
+    Degree-orientation algorithm: orient every edge from the
+    (degree, id)-smaller endpoint to the larger, enumerate wedges only
+    at each edge's source, close with a third oriented edge. Out-degree
+    under this orientation is O(√m) regardless of hub size, so the
+    wedge join stays bounded even when one node pairs with millions —
+    the naive formulation's hub² wedge blowup is what dies at scale.
+    The produced triangle SET is orientation-invariant, so results are
+    independent of the ordering trick (exactly what the query oracle
+    exploits by enumerating with plain id order).
+    """
+    e0 = edges.select(
+        F.least(F.col(src), F.col(dst)).cast("long").alias("a"),
+        F.greatest(F.col(src), F.col(dst)).cast("long").alias("b"),
+    ).filter(F.col("a") != F.col("b")).distinct()
+    pairs = cut_lineage(e0, "tri-edges")
+    deg = (
+        pairs.select(F.col("a").alias("node"))
+        .unionByName(pairs.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    e = (
+        pairs.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = cut_lineage(
+        e.select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+            F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dst_deg"),
+        ),
+        "tri-oriented",
+    )
+    # e1.dst ≺ e2.dst in the SAME (degree, id) order, so the closing
+    # edge — if present — is oriented exactly e1.dst → e2.dst.
+    dst_lt = (F.col("e1.dst_deg") < F.col("e2.dst_deg")) | (
+        (F.col("e1.dst_deg") == F.col("e2.dst_deg"))
+        & (F.col("e1.dst") < F.col("e2.dst"))
+    )
+    wedges = (
+        oriented.alias("e1")
+        .join(oriented.alias("e2"), F.col("e1.src") == F.col("e2.src"))
+        .filter(dst_lt)
+        .select(
+            F.col("e1.src").alias("u"),
+            F.col("e1.dst").alias("v"),
+            F.col("e2.dst").alias("w"),
+        )
+    )
+    closing = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tri = wedges.join(closing, ["v", "w"], "left_semi")
+    # explode, not a 3-way self-union: a union re-evaluates the wedge
+    # join once per branch; explode walks the triangle rows once.
+    member = tri.select(
+        F.explode(F.array(F.col("u"), F.col("v"), F.col("w"))).alias("node")
+    )
+    return member.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
 # ------------------------------------------------------------- n-gram jaccard

@@ -64,13 +64,15 @@ GATE_FIRST_50 = [
     "dedup_embedding_lsh", "multimodal_decode", "q56_salted_skew_join",
     "pipe_sample_fixed_k", "pipe_pii_scrub", "q57_range_bin_join",
     "ann_quantize_int8", "dedup_triangle_count", "pipe_corpus_build",
-    "pipe_stratified_k", "stream_pii_scrub",
+    "pipe_stratified_k", "stream_pii_scrub", "ann_recall_eval",
     # changed code paths this round → re-attest
     "dedup_components", "dedup_pagerank", "dedup_two_hop_reach",
     "dedup_keep_canonical", "dedup_embedding",
     "ann_kmeans_train", "ann_ivf_trained_topk",
     "mr_engine_event_counts", "mr_engine_user_value",
-    "stream_tumbling_agg", "stream_sliding_agg", "stream_session_window",
+    # (stream_sliding_agg yields its slot to ann_recall_eval: its code
+    # did not change in r3 and its r2 driver row is green)
+    "stream_tumbling_agg", "stream_session_window",
     "stream_interval_join", "stream_dedup_activity",
     "stream_timeout_sessions", "stream_left_outer_join",
     "stream_replay_dedup", "stream_static_enrich",

@@ -692,64 +692,13 @@ FROM ranked GROUP BY comp ORDER BY comp
 # the hash match proves the bounded algorithm exact.
 # --------------------------------------------------------------------------
 def dedup_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.operators.dedup import triangle_counts
+
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(
         docs, n_hashes=N_HASHES, bands=BANDS, shingle_n=SHINGLE_N, seed=SEED
     ).select("id_a", "id_b")
-    edges = cut_lineage(pairs, "tri-edges")
-    deg = (
-        edges.select(F.col("id_a").alias("node"))
-        .unionByName(edges.select(F.col("id_b").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    e = (
-        edges.join(
-            deg.select(F.col("node").alias("id_a"), F.col("deg").alias("da")), "id_a"
-        ).join(
-            deg.select(F.col("node").alias("id_b"), F.col("deg").alias("db")), "id_b"
-        )
-    )
-    a_first = (F.col("da") < F.col("db")) | (
-        (F.col("da") == F.col("db")) & (F.col("id_a") < F.col("id_b"))
-    )
-    oriented = cut_lineage(
-        e.select(
-            F.when(a_first, F.col("id_a")).otherwise(F.col("id_b")).alias("src"),
-            F.when(a_first, F.col("id_b")).otherwise(F.col("id_a")).alias("dst"),
-            F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dst_deg"),
-        ),
-        "tri-oriented",
-    )
-    # Wedge at the common source; e1.dst ≺ e2.dst in the SAME
-    # (degree, id) order, so the closing edge — if it exists — is
-    # oriented exactly e1.dst → e2.dst.
-    dst_lt = (F.col("e1.dst_deg") < F.col("e2.dst_deg")) | (
-        (F.col("e1.dst_deg") == F.col("e2.dst_deg"))
-        & (F.col("e1.dst") < F.col("e2.dst"))
-    )
-    wedges = (
-        oriented.alias("e1")
-        .join(oriented.alias("e2"), F.col("e1.src") == F.col("e2.src"))
-        .filter(dst_lt)
-        .select(
-            F.col("e1.src").alias("u"),
-            F.col("e1.dst").alias("v"),
-            F.col("e2.dst").alias("w"),
-        )
-    )
-    closing = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
-    tri = wedges.join(closing, ["v", "w"], "left_semi")
-    # explode, not a 3-way self-union: a union re-evaluates the wedge
-    # join once per branch; explode walks the triangle rows once.
-    member = tri.select(
-        F.explode(F.array(F.col("u"), F.col("v"), F.col("w"))).alias("node")
-    )
-    return (
-        member.groupBy("node")
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
-        .orderBy("node")
-    )
+    return triangle_counts(pairs).orderBy("node")
 
 
 def _triangle_oracle() -> str:

@@ -348,6 +348,80 @@ ORDER BY query_id, rank
 
 
 # --------------------------------------------------------------------------
+# ann_recall_eval — recall@k of the LSH index against brute-force
+# ground truth, per query. The eval harness every ANN deployment needs:
+# approximate indexes trade recall for probe cost, and that trade must
+# be MEASURED on real data, not assumed. Both sides are the operators
+# already attested above (corpus-scan-once brute force; bucketed LSH);
+# the comparison itself is a k-row-per-query semi-join — negligible on
+# top of the two searches. At 100 TB the probe set is a sample and this
+# exact query is the recurring quality monitor. Output is all-integer
+# (hit counts), so the driver hash check is trivially exact.
+# --------------------------------------------------------------------------
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _probe_queries(emb)
+    gt = brute_force_topk(emb, q, k=K).select("query_id", "vec_id")
+    ap = lsh_topk(emb, q, k=K, n_planes=N_PLANES).select("query_id", "vec_id")
+    hits = (
+        ap.join(gt, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        q.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("recall_hits"),
+            F.lit(K).cast("long").alias("k"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _recall_oracle() -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         {_SDOT.format(a='embedding', b='embedding')} AS norm_s,
+         {bucket_sql(N_PLANES)} AS bucket
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv, norm_s AS qnorm_s, bucket
+  FROM e WHERE vec_id < {N_QUERIES}
+), bf AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             {_SDOT.format(a='q.qv', b='e.embedding')}::DOUBLE
+               / (sqrt(q.qnorm_s::DOUBLE) * sqrt(e.norm_s::DOUBLE)) DESC,
+             e.vec_id ASC) AS rk
+    FROM e, q
+  ) WHERE rk <= {K}
+), lsh AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             {_SDOT.format(a='q.qv', b='e.embedding')}::DOUBLE
+               / (sqrt(q.qnorm_s::DOUBLE) * sqrt(e.norm_s::DOUBLE)) DESC,
+             e.vec_id ASC) AS rk
+    FROM e JOIN q ON e.bucket = q.bucket
+  ) WHERE rk <= {K}
+), hits AS (
+  SELECT l.query_id, count(*) AS n
+  FROM lsh l JOIN bf ON bf.query_id = l.query_id AND bf.vec_id = l.vec_id
+  GROUP BY l.query_id
+)
+SELECT q.query_id,
+       CAST(COALESCE(hits.n, 0) AS BIGINT) AS recall_hits,
+       CAST({K} AS BIGINT) AS k
+FROM q LEFT JOIN hits ON q.query_id = hits.query_id
+ORDER BY q.query_id
+"""
+
+
+# --------------------------------------------------------------------------
 # ann_quantize_int8 — symmetric per-vector int8 quantization, the
 # standard memory diet for ANN indexes: a 100 TB float32 corpus becomes
 # ~25 TB of int8 codes (+1 double scale per vector), which is the
@@ -440,10 +514,12 @@ QUERIES = {
     "ann_kmeans_train": ann_kmeans_train,
     "ann_ivf_trained_topk": ann_ivf_trained_topk,
     "ann_quantize_int8": ann_quantize_int8,
+    "ann_recall_eval": ann_recall_eval,
 }
 
 ORACLES = {
     "ann_quantize_int8": ORACLE_ANN_QUANTIZE,
+    "ann_recall_eval": _recall_oracle(),
     "ann_bruteforce_topk": ORACLE_ANN_BRUTEFORCE,
     "ann_lsh_topk": _lsh_oracle(),
     "ann_ivf_topk": ORACLE_ANN_IVF,

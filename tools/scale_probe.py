@@ -80,6 +80,15 @@ def main() -> None:
             minhash_lsh_pairs(docs, n_hashes=16, bands=4)
         ).count(),
     )
+    from jobx_spark.operators.dedup import triangle_counts
+
+    probe(
+        "triangle_counts",
+        lambda: triangle_counts(
+            minhash_lsh_pairs(docs, n_hashes=16, bands=4)
+        ).count(),
+    )
+
     from jobx_spark.operators.dedup import containment_pairs
 
     probe(
