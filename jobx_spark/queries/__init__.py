@@ -45,9 +45,18 @@ def _utc_pinned(fn: QueryFn) -> QueryFn:
 #     engine pair (sink decode + scratch dirs), and all 11 streams
 #     (checkpoint dirs moved to the atexit-cleaned scratch root);
 #   * backfill: spot re-attestations of r1-banked relational/temporal
-#     rows to prove no regression.
+#     rows to prove no regression (later yielded to the second/third
+#     r3 batches: fixed-k/stratified/PII samplers, range-bin join,
+#     int8 quantize, triangle census, corpus build, streaming scrub,
+#     recall eval — new queries outrank redundant re-attestation).
 # Everything else holds a banked green row from r1/r2 and unchanged
-# code. Recount after ANY registry change:
+# code.
+# ROUND-4 GATE PLAN: after r3 attests these 50, every query in the
+# registry has held a green driver row in some round EXCEPT any query
+# added late in r3 or in r4 itself — put those first, then rotate in
+# r1/r2-banked rows oldest-attestation-first (q0x relational rows are
+# r1-banked; most dedup/text/multimodal rows are r2-banked) so rows
+# re-prove freshness on a cycle. Recount after ANY registry change:
 #   python -c "from jobx_spark.queries import all_queries;
 #              print(list(all_queries())[:50])"
 GATE_FIRST_50 = [
