@@ -1002,10 +1002,10 @@ WITH per_row AS (
 )
 SELECT event_type,
        count(*) AS n_events,
-       SUM(CASE WHEN n_ip + n_email + n_num > 0 THEN 1 ELSE 0 END) AS events_with_pii,
-       SUM(n_ip) AS ip_hits,
-       SUM(n_email) AS email_hits,
-       SUM(n_num) AS num_hits,
+       CAST(SUM(CASE WHEN n_ip + n_email + n_num > 0 THEN 1 ELSE 0 END) AS BIGINT) AS events_with_pii,
+       CAST(SUM(n_ip) AS BIGINT) AS ip_hits,
+       CAST(SUM(n_email) AS BIGINT) AS email_hits,
+       CAST(SUM(n_num) AS BIGINT) AS num_hits,
        bit_xor(h) AS scrub_xor
 FROM per_row
 GROUP BY event_type

@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from jobx_spark.functions import md5_long_sql_duck
 from jobx_spark.operators.similarity import (
     _WMOD,
     _WP1,
@@ -476,7 +477,6 @@ def ann_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q_MD5 = "('0x'||substr(md5({e}),1,15))::BIGINT"
 ORACLE_ANN_QUANTIZE = f"""
 WITH m AS (
   SELECT label, embedding,
@@ -493,13 +493,13 @@ WITH m AS (
   SELECT label,
          CAST(list_sum(qv) AS BIGINT) AS sum_q,
          CAST(list_sum(list_transform(qv, v -> abs(v))) AS BIGINT) AS sum_abs_q,
-         {_Q_MD5.format(e="array_to_string(qv, ',')")} AS h
+         {md5_long_sql_duck("array_to_string(qv, ',')")} AS h
   FROM q
 )
 SELECT label,
        count(*) AS n_vecs,
-       SUM(sum_q) AS total_q,
-       SUM(sum_abs_q) AS total_abs_q,
+       CAST(SUM(sum_q) AS BIGINT) AS total_q,
+       CAST(SUM(sum_abs_q) AS BIGINT) AS total_abs_q,
        bit_xor(h) AS code_xor
 FROM r
 GROUP BY label

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from jobx_spark import streaming as S
 from jobx_spark.functions import dsum_sql
+from jobx_spark.queries.pipeline import _pii_oracle
 
 
 def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -326,12 +327,6 @@ def stream_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("event_type")
 
 
-def _stream_pii_oracle() -> str:
-    from jobx_spark.queries.pipeline import _pii_oracle
-
-    return _pii_oracle()
-
-
 QUERIES = {
     "stream_pii_scrub": stream_pii_scrub,
     "stream_tumbling_agg": stream_tumbling_agg,
@@ -348,7 +343,7 @@ QUERIES = {
 }
 
 ORACLES = {
-    "stream_pii_scrub": _stream_pii_oracle(),
+    "stream_pii_scrub": _pii_oracle(),
     "stream_tumbling_agg": ORACLE_STREAM_TUMBLING,
     "stream_timeout_sessions": ORACLE_STREAM_TIMEOUT_SESSIONS,
     "stream_left_outer_join": ORACLE_STREAM_LEFT_OUTER,
