@@ -33,6 +33,10 @@ HEADLINE = [
     "q47_cohort_retention",
     "q49_local_supplier_volume",
     "q50_returned_items",
+    "q58_disjunctive_join",
+    "q59_waiting_suppliers",
+    "q61_promo_share",
+    "q63_dominant_supplier",
     "stream_tumbling_agg",
     "stream_stateful_user_stats",
     "stream_sink_rollup",

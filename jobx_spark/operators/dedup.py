@@ -194,6 +194,48 @@ def decontaminate(
     )
 
 
+def ngram_overlap_flags(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+    min_shared: int = 3,
+) -> DataFrame:
+    """EXACT n-gram overlap decontamination (the complement of the LSH
+    :func:`decontaminate`): flag every training document sharing at
+    least ``min_shared`` distinct word n-grams with the eval corpus —
+    the published LLM-eval decontamination recipe (verbatim n-gram
+    collision, typically 8-13 grams) as opposed to near-dup banding.
+
+    Returns (id, n_shared) for flagged training docs.
+
+    Scale shape: n-grams travel as 60-bit hashes, never strings. The
+    eval side's distinct n-gram hash set is small by contract
+    (benchmarks) → broadcast; the train side explodes shingles with a
+    per-doc ``array_distinct`` BEFORE the explode so the join input
+    carries each (doc, gram) once. The only shuffle is the final
+    per-doc count — the corpus itself is never shuffled.
+    """
+    tgrams = train.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("s"),
+    ).select("id", md5_long(F.col("s")).alias("h"))
+    egrams = (
+        eval_df.select(
+            F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("s")
+        )
+        .select(md5_long(F.col("s")).alias("h"))
+        .distinct()
+    )
+    return (
+        tgrams.join(F.broadcast(egrams), "h", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 # -------------------------------------------------------------------- simhash
 SIMHASH_BITS = 60  # the portable hash is 60 bits
 

@@ -415,3 +415,61 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select(F.col("qid").alias("query_id"), "vec_id", "rank", "cosine")
     )
+
+
+def knn_graph(
+    corpus: DataFrame,
+    k: int = 5,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate k-nearest-neighbor GRAPH: every corpus vector finds
+    its top-k cosine neighbors within its own LSH bucket (self-join,
+    self excluded). This is the all-vectors analogue of ``lsh_topk``'s
+    query-set search — the building block for graph-based dedup,
+    semantic clustering, and kNN-graph indexes (HNSW-style construction
+    starts from exactly this edge list).
+
+    Scale shape: the corpus is bucketed once (per-row, no shuffle),
+    then self-joined ON the bucket key — a plain shuffle hash join
+    whose per-task pair work is bounded by bucket size, which
+    ``n_planes`` controls (2^n_planes buckets; at 100 TB push planes up
+    and/or bucket the stored table by this key so the join is
+    co-located). No broadcast: both sides are the corpus. Vectors with
+    no bucket-mate simply emit no edges (honest LSH semantics — recall
+    is the n_planes trade, measured by ``ann_recall_eval``'s method).
+    """
+    bucket_fn = hyperplane_bucket_udf(n_planes)
+    base = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).withColumn("bucket", bucket_fn(F.col("v")))
+    a = base.select(
+        F.col("id").alias("src_id"),
+        F.col("v").alias("src_v"),
+        "bucket",
+    ).withColumn("src_norm_s", _sdot(F.col("src_v"), F.col("src_v")))
+    b = base.select(
+        F.col("id").alias("nbr_id"),
+        F.col("v").alias("nbr_v"),
+        "bucket",
+    ).withColumn("nbr_norm_s", _sdot(F.col("nbr_v"), F.col("nbr_v")))
+    scored = (
+        a.join(b, "bucket")
+        .filter(F.col("src_id") != F.col("nbr_id"))
+        .select(
+            "src_id",
+            "nbr_id",
+            cosine_from_scaled(
+                _sdot(F.col("src_v"), F.col("nbr_v")),
+                F.col("src_norm_s"),
+                F.col("nbr_norm_s"),
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("src_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src_id", "nbr_id", "rank", "cosine")
+    )

@@ -74,18 +74,21 @@ GATE_FIRST_50 = [
     "pipe_sample_fixed_k", "pipe_pii_scrub", "q57_range_bin_join",
     "ann_quantize_int8", "dedup_triangle_count", "pipe_corpus_build",
     "pipe_stratified_k", "stream_pii_scrub", "ann_recall_eval",
+    # new in the round-3 extension batch (never held any driver row —
+    # these outrank the stream re-attestations they displaced: the
+    # streams' only r3 change was the checkpoint-scratch-dir move,
+    # their r2 rows are green, and CI re-proves them at sf0.001)
+    "q58_disjunctive_join", "q59_waiting_suppliers", "q60_lateral_topn",
+    "q61_promo_share", "q62_supplier_census", "q63_dominant_supplier",
+    "dedup_ngram_overlap", "ann_knn_graph", "text_ttr",
     # changed code paths this round → re-attest
     "dedup_components", "dedup_pagerank", "dedup_two_hop_reach",
     "dedup_keep_canonical", "dedup_embedding",
     "ann_kmeans_train", "ann_ivf_trained_topk",
     "mr_engine_event_counts", "mr_engine_user_value",
-    # (stream_sliding_agg yields its slot to ann_recall_eval: its code
-    # did not change in r3 and its r2 driver row is green)
-    "stream_tumbling_agg", "stream_session_window",
-    "stream_interval_join", "stream_dedup_activity",
-    "stream_timeout_sessions", "stream_left_outer_join",
-    "stream_replay_dedup", "stream_static_enrich",
-    "stream_stateful_user_stats", "stream_sink_rollup",
+    # one stream re-attestation slot: the sink-MERGE path is the most
+    # state-heavy stream surface (scratch dirs + replay watermark)
+    "stream_sink_rollup",
 ]
 
 

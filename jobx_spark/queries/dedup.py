@@ -724,7 +724,53 @@ ORDER BY node
 """
 
 
+# --------------------------------------------------------------------------
+# dedup_ngram_overlap — EXACT n-gram decontamination (the published
+# LLM-eval recipe: verbatim n-gram collision against the benchmark
+# set), complementing dedup_decontaminate's near-dup LSH banding. Same
+# train/eval split; 5-grams, flag at >= 3 distinct shared grams. The
+# eval gram-hash set broadcasts; the corpus is never shuffled — only
+# the per-doc count is. Oracle: the identical shingle construction in
+# DuckDB list SQL over the same md5-60bit hash space.
+# --------------------------------------------------------------------------
+def dedup_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.operators.dedup import ngram_overlap_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    eval_df = docs.filter(F.col("doc_id") % 10 == 0)
+    flagged = ngram_overlap_flags(train, eval_df, shingle_n=5, min_shared=3)
+    return flagged.select(
+        F.col("id").alias("doc_id"), "n_shared"
+    ).orderBy("doc_id")
+
+
+_SHINGLES5_DISTINCT = (
+    f"list_distinct(list_transform(generate_series(1, greatest(len({_TOKS})-4, 0)),"
+    f" i -> array_to_string(list_slice({_TOKS}, i, i+4), ' ')))"
+)
+
+ORACLE_DEDUP_NGRAM_OVERLAP = f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES5_DISTINCT} AS gs FROM documents
+), tg AS (
+  SELECT doc_id, {_MD5.format(e='unnest(gs)')} AS h
+  FROM sh WHERE doc_id % 10 != 0
+), eg AS (
+  SELECT DISTINCT {_MD5.format(e='unnest(gs)')} AS h
+  FROM sh WHERE doc_id % 10 = 0
+)
+SELECT doc_id, count(*) AS n_shared
+FROM tg
+WHERE h IN (SELECT h FROM eg)
+GROUP BY doc_id
+HAVING count(*) >= 3
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "dedup_ngram_overlap": dedup_ngram_overlap,
     "dedup_triangle_count": dedup_triangle_count,
     "dedup_exact": dedup_exact,
     "dedup_components": dedup_components,
@@ -744,6 +790,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_ngram_overlap": ORACLE_DEDUP_NGRAM_OVERLAP,
     "dedup_triangle_count": _triangle_oracle(),
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_components": _components_oracle(),

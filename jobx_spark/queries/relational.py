@@ -1529,7 +1529,298 @@ ORDER BY b.band_id
 """
 
 
+# --------------------------------------------------------------------------
+# q58: TPC-H Q19 shape — disjunctive join predicates (OR-of-ANDs mixing
+# both sides of the join). Catalyst extracts the common l_partkey =
+# p_partkey equi-condition so the join stays a broadcast hash join, and
+# pushes the part-only disjuncts (brand/size) down to the part scan;
+# only the mixed residual evaluates post-join. A naive engine turns
+# OR-of-ANDs into a nested-loop theta join — the plan gate in
+# tests/test_plans.py asserts ours does not.
+# --------------------------------------------------------------------------
+def q58_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(5, 25)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(15, 40)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(25, 50)
+    )
+    return joined.filter(cond).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+_Q58_PRED = """
+   (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+    AND l_quantity BETWEEN 5 AND 25)
+OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+    AND l_quantity BETWEEN 15 AND 40)
+OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+    AND l_quantity BETWEEN 25 AND 50)
+"""
+
+ORACLE_Q58 = f"""
+SELECT {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE {_Q58_PRED}
+"""
+
+
+# --------------------------------------------------------------------------
+# q59: TPC-H Q21 shape — suppliers who were the SOLE supplier to have a
+# line returned in a finished multi-supplier order (the "kept orders
+# waiting" query; the reference dataset has no receipt/commit dates so
+# l_returnflag = 'R' stands in for late receipt). The textbook SQL is
+# two correlated subqueries (EXISTS another-supplier line, NOT EXISTS
+# another-supplier returned line) probed per row — at 100 TB that is
+# two extra scans of lineitem. This formulation computes per-order
+# supplier stats ONCE (one groupBy on orderkey) and joins them back:
+# the whole query is two shuffles on l_orderkey, which AQE co-plans,
+# and lineitem is scanned twice instead of three+ times. The oracle
+# keeps the textbook EXISTS/NOT EXISTS form, so the hash match proves
+# the decorrelation is semantics-preserving.
+# --------------------------------------------------------------------------
+def q59_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supplier = _t(spark, sf_dir, "supplier")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_ret_supp"),
+    )
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    blamed = (
+        l1.join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_ret_supp") == 1))
+        .join(
+            orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+    )
+    return (
+        blamed.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+ORACLE_Q59 = """
+SELECT s_name, count(*) AS numwait
+FROM supplier
+JOIN (SELECT DISTINCT l_orderkey, l_suppkey
+      FROM lineitem WHERE l_returnflag = 'R') l1
+  ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# q60: LATERAL correlated table subquery — top-2 suppliers per nation
+# via `nation, LATERAL (SELECT ... ORDER BY ... LIMIT 2)`. Exercises
+# Catalyst's lateral decorrelation WITH LIMIT (rewritten into a
+# partitioned window filter, not a per-row re-scan); identical SQL text
+# runs on DuckDB, which plans LATERAL natively — the hash match proves
+# the decorrelated plan is equivalent to the row-at-a-time semantics.
+# s_name is unique, so the per-nation ordering has a total tiebreak.
+# --------------------------------------------------------------------------
+_Q60_SQL = """
+SELECT n_name, s_name, s_acctbal
+FROM nation n, LATERAL (
+  SELECT s_name, s_acctbal FROM supplier s
+  WHERE s.s_nationkey = n.n_nationkey
+  ORDER BY s_acctbal DESC, s_name LIMIT 2
+) t
+ORDER BY n_name, s_acctbal DESC, s_name
+"""
+
+
+def q60_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(_Q60_SQL)
+
+
+ORACLE_Q60 = _Q60_SQL
+
+
+# --------------------------------------------------------------------------
+# q61: TPC-H Q14 shape — promo revenue share per month: a ratio of two
+# conditional aggregates computed in ONE pass over the join (no second
+# scan for the denominator). Both sums go through exact decimals; the
+# final share is a single IEEE double division of the decimal-exact
+# operands, identical in any engine.
+# --------------------------------------------------------------------------
+def q61_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    monthly = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.date_trunc("month", F.col("l_shipdate")).alias("month"))
+        .agg(
+            dsum(promo_rev).alias("promo_revenue"),
+            dsum(rev).alias("total_revenue"),
+        )
+    )
+    return monthly.select(
+        "month",
+        "promo_revenue",
+        "total_revenue",
+        (F.col("promo_revenue") * 100.0 / F.col("total_revenue")).alias(
+            "promo_share_pct"
+        ),
+    ).orderBy("month")
+
+
+ORACLE_Q61 = f"""
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month,
+         {dsum_sql("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")} AS promo_revenue,
+         {dsum_sql('l_extendedprice * (1 - l_discount)')} AS total_revenue
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  GROUP BY 1
+)
+SELECT month, promo_revenue, total_revenue,
+       promo_revenue * 100.0 / total_revenue AS promo_share_pct
+FROM monthly
+ORDER BY month
+"""
+
+
+# --------------------------------------------------------------------------
+# q62: TPC-H Q16 shape — distinct-supplier census per (brand, type)
+# excluding blacklisted suppliers via NOT IN. The exclusion list
+# (negative-balance suppliers) is tiny → broadcast LEFT ANTI join, so
+# the NOT IN never becomes a shuffled null-aware anti join; the
+# count_distinct shuffles once on (brand, type) with partial distinct
+# aggregation map-side.
+# --------------------------------------------------------------------------
+def q62_supplier_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supplier = _t(spark, sf_dir, "supplier")
+    bad = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter((F.col("p_brand") != "Brand#1") & (F.col("p_size") <= 25))
+        .groupBy("p_brand", "p_type")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type")
+    )
+
+
+ORACLE_Q62 = """
+SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_size <= 25
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type
+ORDER BY supplier_cnt DESC, p_brand, p_type
+"""
+
+
+# --------------------------------------------------------------------------
+# q63: TPC-H Q20 shape — "dominant suppliers": suppliers who shipped
+# more than a sixth of some part's total quantity (the reference-data
+# part/supplier fan-out makes >50% shares vanish above sf0.001). The correlated
+# half-sum subquery decorrelates into aggregate-then-join; the part
+# totals REUSE the (partkey, suppkey) partials by re-aggregating a
+# materialized partials table (rollup-style) instead of re-scanning
+# lineitem — Catalyst does not CSE shared subtrees, so the partials
+# are cut to parquet once (tiny: one row per (part,supp)) and lineitem
+# is read exactly once. The dominance
+# comparison stays in exact decimals (6*share > total, integer-scaled)
+# — no float threshold ambiguity.
+# --------------------------------------------------------------------------
+def q63_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.lineage import cut_lineage
+
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    # Materialize the (part, supp) partials once: Catalyst does not CSE
+    # the shared subtree, so without this cut lineitem is scanned and
+    # aggregated twice — at 100 TB that is the whole query cost.
+    per_ps = cut_lineage(
+        li.groupBy("l_partkey", "l_suppkey").agg(
+            F.sum(F.col("l_quantity").cast("decimal(38,8)")).alias("supp_qty")
+        ),
+        "q63-perps",
+    )
+    per_part = per_ps.groupBy("l_partkey").agg(
+        F.sum("supp_qty").alias("part_qty")
+    )
+    dominant = (
+        per_ps.join(per_part, "l_partkey")
+        .filter(F.col("supp_qty") * 6 > F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(
+            dominant, supplier.s_suppkey == dominant.l_suppkey, "left_semi"
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE_Q63 = """
+WITH per_ps AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(38,8))) AS supp_qty
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), per_part AS (
+  SELECT l_partkey, SUM(supp_qty) AS part_qty
+  FROM per_ps GROUP BY l_partkey
+)
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM per_ps JOIN per_part USING (l_partkey)
+  WHERE supp_qty * 6 > part_qty)
+ORDER BY s_suppkey
+"""
+
+
 QUERIES = {
+    "q58_disjunctive_join": q58_disjunctive_join,
+    "q59_waiting_suppliers": q59_waiting_suppliers,
+    "q60_lateral_topn": q60_lateral_topn,
+    "q61_promo_share": q61_promo_share,
+    "q62_supplier_census": q62_supplier_census,
+    "q63_dominant_supplier": q63_dominant_supplier,
     "q57_range_bin_join": q57_range_bin_join,
     "q56_salted_skew_join": q56_salted_skew_join,
     "q38_salted_skew_agg": q38_salted_skew_agg,
@@ -1573,6 +1864,12 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q58_disjunctive_join": ORACLE_Q58,
+    "q59_waiting_suppliers": ORACLE_Q59,
+    "q60_lateral_topn": ORACLE_Q60,
+    "q61_promo_share": ORACLE_Q61,
+    "q62_supplier_census": ORACLE_Q62,
+    "q63_dominant_supplier": ORACLE_Q63,
     "q57_range_bin_join": ORACLE_Q57,
     "q56_salted_skew_join": ORACLE_Q56,
     "q38_salted_skew_agg": ORACLE_Q38,

@@ -507,7 +507,48 @@ ORDER BY label
 """
 
 
+# --------------------------------------------------------------------------
+# ann_knn_graph — the all-vectors kNN GRAPH: every corpus vector's
+# top-5 in-bucket cosine neighbors (LSH-blocked self-join; self
+# excluded). The edge list that graph-based dedup / clustering / HNSW
+# construction starts from. Unlike lsh_topk there is NO broadcast —
+# both sides are the corpus, joined on the bucket key only; per-task
+# work is bounded by bucket size (n_planes is the knob). Oracle: the
+# identical bucket arithmetic self-joined in DuckDB.
+# --------------------------------------------------------------------------
+def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.operators.similarity import knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_graph(emb, k=5, n_planes=N_PLANES).orderBy("src_id", "rank")
+
+
+def _knn_graph_oracle() -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         {_SDOT.format(a='embedding', b='embedding')} AS norm_s,
+         {bucket_sql(N_PLANES)} AS bucket
+  FROM embeddings
+), scored AS (
+  SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+         {_SDOT.format(a='a.embedding', b='b.embedding')}::DOUBLE
+           / (sqrt(a.norm_s::DOUBLE) * sqrt(b.norm_s::DOUBLE)) AS cosine
+  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT src_id, nbr_id, cosine,
+         CAST(row_number() OVER (PARTITION BY src_id
+              ORDER BY cosine DESC, nbr_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT src_id, nbr_id, rank, cosine
+FROM ranked WHERE rank <= 5
+ORDER BY src_id, rank
+"""
+
+
 QUERIES = {
+    "ann_knn_graph": ann_knn_graph,
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -518,6 +559,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ann_knn_graph": _knn_graph_oracle(),
     "ann_quantize_int8": ORACLE_ANN_QUANTIZE,
     "ann_recall_eval": _recall_oracle(),
     "ann_bruteforce_topk": ORACLE_ANN_BRUTEFORCE,

@@ -339,7 +339,68 @@ ORDER BY exact_n DESC, tok ASC
 """
 
 
+# --------------------------------------------------------------------------
+# text_ttr: lexical-diversity scoring — type-token ratio + hapax share,
+# the classic gibberish/boilerplate discriminator (low TTR = repeated
+# boilerplate, TTR ≈ 1 with many hapaxes = serial-number noise). One
+# explode → (doc, token) count → per-doc rollup: the shuffle carries
+# distinct (doc, token) pairs, partial-aggregated map-side; ratios are
+# single IEEE divisions of exact integers, identical in any engine.
+# --------------------------------------------------------------------------
+def text_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_tok = (
+        docs.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        per_tok.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hapax"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            (F.col("n_types").cast("double") / F.col("n_tokens")).alias("ttr"),
+            (F.col("n_hapax").cast("double") / F.col("n_tokens")).alias(
+                "hapax_ratio"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_TEXT_TTR = f"""
+WITH per_tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+), counts AS (
+  SELECT doc_id, tok, count(*) AS cnt FROM per_tok GROUP BY doc_id, tok
+), rolled AS (
+  SELECT doc_id,
+         CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+  FROM counts GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_types, n_hapax,
+       n_types::DOUBLE / n_tokens AS ttr,
+       n_hapax::DOUBLE / n_tokens AS hapax_ratio
+FROM rolled
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "text_ttr": text_ttr,
     "text_quality": text_quality,
     "text_repetition": text_repetition,
     "text_tfidf_terms": text_tfidf_terms,
@@ -350,6 +411,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_ttr": ORACLE_TEXT_TTR,
     "text_quality": ORACLE_TEXT_QUALITY,
     "text_repetition": ORACLE_TEXT_REPETITION,
     "text_tfidf_terms": ORACLE_TEXT_TFIDF,
