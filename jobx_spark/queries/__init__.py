@@ -81,9 +81,12 @@ GATE_FIRST_50 = [
     "q58_disjunctive_join", "q59_waiting_suppliers", "q60_lateral_topn",
     "q61_promo_share", "q62_supplier_census", "q63_dominant_supplier",
     "dedup_ngram_overlap", "ann_knn_graph", "text_ttr",
-    # changed code paths this round → re-attest
-    "dedup_components", "dedup_pagerank", "dedup_two_hop_reach",
-    "dedup_keep_canonical", "dedup_embedding",
+    "stream_zscore_anomaly", "stream_topk_trending",
+    # changed code paths this round → re-attest (two_hop/keep_canonical
+    # yielded their slots to the two new stream queries above: both are
+    # downstream consumers of the same components/cut_lineage machinery
+    # that dedup_components + dedup_pagerank attest directly)
+    "dedup_components", "dedup_pagerank", "dedup_embedding",
     "ann_kmeans_train", "ann_ivf_trained_topk",
     "mr_engine_event_counts", "mr_engine_user_value",
     # one stream re-attestation slot: the sink-MERGE path is the most

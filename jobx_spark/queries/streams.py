@@ -327,7 +327,87 @@ def stream_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("event_type")
 
 
+def stream_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator #3: per-user running 3σ
+    anomaly flags (integer-exact moments; events held in state until
+    the watermark finalizes their prefix — see
+    streaming._zscore_anomaly_fn). The oracle restates the running
+    prefix with window functions over (ts, event_id) order; the open
+    tail (events at the stream's final max timestamp) is withheld on
+    both sides."""
+    ev = S.stream_events(spark, sf_dir)
+    out = S.run_available_now(S.zscore_anomaly(ev), "append", "zscore")
+    return out.orderBy("event_id")
+
+
+ORACLE_STREAM_ZSCORE = """
+WITH scaled AS (
+  SELECT event_id, user_id, ts,
+         CAST(floor(value * 1000) AS BIGINT) AS v_s
+  FROM events
+), run AS (
+  SELECT event_id, user_id, ts, v_s,
+         CAST(count(*) OVER wprior AS BIGINT) AS n_prior,
+         CAST(coalesce(SUM(v_s) OVER wprior, 0) AS BIGINT) AS sum_s,
+         CAST(coalesce(SUM(v_s * v_s) OVER wprior, 0) AS BIGINT) AS ssq_s
+  FROM scaled
+  WINDOW wprior AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, ts, v_s AS value_s, n_prior
+FROM run
+WHERE n_prior >= 5
+  AND (n_prior * v_s - sum_s) * (n_prior * v_s - sum_s)
+      > 9 * (n_prior * ssq_s - sum_s * sum_s)
+  AND epoch_us(ts) < (SELECT max(epoch_us(ts)) FROM events)
+ORDER BY event_id
+"""
+
+
+def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending dashboard: the continuously-maintained tumbling rollup
+    (the streaming agg) post-ranked to each window's top-3 event types
+    — the standard 'streaming rollup feeds a batch rank' serving
+    pattern. The rank runs over the materialized rollup (windows ×
+    types rows), never the event stream."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    ev = S.stream_events(spark, sf_dir)
+    counts = S.run_available_now(
+        S.tumbling_window_agg(ev), "complete", "trending"
+    )
+    w = W.partitionBy("window_start").orderBy(
+        F.desc("n"), F.asc("event_type")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("window_start", "event_type", "n", "rank")
+        .orderBy("window_start", "rank")
+    )
+
+
+ORACLE_STREAM_TOPK = """
+WITH counts AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT window_start, event_type, n,
+         CAST(row_number() OVER (PARTITION BY window_start
+              ORDER BY n DESC, event_type ASC) AS INTEGER) AS rank
+  FROM counts
+)
+SELECT window_start, event_type, n, rank
+FROM ranked WHERE rank <= 3
+ORDER BY window_start, rank
+"""
+
+
 QUERIES = {
+    "stream_zscore_anomaly": stream_zscore_anomaly,
+    "stream_topk_trending": stream_topk_trending,
     "stream_pii_scrub": stream_pii_scrub,
     "stream_tumbling_agg": stream_tumbling_agg,
     "stream_sliding_agg": stream_sliding_agg,
@@ -343,6 +423,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_zscore_anomaly": ORACLE_STREAM_ZSCORE,
+    "stream_topk_trending": ORACLE_STREAM_TOPK,
     "stream_pii_scrub": _pii_oracle(),
     "stream_tumbling_agg": ORACLE_STREAM_TUMBLING,
     "stream_timeout_sessions": ORACLE_STREAM_TIMEOUT_SESSIONS,

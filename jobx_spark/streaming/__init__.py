@@ -463,6 +463,117 @@ def timeout_sessions(events: DataFrame) -> DataFrame:
     )
 
 
+_ANOM_MIN_N = 5
+_ANOM_OUTPUT = (
+    "event_id bigint, user_id bigint, ts timestamp, value_s bigint,"
+    " n_prior bigint"
+)
+_ANOM_STATE = (
+    "n bigint, sum_s bigint, ssq_s bigint,"
+    " stamps array<bigint>, ids array<bigint>, vals array<bigint>"
+)
+
+
+def _zscore_anomaly_fn(key, pdf_iter, state: GroupState):
+    """Running z-score anomaly detection per user: an event is flagged
+    when its value deviates from the user's PRIOR running mean by more
+    than 3 population standard deviations (with at least ``_ANOM_MIN_N``
+    prior events). All arithmetic is integer (value scaled ×1000; the
+    3σ test is cross-multiplied to ``(n·v−Σ)² > 9·(n·Σv²−Σ²)``), so the
+    emitted rows are bit-identical to the SQL restatement — float
+    Welford accumulation could never be hash-verified cross-engine.
+
+    Emission discipline (same as :func:`_timeout_sessions_fn`): events
+    are HELD in keyed state until the watermark passes their event
+    time, then processed in (event-time, event_id) order against the
+    running moments — so the running prefix is exact for any in-order
+    batch split, never arrival-order dependent. State per user is the
+    un-finalized tail (bounded by watermark lag) plus three moment
+    counters. Int64 moments bound the per-user horizon to ~2^63/v_s²
+    events — a production run at 100 TB would decay or window the
+    moments; the detection algebra is unchanged.
+    """
+    (user_id,) = key
+    if state.exists:
+        n, sum_s, ssq_s, stamps, ids, vals = state.get
+        held = sorted(zip(stamps, ids, vals))
+    else:
+        n, sum_s, ssq_s, held = 0, 0, 0, []
+
+    if not state.hasTimedOut:
+        fresh = []
+        for pdf in pdf_iter:
+            if len(pdf):
+                us = pdf["ts"].astype("datetime64[us]").astype("int64").tolist()
+                fresh.extend(
+                    zip(us, pdf["event_id"].tolist(), pdf["v_s"].tolist())
+                )
+        held = sorted(held + [(int(a), int(b), int(c)) for a, b, c in fresh])
+
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    out_rows = []
+    remaining = []
+    for us, eid, v in held:
+        if us >= wm_us:
+            remaining.append((us, eid, v))
+            continue
+        if n >= _ANOM_MIN_N:
+            lhs = n * v - sum_s
+            if lhs * lhs > 9 * (n * ssq_s - sum_s * sum_s):
+                out_rows.append((eid, us, v, n))
+        n, sum_s, ssq_s = n + 1, sum_s + v, ssq_s + v * v
+
+    if remaining:
+        state.update((
+            n, sum_s, ssq_s,
+            [r[0] for r in remaining],
+            [r[1] for r in remaining],
+            [r[2] for r in remaining],
+        ))
+        state.setTimeoutTimestamp(wm_us // 1000 + 1)
+    elif state.exists:
+        state.remove()
+
+    if out_rows:
+        yield pd.DataFrame(
+            {
+                "event_id": [r[0] for r in out_rows],
+                "user_id": [user_id] * len(out_rows),
+                "ts": [pd.Timestamp(r[1], unit="us") for r in out_rows],
+                "value_s": [r[2] for r in out_rows],
+                "n_prior": [r[3] for r in out_rows],
+            }
+        )
+
+
+def zscore_anomaly(events: DataFrame) -> DataFrame:
+    """Streaming anomaly detection (see :func:`_zscore_anomaly_fn`).
+
+    The value is scaled JVM-side (``floor(value·1000)`` — the identical
+    IEEE expression the oracle uses); one user_id shuffle per batch.
+    With the zero-second watermark, every event except those AT the
+    stream's final max timestamp is scored; the open tail is withheld
+    exactly like ``timeout_sessions``' unfinished sessions.
+    """
+    scaled = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 1000).cast("long").alias("v_s"),
+    )
+    return (
+        scaled.withWatermark("ts", "0 seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _zscore_anomaly_fn,
+            outputStructType=_ANOM_OUTPUT,
+            stateStructType=_ANOM_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def stream_to_parquet(
     df: DataFrame, path: str, checkpoint: str
 ) -> None:
