@@ -155,6 +155,42 @@ def minhash_lsh_pairs(
     )
 
 
+def incremental_dup_pairs(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    seed: int = 7,
+) -> DataFrame:
+    """Incremental-ingest dedup: near-dup candidate pairs between a NEW
+    batch and the EXISTING corpus (never corpus×corpus — that work was
+    already done when each old batch arrived). Output
+    (new_id, old_id, n_shared_bands).
+
+    Scale shape: the batch side is small relative to the corpus by
+    contract (a day's ingest vs. the accumulated 100 TB), so its banded
+    signatures BROADCAST; the corpus side streams through its own
+    signature scan — at scale the corpus band table is the persisted
+    index (write it bucketed by (band, bh) and this join is a bucket
+    lookup, no corpus scan at all). The only shuffle is the per-pair
+    band count.
+    """
+    cb = banded_signature(
+        corpus, id_col, text_col, n_hashes, bands, shingle_n, seed
+    ).select(F.col("id").alias("old_id"), "band", "bh")
+    bb = banded_signature(
+        batch, id_col, text_col, n_hashes, bands, shingle_n, seed
+    ).select(F.col("id").alias("new_id"), "band", "bh")
+    return (
+        cb.join(F.broadcast(bb), ["band", "bh"])
+        .groupBy("new_id", "old_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
 def decontaminate(
     train: DataFrame,
     eval_df: DataFrame,
@@ -449,6 +485,57 @@ def pagerank(
         F.col("r").alias("rank_s"),
         (F.col("r").cast("double") / F.lit(float(scale))).alias("rank"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    rounds: int = 3,
+) -> DataFrame:
+    """Synchronous label propagation over the (symmetrized) dup-pair
+    graph: each round every node adopts its neighbors' MOST FREQUENT
+    label, ties broken toward the smallest label — fully deterministic,
+    unlike textbook LPA's random tie-break, so the DuckDB oracle
+    (the same rounds unrolled as CTEs) reproduces it bit-for-bit.
+    Returns (node, community) after exactly ``rounds`` rounds.
+
+    Where min-label components finds CONNECTivity, neighbor-majority
+    voting finds DENSITY — two bridged cliques stay separate
+    communities because each side's internal majority out-votes the
+    single bridge edge.
+
+    Scale shape: identical to the components/pagerank loops — edge list
+    materialized once, two keyed shuffles per round (neighbor-vote
+    count + per-node argmax), lineage cut every second round for
+    executor-loss recovery with bounded recomputation.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    )
+    sym = cut_lineage(
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct(),
+        "lp-edges",
+    )
+    labels = sym.select(F.col("u").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    )
+    w = W.partitionBy("node").orderBy(F.desc("c"), F.asc("lbl"))
+    for i in range(rounds):
+        votes = (
+            sym.alias("e")
+            .join(labels.alias("l"), F.col("e.u") == F.col("l.node"))
+            .groupBy(F.col("e.v").alias("node"), F.col("l.lbl").alias("lbl"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+        )
+        if i % 2 == 1 or i == rounds - 1:
+            labels = cut_lineage(labels, "lp-labels")
+    return labels.select("node", F.col("lbl").alias("community"))
 
 
 def triangle_counts(

@@ -82,13 +82,16 @@ GATE_FIRST_50 = [
     "q61_promo_share", "q62_supplier_census", "q63_dominant_supplier",
     "dedup_ngram_overlap", "ann_knn_graph", "text_ttr",
     "stream_zscore_anomaly", "stream_topk_trending",
-    # changed code paths this round → re-attest (two_hop/keep_canonical
-    # yielded their slots to the two new stream queries above: both are
-    # downstream consumers of the same components/cut_lineage machinery
-    # that dedup_components + dedup_pagerank attest directly)
-    "dedup_components", "dedup_pagerank", "dedup_embedding",
-    "ann_kmeans_train", "ann_ivf_trained_topk",
-    "mr_engine_event_counts", "mr_engine_user_value",
+    "q64_market_share", "dedup_label_prop", "dedup_incremental",
+    # changed code paths this round → re-attest, one representative per
+    # changed MECHANISM (never-attested new queries outrank redundant
+    # re-attestation; every displaced row is r2-green + CI-covered):
+    #   cut_lineage loops → components + pagerank + kmeans
+    #   (two_hop/keep_canonical/ivf_trained consume the same machinery)
+    #   embedding safe default → dedup_embedding_lsh (new, above)
+    #   engine sink decode → mr_engine_user_value (the k-cast path)
+    "dedup_components", "dedup_pagerank",
+    "ann_kmeans_train", "mr_engine_user_value",
     # one stream re-attestation slot: the sink-MERGE path is the most
     # state-heavy stream surface (scratch dirs + replay watermark)
     "stream_sink_rollup",

@@ -769,7 +769,93 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# dedup_label_prop — density-based community detection on the dup
+# graph: synchronous neighbor-majority label propagation, ties to the
+# smallest label (deterministic, unlike textbook LPA's random
+# tie-break). Where min-label components finds connectivity, majority
+# voting finds density. Exactly 3 rounds; oracle = the same rounds
+# unrolled as CTEs with the identical (count DESC, label ASC) argmax.
+# --------------------------------------------------------------------------
+LP_ROUNDS = 3
+
+
+def dedup_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.operators.dedup import label_propagation
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, n_hashes=N_HASHES, bands=BANDS, shingle_n=SHINGLE_N, seed=SEED
+    )
+    return label_propagation(pairs, rounds=LP_ROUNDS).orderBy("node")
+
+
+def _label_prop_oracle() -> str:
+    pairs_sql = _minhash_pairs_oracle(order_by="")
+    round_ctes = []
+    for i in range(1, LP_ROUNDS + 1):
+        round_ctes.append(f"""cnt{i} AS (
+  SELECT s.v AS node, l.lbl, count(*) AS c
+  FROM sym s JOIN lp{i - 1} l ON l.node = s.u
+  GROUP BY s.v, l.lbl
+), lp{i} AS (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn
+    FROM cnt{i}
+  ) WHERE rn = 1
+)""")
+    rounds_sql = ",\n".join(round_ctes)
+    return f"""
+WITH pairs AS ({pairs_sql}),
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+lp0 AS (SELECT DISTINCT u AS node, u AS lbl FROM sym),
+{rounds_sql}
+SELECT node, lbl AS community
+FROM lp{LP_ROUNDS}
+ORDER BY node
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup_incremental — incremental-ingest dedup: the NEW batch (latest
+# ingest, doc_id >= 400) LSH-probed against the EXISTING corpus's band
+# index — never corpus×corpus. The batch's band signatures broadcast;
+# at scale the corpus band table is the persisted (band, bh)-bucketed
+# index. Oracle: the banded SQL on both subsets, joined.
+# --------------------------------------------------------------------------
+INCR_SPLIT_ID = 400
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.operators.dedup import incremental_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < INCR_SPLIT_ID)
+    batch = docs.filter(F.col("doc_id") >= INCR_SPLIT_ID)
+    return incremental_dup_pairs(corpus, batch).orderBy("new_id", "old_id")
+
+
+def _incremental_oracle() -> str:
+    return f"""
+WITH {_banded_sql('old', f'doc_id < {INCR_SPLIT_ID}')},
+{_banded_sql('new', f'doc_id >= {INCR_SPLIT_ID}')}
+SELECT n.doc_id AS new_id, o.doc_id AS old_id,
+       count(*) AS n_shared_bands
+FROM banded_new n JOIN banded_old o
+  ON n.band = o.band AND n.bh = o.bh
+GROUP BY 1, 2
+ORDER BY new_id, old_id
+"""
+
+
 QUERIES = {
+    "dedup_label_prop": dedup_label_prop,
+    "dedup_incremental": dedup_incremental,
     "dedup_ngram_overlap": dedup_ngram_overlap,
     "dedup_triangle_count": dedup_triangle_count,
     "dedup_exact": dedup_exact,
@@ -790,6 +876,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_label_prop": _label_prop_oracle(),
+    "dedup_incremental": _incremental_oracle(),
     "dedup_ngram_overlap": ORACLE_DEDUP_NGRAM_OVERLAP,
     "dedup_triangle_count": _triangle_oracle(),
     "dedup_exact": ORACLE_DEDUP_EXACT,

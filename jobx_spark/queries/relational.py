@@ -1814,7 +1814,77 @@ ORDER BY s_suppkey
 """
 
 
+# --------------------------------------------------------------------------
+# q64: TPC-H Q8 shape — market share: the fraction of AMERICA-region
+# customers' revenue supplied by NATION_3, per order year. The nation
+# dim joins in TWO ROLES (customer side filters through region,
+# supplier side provides the share predicate) — aliasing the same
+# broadcast table twice; Catalyst broadcasts each role independently.
+# The share is a conditional/total ratio computed in ONE aggregation
+# pass (no second scan), decimal-exact operands, IEEE-exact division.
+# --------------------------------------------------------------------------
+def q64_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    cn = nation.alias("cn")
+    sn = nation.alias("sn")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn.n_nationkey"))
+        .join(
+            F.broadcast(region),
+            F.col("cn.n_regionkey") == F.col("r_regionkey"),
+        )
+        .filter(F.col("r_name") == "AMERICA")
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn.n_nationkey"))
+    )
+    yearly = base.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("o_year")
+    ).agg(
+        dsum(
+            F.when(F.col("sn.n_name") == "NATION_3", rev).otherwise(F.lit(0.0))
+        ).alias("nation_revenue"),
+        dsum(rev).alias("total_revenue"),
+    )
+    return yearly.select(
+        "o_year",
+        "nation_revenue",
+        "total_revenue",
+        (F.col("nation_revenue") / F.col("total_revenue")).alias("mkt_share"),
+    ).orderBy("o_year")
+
+
+ORACLE_Q64 = f"""
+WITH yearly AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         {dsum_sql("CASE WHEN sn.n_name = 'NATION_3' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")} AS nation_revenue,
+         {dsum_sql('l_extendedprice * (1 - l_discount)')} AS total_revenue
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation cn ON cn.n_nationkey = c_nationkey
+  JOIN region ON r_regionkey = cn.n_regionkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s_nationkey
+  WHERE r_name = 'AMERICA'
+  GROUP BY 1
+)
+SELECT o_year, nation_revenue, total_revenue,
+       nation_revenue / total_revenue AS mkt_share
+FROM yearly
+ORDER BY o_year
+"""
+
+
 QUERIES = {
+    "q64_market_share": q64_market_share,
     "q58_disjunctive_join": q58_disjunctive_join,
     "q59_waiting_suppliers": q59_waiting_suppliers,
     "q60_lateral_topn": q60_lateral_topn,
@@ -1864,6 +1934,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q64_market_share": ORACLE_Q64,
     "q58_disjunctive_join": ORACLE_Q58,
     "q59_waiting_suppliers": ORACLE_Q59,
     "q60_lateral_topn": ORACLE_Q60,

@@ -117,6 +117,25 @@ def main() -> None:
         lambda: brute_force_topk(emb, queries, k=10).count(),
     )
 
+    from jobx_spark.operators.similarity import knn_graph
+
+    probe(
+        "knn_graph",
+        lambda: knn_graph(emb, k=5, n_planes=6).count(),
+    )
+
+    from jobx_spark.operators.dedup import ngram_overlap_flags
+
+    probe(
+        "ngram_overlap_flags",
+        lambda: ngram_overlap_flags(
+            docs.filter(F.col("doc_id") % 10 != 0),
+            docs.filter(F.col("doc_id") % 10 == 0),
+            shingle_n=5,
+            min_shared=3,
+        ).count(),
+    )
+
     probe(
         "sessionize_events",
         lambda: events.select("user_id", "ts")
