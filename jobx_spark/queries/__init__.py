@@ -83,6 +83,7 @@ GATE_FIRST_50 = [
     "dedup_ngram_overlap", "ann_knn_graph", "text_ttr",
     "stream_zscore_anomaly", "stream_topk_trending",
     "q64_market_share", "dedup_label_prop", "dedup_incremental",
+    "pipe_encode_ids",
     # changed code paths this round → re-attest, one representative per
     # changed MECHANISM (never-attested new queries outrank redundant
     # re-attestation; every displaced row is r2-green + CI-covered):
@@ -90,8 +91,9 @@ GATE_FIRST_50 = [
     #   (two_hop/keep_canonical/ivf_trained consume the same machinery)
     #   embedding safe default → dedup_embedding_lsh (new, above)
     #   engine sink decode → mr_engine_user_value (the k-cast path)
-    "dedup_components", "dedup_pagerank",
-    "ann_kmeans_train", "mr_engine_user_value",
+    #   (kmeans yielded its slot to pipe_encode_ids: cut_lineage is
+    #   attested twice above and kmeans' r2 row is green)
+    "dedup_components", "dedup_pagerank", "mr_engine_user_value",
     # one stream re-attestation slot: the sink-MERGE path is the most
     # state-heavy stream surface (scratch dirs + replay watermark)
     "stream_sink_rollup",

@@ -1112,7 +1112,81 @@ ORDER BY split, source
 """
 
 
+# --------------------------------------------------------------------------
+# pipe_encode_ids — tokenizer APPLICATION (the step after vocab
+# training): every document's tokens mapped to vocabulary ids (rank by
+# count DESC, token ASC; OOV → 0), certified per doc by a positional
+# checksum Σ id·position so any id/order slip changes the hash. The
+# vocab is vocabulary-sized → broadcast; the exploded (doc, pos, token)
+# join is therefore shuffle-free and the only exchange is the per-doc
+# rollup — scan-shaped at 100 TB like the tokenizer pass it models.
+# --------------------------------------------------------------------------
+ENCODE_VOCAB_K = 1000
+
+
+def pipe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.orderBy(F.col("n").desc(), F.col("token"))
+    vocab = (
+        counts.withColumn("id", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("id") <= ENCODE_VOCAB_K)
+        .select("token", "id")
+    )
+    exploded = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "token")
+    )
+    encoded = exploded.join(F.broadcast(vocab), "token", "left").select(
+        "doc_id",
+        (F.col("pos") + 1).cast("bigint").alias("position"),
+        F.coalesce(F.col("id"), F.lit(0)).cast("bigint").alias("id"),
+    )
+    return (
+        encoded.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("id") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+            F.sum(F.col("id") * F.col("position")).cast("bigint").alias(
+                "ids_checksum"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_PIPE_ENCODE = f"""
+WITH tok AS (SELECT unnest({_TOKS}) AS token FROM documents),
+c AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+vocab AS (
+  SELECT token,
+         CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS id
+  FROM c
+  QUALIFY id <= {ENCODE_VOCAB_K}
+), pos AS (
+  SELECT doc_id, i AS position, toks[i] AS token
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents),
+       LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)
+)
+SELECT p.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(SUM(coalesce(v.id, 0) * p.position) AS BIGINT) AS ids_checksum
+FROM pos p LEFT JOIN vocab v ON v.token = p.token
+GROUP BY p.doc_id
+ORDER BY p.doc_id
+"""
+
+
 QUERIES = {
+    "pipe_encode_ids": pipe_encode_ids,
     "pipe_sample_hash": pipe_sample_hash,
     "pipe_sample_join": pipe_sample_join,
     "pipe_split_train_val_test": pipe_split_train_val_test,
@@ -1138,6 +1212,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pipe_encode_ids": ORACLE_PIPE_ENCODE,
     "pipe_sample_hash": ORACLE_PIPE_SAMPLE,
     "pipe_sample_join": ORACLE_PIPE_SAMPLE_JOIN,
     "pipe_split_train_val_test": ORACLE_PIPE_SPLIT,
