@@ -294,3 +294,67 @@ def resize_assets(
             )
 
     return df.mapInPandas(_resize, schema=out_schema)
+
+
+AUDIO_FRAME, AUDIO_STRIDE = 64, 32
+
+
+def frame_energy_features(df: DataFrame) -> DataFrame:
+    """Windowed signal-energy features over an asset's byte stream —
+    the audio analogue of ``sample_frames``: the payload is read as
+    8-bit PCM samples, framed into ``AUDIO_FRAME``-sample windows at
+    ``AUDIO_STRIDE`` hop (the 25 ms/10 ms speech-frame convention), and
+    each frame's energy Σs² is rolled into per-asset features (count,
+    total, peak, and a position-weighted checksum so frame ORDER is
+    certified, not just the multiset).
+
+    Everything is JVM-side higher-order-function column algebra over
+    integers — no UDF, no shuffle: whole-stage-codegen scan shape, the
+    cheapest possible formulation for a per-asset feature extractor at
+    100 TB. A real audio pipeline swaps the byte→sample map for a PCM
+    decode (mapInPandas, like ``decode_features``); the framing/rollup
+    algebra is unchanged.
+    """
+    fr, st = AUDIO_FRAME, AUDIO_STRIDE
+    s = F.decode(F.col("data"), "utf-8")
+    samples = F.expr(
+        "transform(sequence(1, length(decode(data, 'utf-8'))),"
+        " i -> CAST(ascii(substring(decode(data, 'utf-8'), i, 1)) AS BIGINT))"
+    )
+    nf = F.when(
+        F.length(s) >= fr,
+        (F.floor((F.length(s) - fr) / st) + 1).cast("int"),
+    ).otherwise(F.lit(0))
+    stamped = df.select(
+        "asset_id", samples.alias("samples"), nf.alias("nf")
+    ).select(
+        "asset_id",
+        "nf",
+        F.when(
+            F.col("nf") >= 1,
+            F.expr(
+                f"transform(sequence(1, nf), k -> aggregate("
+                f"slice(samples, (k-1)*{st}+1, {fr}),"
+                f" 0L, (acc, x) -> acc + x*x))"
+            ),
+        )
+        .otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
+        .alias("energies"),
+    )
+    return stamped.select(
+        "asset_id",
+        F.col("nf").cast("bigint").alias("n_frames"),
+        F.coalesce(
+            F.expr("aggregate(energies, 0L, (a, e) -> a + e)"), F.lit(0)
+        ).cast("bigint").alias("total_energy"),
+        F.coalesce(F.array_max("energies"), F.lit(0)).cast("bigint").alias(
+            "peak_energy"
+        ),
+        F.coalesce(
+            F.expr(
+                "aggregate(zip_with(energies, sequence(1, greatest(nf, 1)),"
+                " (e, k) -> e * CAST(k AS BIGINT)), 0L, (a, x) -> a + x)"
+            ),
+            F.lit(0),
+        ).cast("bigint").alias("energy_checksum"),
+    )

@@ -417,6 +417,62 @@ def lsh_topk(
     )
 
 
+def _bucket_scored_pairs(
+    corpus: DataFrame,
+    n_planes: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Within-LSH-bucket scored pairs (src_id, nbr_id, cosine), self
+    excluded — the shared candidate stage of :func:`knn_graph` (top-k
+    per source) and :func:`range_search` (threshold cut)."""
+    bucket_fn = hyperplane_bucket_udf(n_planes)
+    base = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).withColumn("bucket", bucket_fn(F.col("v")))
+    a = base.select(
+        F.col("id").alias("src_id"),
+        F.col("v").alias("src_v"),
+        "bucket",
+    ).withColumn("src_norm_s", _sdot(F.col("src_v"), F.col("src_v")))
+    b = base.select(
+        F.col("id").alias("nbr_id"),
+        F.col("v").alias("nbr_v"),
+        "bucket",
+    ).withColumn("nbr_norm_s", _sdot(F.col("nbr_v"), F.col("nbr_v")))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("src_id") != F.col("nbr_id"))
+        .select(
+            "src_id",
+            "nbr_id",
+            cosine_from_scaled(
+                _sdot(F.col("src_v"), F.col("nbr_v")),
+                F.col("src_norm_s"),
+                F.col("nbr_norm_s"),
+            ).alias("cosine"),
+        )
+    )
+
+
+def range_search(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Range similarity search: ALL in-bucket neighbor pairs with
+    cosine ≥ ``threshold`` (directed; self excluded) — the
+    radius-query complement of :func:`knn_graph`'s top-k. Same bucket
+    self-join cost model; output size is controlled by the threshold
+    instead of k, which is the right contract when callers need "every
+    near-duplicate candidate", not "the best k"."""
+    return _bucket_scored_pairs(corpus, n_planes, id_col, vec_col).filter(
+        F.col("cosine") >= threshold
+    )
+
+
 def knn_graph(
     corpus: DataFrame,
     k: int = 5,
@@ -440,33 +496,7 @@ def knn_graph(
     no bucket-mate simply emit no edges (honest LSH semantics — recall
     is the n_planes trade, measured by ``ann_recall_eval``'s method).
     """
-    bucket_fn = hyperplane_bucket_udf(n_planes)
-    base = corpus.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-    ).withColumn("bucket", bucket_fn(F.col("v")))
-    a = base.select(
-        F.col("id").alias("src_id"),
-        F.col("v").alias("src_v"),
-        "bucket",
-    ).withColumn("src_norm_s", _sdot(F.col("src_v"), F.col("src_v")))
-    b = base.select(
-        F.col("id").alias("nbr_id"),
-        F.col("v").alias("nbr_v"),
-        "bucket",
-    ).withColumn("nbr_norm_s", _sdot(F.col("nbr_v"), F.col("nbr_v")))
-    scored = (
-        a.join(b, "bucket")
-        .filter(F.col("src_id") != F.col("nbr_id"))
-        .select(
-            "src_id",
-            "nbr_id",
-            cosine_from_scaled(
-                _sdot(F.col("src_v"), F.col("nbr_v")),
-                F.col("src_norm_s"),
-                F.col("nbr_norm_s"),
-            ).alias("cosine"),
-        )
-    )
+    scored = _bucket_scored_pairs(corpus, n_planes, id_col, vec_col)
     w = W.partitionBy("src_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -90,13 +90,13 @@ GATE_FIRST_50 = [
     #   cut_lineage loops → components + pagerank + kmeans
     #   (two_hop/keep_canonical/ivf_trained consume the same machinery)
     #   embedding safe default → dedup_embedding_lsh (new, above)
-    #   engine sink decode → mr_engine_user_value (the k-cast path)
-    #   (kmeans yielded its slot to pipe_encode_ids: cut_lineage is
-    #   attested twice above and kmeans' r2 row is green)
-    "dedup_components", "dedup_pagerank", "mr_engine_user_value",
-    # one stream re-attestation slot: the sink-MERGE path is the most
-    # state-heavy stream surface (scratch dirs + replay watermark)
-    "stream_sink_rollup",
+    #   (kmeans/mr_engine/stream_sink_rollup yielded their slots to
+    #   never-attested new queries: cut_lineage is attested twice via
+    #   components+pagerank per VERDICT r2 item 3's Done-criterion; the
+    #   engine sink-decode fix is covered by the non-numeric-key test
+    #   ADVICE asked for; all displaced rows are r2-green + CI-covered)
+    "ann_range_search", "multimodal_audio_energy",
+    "dedup_components", "dedup_pagerank",
 ]
 
 

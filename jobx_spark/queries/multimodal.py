@@ -208,7 +208,50 @@ ORDER BY asset_id
 """
 
 
+# --------------------------------------------------------------------------
+# multimodal_audio_energy — windowed signal-energy features (the audio
+# analogue of frame sampling): payload bytes as 8-bit PCM, 64-sample
+# frames at 32-sample hop, per-frame energy Σs² rolled into per-asset
+# count/total/peak plus a position-weighted checksum (frame ORDER is
+# certified, not just the multiset). Pure JVM higher-order-function
+# column algebra — no UDF, no shuffle. Oracle: the identical framing in
+# DuckDB list SQL (ord == ascii on the all-ASCII payloads).
+# --------------------------------------------------------------------------
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.operators.multimodal import frame_energy_features
+
+    return frame_energy_features(_assets(spark, sf_dir)).orderBy("asset_id")
+
+
+ORACLE_MULTIMODAL_AUDIO = """
+WITH f AS (
+  SELECT doc_id, text,
+         CASE WHEN length(text) >= 64
+              THEN CAST(floor((length(text) - 64) / 32) AS INT) + 1
+              ELSE 0 END AS nf
+  FROM documents
+), e AS (
+  SELECT doc_id, nf,
+         list_transform(generate_series(1, nf), k ->
+           CAST(list_sum(list_transform(
+             generate_series((k-1)*32 + 1, (k-1)*32 + 64),
+             i -> ord(substr(text, i, 1)) * ord(substr(text, i, 1))))
+           AS BIGINT)) AS energies
+  FROM f
+)
+SELECT doc_id AS asset_id,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST(coalesce(list_sum(energies), 0) AS BIGINT) AS total_energy,
+       CAST(coalesce(list_max(energies), 0) AS BIGINT) AS peak_energy,
+       CAST(coalesce(list_sum(list_transform(generate_series(1, nf),
+            k -> k * energies[k])), 0) AS BIGINT) AS energy_checksum
+FROM e
+ORDER BY asset_id
+"""
+
+
 QUERIES = {
+    "multimodal_audio_energy": multimodal_audio_energy,
     "multimodal_meta": multimodal_meta,
     "multimodal_decode": multimodal_decode,
     "multimodal_features": multimodal_features,
@@ -218,6 +261,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "multimodal_audio_energy": ORACLE_MULTIMODAL_AUDIO,
     "multimodal_meta": ORACLE_MULTIMODAL_META,
     "multimodal_decode": ORACLE_MULTIMODAL_DECODE,
     "multimodal_features": _features_oracle(),

@@ -547,7 +547,46 @@ ORDER BY src_id, rank
 """
 
 
+# --------------------------------------------------------------------------
+# ann_range_search — radius similarity query: ALL in-bucket pairs with
+# cosine ≥ 0.35 (directed, self excluded) — the range-query complement
+# of the kNN graph's top-k; the output size knob is the threshold, the
+# right contract when callers need "every near candidate", not "the
+# best k". Shares the bucket self-join candidate stage with
+# ann_knn_graph (operators.similarity._bucket_scored_pairs).
+# --------------------------------------------------------------------------
+RANGE_THRESHOLD = 0.35
+
+
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.operators.similarity import range_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return range_search(
+        emb, threshold=RANGE_THRESHOLD, n_planes=N_PLANES
+    ).orderBy("src_id", "nbr_id")
+
+
+def _range_search_oracle() -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         {_SDOT.format(a='embedding', b='embedding')} AS norm_s,
+         {bucket_sql(N_PLANES)} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+       {_SDOT.format(a='a.embedding', b='b.embedding')}::DOUBLE
+         / (sqrt(a.norm_s::DOUBLE) * sqrt(b.norm_s::DOUBLE)) AS cosine
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+WHERE {_SDOT.format(a='a.embedding', b='b.embedding')}::DOUBLE
+        / (sqrt(a.norm_s::DOUBLE) * sqrt(b.norm_s::DOUBLE)) >= {RANGE_THRESHOLD}
+ORDER BY src_id, nbr_id
+"""
+
+
 QUERIES = {
+    "ann_range_search": ann_range_search,
     "ann_knn_graph": ann_knn_graph,
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_topk": ann_lsh_topk,
@@ -559,6 +598,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ann_range_search": _range_search_oracle(),
     "ann_knn_graph": _knn_graph_oracle(),
     "ann_quantize_int8": ORACLE_ANN_QUANTIZE,
     "ann_recall_eval": _recall_oracle(),
