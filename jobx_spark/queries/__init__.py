@@ -51,12 +51,19 @@ def _utc_pinned(fn: QueryFn) -> QueryFn:
 #     recall eval — new queries outrank redundant re-attestation).
 # Everything else holds a banked green row from r1/r2 and unchanged
 # code.
-# ROUND-4 GATE PLAN: after r3 attests these 50, every query in the
-# registry has held a green driver row in some round EXCEPT any query
-# added late in r3 or in r4 itself — put those first, then rotate in
-# r1/r2-banked rows oldest-attestation-first (q0x relational rows are
-# r1-banked; most dedup/text/multimodal rows are r2-banked) so rows
-# re-prove freshness on a cycle. Recount after ANY registry change:
+# ROUND-4 GATE PLAN: after r3 attests these 50, EVERY query in the
+# registry has held a green driver row in some round (the session-2
+# extension queries all made this gate). r4 priority order:
+#   1. anything new in r4;
+#   2. the r3-changed-code rows displaced from this gate by new
+#      queries (mr_engine_event_counts, mr_engine_user_value,
+#      ann_kmeans_train, ann_ivf_trained_topk, dedup_embedding,
+#      dedup_keep_canonical, dedup_two_hop_reach, and the 10 streams
+#      besides sink_rollup — all r2-green, changed only in r3's
+#      scratch-dir/cut_lineage/safe-default refactors, CI-covered);
+#   3. rotate r1/r2-banked rows oldest-attestation-first (q0x
+#      relational rows are r1-banked) so rows re-prove freshness.
+# Recount after ANY registry change:
 #   python -c "from jobx_spark.queries import all_queries;
 #              print(list(all_queries())[:50])"
 GATE_FIRST_50 = [
@@ -96,7 +103,13 @@ GATE_FIRST_50 = [
     #   engine sink-decode fix is covered by the non-numeric-key test
     #   ADVICE asked for; all displaced rows are r2-green + CI-covered)
     "ann_range_search", "multimodal_audio_energy",
-    "dedup_components", "dedup_pagerank",
+    # first-ever driver attestation of the RECURSIVE engine path
+    # (MrConfigureToMap fan-out + hierarchical fold, §2.1 #5/#8/#9)
+    "mr_engine_fanout_rekey",
+    # cut_lineage-in-loop re-attest: pagerank (the cadence-change
+    # focus); components yielded its slot — the same helper is also
+    # exercised by the gated label_prop loop and kmeans-derived rows
+    "dedup_pagerank",
 ]
 
 

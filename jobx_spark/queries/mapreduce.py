@@ -112,12 +112,73 @@ GROUP BY user_id
 """
 
 
+# --------------------------------------------------------------------------
+# mr_engine_fanout_rekey: the DYNAMIC FAN-OUT path (SURVEY §2.1 #5/#8/#9
+# — MrConfigureToMap recursion + hierarchical fold) under the oracle
+# gate, not just CI: step_top re-emits every (event_type, value) pair
+# to a downstream step; the leaf re-keys each pair by value bucket and
+# sums; the parent fold merges children by key. The oracle is the
+# two-level semantics collapsed to one SQL aggregate — proving the
+# recursive engine path computes exactly a GROUP BY.
+# --------------------------------------------------------------------------
+def _mapper_fanout(scope, arguments):
+    from jobx_spark.handlers import MrConfigureToMap
+
+    yield MrConfigureToMap("step_leaf")
+    for k, v in arguments:
+        yield (k, v)
+
+
+def _mapper_rekey(scope, arguments):
+    yield MrConfigureToReturn()
+    for k, v in arguments:
+        yield (f"{k}:{v % 4}", v)
+
+
+def mr_engine_fanout_rekey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select(
+        F.concat(F.lit('"'), F.col("event_type"), F.lit('"')).alias("k"),
+        F.floor(F.col("value")).cast("long").cast("string").alias("v"),
+    )
+    engine = Engine(spark)
+    engine.create_workflow("mrf")
+    engine.register_handler(
+        "mrf", "fanout", fn=_mapper_fanout, handler_type="mapper"
+    )
+    engine.register_handler(
+        "mrf", "rekey", fn=_mapper_rekey, handler_type="mapper"
+    )
+    engine.register_handler(
+        "mrf", "sum", fn=_reducer_sum, handler_type="reducer"
+    )
+    engine.create_step("mrf", "step_top", "fanout", "sum")
+    engine.create_step("mrf", "step_leaf", "rekey", "sum")
+    engine.create_job("mrf", "job_fanout", "step_top")
+    req = engine.submit_dataset("mrf", "job_fanout", pairs)
+    return spark.createDataFrame(
+        [(k, int(v)) for k, v in req.result["pairs"]], schema="k string, v long"
+    ).orderBy("k")
+
+
+ORACLE_FANOUT_REKEY = """
+SELECT event_type || ':' ||
+       CAST(CAST(floor(value) AS BIGINT) % 4 AS VARCHAR) AS k,
+       CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS v
+FROM events
+GROUP BY 1
+ORDER BY k
+"""
+
+
 QUERIES = {
+    "mr_engine_fanout_rekey": mr_engine_fanout_rekey,
     "mr_engine_event_counts": mr_engine_event_counts,
     "mr_engine_user_value": mr_engine_user_value,
 }
 
 ORACLES = {
+    "mr_engine_fanout_rekey": ORACLE_FANOUT_REKEY,
     "mr_engine_event_counts": ORACLE_EVENT_COUNTS,
     "mr_engine_user_value": ORACLE_USER_VALUE,
 }

@@ -4,9 +4,10 @@ their DuckDB oracles exactly at sf0.001."""
 import pytest
 
 from jobx_spark.oracle import compare, duck_connect
-from jobx_spark.queries import dedup, multimodal, similarity, text
+from jobx_spark.queries import dedup, mapreduce, multimodal, similarity, text
 
 MODS = {
+    "mapreduce": mapreduce,
     "dedup": dedup,
     "similarity": similarity,
     "text": text,
