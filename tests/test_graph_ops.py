@@ -111,3 +111,24 @@ def test_incremental_equals_crossing_slice_of_full_lsh(spark, sf_dir):
     # full pairs are (min, max); incremental keys are (old, new) with
     # old < split <= new, so the tuples line up directly
     assert incr == crossing
+
+
+def test_partitioning_invariance(spark, sf_dir):
+    """Cluster-shape independence: the same operator over the same data
+    must produce identical results under different input partitionings
+    — the property that makes results reproducible across cluster
+    sizes, AQE decisions, and retries."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    lp3 = sorted(
+        map(tuple, label_propagation(minhash_lsh_pairs(docs.repartition(3))).collect())
+    )
+    lp17 = sorted(
+        map(tuple, label_propagation(minhash_lsh_pairs(docs.repartition(17))).collect())
+    )
+    assert lp3 == lp17
+
+    g3 = sorted(map(tuple, knn_graph(emb.repartition(3), k=5, n_planes=6).collect()))
+    g17 = sorted(map(tuple, knn_graph(emb.repartition(17), k=5, n_planes=6).collect()))
+    assert g3 == g17
