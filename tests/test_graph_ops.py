@@ -132,3 +132,35 @@ def test_partitioning_invariance(spark, sf_dir):
     g3 = sorted(map(tuple, knn_graph(emb.repartition(3), k=5, n_planes=6).collect()))
     g17 = sorted(map(tuple, knn_graph(emb.repartition(17), k=5, n_planes=6).collect()))
     assert g3 == g17
+
+
+def test_incremental_probe_from_persisted_index(spark, sf_dir, tmp_path):
+    """The at-scale contract of incremental dedup: the corpus's banded
+    signatures can be computed ONCE, persisted as the index, and probed
+    by later batches — identical pairs to the on-the-fly operator, with
+    no corpus re-signature at probe time."""
+    from jobx_spark.operators.dedup import banded_signature
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = 400
+    corpus = docs.filter(F.col("doc_id") < split)
+    batch = docs.filter(F.col("doc_id") >= split)
+
+    idx_path = str(tmp_path / "band_index")
+    banded_signature(corpus).withColumnRenamed("id", "old_id").write.parquet(
+        idx_path
+    )
+    index = spark.read.parquet(idx_path)
+    bb = banded_signature(batch).withColumnRenamed("id", "new_id")
+    probed = {
+        (r["new_id"], r["old_id"]): r["n_shared_bands"]
+        for r in index.join(F.broadcast(bb), ["band", "bh"])
+        .groupBy("new_id", "old_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+        .collect()
+    }
+    direct = {
+        (r["new_id"], r["old_id"]): r["n_shared_bands"]
+        for r in incremental_dup_pairs(corpus, batch).collect()
+    }
+    assert probed == direct
