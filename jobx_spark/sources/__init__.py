@@ -103,3 +103,25 @@ def read_text(spark: SparkSession, path: str, wholetext: bool = False) -> DataFr
     layouts). NB: must be the ``text()`` kwarg — a ``.option()`` string
     is silently ignored by Spark 4's reader."""
     return spark.read.text(path, wholetext=wholetext)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Binary-file scan (images/audio/model shards): one row per file
+    with (path, modificationTime, length, content BINARY) via Spark's
+    built-in ``binaryFile`` source — the real-ingest entry point for
+    the multimodal asset pipeline (operators/multimodal.py normalizes
+    into the asset convention from here).
+
+    Scale notes: each file is one row read whole into ``content``, so
+    parallelism = file count and executor memory bounds file size —
+    right for the many-small-assets layout (images, audio clips);
+    for giant files use a format-aware splitter instead. Pushdown: a
+    ``length < N`` filter prunes at the listing level; pair with
+    ``pathGlobFilter`` to skip non-asset files without opening them.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

@@ -325,3 +325,37 @@ def test_zorder_layout_prunes_on_both_columns(spark, sf_dir, tmp_path):
     z_pk = prunable(zordered, "l_partkey", pk_lo, pk_hi)
     assert z_ok >= 0.3, f"zorder orderkey pruning too weak: {z_ok:.2f}"
     assert z_pk >= 0.3, f"zorder partkey pruning too weak: {z_pk:.2f}"
+
+
+def test_binary_file_source_feeds_asset_pipeline(spark, tmp_path):
+    """binaryFile scan → asset convention → metadata pass: real bytes
+    round-trip (content intact, digest over the actual file payload),
+    and pathGlobFilter prunes non-asset files at listing time."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from jobx_spark.operators.multimodal import payload_metadata
+    from jobx_spark.sources import read_binary_files
+
+    payloads = {f"a{i}.png": bytes([i, 255 - i]) * 40 for i in range(4)}
+    for name, data in payloads.items():
+        (tmp_path / name).write_bytes(data)
+    (tmp_path / "notes.txt").write_bytes(b"not an asset")
+
+    raw = read_binary_files(spark, str(tmp_path), glob="*.png")
+    assert raw.count() == 4  # the .txt file never listed
+
+    assets = raw.select(
+        F.regexp_extract(F.col("path"), r"a(\d+)\.png$", 1)
+        .cast("bigint")
+        .alias("asset_id"),
+        F.lit("image/png").alias("kind"),
+        F.col("content").alias("data"),
+        F.col("length").cast("bigint").alias("src_len"),
+    )
+    meta = {r["asset_id"]: r for r in payload_metadata(assets).collect()}
+    for i in range(4):
+        expected = payloads[f"a{i}.png"]
+        assert meta[i]["src_len"] == len(expected)
+        assert meta[i]["digest"] == hashlib.md5(expected).hexdigest()
