@@ -434,6 +434,34 @@ class Engine:
             ]
         )
 
+    def _capture_sessions(
+        self, sessions: DataFrame, trace: RequestTrace | None, step_name: str
+    ) -> None:
+        """Capture fan-out-path session rows for request inspection
+        (reference: mr_get_request_sessions walks every invocation's
+        SessionsTree). Same cap/discipline as invocation forensics:
+        reads the already-persisted map_out cache, caps before the
+        collect. Leaf sessions are consumed mapper→reducer inside one
+        task and never materialize — documented deviation."""
+        if (
+            not self.capture_forensics
+            or trace is None
+            or len(trace.sessions) >= INVOCATION_CAP
+        ):
+            return
+        room = INVOCATION_CAP - len(trace.sessions)
+        rows = (
+            sessions.select("inv", "k", "v")
+            .orderBy("inv", "k")
+            .limit(room + 1)
+            .collect()
+        )
+        trace.record_sessions(
+            # session keys are plain strings; values are JSON-encoded
+            # by HandlerScope.session_set
+            [(r["inv"], step_name, r["k"], _decode(r["v"])) for r in rows]
+        )
+
     def _run_step(
         self, workflow_name: str, step_name: str, frontier: DataFrame,
         trace: RequestTrace, persisted: list, depth: int = 0,
@@ -468,6 +496,7 @@ class Engine:
         # fan-out: recurse per next step, then fold children into their
         # parents with this step's reducer.
         sessions = map_out.filter(F.col("row_type") == "session")
+        self._capture_sessions(sessions, trace, step_name)
         child_results = []
         for ns in sorted(next_steps):
             trace.record(depth, step_name, f"fanout→{ns}")

@@ -79,7 +79,38 @@ class _Handler(BaseHTTPRequestHandler):
         if parts[0] == "result" and len(parts) == 3:
             self._get_result(parts[1], parts[2])
             return
+        if parts[0] == "sessions" and len(parts) == 3:
+            self._get_sessions(parts[1], parts[2])
+            return
         self._send_json(404, {"error": f"no route for GET {url.path}"})
+
+    def _get_sessions(self, workflow_name: str, request_id: str):
+        """Sessions stored under a request's invocations (reference:
+        mr_get_request_sessions over the SessionsTree). Fan-out-path
+        sessions, capped like invocation forensics."""
+        try:
+            request = self.engine.get_request(request_id)
+        except KeyError:
+            self._send_json(404, {"error": f"unknown request {request_id}"})
+            return
+        if request.workflow_name != workflow_name:
+            self._send_json(
+                404,
+                {"error": f"request {request_id} not in workflow {workflow_name}"},
+            )
+            return
+        trace = request.trace
+        self._send_json(
+            200,
+            {
+                "request_id": request.request_id,
+                "sessions": [
+                    {"invocation": inv, "step": step, "key": k, "value": v}
+                    for inv, step, k, v in (trace.sessions if trace else [])
+                ],
+                "truncated": bool(trace and trace.sessions_truncated),
+            },
+        )
 
     def _get_result(self, workflow_name: str, request_id: str):
         """Async-flow polling: the request's completion state and (when

@@ -65,9 +65,23 @@ class RequestTrace:
     events: list[TraceEvent] = field(default_factory=list)
     invocations: list[InvocationRecord] = field(default_factory=list)
     invocations_truncated: bool = False
+    # session rows captured per request for inspection (the reference's
+    # mr_get_request_sessions walks the SessionsTree of every
+    # invocation, mr/resources/scripts/mr_get_request_sessions). Capped
+    # like invocations; fan-out-path sessions only — leaf sessions are
+    # consumed mapper→reducer inside one task and never materialize.
+    sessions: list[tuple] = field(default_factory=list)
+    sessions_truncated: bool = False
 
     def record(self, depth: int, step_name: str, phase: str) -> None:
         self.events.append(TraceEvent(depth, step_name, phase, time.time()))
+
+    def record_sessions(self, records: list[tuple]) -> None:
+        room = INVOCATION_CAP - len(self.sessions)
+        if room <= 0 or len(records) > room:
+            self.sessions_truncated = True
+        if room > 0:
+            self.sessions.extend(records[:room])
 
     def record_invocations(self, records: list[InvocationRecord]) -> None:
         room = INVOCATION_CAP - len(self.invocations)

@@ -548,3 +548,18 @@ def test_invocation_trace_and_graph(engine):
     assert '[label="data reduced by"]' in dot or '[label="step reduced by"]' in dot
     assert '[label="stored to"]' in dot
     assert 'H "split"' in dot and 'H "chunk"' in dot
+
+
+def test_request_sessions_capture(engine):
+    """mr_get_request_sessions parity: sessions written by fan-out
+    mappers are listed per invocation on the request trace, decoded."""
+    req = engine.submit("wf", "job4", {"arg1": 50})
+    sess = req.trace.sessions
+    assert sess, "expected captured session rows"
+    by_key = {}
+    for inv, step, k, v in sess:
+        assert step == "step_split"
+        by_key[k] = v
+    # mapper_split writes key1=123 (int) and key2="uvw" (str) — values
+    # must come back decoded, not as JSON text
+    assert by_key == {"key1": 123, "key2": "uvw"}

@@ -203,3 +203,21 @@ def test_concurrent_blocking_submits(server):
     for i, status, pairs in results:
         assert status == 200
         assert pairs == [["arg1", [i * 2]]], f"wrong result for arg {i}"
+
+
+def test_sessions_endpoint(server):
+    """GET /sessions/<wf>/<rid>: sessions listing for a request
+    (mr_get_request_sessions parity); empty-but-valid for a
+    single-step job that writes none, 404 for unknown requests."""
+    resp, body = _post(server.url + "/job/wfh/j1", {"arguments": {"arg1": 3}})
+    rid = resp.headers["X-MR-REQUEST-ID"]
+    with urllib.request.urlopen(server.url + f"/sessions/wfh/{rid}") as r:
+        got = json.loads(r.read())
+    assert r.status == 200
+    assert got["request_id"] == rid
+    assert got["sessions"] == [] and got["truncated"] is False
+    try:
+        urllib.request.urlopen(server.url + "/sessions/wfh/nope")
+        raise AssertionError("expected 404")
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
