@@ -74,7 +74,10 @@ class _Handler(BaseHTTPRequestHandler):
             self._send_text(200, "Map me. Reduce me.\n")
             return
         if parts[0] == "request" and len(parts) == 3:
-            self._get_request_graph(parts[1], parts[2])
+            if "format=flat" in (url.query or ""):
+                self._get_invocation_flat_list(parts[1], parts[2])
+            else:
+                self._get_request_graph(parts[1], parts[2])
             return
         if parts[0] == "result" and len(parts) == 3:
             self._get_result(parts[1], parts[2])
@@ -185,6 +188,43 @@ class _Handler(BaseHTTPRequestHandler):
             200,
             {"result": result},
             {"X-MR-REQUEST-ID": request.request_id},
+        )
+
+    def _get_invocation_flat_list(self, workflow_name: str, request_id: str):
+        """Flat invocation listing (reference:
+        mr_get_invocation_flat_list prints every invocation row of a
+        request) — same records the graph renders, as plain JSON."""
+        try:
+            request = self.engine.get_request(request_id)
+        except KeyError:
+            self._send_json(404, {"error": f"unknown request {request_id}"})
+            return
+        if request.workflow_name != workflow_name:
+            self._send_json(
+                404,
+                {"error": f"request {request_id} not in workflow {workflow_name}"},
+            )
+            return
+        trace = request.trace
+        recs = trace.invocations if trace else []
+        self._send_json(
+            200,
+            {
+                "request_id": request.request_id,
+                "invocations": [
+                    {
+                        "invocation": r.inv,
+                        "parent": r.parent_inv,
+                        "step": r.step,
+                        "depth": r.depth,
+                        "n_args": r.n_args,
+                        "n_mapped": r.n_mapped,
+                        "n_reduced": r.n_reduced,
+                    }
+                    for r in recs
+                ],
+                "truncated": bool(trace and trace.invocations_truncated),
+            },
         )
 
     def _get_request_graph(self, workflow_name: str, request_id: str):

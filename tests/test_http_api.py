@@ -221,3 +221,24 @@ def test_sessions_endpoint(server):
         raise AssertionError("expected 404")
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+def test_invocation_flat_list(server):
+    """GET /request/<wf>/<rid>?format=flat: flat invocation rows
+    (mr_get_invocation_flat_list parity) from the same records the
+    graph renders."""
+    resp, body = _post(server.url + "/job/wfh/j1", {"arguments": {"arg1": 4}})
+    rid = resp.headers["X-MR-REQUEST-ID"]
+    with urllib.request.urlopen(
+        server.url + f"/request/wfh/{rid}?format=flat"
+    ) as r:
+        got = json.loads(r.read())
+    assert r.status == 200
+    assert got["request_id"] == rid
+    assert got["invocations"], "expected at least the root invocation"
+    row = got["invocations"][0]
+    assert set(row) == {
+        "invocation", "parent", "step", "depth",
+        "n_args", "n_mapped", "n_reduced",
+    }
+    assert row["step"] == "s1"
