@@ -150,6 +150,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("slot", choices=["map", "reduce", "combine"])
     p.add_argument("handler")
 
+    p = sub.add_parser("notify-listen")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=3333)
+
     p = sub.add_parser("serve")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
@@ -161,6 +165,25 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     args = ap.parse_args(argv)
+
+    if args.cmd == "notify-listen":
+        # reference parity: mr_http_notification_listen — a NOTIFY/HTTP
+        # log-hook sink printing one line per delivered record (point
+        # JOBX_LOG_HTTP_HOSTNAME/PORT here). Catalog-independent.
+        from jobx_spark.http_api import NotificationListener
+
+        listener = NotificationListener(host=args.host, port=args.port).start()
+        print(json.dumps({"listening": f"{args.host}:{listener.port}"}),
+              flush=True)
+        try:
+            while True:
+                import time
+
+                time.sleep(3600)
+        except KeyboardInterrupt:
+            listener.stop()
+        return 0
+
     cat = _load(args.catalog)
     out: dict
 

@@ -294,3 +294,68 @@ class JobxHttpServer:
         self._httpd.server_close()
         if self._thread:
             self._thread.join(timeout=5)
+
+
+class NotificationListener:
+    """Notification sink for the handler-scope HTTP log hook —
+    reference parity with `mr_http_notification_listen`
+    (mr/resources/scripts): accepts python ``logging.HTTPHandler``
+    POSTs (form-encoded log-record dicts, what the ``HTTP`` scope
+    logger emits when ``JOBX_LOG_HTTP_HOOK`` is on) and prints
+    ``timestamp  logger-name  LEVEL  message`` lines. Records are also
+    kept on ``.records`` so tests and tooling can assert delivery."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0, out=None):
+        import sys
+
+        listener = self
+        out = out or sys.stdout
+        self.records: list[dict] = []
+
+        class _NotifyHandler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):
+                pass
+
+            def do_POST(self):  # noqa: N802 - http.server API
+                import datetime
+
+                length = int(self.headers.get("Content-Length", 0))
+                entry = parse_qs(self.rfile.read(length).decode())
+                rec = {
+                    "created": float(entry.get("created", ["0"])[0]),
+                    "name": entry.get("name", ["?"])[0],
+                    "levelname": entry.get("levelname", ["?"])[0],
+                    "msg": entry.get("msg", [""])[0],
+                }
+                listener.records.append(rec)
+                when = datetime.datetime.fromtimestamp(rec["created"])
+                print(
+                    f"{when.strftime('%Y-%m-%d %H:%M:%S')}  "
+                    f"{rec['name'][:40]:<40}  {rec['levelname']:>9}  "
+                    f"{rec['msg']}",
+                    file=out,
+                    flush=True,
+                )
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain")
+                self.end_headers()
+
+        self._httpd = ThreadingHTTPServer((host, port), _NotifyHandler)
+        self._thread: threading.Thread | None = None
+
+    @property
+    def port(self) -> int:
+        return self._httpd.server_address[1]
+
+    def start(self) -> "NotificationListener":
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, name="jobx-notify", daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)

@@ -101,3 +101,35 @@ def test_email_hook_appears_in_scope(monkeypatch):
     monkeypatch.setenv("JOBX_LOG_EMAIL_TO", "ops@example.com")
     scope = H.HandlerScope("inv3").scope_dict()
     assert "EMAIL" in scope
+
+
+def test_notification_listener_receives_http_hook_records(capsys):
+    """mr_http_notification_listen parity: a real logging.HTTPHandler
+    (what the HTTP scope hook uses) delivers to NotificationListener,
+    which records and prints the formatted line."""
+    import logging
+    import logging.handlers
+    import time
+
+    from jobx_spark.http_api import NotificationListener
+
+    listener = NotificationListener().start()
+    try:
+        h = logging.handlers.HTTPHandler(
+            f"127.0.0.1:{listener.port}", "/", method="POST"
+        )
+        lg = logging.getLogger("jobx.test.notify")
+        lg.setLevel(logging.INFO)
+        lg.addHandler(h)
+        lg.info("hello from a handler")
+        lg.removeHandler(h)
+        deadline = time.time() + 5
+        while not listener.records and time.time() < deadline:
+            time.sleep(0.05)
+    finally:
+        listener.stop()
+    assert listener.records
+    rec = listener.records[0]
+    assert rec["name"] == "jobx.test.notify"
+    assert rec["levelname"] == "INFO"
+    assert rec["msg"] == "hello from a handler"
