@@ -52,9 +52,10 @@ def _utc_pinned(fn: QueryFn) -> QueryFn:
 # Everything else holds a banked green row from r1/r2 and unchanged
 # code.
 # ROUND-4 GATE PLAN: after r3 attests these 50, EVERY query in the
-# registry has held a green driver row in some round (the session-2
-# extension queries all made this gate). r4 priority order:
-#   1. anything new in r4;
+# registry has held a green driver row in some round EXCEPT
+# stream_window_distinct (added after the gate filled; CI-green,
+# sf0.001+sf0.01 judge-verifiable). r4 priority order:
+#   1. stream_window_distinct + anything new in r4;
 #   2. the r3-changed-code rows displaced from this gate by new
 #      queries (mr_engine_event_counts, mr_engine_user_value,
 #      ann_kmeans_train, ann_ivf_trained_topk, dedup_embedding,

@@ -405,7 +405,37 @@ ORDER BY window_start, rank
 """
 
 
+def stream_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained stateful aggregations (two stateful operators in one
+    append-mode query): per-window exact distinct-user counts — the
+    streaming rewrite of count_distinct. Only watermark-closed windows
+    emit; the oracle restates the two-level aggregation and withholds
+    the open tail identically."""
+    ev = S.stream_events(spark, sf_dir)
+    out = S.run_available_now(S.windowed_distinct_users(ev), "append", "wdist")
+    return out.orderBy("window_start", "event_type")
+
+
+ORACLE_STREAM_WINDOW_DISTINCT = """
+WITH per_user AS (
+  SELECT date_trunc('hour', ts) AS ws, event_type, user_id,
+         count(*) AS n
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT ws AS window_start,
+       ws + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(SUM(n) AS BIGINT) AS n_events
+FROM per_user
+WHERE ws + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events)
+GROUP BY 1, 2, 3
+ORDER BY window_start, event_type
+"""
+
+
 QUERIES = {
+    "stream_window_distinct": stream_window_distinct,
     "stream_zscore_anomaly": stream_zscore_anomaly,
     "stream_topk_trending": stream_topk_trending,
     "stream_pii_scrub": stream_pii_scrub,
@@ -423,6 +453,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_window_distinct": ORACLE_STREAM_WINDOW_DISTINCT,
     "stream_zscore_anomaly": ORACLE_STREAM_ZSCORE,
     "stream_topk_trending": ORACLE_STREAM_TOPK,
     "stream_pii_scrub": _pii_oracle(),

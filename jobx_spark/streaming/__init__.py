@@ -463,6 +463,41 @@ def timeout_sessions(events: DataFrame) -> DataFrame:
     )
 
 
+def windowed_distinct_users(events: DataFrame) -> DataFrame:
+    """Exact per-window DISTINCT counting via CHAINED STATEFUL
+    aggregations (Spark 3.4+ multiple-stateful-operator support):
+    streaming doesn't allow count_distinct directly, so the classic
+    rewrite — first aggregate to (window, type, user) rows, then
+    re-aggregate the finalized windows to per-(window, type) user
+    counts — runs as two stateful operators in ONE append-mode query.
+
+    State is bounded per operator by the watermark (first operator:
+    open windows × types × active users; second: open windows ×
+    types); append emission means only watermark-closed windows reach
+    the sink — the open tail is withheld, exactly like
+    ``timeout_sessions``' unfinished sessions.
+    """
+    w1 = (
+        events.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 hour").alias("window"), "event_type", "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    return (
+        w1.groupBy("window", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_users",
+            "n_events",
+        )
+    )
+
+
 _ANOM_MIN_N = 5
 _ANOM_OUTPUT = (
     "event_id bigint, user_id bigint, ts timestamp, value_s bigint,"
