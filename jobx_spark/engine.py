@@ -183,83 +183,107 @@ def _run_reduce(
 
 
 def _make_phase1_udf(step_plan: dict, workdir: str | None):
-    """Per-invocation UDF: mapper → routing → (leaf: combine+reduce
-    in-place | fan-out: child rows + session rows)."""
+    """Bucket UDF: each Arrow group carries MANY invocations (the
+    frontier is grouped by a hash bucket of the invocation id, not by
+    the id itself), and the per-invocation semantics — seeded RNG,
+    session scope, routing, combine/reduce — run in a loop inside the
+    batch. Grouping by raw invocation id would make a 1M-pair fan-out
+    into 1M pandas groups (the reference's one-message-per-pair cliff
+    reappearing as per-group Python overhead); bucketing amortizes the
+    Arrow/pandas cost over the whole batch while keeping 1 pair = 1
+    invocation observable semantics (ids, sessions, forensics)."""
 
     def phase1(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("seq")
-        inv = pdf["inv"].iloc[0]
-        parent_inv = pdf["parent_inv"].iloc[0]
-        # 'arg_empty' sentinel: a zero-argument invocation still runs its
-        # mapper exactly once (parity with the reference, which enumerates
-        # an empty DT_ARGUMENTS dataset).
-        args = [
-            (_decode(k), _decode(v))
-            for t, k, v in zip(pdf["row_type"], pdf["k"], pdf["v"])
-            if t != "arg_empty"
+        outs = [
+            _phase1_one_invocation(step_plan, workdir, sub)
+            for _inv, sub in pdf.groupby("inv", sort=True)
         ]
-        scope = HandlerScope(
-            inv, allow_session_writes=True, workdir=workdir,
-            extra=step_plan.get("scope_values"),
-        )
-        _seeded_random(inv, "map")
-        rows: list[tuple] = []
-        try:
-            gen = _call_handler(step_plan["mapper"], scope, iter(args))
-            route = next(gen)
-            pairs = [(_encode(k), _encode(v)) for k, v in gen]
-        except Exception:
-            raise HandlerInvocationError(
-                f"JOBX_HANDLER_ERROR step={step_plan['name']} inv={inv} "
-                f"phase=map\n{traceback.format_exc()}"
-            ) from None
-
-        if isinstance(route, MrConfigureToReturn):
-            if step_plan["combiner"] is not None:
-                cscope = HandlerScope(
-                    inv, session_snapshot=scope.session_snapshot(),
-                    extra=step_plan.get("scope_values"),
-                )
-                _seeded_random(inv, "combine")
-                try:
-                    grouped = list(
-                        _call_handler(
-                            step_plan["combiner"],
-                            cscope,
-                            iter((_decode(k), _decode(v)) for k, v in pairs),
-                        )
-                    )
-                except Exception:
-                    raise HandlerInvocationError(
-                        f"JOBX_HANDLER_ERROR step={step_plan['name']} inv={inv} "
-                        f"phase=combine\n{traceback.format_exc()}"
-                    ) from None
-            else:
-                grouped = _default_combine(pairs)
-            rows.extend(
-                _run_reduce(step_plan, inv, parent_inv, grouped, scope.session_snapshot())
+        if not outs:
+            return pd.DataFrame(
+                columns=["row_type", "inv", "parent_inv", "step", "seq", "k", "v"]
             )
-        elif isinstance(route, MrConfigureToMap):
-            # session rows are only needed on the fan-out path (the leaf
-            # path consumed them in-UDF above); emitting them here keeps
-            # the fold cogroup free of spurious leaf session groups.
-            for key, val in scope.session_writes().items():
-                rows.append(("session", inv, parent_inv, step_plan["name"], 0, key, val))
-            next_step = route.next_step_name
-            for i, (ek, ev) in enumerate(pairs):
-                child = hashlib.sha1(f"{inv}:{i}".encode()).hexdigest()
-                rows.append(("child", child, inv, next_step, 0, ek, ev))
-        else:
-            raise HandlerInvocationError(
-                f"JOBX_HANDLER_ERROR step={step_plan['name']} inv={inv} "
-                f"phase=map\nfirst yield must be a routing token, got {route!r}"
-            )
-        return pd.DataFrame(
-            rows,
-            columns=["row_type", "inv", "parent_inv", "step", "seq", "k", "v"],
-        )
+        return pd.concat(outs, ignore_index=True)
 
     return phase1
+
+
+def _phase1_one_invocation(
+    step_plan: dict, workdir: str | None, pdf: pd.DataFrame
+) -> pd.DataFrame:
+    """One invocation's mapper → routing → (leaf: combine+reduce
+    in-place | fan-out: child rows + session rows)."""
+    pdf = pdf.sort_values("seq")
+    inv = pdf["inv"].iloc[0]
+    parent_inv = pdf["parent_inv"].iloc[0]
+    # 'arg_empty' sentinel: a zero-argument invocation still runs its
+    # mapper exactly once (parity with the reference, which enumerates
+    # an empty DT_ARGUMENTS dataset).
+    args = [
+        (_decode(k), _decode(v))
+        for t, k, v in zip(pdf["row_type"], pdf["k"], pdf["v"])
+        if t != "arg_empty"
+    ]
+    scope = HandlerScope(
+        inv, allow_session_writes=True, workdir=workdir,
+        extra=step_plan.get("scope_values"),
+    )
+    _seeded_random(inv, "map")
+    rows: list[tuple] = []
+    try:
+        gen = _call_handler(step_plan["mapper"], scope, iter(args))
+        route = next(gen)
+        pairs = [(_encode(k), _encode(v)) for k, v in gen]
+    except Exception:
+        raise HandlerInvocationError(
+            f"JOBX_HANDLER_ERROR step={step_plan['name']} inv={inv} "
+            f"phase=map\n{traceback.format_exc()}"
+        ) from None
+
+    if isinstance(route, MrConfigureToReturn):
+        if step_plan["combiner"] is not None:
+            cscope = HandlerScope(
+                inv, session_snapshot=scope.session_snapshot(),
+                extra=step_plan.get("scope_values"),
+            )
+            _seeded_random(inv, "combine")
+            try:
+                grouped = list(
+                    _call_handler(
+                        step_plan["combiner"],
+                        cscope,
+                        iter((_decode(k), _decode(v)) for k, v in pairs),
+                    )
+                )
+            except Exception:
+                raise HandlerInvocationError(
+                    f"JOBX_HANDLER_ERROR step={step_plan['name']} inv={inv} "
+                    f"phase=combine\n{traceback.format_exc()}"
+                ) from None
+        else:
+            grouped = _default_combine(pairs)
+        rows.extend(
+            _run_reduce(step_plan, inv, parent_inv, grouped, scope.session_snapshot())
+        )
+    elif isinstance(route, MrConfigureToMap):
+        # session rows are only needed on the fan-out path (the leaf
+        # path consumed them in-UDF above); emitting them here keeps
+        # the fold cogroup free of spurious leaf session groups.
+        for key, val in scope.session_writes().items():
+            rows.append(("session", inv, parent_inv, step_plan["name"], 0, key, val))
+        next_step = route.next_step_name
+        for i, (ek, ev) in enumerate(pairs):
+            child = hashlib.sha1(f"{inv}:{i}".encode()).hexdigest()
+            rows.append(("child", child, inv, next_step, 0, ek, ev))
+    else:
+        raise HandlerInvocationError(
+            f"JOBX_HANDLER_ERROR step={step_plan['name']} inv={inv} "
+            f"phase=map\nfirst yield must be a routing token, got {route!r}"
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["row_type", "inv", "parent_inv", "step", "seq", "k", "v"],
+    )
+
 
 
 def _make_fold_udf(step_plan: dict):
@@ -480,7 +504,15 @@ class Engine:
         plan = self._step_plan(step)
         trace.record(depth, step_name, "map")
 
-        map_out = frontier.groupBy("inv").applyInPandas(
+        # Group by a HASH BUCKET of the invocation id, not the id: a
+        # wide fan-out makes invocations per-pair (reference semantics),
+        # and per-id grouping would pay pandas-group overhead per PAIR.
+        # Bucket count ~4 groups per core keeps every task busy while
+        # the in-UDF loop amortizes Arrow batching over invocations.
+        n_buckets = max(self.spark.sparkContext.defaultParallelism * 4, 64)
+        map_out = frontier.groupBy(
+            F.pmod(F.xxhash64("inv"), F.lit(n_buckets)).alias("_bucket")
+        ).applyInPandas(
             _make_phase1_udf(plan, self.workdir), schema=_ROWS_SCHEMA
         ).persist()
         persisted.append(map_out)

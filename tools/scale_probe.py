@@ -124,6 +124,37 @@ def main() -> None:
         lambda: knn_graph(emb, k=5, n_planes=6).count(),
     )
 
+    from jobx_spark.operators.dedup import label_propagation
+
+    probe(
+        "label_propagation",
+        lambda: label_propagation(
+            minhash_lsh_pairs(docs, n_hashes=16, bands=4)
+        ).count(),
+    )
+
+    from jobx_spark.operators.dedup import incremental_dup_pairs
+
+    probe(
+        "incremental_dup_pairs",
+        lambda: incremental_dup_pairs(
+            docs.filter(F.col("doc_id") % 10 != 0),
+            docs.filter(F.col("doc_id") % 10 == 0),
+        ).count(),
+    )
+
+    from jobx_spark.operators.multimodal import (
+        attach_binary_payload,
+        frame_energy_features,
+    )
+
+    probe(
+        "frame_energy_features",
+        lambda: frame_energy_features(
+            attach_binary_payload(docs, "doc_id", "text", kind="text/plain")
+        ).count(),
+    )
+
     from jobx_spark.operators.dedup import ngram_overlap_flags
 
     probe(
