@@ -409,6 +409,16 @@ class Engine:
         ):
             return
         room = INVOCATION_CAP - len(trace.invocations)
+        # Cap BEFORE aggregating: pick the kept invocation ids with one
+        # cheap TakeOrdered over the distinct ids, then aggregate only
+        # those — a 1M-invocation fan-out must not pay a full-width
+        # sample/collect_list agg to produce 512 forensic records.
+        keep = [
+            r[0]
+            for r in frontier.select("inv").distinct()
+            .orderBy("inv").limit(room + 1).collect()
+        ]
+        frontier = frontier.filter(F.col("inv").isin(keep))
         args = frontier.groupBy("inv").agg(
             F.first("parent_inv", ignorenulls=True).alias("parent_inv"),
             F.count(F.lit(1)).alias("n_args"),
@@ -426,6 +436,7 @@ class Engine:
                 .alias("okey"),
                 "row_type",
             )
+            .filter(F.col("okey").isin(keep))
             .groupBy("okey")
             .agg(
                 F.sum(F.when(F.col("row_type") == "child", 1).otherwise(0)).alias(
