@@ -194,24 +194,24 @@ def _make_phase1_udf(step_plan: dict, workdir: str | None):
     invocation observable semantics (ids, sessions, forensics)."""
 
     def phase1(pdf: pd.DataFrame) -> pd.DataFrame:
-        outs = [
-            _phase1_one_invocation(step_plan, workdir, sub)
-            for _inv, sub in pdf.groupby("inv", sort=True)
-        ]
-        if not outs:
-            return pd.DataFrame(
-                columns=["row_type", "inv", "parent_inv", "step", "seq", "k", "v"]
-            )
-        return pd.concat(outs, ignore_index=True)
+        rows: list[tuple] = []
+        for _inv, sub in pdf.groupby("inv", sort=True):
+            rows.extend(_phase1_one_invocation(step_plan, workdir, sub))
+        return pd.DataFrame(
+            rows,
+            columns=["row_type", "inv", "parent_inv", "step", "seq", "k", "v"],
+        )
 
     return phase1
 
 
 def _phase1_one_invocation(
     step_plan: dict, workdir: str | None, pdf: pd.DataFrame
-) -> pd.DataFrame:
+) -> list[tuple]:
     """One invocation's mapper → routing → (leaf: combine+reduce
-    in-place | fan-out: child rows + session rows)."""
+    in-place | fan-out: child rows + session rows); returns engine
+    rows as tuples (the bucket UDF builds ONE frame per batch — a
+    pandas DataFrame per invocation would cost ~1 ms × invocations)."""
     pdf = pdf.sort_values("seq")
     inv = pdf["inv"].iloc[0]
     parent_inv = pdf["parent_inv"].iloc[0]
@@ -279,10 +279,7 @@ def _phase1_one_invocation(
             f"JOBX_HANDLER_ERROR step={step_plan['name']} inv={inv} "
             f"phase=map\nfirst yield must be a routing token, got {route!r}"
         )
-    return pd.DataFrame(
-        rows,
-        columns=["row_type", "inv", "parent_inv", "step", "seq", "k", "v"],
-    )
+    return rows
 
 
 
