@@ -52,10 +52,13 @@ def _utc_pinned(fn: QueryFn) -> QueryFn:
 # Everything else holds a banked green row from r1/r2 and unchanged
 # code.
 # ROUND-4 GATE PLAN: after r3 attests these 50, EVERY query in the
-# registry has held a green driver row in some round EXCEPT
-# stream_window_distinct (added after the gate filled; CI-green,
-# sf0.001+sf0.01 judge-verifiable). r4 priority order:
-#   1. stream_window_distinct + anything new in r4;
+# registry has held a green driver row in some round EXCEPT those
+# added after the gate filled (stream_window_distinct,
+# text_hll_distinct, q65_bloom_prefilter_join, pipe_sample_weighted,
+# ann_pq_codes,
+# …sketch/sampler batch — all CI-green, sf0.001+sf0.01 verified under
+# a hostile non-UTC session before commit). r4 priority order:
+#   1. the post-gate additions above + anything new in r4;
 #   2. the r3-changed-code rows displaced from this gate by new
 #      queries (mr_engine_event_counts, mr_engine_user_value,
 #      ann_kmeans_train, ann_ivf_trained_topk, dedup_embedding,

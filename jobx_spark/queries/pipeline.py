@@ -1185,7 +1185,46 @@ ORDER BY p.doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# pipe_sample_weighted — size-biased sampling without randomness: each
+# document gets priority hash(id)/weight (weight = n_chars + 1, so
+# longer documents sort earlier), take the K smallest. The hash plays
+# the role of the uniform draw in priority sampling (A-ES family), but
+# with INTEGER numerator and denominator the single IEEE division is
+# exactly rounded in any engine — deterministic across clusters,
+# retries and partitionings, like every sampler here. One TakeOrdered
+# (map-side top-K per partition, K merged on the driver) — no full
+# sort at 100 TB.
+# --------------------------------------------------------------------------
+WEIGHTED_K = 200
+
+
+def pipe_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = md5_long(F.concat(F.lit("wsample:"), F.col("doc_id").cast("string")))
+    prio = h.cast("double") / (F.col("n_chars") + 1).cast("double")
+    return (
+        docs.select("doc_id", "lang", "n_chars", prio.alias("priority"))
+        .orderBy("priority", "doc_id")
+        .limit(WEIGHTED_K)
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+_WPRIO = (
+    f"CAST({_MD5.format(e=chr(39) + 'wsample:' + chr(39) + '||CAST(doc_id AS VARCHAR)')} AS DOUBLE)"
+    " / CAST(n_chars + 1 AS DOUBLE)"
+)
+ORACLE_PIPE_SAMPLE_WEIGHTED = f"""
+SELECT doc_id, lang, n_chars
+FROM documents
+ORDER BY {_WPRIO}, doc_id
+LIMIT {WEIGHTED_K}
+"""
+
+
 QUERIES = {
+    "pipe_sample_weighted": pipe_sample_weighted,
     "pipe_encode_ids": pipe_encode_ids,
     "pipe_sample_hash": pipe_sample_hash,
     "pipe_sample_join": pipe_sample_join,
@@ -1212,6 +1251,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pipe_sample_weighted": ORACLE_PIPE_SAMPLE_WEIGHTED,
     "pipe_encode_ids": ORACLE_PIPE_ENCODE,
     "pipe_sample_hash": ORACLE_PIPE_SAMPLE,
     "pipe_sample_join": ORACLE_PIPE_SAMPLE_JOIN,

@@ -1883,7 +1883,111 @@ ORDER BY o_year
 """
 
 
+# --------------------------------------------------------------------------
+# q65: Bloom-pre-filtered join — the 100 TB fact-table join pattern.
+# Dimension = customers of one region; instead of shipping their keys
+# to every probe task, ship a 4096-bit Bloom filter (as its set-bit
+# positions, ≤ 3·n rows) and pre-filter the distinct probe keys with a
+# broadcast join; only bloom survivors reach the exact residual
+# semi-join. The filter can false-positive but never false-negative,
+# so the final aggregate is exact — and the sketch itself is attested
+# by the bloom_passed / bloom_fp constants, which the oracle recomputes
+# with the same three hashes. (Spark's own runtime bloom pushdown does
+# this transparently; this is the explicit, engine-independent form.)
+# --------------------------------------------------------------------------
+def q65_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.operators.sketches import bloom_positions, bloom_probe
+
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    orders = _t(spark, sf_dir, "orders")
+
+    members = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .select("c_custkey")
+    )
+    filt = bloom_positions(members, "c_custkey")
+    passed = bloom_probe(orders, "o_custkey", filt)
+    true_keys = passed.join(
+        F.broadcast(members), passed.key == members.c_custkey, "left_semi"
+    )
+    counters = (
+        passed.agg(F.count("*").alias("bloom_passed"))
+        .crossJoin(true_keys.agg(F.count("*").alias("true_members")))
+        .select(
+            "bloom_passed",
+            (F.col("bloom_passed") - F.col("true_members")).alias("bloom_fp"),
+        )
+    )
+    agg = (
+        orders.join(
+            F.broadcast(true_keys), orders.o_custkey == true_keys.key, "inner"
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("total_spend"),
+        )
+    )
+    return (
+        agg.crossJoin(F.broadcast(counters))
+        .select("o_custkey", "n_orders", "total_spend", "bloom_passed", "bloom_fp")
+        .orderBy("o_custkey")
+    )
+
+
+def _q65_oracle() -> str:
+    from jobx_spark.operators.sketches import BF_BITS, BF_K
+
+    md5 = "('0x'||substr(md5({e}),1,15))::BIGINT"
+    mpos = " UNION ".join(
+        "SELECT "
+        + md5.format(e=f"('bf{i}:' || CAST(c_custkey AS VARCHAR))")
+        + f" % {BF_BITS} AS pos FROM members"
+        for i in range(BF_K)
+    )
+    ppos = " UNION ".join(
+        "SELECT key, "
+        + md5.format(e=f"('bf{i}:' || CAST(key AS VARCHAR))")
+        + f" % {BF_BITS} AS pos FROM probe_keys"
+        for i in range(BF_K)
+    )
+    return f"""
+WITH members AS (
+  SELECT c_custkey FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+),
+filt AS ({mpos}),
+probe_keys AS (SELECT DISTINCT o_custkey AS key FROM orders),
+key_pos AS ({ppos}),
+passed AS (
+  SELECT key FROM key_pos kp GROUP BY key
+  HAVING count(*) = count(*) FILTER (WHERE pos IN (SELECT pos FROM filt))
+),
+true_keys AS (
+  SELECT key FROM passed WHERE key IN (SELECT c_custkey FROM members)
+),
+counters AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM passed) AS bloom_passed,
+         (SELECT CAST(count(*) AS BIGINT) FROM passed)
+           - (SELECT CAST(count(*) AS BIGINT) FROM true_keys) AS bloom_fp
+)
+SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+       {dsum_sql('o_totalprice')} AS total_spend,
+       bloom_passed, bloom_fp
+FROM orders JOIN true_keys ON o_custkey = key, counters
+GROUP BY o_custkey, bloom_passed, bloom_fp
+ORDER BY o_custkey
+"""
+
+
 QUERIES = {
+    "q65_bloom_prefilter_join": q65_bloom_prefilter_join,
     "q64_market_share": q64_market_share,
     "q58_disjunctive_join": q58_disjunctive_join,
     "q59_waiting_suppliers": q59_waiting_suppliers,
@@ -1934,6 +2038,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q65_bloom_prefilter_join": _q65_oracle(),
     "q64_market_share": ORACLE_Q64,
     "q58_disjunctive_join": ORACLE_Q58,
     "q59_waiting_suppliers": ORACLE_Q59,

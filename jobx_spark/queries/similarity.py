@@ -139,18 +139,23 @@ def ann_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
-def _kmeans_ctes():
+def _kmeans_ctes(pfx: str = "", emb_expr: str = "embedding"):
     """Shared CTE chain for the k-means rounds: returns (parts ending at
-    the trained ``c{KM_ITERS}`` centroid table, assign_cte builder)."""
+    the trained ``{pfx}c{KM_ITERS}`` centroid table, assign_cte
+    builder). ``pfx`` namespaces every CTE so several chains compose in
+    one statement (the PQ oracle trains one chain per subspace);
+    ``emb_expr`` is the vector expression trained on (e.g. a
+    ``list_slice`` of the embedding)."""
     S = KM_SCALE
+    p = pfx
 
     def assign_cte(t: int) -> str:
-        # assignment a{t} against centroids c{t-1} (as scaled ints)
-        return f"""d{t - 1} AS (
-  SELECT cent_id, list_transform(cv_s, c -> c::DOUBLE / {S}) AS cv FROM c{t - 1}
-), n{t - 1} AS (
-  SELECT cent_id, cv, {_SDOT.format(a='cv', b='cv')} AS cnorm_s FROM d{t - 1}
-), a{t} AS (
+        # assignment {p}a{t} against centroids {p}c{t-1} (as scaled ints)
+        return f"""{p}d{t - 1} AS (
+  SELECT cent_id, list_transform(cv_s, c -> c::DOUBLE / {S}) AS cv FROM {p}c{t - 1}
+), {p}n{t - 1} AS (
+  SELECT cent_id, cv, {_SDOT.format(a='cv', b='cv')} AS cnorm_s FROM {p}d{t - 1}
+), {p}a{t} AS (
   SELECT vec_id, embedding, cell, cosine FROM (
     SELECT *, row_number() OVER (PARTITION BY vec_id
            ORDER BY cosine DESC, cell ASC) AS rn
@@ -158,29 +163,30 @@ def _kmeans_ctes():
       SELECT e.vec_id, e.embedding, n.cent_id AS cell,
              {_SDOT.format(a='e.embedding', b='n.cv')}::DOUBLE
                / (sqrt(e.vnorm_s::DOUBLE) * sqrt(n.cnorm_s::DOUBLE)) AS cosine
-      FROM e, n{t - 1} n
+      FROM {p}e e, {p}n{t - 1} n
     )
   ) WHERE rn = 1
 )"""
 
     def update_cte(t: int) -> str:
-        return f"""u{t} AS (
+        return f"""{p}u{t} AS (
   SELECT cell, u.idx,
          CAST(SUM(CAST(floor(u.val::DOUBLE * {S}) AS BIGINT)) // COUNT(*) AS BIGINT) AS val_s
-  FROM a{t}, unnest(list_transform(generate_series(1, len(embedding)),
+  FROM {p}a{t}, unnest(list_transform(generate_series(1, len(embedding)),
        i -> {{'idx': i, 'val': embedding[i]}})) AS tt(u)
   GROUP BY cell, u.idx
-), c{t} AS (
-  SELECT cell AS cent_id, list(val_s ORDER BY idx) AS cv_s FROM u{t} GROUP BY cell
+), {p}c{t} AS (
+  SELECT cell AS cent_id, list(val_s ORDER BY idx) AS cv_s FROM {p}u{t} GROUP BY cell
 )"""
 
     parts = [
-        f"""e AS (
-  SELECT vec_id, embedding, {_SDOT.format(a='embedding', b='embedding')} AS vnorm_s
+        f"""{p}e AS (
+  SELECT vec_id, {emb_expr} AS embedding,
+         {_SDOT.format(a=emb_expr, b=emb_expr)} AS vnorm_s
   FROM embeddings
-), c0 AS (
+), {p}c0 AS (
   SELECT vec_id - {KM_BASE} AS cent_id,
-         list_transform(embedding, x -> CAST(floor(x::DOUBLE * {S}) AS BIGINT)) AS cv_s
+         list_transform({emb_expr}, x -> CAST(floor(x::DOUBLE * {S}) AS BIGINT)) AS cv_s
   FROM embeddings WHERE vec_id >= {KM_BASE} AND vec_id < {KM_BASE + KM_K}
 )"""
     ]
@@ -585,7 +591,71 @@ ORDER BY src_id, nbr_id
 """
 
 
+# --------------------------------------------------------------------------
+# ann_pq_codes — product quantization: the 64-dim embedding is split
+# into 4×16-dim subspaces, each trained with its own deterministic
+# scaled-int k-means (same 3 Lloyd rounds as ann_kmeans_train); a
+# vector's PQ code is its 4 per-subspace cell ids (4 bytes replacing
+# 256 — the memory trick that lets a 100 TB ANN index live in RAM).
+# Per-subspace training broadcasts k=8 centroids; the corpus never
+# shuffles for assignment, and the 4 chains share one scan. Oracle:
+# four prefix-namespaced unrolled k-means CTE chains over list_slice'd
+# embeddings, joined on vec_id — bit-exact codes AND cosines.
+# --------------------------------------------------------------------------
+PQ_SUB, PQ_DIM = 4, 16
+
+
+def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.operators.similarity import kmeans_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = None
+    for s in range(PQ_SUB):
+        sub = emb.select(
+            "vec_id",
+            F.slice("embedding", s * PQ_DIM + 1, PQ_DIM).alias("embedding"),
+        )
+        asg = kmeans_train(
+            sub, k=KM_K, iters=KM_ITERS, cent_base=KM_BASE, scale=KM_SCALE
+        ).select(
+            "vec_id",
+            F.col("cell").alias(f"code{s}"),
+            F.col("cosine").alias(f"cos{s}"),
+        )
+        out = asg if out is None else out.join(asg, "vec_id")
+    return out.select(
+        "vec_id",
+        *[f"code{s}" for s in range(PQ_SUB)],
+        *[f"cos{s}" for s in range(PQ_SUB)],
+    ).orderBy("vec_id")
+
+
+def _pq_oracle() -> str:
+    parts: list[str] = []
+    for s in range(PQ_SUB):
+        sl = f"list_slice(embedding, {s * PQ_DIM + 1}, {(s + 1) * PQ_DIM})"
+        sub_parts, assign_cte = _kmeans_ctes(pfx=f"s{s}", emb_expr=sl)
+        parts += sub_parts + [assign_cte(KM_ITERS + 1)]
+    body = ",\n".join(parts)
+    final = KM_ITERS + 1
+    cols = ", ".join(
+        [f"s{s}a{final}.cell AS code{s}" for s in range(PQ_SUB)]
+        + [f"s{s}a{final}.cosine AS cos{s}" for s in range(PQ_SUB)]
+    )
+    joins = " ".join(
+        f"JOIN s{s}a{final} ON s{s}a{final}.vec_id = s0a{final}.vec_id"
+        for s in range(1, PQ_SUB)
+    )
+    return f"""
+WITH {body}
+SELECT s0a{final}.vec_id AS vec_id, {cols}
+FROM s0a{final} {joins}
+ORDER BY vec_id
+"""
+
+
 QUERIES = {
+    "ann_pq_codes": ann_pq_codes,
     "ann_range_search": ann_range_search,
     "ann_knn_graph": ann_knn_graph,
     "ann_bruteforce_topk": ann_bruteforce_topk,
@@ -598,6 +668,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ann_pq_codes": _pq_oracle(),
     "ann_range_search": _range_search_oracle(),
     "ann_knn_graph": _knn_graph_oracle(),
     "ann_quantize_int8": ORACLE_ANN_QUANTIZE,

@@ -399,8 +399,52 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# text_hll_distinct — HyperLogLog distinct-token cardinality next to the
+# exact count. The sketch's combine step is MAX (order/partition
+# independent), so the full register table AND the raw estimate are
+# bit-reproducible in SQL: registers verified row-by-row like the CMS,
+# the estimate verified as one exactly-rounded division. At 100 TB this
+# is how you count vocabulary: 64 registers per (corpus | shard | day),
+# mergeable with MAX, one map-side-combinable shuffle.
+# --------------------------------------------------------------------------
+def text_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.operators.sketches import hll_estimate, hll_registers
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    regs = hll_registers(tok, "tok")
+    est = hll_estimate(regs)
+    exact = tok.agg(F.count_distinct("tok").alias("exact_distinct"))
+    return (
+        regs.crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "register", "max_rho", "hll_est", "zero_registers",
+            "exact_distinct",
+            (F.col("hll_est") / F.col("exact_distinct") - 1.0).alias("rel_err"),
+        )
+        .orderBy("register")
+    )
+
+
+def _hll_oracle() -> str:
+    from jobx_spark.operators.sketches import hll_sql
+
+    return f"""
+WITH tok AS (SELECT unnest({_TOKS}) AS v FROM documents),
+{hll_sql('tok', _MD5)},
+exact AS (SELECT CAST(count(DISTINCT v) AS BIGINT) AS exact_distinct FROM tok)
+SELECT register, max_rho, hll_est, zero_registers, exact_distinct,
+       hll_est / exact_distinct - 1.0 AS rel_err
+FROM regs, est, exact
+ORDER BY register
+"""
+
+
 QUERIES = {
     "text_ttr": text_ttr,
+    "text_hll_distinct": text_hll_distinct,
     "text_quality": text_quality,
     "text_repetition": text_repetition,
     "text_tfidf_terms": text_tfidf_terms,
@@ -412,6 +456,7 @@ QUERIES = {
 
 ORACLES = {
     "text_ttr": ORACLE_TEXT_TTR,
+    "text_hll_distinct": _hll_oracle(),
     "text_quality": ORACLE_TEXT_QUALITY,
     "text_repetition": ORACLE_TEXT_REPETITION,
     "text_tfidf_terms": ORACLE_TEXT_TFIDF,
