@@ -607,6 +607,75 @@ def triangle_counts(
     return member.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
+def kcore(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    k: int = 2,
+    rounds: int = 3,
+) -> DataFrame:
+    """Bounded-round k-core peel over an undirected edge list —
+    (node, core_deg): the nodes surviving ``rounds`` peels (each round
+    removes nodes with induced degree < k) with their degree in the
+    final induced subgraph. The dup-graph use: a doc's k-core
+    membership separates dense near-duplicate cliques from incidental
+    pairwise collisions, which degree alone cannot.
+
+    The fixed ``rounds`` contract is what makes the result expressible
+    as unrolled SQL (pagerank precedent): peeling past convergence is a
+    no-op, so an early-stopped Spark loop and an R-round oracle agree
+    whenever the loop's stop condition is \"a round removed nothing\".
+    Scale shape: the edge list is materialized once (cut_lineage —
+    reliable at cluster scale, jobx_spark/lineage.py); each round is
+    two semi-joins + one count keyed on node id — same per-round
+    machinery as the components loop, one shuffle family per round,
+    no driver-side graph.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    )
+    sym = cut_lineage(
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct(),
+        "kcore-edges",
+    )
+    alive = sym.select(F.col("u").alias("node")).distinct()
+    n_alive = alive.count()
+    for _ in range(rounds):
+        deg = (
+            sym.join(alive, sym["u"] == alive["node"], "left_semi")
+            .join(
+                alive.select(F.col("node").alias("vn")),
+                F.col("v") == F.col("vn"),
+                "left_semi",
+            )
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        alive = cut_lineage(
+            deg.filter(F.col("deg") >= k).select(F.col("u").alias("node")),
+            "kcore-alive",
+        )
+        n_next = alive.count()
+        if n_next == n_alive:  # converged — further rounds are no-ops
+            break
+        n_alive = n_next
+    final_deg = (
+        sym.join(alive, sym["u"] == alive["node"], "left_semi")
+        .join(
+            alive.select(F.col("node").alias("vn")),
+            F.col("v") == F.col("vn"),
+            "left_semi",
+        )
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("core_deg"))
+    )
+    return alive.join(
+        final_deg.select(F.col("u").alias("node"), "core_deg"), "node", "left"
+    ).select("node", F.coalesce("core_deg", F.lit(0)).alias("core_deg"))
+
+
 # ------------------------------------------------------------- n-gram jaccard
 def ngram_jaccard_pairs(
     df: DataFrame,

@@ -725,6 +725,64 @@ ORDER BY node
 
 
 # --------------------------------------------------------------------------
+# dedup_kcore — k-core peel of the LSH dup-pair graph: surviving nodes
+# sit in dense near-duplicate cliques (every member keeps >= K induced
+# neighbors even after weakly-attached docs are peeled away), which
+# per-node degree alone cannot distinguish from hub noise. Fixed
+# KCORE_ROUNDS contract (pagerank precedent) so the oracle is the same
+# peel unrolled as CTEs; peeling past convergence is a no-op, so the
+# early-stopping Spark loop and the R-round SQL agree exactly.
+# --------------------------------------------------------------------------
+KCORE_K, KCORE_ROUNDS = 2, 3
+
+
+def dedup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.operators.dedup import kcore
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, n_hashes=N_HASHES, bands=BANDS, shingle_n=SHINGLE_N, seed=SEED
+    ).select("id_a", "id_b")
+    return kcore(pairs, k=KCORE_K, rounds=KCORE_ROUNDS).orderBy("node")
+
+
+def _kcore_oracle() -> str:
+    pairs_sql = _minhash_pairs_oracle(order_by="")
+    rounds = []
+    for t in range(1, KCORE_ROUNDS + 1):
+        rounds.append(f"""v{t} AS (
+  SELECT s.u AS node
+  FROM sym s
+  JOIN v{t - 1} a ON s.u = a.node
+  JOIN v{t - 1} b ON s.v = b.node
+  GROUP BY s.u
+  HAVING count(*) >= {KCORE_K}
+)""")
+    body = ",\n".join(rounds)
+    final = KCORE_ROUNDS
+    return f"""
+WITH pairs AS ({pairs_sql}),
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM pairs WHERE id_a <> id_b
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs WHERE id_a <> id_b
+),
+v0 AS (SELECT DISTINCT u AS node FROM sym),
+{body},
+fdeg AS (
+  SELECT s.u AS node, CAST(count(*) AS BIGINT) AS core_deg
+  FROM sym s
+  JOIN v{final} a ON s.u = a.node
+  JOIN v{final} b ON s.v = b.node
+  GROUP BY s.u
+)
+SELECT v.node, COALESCE(f.core_deg, 0) AS core_deg
+FROM v{final} v LEFT JOIN fdeg f ON f.node = v.node
+ORDER BY v.node
+"""
+
+
+# --------------------------------------------------------------------------
 # dedup_ngram_overlap — EXACT n-gram decontamination (the published
 # LLM-eval recipe: verbatim n-gram collision against the benchmark
 # set), complementing dedup_decontaminate's near-dup LSH banding. Same
@@ -854,6 +912,7 @@ ORDER BY new_id, old_id
 
 
 QUERIES = {
+    "dedup_kcore": dedup_kcore,
     "dedup_label_prop": dedup_label_prop,
     "dedup_incremental": dedup_incremental,
     "dedup_ngram_overlap": dedup_ngram_overlap,
@@ -876,6 +935,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_kcore": _kcore_oracle(),
     "dedup_label_prop": _label_prop_oracle(),
     "dedup_incremental": _incremental_oracle(),
     "dedup_ngram_overlap": ORACLE_DEDUP_NGRAM_OVERLAP,

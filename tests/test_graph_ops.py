@@ -164,3 +164,27 @@ def test_incremental_probe_from_persisted_index(spark, sf_dir, tmp_path):
         for r in incremental_dup_pairs(corpus, batch).collect()
     }
     assert probed == direct
+
+
+def test_kcore_peels_pendant_chain(spark):
+    """4-clique with a pendant 2-chain: the 2-core keeps exactly the
+    clique (induced degree 3 everywhere) and peels the chain — the
+    second round must re-peel node 5, whose degree only drops below 2
+    AFTER node 6 is removed (i.e. the test fails on a single-pass
+    degree filter)."""
+    from jobx_spark.operators.dedup import kcore
+
+    edges = _edges(
+        spark,
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)],
+    )
+    got = {(r.node, r.core_deg) for r in kcore(edges, k=2, rounds=3).collect()}
+    assert got == {(1, 3), (2, 3), (3, 3), (4, 3)}
+
+
+def test_kcore_of_clique_is_identity(spark):
+    from jobx_spark.operators.dedup import kcore
+
+    clique = [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
+    got = {(r.node, r.core_deg) for r in kcore(_edges(spark, clique), k=4).collect()}
+    assert got == {(n, 4) for n in range(1, 6)}
