@@ -434,7 +434,115 @@ ORDER BY window_start, event_type
 """
 
 
+# --------------------------------------------------------------------------
+# stream_hll_cards — continuously-maintained HLL cardinality sketch:
+# per-event-type distinct-user registers, updated each micro-batch via
+# the same keyed MERGE sink as stream_sink_rollup (version precedence =
+# max_rho — HLL's combine IS max, so the streaming merge is the sketch
+# merge). Because HLL state is order/batching-independent, the
+# incrementally-maintained table equals the one-shot batch sketch
+# exactly — which is what the oracle computes, registers and estimate
+# both. The production shape: a 64-row-per-key cardinality dashboard
+# that never rescans history.
+# --------------------------------------------------------------------------
+def stream_hll_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from jobx_spark.functions import md5_long
+    from jobx_spark.lineage import scratch_dir
+    from jobx_spark.operators.sketches import (
+        HLL_EST_NUM,
+        HLL_M,
+        HLL_P,
+        HLL_WBITS,
+        hll_rho,
+    )
+
+    ev = S.stream_events(spark, sf_dir)
+    h = md5_long(F.concat(F.lit("hllu:"), F.col("user_id").cast("string")))
+    regs = (
+        ev.select("event_type", h.alias("h"))
+        .select(
+            "event_type",
+            F.pmod(F.col("h"), F.lit(HLL_M)).cast("int").alias("register"),
+            F.shiftright(F.col("h"), HLL_P).alias("w"),
+        )
+        .select("event_type", "register", hll_rho(F.col("w")).alias("rho"))
+        .groupBy("event_type", "register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+    root = scratch_dir("stream_hll")
+    state, ckpt = f"{root}/state", f"{root}/ckpt"
+    S.stream_upsert_parquet(
+        regs, state, ckpt,
+        key_cols=["event_type", "register"],
+        version_col="max_rho",
+        output_mode="update",
+    )
+    snap = spark.read.parquet(state)
+    types = snap.select("event_type").distinct()
+    dense = types.crossJoin(
+        spark.range(HLL_M).select(F.col("id").cast("int").alias("register"))
+    )
+    full = dense.join(snap, ["event_type", "register"], "left").select(
+        "event_type", "register",
+        F.coalesce("max_rho", F.lit(0)).cast("int").alias("max_rho"),
+    )
+    est = full.groupBy("event_type").agg(
+        (
+            F.lit(HLL_EST_NUM)
+            / F.sum(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_WBITS + 1} - max_rho)")
+            ).cast("double")
+        ).alias("hll_est")
+    )
+    return (
+        full.join(est, "event_type")
+        .select("event_type", "register", "max_rho", "hll_est")
+        .orderBy("event_type", "register")
+    )
+
+
+def _stream_hll_oracle() -> str:
+    from jobx_spark.operators.sketches import (
+        HLL_EST_NUM,
+        HLL_M,
+        HLL_P,
+        HLL_WBITS,
+    )
+
+    md5 = "('0x'||substr(md5({e}),1,15))::BIGINT"
+    h = md5.format(e="('hllu:' || CAST(user_id AS VARCHAR))")
+    wb1 = HLL_WBITS + 1
+    return f"""
+WITH hashed AS (SELECT event_type, {h} AS h FROM events),
+touched AS (
+  SELECT event_type, CAST(h % {HLL_M} AS INTEGER) AS register,
+         MAX(CASE WHEN (h >> {HLL_P}) = 0 THEN {wb1}
+                  ELSE {wb1} - length(bin(h >> {HLL_P})) END) AS max_rho
+  FROM hashed GROUP BY 1, 2
+),
+regs AS (
+  SELECT t.event_type, CAST(r.range AS INTEGER) AS register,
+         CAST(COALESCE(x.max_rho, 0) AS INTEGER) AS max_rho
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN range({HLL_M}) r
+  LEFT JOIN touched x ON x.event_type = t.event_type AND x.register = r.range
+),
+est AS (
+  SELECT event_type,
+         {HLL_EST_NUM!r} / CAST(SUM(1::BIGINT << ({wb1} - max_rho)) AS DOUBLE)
+             AS hll_est
+  FROM regs GROUP BY event_type
+)
+SELECT r.event_type, r.register, r.max_rho, e.hll_est
+FROM regs r JOIN est e ON e.event_type = r.event_type
+ORDER BY r.event_type, r.register
+"""
+
+
 QUERIES = {
+    "stream_hll_cards": stream_hll_cards,
     "stream_window_distinct": stream_window_distinct,
     "stream_zscore_anomaly": stream_zscore_anomaly,
     "stream_topk_trending": stream_topk_trending,
@@ -453,6 +561,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_hll_cards": _stream_hll_oracle(),
     "stream_window_distinct": ORACLE_STREAM_WINDOW_DISTINCT,
     "stream_zscore_anomaly": ORACLE_STREAM_ZSCORE,
     "stream_topk_trending": ORACLE_STREAM_TOPK,
