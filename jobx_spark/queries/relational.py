@@ -1986,7 +1986,115 @@ ORDER BY o_custkey
 """
 
 
+# --------------------------------------------------------------------------
+# q66: histogram-sketched quantiles vs exact. The scalable quantile
+# path at 100 TB is a fixed-width histogram (bin counts are pure sums —
+# mergeable across shards/days, one map-side-combinable shuffle of at
+# most HIST_BINS rows per task), read off as the first bin whose
+# cumulative count crosses q·N, error bounded by one bin width. The
+# exact side (a full sort) exists as the demonstration baseline the
+# sketch is compared against. Every arithmetic step — (x-lo)/(hi-lo)
+# scaling, floor, cumulative window, ceil(q·N) — is identical IEEE or
+# integer math in both engines, so estimates AND errors hash-verify.
+# --------------------------------------------------------------------------
+HIST_BINS = 1024
+HIST_QS = [0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def q66_binned_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").cast("double").alias("x")
+    )
+    bounds = li.agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi"), F.count("*").alias("n")
+    )
+    binned = li.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.floor((F.col("x") - F.col("lo")) / (F.col("hi") - F.col("lo"))
+                    * HIST_BINS).cast("int"),
+            F.lit(HIST_BINS - 1),
+        ).alias("bin")
+    )
+    hist = binned.groupBy("bin").agg(F.count("*").alias("c"))
+    cum = hist.select(
+        "bin", "c",
+        F.sum("c").over(
+            W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+        ).alias("cum"),
+    )
+    qs = F.explode(F.array(*[F.lit(q) for q in HIST_QS])).alias("q")
+    crossed = (
+        cum.crossJoin(F.broadcast(bounds))
+        .select(qs, "bin", "cum", "lo", "hi", "n")
+        .filter(F.col("cum") >= F.col("q") * F.col("n"))
+        .groupBy("q")
+        .agg(
+            F.min("bin").alias("qbin"),
+            F.first("lo").alias("lo"),
+            F.first("hi").alias("hi"),
+            F.first("n").alias("n"),
+        )
+        .select(
+            "q",
+            (F.col("lo") + (F.col("qbin") + 1).cast("double")
+             * (F.col("hi") - F.col("lo")) / HIST_BINS).alias("est"),
+            F.ceil(F.col("q") * F.col("n")).cast("long").alias("k"),
+        )
+    )
+    ranked = li.select(
+        "x", F.row_number().over(W.orderBy("x")).alias("rk")
+    )
+    return (
+        crossed.join(ranked, crossed.k == ranked.rk)
+        .select(
+            "q", "est", F.col("x").alias("exact"),
+            (F.col("est") - F.col("x")).alias("err"),
+        )
+        .orderBy("q")
+    )
+
+
+ORACLE_Q66 = f"""
+WITH li AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem),
+bounds AS (
+  SELECT min(x) AS lo, max(x) AS hi, CAST(count(*) AS BIGINT) AS n FROM li
+),
+binned AS (
+  SELECT least(CAST(floor((x - lo) / (hi - lo) * {HIST_BINS}) AS INTEGER),
+               {HIST_BINS - 1}) AS bin
+  FROM li, bounds
+),
+hist AS (SELECT bin, CAST(count(*) AS BIGINT) AS c FROM binned GROUP BY bin),
+cum AS (
+  SELECT bin, c,
+         SUM(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+  FROM hist
+),
+qq AS (SELECT CAST(unnest([{", ".join(str(q) for q in HIST_QS)}]) AS DOUBLE) AS q),
+crossed AS (
+  SELECT q, min(bin) AS qbin,
+         any_value(lo) AS lo, any_value(hi) AS hi, any_value(n) AS n
+  FROM cum, bounds, qq
+  WHERE cum >= q * n
+  GROUP BY q
+),
+est AS (
+  SELECT q,
+         lo + CAST(qbin + 1 AS DOUBLE) * (hi - lo) / {HIST_BINS} AS est,
+         CAST(ceil(q * n) AS BIGINT) AS k
+  FROM crossed
+),
+ranked AS (
+  SELECT x, CAST(row_number() OVER (ORDER BY x) AS BIGINT) AS rk FROM li
+)
+SELECT q, est, x AS exact, est - x AS err
+FROM est JOIN ranked ON k = rk
+ORDER BY q
+"""
+
+
 QUERIES = {
+    "q66_binned_quantiles": q66_binned_quantiles,
     "q65_bloom_prefilter_join": q65_bloom_prefilter_join,
     "q64_market_share": q64_market_share,
     "q58_disjunctive_join": q58_disjunctive_join,
@@ -2038,6 +2146,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q66_binned_quantiles": ORACLE_Q66,
     "q65_bloom_prefilter_join": _q65_oracle(),
     "q64_market_share": ORACLE_Q64,
     "q58_disjunctive_join": ORACLE_Q58,

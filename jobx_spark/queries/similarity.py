@@ -654,7 +654,109 @@ ORDER BY vec_id
 """
 
 
+# --------------------------------------------------------------------------
+# ann_pq_adc_topk — asymmetric-distance search over the PQ index: each
+# query builds a tiny lookup table (k×subspaces scaled-int partial
+# dots against the trained centroids), and corpus vectors are scored
+# by summing 4 LUT entries addressed by their codes — raw vectors are
+# never touched at query time. That's the memory/computation shape
+# that makes billion-vector ANN feasible; the LUT (queries × 4 × 8
+# rows) broadcasts, the score is one code-keyed join + sum, exact in
+# int64. Oracle: the 4 unrolled k-means chains' centroid AND
+# assignment tables, composed into the same LUT-sum ranking.
+# --------------------------------------------------------------------------
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.operators.similarity import _sdot, kmeans_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    luts, codes = [], []
+    for s in range(PQ_SUB):
+        sub = emb.select(
+            "vec_id",
+            F.slice("embedding", s * PQ_DIM + 1, PQ_DIM).alias("embedding"),
+        )
+        cents = kmeans_train(
+            sub, k=KM_K, iters=KM_ITERS, cent_base=KM_BASE, scale=KM_SCALE,
+            output="centroids",
+        )
+        asg = kmeans_train(
+            sub, k=KM_K, iters=KM_ITERS, cent_base=KM_BASE, scale=KM_SCALE
+        )
+        qsub = sub.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        )
+        luts.append(
+            qsub.crossJoin(F.broadcast(cents)).select(
+                "query_id",
+                F.lit(s).alias("s"),
+                F.col("cent_id").alias("cell"),
+                _sdot(F.col("qv"), F.col("cv")).alias("part"),
+            )
+        )
+        codes.append(
+            asg.select("vec_id", F.lit(s).alias("s"), "cell")
+        )
+    lut = luts[0]
+    for x in luts[1:]:
+        lut = lut.unionByName(x)
+    code = codes[0]
+    for x in codes[1:]:
+        code = code.unionByName(x)
+    scored = (
+        code.join(F.broadcast(lut), ["s", "cell"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("part").alias("adc_s"))
+    )
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy("query_id").orderBy(F.desc("adc_s"), F.asc("vec_id"))
+    )
+    return (
+        scored.withColumn("rank", rk.cast("int"))
+        .filter(F.col("rank") <= K)
+        .select("query_id", "vec_id", "rank", "adc_s")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _pq_adc_oracle() -> str:
+    final = KM_ITERS + 1
+    parts: list[str] = []
+    score_branches = []
+    for s in range(PQ_SUB):
+        sl = f"list_slice(embedding, {s * PQ_DIM + 1}, {(s + 1) * PQ_DIM})"
+        sub_parts, assign_cte = _kmeans_ctes(pfx=f"s{s}", emb_expr=sl)
+        parts += sub_parts + [assign_cte(final)]
+        score_branches.append(f"""
+  SELECT q.vec_id AS query_id, a.vec_id AS vec_id,
+         {_SDOT.format(a=f'list_slice(q.embedding, {s * PQ_DIM + 1}, {(s + 1) * PQ_DIM})', b='d.cv')} AS part
+  FROM embeddings q, s{s}a{final} a
+  JOIN s{s}d{KM_ITERS} d ON d.cent_id = a.cell
+  WHERE q.vec_id < {N_QUERIES}""")
+    body = ",\n".join(parts)
+    union = "\nUNION ALL\n".join(score_branches)
+    return f"""
+WITH {body},
+psum AS ({union}),
+scored AS (
+  SELECT query_id, vec_id, CAST(SUM(part) AS BIGINT) AS adc_s
+  FROM psum GROUP BY query_id, vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, adc_s,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY adc_s DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, rank, adc_s
+FROM ranked WHERE rank <= {K}
+ORDER BY query_id, rank
+"""
+
+
 QUERIES = {
+    "ann_pq_adc_topk": ann_pq_adc_topk,
     "ann_pq_codes": ann_pq_codes,
     "ann_range_search": ann_range_search,
     "ann_knn_graph": ann_knn_graph,
@@ -668,6 +770,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ann_pq_adc_topk": _pq_adc_oracle(),
     "ann_pq_codes": _pq_oracle(),
     "ann_range_search": _range_search_oracle(),
     "ann_knn_graph": _knn_graph_oracle(),
