@@ -167,6 +167,49 @@ def decode_stats(df: DataFrame) -> DataFrame:
     return df.mapInPandas(stats, schema=out_schema)
 
 
+def ahash_features(df: DataFrame) -> DataFrame:
+    """Perceptual average-hash over REALLY-decoded pixels: per asset,
+    each pixel's channel-sum is thresholded against the image mean
+    (64·gray > total — integer compare, no division) and the 64 bits
+    pack into two BIGINT halves (phash_lo = bits 0..31, phash_hi =
+    32..63; two halves keep bit 63 out of the sign). Near-duplicate
+    images differ in a few bits — hamming-distance joins over these
+    halves are the image analogue of simhash dedup. The decode is the
+    real zlib+filter path (operators/png.py); outputs are over decoded
+    pixels, so an oracle deriving the expected pixels independently
+    attests the whole decode→hash pipeline."""
+    out_schema = (
+        "asset_id bigint, width bigint, height bigint, "
+        "phash_lo bigint, phash_hi bigint, gray_total bigint"
+    )
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["data"]):
+                w, h, c, pix = decode_image(bytes(payload))
+                arr = np.frombuffer(pix, np.uint8).astype(np.int64)
+                gray = arr.reshape(w * h, c).sum(axis=1)
+                total = int(gray.sum())
+                bits = (gray * (w * h) > total).astype(np.int64)
+                lo = int((bits[:32] << np.arange(32)).sum())
+                hi = int((bits[32:64] << np.arange(len(bits[32:64]))).sum())
+                rows.append((int(aid), w, h, lo, hi, total))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "width", "height",
+                    "phash_lo", "phash_hi", "gray_total",
+                ],
+            )
+
+    return df.mapInPandas(hash_batch, schema=out_schema)
+
+
 INFER_DENOM = float(1 << 32)
 
 

@@ -169,15 +169,15 @@ ORDER BY asset_id
 DEC_W, DEC_H = 8, 8  # 8*8*3 = 192 = 12 × 16 digest bytes
 
 
-def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _synthetic_png_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, data): every document rendered as a real 8×8 RGB PNG
+    whose pixels are md5(text) digest bytes ×12 — derivable in SQL, so
+    real-decoder outputs stay oracle-able."""
     from collections.abc import Iterator
 
     import pandas as pd
 
-    from jobx_spark.operators.multimodal import decode_stats
     from jobx_spark.operators.png import encode_png
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
     def to_png(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -191,8 +191,66 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((int(did), encode_png(DEC_W, DEC_H, pix, channels=3)))
             yield pd.DataFrame(rows, columns=["asset_id", "data"])
 
-    assets = docs.mapInPandas(to_png, schema="asset_id bigint, data binary")
-    return decode_stats(assets).orderBy("asset_id")
+    return docs.select("doc_id", "text").mapInPandas(
+        to_png, schema="asset_id bigint, data binary"
+    )
+
+
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.operators.multimodal import decode_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_stats(_synthetic_png_assets(docs)).orderBy("asset_id")
+
+
+# --------------------------------------------------------------------------
+# multimodal_phash — perceptual average-hash THROUGH the real decoder:
+# each synthetic PNG is zlib-inflated and unfiltered, each decoded
+# pixel's channel-sum thresholded against the image mean, 64 bits
+# packed into two BIGINT halves (image-simhash; hamming joins over
+# these find near-duplicate images). The oracle re-derives the decoded
+# pixels from md5(text) (digest bytes ×12, so byte i of pixel memory is
+# digest byte i mod 16) and packs the same bits — attesting the full
+# decode → grayscale → threshold → pack pipeline against SQL.
+# --------------------------------------------------------------------------
+def multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.operators.multimodal import ahash_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ahash_features(_synthetic_png_assets(docs)).orderBy("asset_id")
+
+
+_AH_NPIX = DEC_W * DEC_H
+ORACLE_MULTIMODAL_PHASH = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 15),
+             j -> ('0x' || substr(md5(text), 2*j + 1, 2))::BIGINT) AS db
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, {_AH_NPIX - 1}),
+             p -> db[((3*p) % 16) + 1] + db[((3*p + 1) % 16) + 1]
+                  + db[((3*p + 2) % 16) + 1]) AS grays
+  FROM d
+), t AS (
+  SELECT doc_id, grays, CAST(list_sum(grays) AS BIGINT) AS total FROM g
+)
+SELECT doc_id AS asset_id,
+       CAST({DEC_W} AS BIGINT) AS width,
+       CAST({DEC_H} AS BIGINT) AS height,
+       CAST(list_sum(list_transform(generate_series(0, 31),
+            p -> CASE WHEN {_AH_NPIX} * grays[p + 1] > total
+                 THEN (1::BIGINT << p) ELSE 0::BIGINT END)) AS BIGINT)
+           AS phash_lo,
+       CAST(list_sum(list_transform(generate_series(32, {_AH_NPIX - 1}),
+            p -> CASE WHEN {_AH_NPIX} * grays[p + 1] > total
+                 THEN (1::BIGINT << (p - 32)) ELSE 0::BIGINT END)) AS BIGINT)
+           AS phash_hi,
+       total AS gray_total
+FROM t
+ORDER BY asset_id
+"""
 
 
 ORACLE_MULTIMODAL_DECODE = f"""
@@ -254,6 +312,7 @@ QUERIES = {
     "multimodal_audio_energy": multimodal_audio_energy,
     "multimodal_meta": multimodal_meta,
     "multimodal_decode": multimodal_decode,
+    "multimodal_phash": multimodal_phash,
     "multimodal_features": multimodal_features,
     "multimodal_frames": multimodal_frames,
     "multimodal_infer": multimodal_infer,
@@ -264,6 +323,7 @@ ORACLES = {
     "multimodal_audio_energy": ORACLE_MULTIMODAL_AUDIO,
     "multimodal_meta": ORACLE_MULTIMODAL_META,
     "multimodal_decode": ORACLE_MULTIMODAL_DECODE,
+    "multimodal_phash": ORACLE_MULTIMODAL_PHASH,
     "multimodal_features": _features_oracle(),
     "multimodal_frames": ORACLE_MULTIMODAL_FRAMES,
     "multimodal_infer": ORACLE_MULTIMODAL_INFER,
