@@ -725,6 +725,112 @@ ORDER BY node
 
 
 # --------------------------------------------------------------------------
+# dedup_minhash_est — the sketch-accuracy ledger for minhash (CMS/HLL
+# precedent): for every LSH candidate pair, the Jaccard ESTIMATE read
+# off the signatures (matching components / 16) next to the TRUE
+# 3-shingle Jaccard and the signed error. est is a dyadic division,
+# true an exactly-rounded one, so the whole accuracy table
+# hash-verifies. At 100 TB only the candidate pairs (LSH-bounded) ever
+# reach the exact verification join — which is precisely the
+# production near-dup pipeline (estimate to block, verify to decide).
+# --------------------------------------------------------------------------
+def dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.operators.text import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, n_hashes=N_HASHES, bands=BANDS, shingle_n=SHINGLE_N, seed=SEED
+    ).select("id_a", "id_b")
+    sig = minhash_signature(
+        docs, n_hashes=N_HASHES, shingle_n=SHINGLE_N, seed=SEED
+    )
+    from jobx_spark.functions import md5_long
+
+    hh = (
+        docs.select(
+            F.col("doc_id").alias("id"),
+            F.explode(F.array_distinct(shingles("text", SHINGLE_N))).alias("s"),
+        )
+        .select("id", md5_long("s").alias("h"))
+        .distinct()
+    )
+    sizes = hh.groupBy("id").agg(F.count("*").alias("sz"))
+    inter = (
+        pairs.join(hh.select(F.col("id").alias("id_a"), "h"), "id_a")
+        .join(hh.select(F.col("id").alias("id_b"), "h"), ["id_b", "h"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    matches = sum(
+        (F.col(f"a.mh{j}") == F.col(f"b.mh{j}")).cast("int") for j in range(N_HASHES)
+    )
+    est = (
+        pairs.join(sig.alias("a"), pairs.id_a == F.col("a.id"))
+        .join(sig.alias("b"), pairs.id_b == F.col("b.id"))
+        .select("id_a", "id_b", (matches / float(N_HASHES)).alias("est"))
+    )
+    return (
+        est.join(inter, ["id_a", "id_b"], "left")
+        .join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sza")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("szb")), "id_b")
+        .select(
+            "id_a", "id_b", "est",
+            (
+                F.coalesce("n_inter", F.lit(0)).cast("double")
+                / (F.col("sza") + F.col("szb") - F.coalesce("n_inter", F.lit(0))).cast("double")
+            ).alias("jaccard"),
+        )
+        .withColumn("err", F.col("est") - F.col("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _minhash_est_oracle() -> str:
+    pairs_sql = _minhash_pairs_oracle(order_by="")
+    mins = ",\n       ".join(
+        f"min(((h % {MINHASH_P}) * {a} + {b}) % {MINHASH_P}) AS mh{j}"
+        for j, (a, b) in enumerate(_COEFFS)
+    )
+    match_sum = " + ".join(
+        f"(CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END)"
+        for j in range(N_HASHES)
+    )
+    return f"""
+WITH pairs AS ({pairs_sql}),
+hh AS (
+  SELECT DISTINCT doc_id AS id, {_MD5.format(e='s')} AS h
+  FROM (SELECT doc_id, unnest(list_distinct({_SHINGLES3})) AS s FROM documents)
+),
+sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS sz FROM hh GROUP BY id),
+sig AS (SELECT id AS doc_id, {mins} FROM hh GROUP BY id),
+inter AS (
+  SELECT p.id_a, p.id_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM pairs p
+  JOIN hh a ON a.id = p.id_a
+  JOIN hh b ON b.id = p.id_b AND b.h = a.h
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT p.id_a, p.id_b,
+         ({match_sum}) / {float(N_HASHES)!r} AS est
+  FROM pairs p
+  JOIN sig sa ON sa.doc_id = p.id_a
+  JOIN sig sb ON sb.doc_id = p.id_b
+)
+SELECT e.id_a, e.id_b, e.est,
+       COALESCE(i.n_inter, 0)::DOUBLE
+         / (sa.sz + sb.sz - COALESCE(i.n_inter, 0))::DOUBLE AS jaccard,
+       e.est - COALESCE(i.n_inter, 0)::DOUBLE
+         / (sa.sz + sb.sz - COALESCE(i.n_inter, 0))::DOUBLE AS err
+FROM est e
+LEFT JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+JOIN sizes sa ON sa.id = e.id_a
+JOIN sizes sb ON sb.id = e.id_b
+ORDER BY e.id_a, e.id_b
+"""
+
+
+# --------------------------------------------------------------------------
 # dedup_kcore — k-core peel of the LSH dup-pair graph: surviving nodes
 # sit in dense near-duplicate cliques (every member keeps >= K induced
 # neighbors even after weakly-attached docs are peeled away), which
@@ -912,6 +1018,7 @@ ORDER BY new_id, old_id
 
 
 QUERIES = {
+    "dedup_minhash_est": dedup_minhash_est,
     "dedup_kcore": dedup_kcore,
     "dedup_label_prop": dedup_label_prop,
     "dedup_incremental": dedup_incremental,
@@ -935,6 +1042,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_minhash_est": _minhash_est_oracle(),
     "dedup_kcore": _kcore_oracle(),
     "dedup_label_prop": _label_prop_oracle(),
     "dedup_incremental": _incremental_oracle(),
