@@ -541,7 +541,118 @@ ORDER BY r.event_type, r.register
 """
 
 
+# --------------------------------------------------------------------------
+# stream_cms_users — continuously-maintained Count-Min frequency sketch
+# over the event stream (companion to stream_hll_cards: HLL answers
+# "how many distinct", CMS answers "how often is X"): per-batch counter
+# updates fold into the keyed MERGE sink — in an append-only stream the
+# per-(row,bucket) running counts are MONOTONE, so max-precedence MERGE
+# converges to exactly the batch sketch. Output: the top-20 most-active
+# users' true event counts next to their CMS estimates (overcount ≥ 0
+# structurally).
+# --------------------------------------------------------------------------
+CMS_STREAM_TOP = 20
+
+
+def stream_cms_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from jobx_spark.functions import md5_long
+    from jobx_spark.lineage import scratch_dir
+    from jobx_spark.operators.text import CMS_DEPTH, CMS_WIDTH
+    from jobx_spark.sources import load_table
+
+    ev = S.stream_events(spark, sf_dir)
+    counters = (
+        ev.select(
+            F.explode(F.array(*[F.lit(r) for r in range(CMS_DEPTH)])).alias("r"),
+            F.col("user_id").cast("string").alias("u"),
+        )
+        .select(
+            "r",
+            F.pmod(
+                md5_long(F.concat(F.col("r").cast("string"), F.lit(":"), F.col("u"))),
+                F.lit(CMS_WIDTH),
+            ).alias("bucket"),
+        )
+        .groupBy("r", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    root = scratch_dir("stream_cms")
+    state, ckpt = f"{root}/state", f"{root}/ckpt"
+    S.stream_upsert_parquet(
+        counters, state, ckpt,
+        key_cols=["r", "bucket"],
+        version_col="c",
+        output_mode="update",
+    )
+    sketch = spark.read.parquet(state)
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("user_id"))
+        .limit(CMS_STREAM_TOP)
+    )
+    probes = exact.select(
+        "user_id", "exact_n",
+        F.explode(F.array(*[F.lit(r) for r in range(CMS_DEPTH)])).alias("r"),
+    ).withColumn(
+        "bucket",
+        F.pmod(
+            md5_long(
+                F.concat(F.col("r").cast("string"), F.lit(":"),
+                         F.col("user_id").cast("string"))
+            ),
+            F.lit(CMS_WIDTH),
+        ),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["r", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("c").alias("cms_n"))
+        .select(
+            "user_id", "exact_n", "cms_n",
+            (F.col("cms_n") - F.col("exact_n")).alias("overcount"),
+        )
+        .orderBy(F.desc("exact_n"), F.asc("user_id"))
+    )
+
+
+def _stream_cms_oracle() -> str:
+    from jobx_spark.operators.text import CMS_DEPTH, CMS_WIDTH
+
+    md5 = "('0x'||substr(md5({e}),1,15))::BIGINT"
+    rows = ", ".join(f"({r})" for r in range(CMS_DEPTH))
+    h = md5.format(e="(CAST(rr.r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR))")
+    return f"""
+WITH counters AS (
+  SELECT rr.r, ({h}) % {CMS_WIDTH} AS bucket, CAST(count(*) AS BIGINT) AS c
+  FROM events, (VALUES {rows}) AS rr(r)
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n
+  FROM events GROUP BY user_id
+  ORDER BY exact_n DESC, user_id ASC LIMIT {CMS_STREAM_TOP}
+),
+probes AS (
+  SELECT e.user_id, e.exact_n, rr.r, ({h}) % {CMS_WIDTH} AS bucket
+  FROM exact e, (VALUES {rows}) AS rr(r)
+),
+est AS (
+  SELECT p.user_id, p.exact_n, MIN(c.c) AS cms_n
+  FROM probes p JOIN counters c ON c.r = p.r AND c.bucket = p.bucket
+  GROUP BY 1, 2
+)
+SELECT user_id, exact_n, cms_n, cms_n - exact_n AS overcount
+FROM est
+ORDER BY exact_n DESC, user_id ASC
+"""
+
+
 QUERIES = {
+    "stream_cms_users": stream_cms_users,
     "stream_hll_cards": stream_hll_cards,
     "stream_window_distinct": stream_window_distinct,
     "stream_zscore_anomaly": stream_zscore_anomaly,
@@ -561,6 +672,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_cms_users": _stream_cms_oracle(),
     "stream_hll_cards": _stream_hll_oracle(),
     "stream_window_distinct": ORACLE_STREAM_WINDOW_DISTINCT,
     "stream_zscore_anomaly": ORACLE_STREAM_ZSCORE,

@@ -442,8 +442,80 @@ ORDER BY register
 """
 
 
+# --------------------------------------------------------------------------
+# text_bigram_score — corpus-LM fluency proxy: each document scored by
+# the mean conditional frequency of its bigrams, P̂(w2|w1) =
+# count(w1 w2)/count(w1 ·), estimated from the corpus itself. Garbled
+# or boilerplate-spliced text scores low; fluent text follows the
+# corpus's own transition statistics. Log-probabilities would be the
+# textbook form but log() is libm-dependent — instead each ratio is a
+# scaled-integer floor division and the per-doc mean stays integer
+# until ONE exactly-rounded final division, so the scores
+# hash-verify. Shape: two bounded-vocab count shuffles + one
+# doc-keyed aggregation; the count tables behave like any LM table
+# (broadcastable while vocab² stays small, bucketed beyond).
+# --------------------------------------------------------------------------
+BSCORE_SCALE = 10**9
+
+
+def text_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.operators.text import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    bg = docs.select(
+        "doc_id", F.explode(shingles(F.col("text"), 2)).alias("bigram")
+    ).withColumn("w1", F.split("bigram", " ")[0])
+    cb = bg.groupBy("bigram").agg(F.count("*").alias("cb"))
+    cp = bg.groupBy("w1").agg(F.count("*").alias("cp"))
+    scored = (
+        bg.join(cb, "bigram")
+        .join(cp, "w1")
+        .select("doc_id", F.expr(f"(cb * {BSCORE_SCALE}) div cp").alias("r_s"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("r_s").alias("score_s"))
+        .select(
+            "doc_id", "n_bigrams", "score_s",
+            (
+                F.col("score_s").cast("double")
+                / (F.col("n_bigrams") * BSCORE_SCALE).cast("double")
+            ).alias("fluency"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_BIGRAMS2 = (
+    f"list_transform(generate_series(1, greatest(len({_TOKS})-1, 0)),"
+    f" i -> array_to_string(list_slice({_TOKS}, i, i+1), ' '))"
+)
+ORACLE_TEXT_BIGRAM_SCORE = f"""
+WITH bg AS (
+  SELECT doc_id, bigram, string_split(bigram, ' ')[1] AS w1
+  FROM (SELECT doc_id, unnest({_BIGRAMS2}) AS bigram FROM documents)
+),
+cb AS (SELECT bigram, CAST(count(*) AS BIGINT) AS cb FROM bg GROUP BY bigram),
+cp AS (SELECT w1, CAST(count(*) AS BIGINT) AS cp FROM bg GROUP BY w1),
+sc AS (
+  SELECT doc_id, (cb.cb * {BSCORE_SCALE}) // cp.cp AS r_s
+  FROM bg JOIN cb USING (bigram) JOIN cp USING (w1)
+),
+pd AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(r_s) AS BIGINT) AS score_s
+  FROM sc GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, score_s,
+       score_s::DOUBLE / (n_bigrams * {BSCORE_SCALE})::DOUBLE AS fluency
+FROM pd
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_ttr": text_ttr,
+    "text_bigram_score": text_bigram_score,
     "text_hll_distinct": text_hll_distinct,
     "text_quality": text_quality,
     "text_repetition": text_repetition,
@@ -456,6 +528,7 @@ QUERIES = {
 
 ORACLES = {
     "text_ttr": ORACLE_TEXT_TTR,
+    "text_bigram_score": ORACLE_TEXT_BIGRAM_SCORE,
     "text_hll_distinct": _hll_oracle(),
     "text_quality": ORACLE_TEXT_QUALITY,
     "text_repetition": ORACLE_TEXT_REPETITION,
