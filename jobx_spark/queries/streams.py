@@ -651,7 +651,92 @@ ORDER BY exact_n DESC, user_id ASC
 """
 
 
+# --------------------------------------------------------------------------
+# stream_scd_enrich — streaming enrichment against a slowly-changing
+# dimension: each event picks up the LATEST dimension version at or
+# before its event time (as-of semantics), not the equi-join's only
+# version. The dimension (every-50th event marks a deterministic tier
+# change) broadcasts; each micro-batch runs the inequality join + arg-
+# max inside foreachBatch and overwrites its own batch partition
+# (idempotent replay). Because the dimension is static, the per-event
+# result is independent of batch boundaries — so the streamed table
+# equals the batch as-of join the oracle states with a window.
+# --------------------------------------------------------------------------
+def stream_scd_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from jobx_spark.functions import md5_long
+    from jobx_spark.lineage import scratch_dir
+    from jobx_spark.sources import load_table
+
+    ev = S.stream_events(spark, sf_dir)
+    evb = load_table(spark, sf_dir, "events")
+    dim = evb.filter(F.col("event_id") % 50 == 0).select(
+        F.col("user_id").alias("d_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("v_id"),
+        F.pmod(md5_long(F.col("event_id").cast("string")), F.lit(5)).alias("tier"),
+    )
+    root = scratch_dir("stream_scd")
+    out, ckpt = f"{root}/out", f"{root}/ckpt"
+
+    def _enrich(batch_df: DataFrame, batch_id: int) -> None:
+        joined = batch_df.join(
+            F.broadcast(dim),
+            (batch_df["user_id"] == dim["d_user"]) & (dim["v_ts"] <= batch_df["ts"]),
+            "left",
+        )
+        w = W.partitionBy("event_id").orderBy(F.desc("v_ts"), F.desc("v_id"))
+        (
+            joined.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "event_id", "user_id",
+                F.coalesce("tier", F.lit(-1)).alias("tier"),
+                F.lit(batch_id).alias("_batch_id"),
+            )
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out)
+        )
+
+    q = (
+        ev.writeStream.foreachBatch(_enrich)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .select("event_id", "user_id", "tier")
+        .orderBy("event_id")
+    )
+
+
+ORACLE_STREAM_SCD = """
+WITH dim AS (
+  SELECT user_id, ts AS v_ts, event_id AS v_id,
+         ('0x'||substr(md5(CAST(event_id AS VARCHAR)),1,15))::BIGINT % 5 AS tier
+  FROM events WHERE event_id % 50 = 0
+),
+j AS (
+  SELECT e.event_id, e.user_id, d.tier,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY d.v_ts DESC, d.v_id DESC) AS rn
+  FROM events e LEFT JOIN dim d
+    ON d.user_id = e.user_id AND d.v_ts <= e.ts
+)
+SELECT event_id, user_id, CAST(COALESCE(tier, -1) AS BIGINT) AS tier
+FROM j WHERE rn = 1
+ORDER BY event_id
+"""
+
+
 QUERIES = {
+    "stream_scd_enrich": stream_scd_enrich,
     "stream_cms_users": stream_cms_users,
     "stream_hll_cards": stream_hll_cards,
     "stream_window_distinct": stream_window_distinct,
@@ -672,6 +757,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_scd_enrich": ORACLE_STREAM_SCD,
     "stream_cms_users": _stream_cms_oracle(),
     "stream_hll_cards": _stream_hll_oracle(),
     "stream_window_distinct": ORACLE_STREAM_WINDOW_DISTINCT,
