@@ -755,7 +755,180 @@ ORDER BY query_id, rank
 """
 
 
+# --------------------------------------------------------------------------
+# ann_ivf_pq_topk — the full production ANN index composed: IVF coarse
+# quantization restricts each query to its nprobe trained cells, and
+# the survivors are scored by PQ asymmetric distance (code-addressed
+# LUT sums) — the FAISS IVF-PQ shape, where neither the full corpus is
+# scanned NOR raw vectors touched at query time. One oracle statement
+# composes the coarse k-means chain (cells + probes) with the four
+# subspace chains (codes + centroid LUT partials), all scaled-int
+# exact.
+# --------------------------------------------------------------------------
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from jobx_spark.operators.similarity import (
+        _sdot,
+        cosine_from_scaled,
+        ivf_assign,
+        kmeans_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    coarse = kmeans_train(
+        emb, k=KM_K, iters=KM_ITERS, cent_base=KM_BASE, scale=KM_SCALE,
+        output="centroids",
+    )
+    cells = ivf_assign(emb, coarse).select(
+        F.col("id").alias("vec_id"), "cell"
+    )
+    cd = coarse.withColumn("cnorm_s", _sdot(F.col("cv"), F.col("cv")))
+    qs = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    ).withColumn("qnorm_s", _sdot(F.col("qv"), F.col("qv")))
+    qscore = qs.join(F.broadcast(cd)).select(
+        "query_id",
+        F.col("cent_id").alias("cell"),
+        cosine_from_scaled(
+            _sdot(F.col("qv"), F.col("cv")), F.col("qnorm_s"), F.col("cnorm_s")
+        ).alias("ccos"),
+    )
+    probes = (
+        qscore.withColumn(
+            "pr",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cell"))
+            ),
+        )
+        .filter(F.col("pr") <= KM_NPROBE)
+        .select("query_id", "cell")
+    )
+    cand = cells.join(F.broadcast(probes), "cell").select("query_id", "vec_id")
+
+    luts, codes = [], []
+    for s in range(PQ_SUB):
+        sub = emb.select(
+            "vec_id",
+            F.slice("embedding", s * PQ_DIM + 1, PQ_DIM).alias("embedding"),
+        )
+        cents = kmeans_train(
+            sub, k=KM_K, iters=KM_ITERS, cent_base=KM_BASE, scale=KM_SCALE,
+            output="centroids",
+        )
+        codes.append(
+            ivf_assign(sub, cents).select(
+                F.col("id").alias("vec_id"), F.lit(s).alias("s"),
+                F.col("cell").alias("pq_cell"),
+            )
+        )
+        qsub = sub.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        )
+        luts.append(
+            qsub.crossJoin(F.broadcast(cents)).select(
+                "query_id",
+                F.lit(s).alias("s"),
+                F.col("cent_id").alias("pq_cell"),
+                _sdot(F.col("qv"), F.col("cv")).alias("part"),
+            )
+        )
+    code = codes[0]
+    for x in codes[1:]:
+        code = code.unionByName(x)
+    lut = luts[0]
+    for x in luts[1:]:
+        lut = lut.unionByName(x)
+    scored = (
+        cand.join(code, "vec_id")
+        .join(F.broadcast(lut), ["query_id", "s", "pq_cell"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("part").alias("adc_s"))
+    )
+    rk = F.row_number().over(
+        W.partitionBy("query_id").orderBy(F.desc("adc_s"), F.asc("vec_id"))
+    )
+    return (
+        scored.withColumn("rank", rk.cast("int"))
+        .filter(F.col("rank") <= K)
+        .select("query_id", "vec_id", "rank", "adc_s")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _ivf_pq_oracle() -> str:
+    final = KM_ITERS + 1
+    coarse_parts, _ = _kmeans_ctes()
+    parts = coarse_parts[:]
+    score_branches = []
+    for s in range(PQ_SUB):
+        sl = f"list_slice(embedding, {s * PQ_DIM + 1}, {(s + 1) * PQ_DIM})"
+        sub_parts, sub_assign = _kmeans_ctes(pfx=f"s{s}", emb_expr=sl)
+        parts += sub_parts + [sub_assign(final)]
+        score_branches.append(f"""
+  SELECT cand.query_id, cand.vec_id,
+         {_SDOT.format(a=f'list_slice(q.embedding, {s * PQ_DIM + 1}, {(s + 1) * PQ_DIM})', b='d.cv')} AS part
+  FROM cand
+  JOIN s{s}a{final} a ON a.vec_id = cand.vec_id
+  JOIN s{s}d{KM_ITERS} d ON d.cent_id = a.cell
+  JOIN embeddings q ON q.vec_id = cand.query_id""")
+    body = ",\n".join(parts)
+    union = "\nUNION ALL\n".join(score_branches)
+    return f"""
+WITH {body},
+cent AS (
+  SELECT cent_id, list_transform(cv_s, c -> c::DOUBLE / {KM_SCALE}) AS cv
+  FROM c{KM_ITERS}
+), centn AS (
+  SELECT cent_id, cv, {_SDOT.format(a='cv', b='cv')} AS cnorm_s FROM cent
+), ascore AS (
+  SELECT e.vec_id, n.cent_id,
+         {_SDOT.format(a='e.embedding', b='n.cv')}::DOUBLE
+           / (sqrt(e.vnorm_s::DOUBLE) * sqrt(n.cnorm_s::DOUBLE)) AS cos
+  FROM e, centn n
+), cells AS (
+  SELECT vec_id, cent_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+           ORDER BY cos DESC, cent_id ASC) AS rn
+    FROM ascore
+  ) WHERE rn = 1
+), q0 AS (
+  SELECT vec_id AS query_id, embedding AS qv, vnorm_s AS qnorm_s
+  FROM e WHERE vec_id < {N_QUERIES}
+), qscore AS (
+  SELECT q0.query_id, n.cent_id AS cell,
+         {_SDOT.format(a='q0.qv', b='n.cv')}::DOUBLE
+           / (sqrt(q0.qnorm_s::DOUBLE) * sqrt(n.cnorm_s::DOUBLE)) AS ccos
+  FROM q0, centn n
+), probes AS (
+  SELECT query_id, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+           ORDER BY ccos DESC, cell ASC) AS pr
+    FROM qscore
+  ) WHERE pr <= {KM_NPROBE}
+), cand AS (
+  SELECT p.query_id, c.vec_id
+  FROM cells c JOIN probes p ON c.cell = p.cell
+),
+psum AS ({union}),
+scored AS (
+  SELECT query_id, vec_id, CAST(SUM(part) AS BIGINT) AS adc_s
+  FROM psum GROUP BY query_id, vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, adc_s,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY adc_s DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, rank, adc_s
+FROM ranked WHERE rank <= {K}
+ORDER BY query_id, rank
+"""
+
+
 QUERIES = {
+    "ann_ivf_pq_topk": ann_ivf_pq_topk,
     "ann_pq_adc_topk": ann_pq_adc_topk,
     "ann_pq_codes": ann_pq_codes,
     "ann_range_search": ann_range_search,
@@ -770,6 +943,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ann_ivf_pq_topk": _ivf_pq_oracle(),
     "ann_pq_adc_topk": _pq_adc_oracle(),
     "ann_pq_codes": _pq_oracle(),
     "ann_range_search": _range_search_oracle(),
