@@ -167,6 +167,59 @@ def main() -> None:
         ).count(),
     )
 
+    from jobx_spark.operators.dedup import kcore
+
+    probe(
+        "kcore",
+        lambda: kcore(
+            minhash_lsh_pairs(docs, n_hashes=16, bands=4), k=2, rounds=3
+        ).count(),
+    )
+
+    from jobx_spark.operators.sketches import (
+        bloom_positions,
+        bloom_probe,
+        hll_registers,
+    )
+    from jobx_spark.operators.text import tokens
+
+    probe(
+        "hll_registers_tokens",
+        lambda: hll_registers(
+            docs.select(F.explode(tokens(F.col("text"))).alias("tok")), "tok"
+        ).count(),
+    )
+
+    probe(
+        "bloom_build_probe",
+        lambda: bloom_probe(
+            events.select("user_id"),
+            "user_id",
+            bloom_positions(
+                docs.select((F.col("doc_id") % 1000).alias("k")), "k"
+            ),
+        ).count(),
+    )
+
+    from jobx_spark.operators.similarity import ivf_assign, kmeans_train
+
+    def _pq_assign() -> int:
+        total = 0
+        for s in range(4):
+            sub = emb.select(
+                "vec_id", F.slice("embedding", s * 16 + 1, 16).alias("embedding")
+            )
+            cents = kmeans_train(
+                emb0.select(
+                    "vec_id", F.slice("embedding", s * 16 + 1, 16).alias("embedding")
+                ),
+                k=8, iters=3, cent_base=10, output="centroids",
+            )
+            total += ivf_assign(sub, cents).count()
+        return total
+
+    probe("pq_train_assign", _pq_assign)
+
     probe(
         "sessionize_events",
         lambda: events.select("user_id", "ts")
