@@ -1223,7 +1223,125 @@ LIMIT {WEIGHTED_K}
 """
 
 
+# --------------------------------------------------------------------------
+# pipe_bpe_learn — BPE tokenizer TRAINING (not just counting): greedy
+# merge learning over the corpus vocabulary. Words start as
+# separator-joined character sequences weighted by corpus frequency;
+# each round counts adjacent symbol pairs, takes the most frequent
+# (count desc, pair asc — total order), and applies the merge as a
+# left-to-right non-overlapping string replace on every word. Exactly
+# BPE_MERGES rounds (pagerank-style fixed contract) so the oracle is
+# the same loop unrolled. The driver sees ONE row per round (the
+# argmax pair — bounded by contract); all pair counting happens on the
+# frequency-weighted DISTINCT-word table, which is vocabulary-sized,
+# not corpus-sized — the reason BPE training scales: 100 TB of text,
+# but the vocab table is millions of rows at most, re-paired per
+# round.
+# --------------------------------------------------------------------------
+BPE_MERGES = 3
+_BPE_SEP = "\x1f"
+
+
+def pipe_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.lineage import cut_lineage
+
+    docs = load_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    words = wf.select(
+        # NB Spark's two-arg rtrim is (trimStr, str) — reversed from
+        # DuckDB's (str, chars); TRIM(TRAILING...) is unambiguous.
+        F.expr(
+            f"trim(TRAILING '{_BPE_SEP}' FROM"
+            f" regexp_replace(w, '(.)', '$1{_BPE_SEP}'))"
+        ).alias("sym"),
+        "n",
+    )
+    words = cut_lineage(words, "bpe-w")
+    merges = []
+    for t in range(1, BPE_MERGES + 1):
+        pairs = (
+            words.select("n", F.split("sym", _BPE_SEP).alias("a"))
+            .filter(F.size("a") >= 2)
+            .select(
+                "n",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(a)-2),"
+                        " i -> struct(a[i] AS x, a[i+1] AS y))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+            .agg(F.sum("n").alias("cnt"))
+        )
+        best = pairs.orderBy(F.desc("cnt"), F.asc("x"), F.asc("y")).limit(1).collect()[0]
+        merges.append((t, best.x, best.y, int(best.cnt)))
+        words = cut_lineage(
+            words.select(
+                F.replace(
+                    F.col("sym"),
+                    F.lit(best.x + _BPE_SEP + best.y),
+                    F.lit(best.x + best.y),
+                ).alias("sym"),
+                "n",
+            ),
+            "bpe-w",
+        )
+    final_syms = words.agg(
+        F.sum(F.col("n") * F.size(F.split("sym", _BPE_SEP))).alias("final_symbols")
+    )
+    mdf = spark.createDataFrame(
+        merges, "rank int, lhs string, rhs string, pair_n bigint"
+    )
+    return mdf.crossJoin(F.broadcast(final_syms)).orderBy("rank")
+
+
+def _bpe_learn_oracle() -> str:
+    parts = [
+        f"""tok AS (SELECT unnest({_TOKS}) AS w FROM documents),
+wf AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY w),
+w0 AS (
+  SELECT rtrim(regexp_replace(w, '(.)', '\\1' || chr(31), 'g'), chr(31)) AS sym, n
+  FROM wf
+)"""
+    ]
+    for t in range(1, BPE_MERGES + 1):
+        parts.append(f"""p{t} AS (
+  SELECT arr[i] AS x, arr[i + 1] AS y, CAST(SUM(n) AS BIGINT) AS cnt
+  FROM (SELECT string_split(sym, chr(31)) AS arr, n FROM w{t - 1}) t,
+       unnest(generate_series(1, len(arr) - 1)) AS g(i)
+  GROUP BY 1, 2
+), best{t} AS (
+  SELECT x, y, cnt FROM p{t} ORDER BY cnt DESC, x ASC, y ASC LIMIT 1
+), w{t} AS (
+  SELECT replace(sym, x || chr(31) || y, x || y) AS sym, n
+  FROM w{t - 1}, best{t}
+)""")
+    body = ",\n".join(parts)
+    union = "\nUNION ALL\n".join(
+        f"SELECT {t} AS rank, x AS lhs, y AS rhs, cnt AS pair_n FROM best{t}"
+        for t in range(1, BPE_MERGES + 1)
+    )
+    return f"""
+WITH {body},
+merges AS ({union}),
+fs AS (
+  SELECT CAST(SUM(n * len(string_split(sym, chr(31)))) AS BIGINT)
+             AS final_symbols
+  FROM w{BPE_MERGES}
+)
+SELECT CAST(rank AS INTEGER) AS rank, lhs, rhs, pair_n, final_symbols
+FROM merges, fs
+ORDER BY rank
+"""
+
+
 QUERIES = {
+    "pipe_bpe_learn": pipe_bpe_learn,
     "pipe_sample_weighted": pipe_sample_weighted,
     "pipe_encode_ids": pipe_encode_ids,
     "pipe_sample_hash": pipe_sample_hash,
@@ -1251,6 +1369,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pipe_bpe_learn": _bpe_learn_oracle(),
     "pipe_sample_weighted": ORACLE_PIPE_SAMPLE_WEIGHTED,
     "pipe_encode_ids": ORACLE_PIPE_ENCODE,
     "pipe_sample_hash": ORACLE_PIPE_SAMPLE,
