@@ -58,7 +58,7 @@ def _utc_pinned(fn: QueryFn) -> QueryFn:
 # ann_pq_codes, ann_pq_adc_topk, dedup_kcore, stream_hll_cards,
 # q66_binned_quantiles, multimodal_phash, dedup_minhash_est,
 # stream_cms_users, text_bigram_score, stream_scd_enrich,
-# ann_ivf_pq_topk, pipe_bpe_learn,
+# ann_ivf_pq_topk, pipe_bpe_learn, multimodal_resize_real,
 # …sketch/sampler batch — all CI-green, sf0.001+sf0.01 verified under
 # a hostile non-UTC session before commit). r4 priority order:
 #   1. the post-gate additions above + anything new in r4;

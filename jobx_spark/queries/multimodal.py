@@ -204,6 +204,54 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# multimodal_resize_real — the REAL thumbnail pipeline under the gate:
+# synthetic PNG → actual decode (zlib + filters) → nearest-neighbor
+# resample 8×8→4×4 (integer arithmetic) → PNG re-encode → decode AGAIN
+# → pixel stats. The oracle derives every resized pixel straight from
+# the md5 digest formula (nearest source index (2r, 2c), byte index
+# mod 16), so a green row attests decode → resample → encode → decode
+# end-to-end, byte-for-byte. Complements multimodal_resize, whose
+# fake payload path verifies the plumbing on non-image bytes.
+# --------------------------------------------------------------------------
+RR_W, RR_H = 4, 4
+
+
+def multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.operators.multimodal import decode_stats, resize_assets
+
+    docs = load_table(spark, sf_dir, "documents")
+    resized = resize_assets(
+        _synthetic_png_assets(docs), width=RR_W, height=RR_H, fake=False
+    )
+    return decode_stats(resized.select("asset_id", "data")).orderBy("asset_id")
+
+
+def _resize_real_oracle() -> str:
+    # resized pixel (r, c, ch) — nearest source (2r, 2c) — is digest
+    # byte ((2r·8 + 2c)·3 + ch) mod 16 of md5(text)
+    idxs = [
+        (((2 * r) * DEC_W + 2 * c) * 3 + ch) % 16
+        for r in range(RR_H)
+        for c in range(RR_W)
+        for ch in range(3)
+    ]
+    hex_terms = " || ".join(f"substr(md5(text), {2 * j + 1}, 2)" for j in idxs)
+    sum_terms = " + ".join(
+        f"('0x' || substr(md5(text), {2 * j + 1}, 2))::BIGINT" for j in idxs
+    )
+    return f"""
+SELECT doc_id AS asset_id,
+       CAST({RR_W} AS BIGINT) AS width,
+       CAST({RR_H} AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS channels,
+       CAST({sum_terms} AS BIGINT) AS pix_sum,
+       md5({hex_terms}) AS pix_md5
+FROM documents
+ORDER BY asset_id
+"""
+
+
+# --------------------------------------------------------------------------
 # multimodal_phash — perceptual average-hash THROUGH the real decoder:
 # each synthetic PNG is zlib-inflated and unfiltered, each decoded
 # pixel's channel-sum thresholded against the image mean, 64 bits
@@ -313,6 +361,7 @@ QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_decode": multimodal_decode,
     "multimodal_phash": multimodal_phash,
+    "multimodal_resize_real": multimodal_resize_real,
     "multimodal_features": multimodal_features,
     "multimodal_frames": multimodal_frames,
     "multimodal_infer": multimodal_infer,
@@ -324,6 +373,7 @@ ORACLES = {
     "multimodal_meta": ORACLE_MULTIMODAL_META,
     "multimodal_decode": ORACLE_MULTIMODAL_DECODE,
     "multimodal_phash": ORACLE_MULTIMODAL_PHASH,
+    "multimodal_resize_real": _resize_real_oracle(),
     "multimodal_features": _features_oracle(),
     "multimodal_frames": ORACLE_MULTIMODAL_FRAMES,
     "multimodal_infer": ORACLE_MULTIMODAL_INFER,
