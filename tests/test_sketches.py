@@ -61,3 +61,40 @@ def test_hll_estimate_in_range(spark):
     # raw HLL on 64 registers: ~1.04/sqrt(64) = 13% stderr; allow 3σ
     assert 2000 * 0.6 < row.hll_est < 2000 * 1.4
     assert row.zero_registers == 0
+
+
+def test_sketch_ops_partitioning_invariance(spark, sf_dir):
+    """Cluster-shape independence for the session-3 operators: k-core,
+    HLL registers, and learned BPE merges must be identical under
+    different input partitionings (the reproducibility property across
+    cluster sizes / AQE decisions / retries)."""
+    from jobx_spark.operators.dedup import kcore, minhash_lsh_pairs
+    from jobx_spark.operators.text import tokens
+    from jobx_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    kc = [
+        sorted(map(tuple, kcore(minhash_lsh_pairs(docs.repartition(n))).collect()))
+        for n in (3, 17)
+    ]
+    assert kc[0] == kc[1]
+
+    regs = [
+        sorted(map(tuple, hll_registers(
+            docs.repartition(n).select(
+                F.explode(tokens(F.col("text"))).alias("tok")
+            ), "tok",
+        ).collect()))
+        for n in (3, 17)
+    ]
+    assert regs[0] == regs[1]
+
+
+def test_bpe_learn_partitioning_invariance(spark, sf_dir):
+    from jobx_spark.queries.pipeline import BPE_MERGES, pipe_bpe_learn
+
+    rows = sorted(map(tuple, pipe_bpe_learn(spark, sf_dir).collect()))
+    assert len(rows) == BPE_MERGES
+    again = sorted(map(tuple, pipe_bpe_learn(spark, sf_dir).collect()))
+    assert rows == again
