@@ -50,6 +50,17 @@ HEADLINE = [
     "pipe_stratified_k",
     "mr_engine_event_counts",
     "mr_engine_user_value",
+    # session-3 additions outside the auto-enrolled dedup_/ann_/text_
+    # families
+    "q65_bloom_prefilter_join",
+    "q66_binned_quantiles",
+    "pipe_sample_weighted",
+    "pipe_bpe_learn",
+    "multimodal_phash",
+    "multimodal_resize_real",
+    "stream_hll_cards",
+    "stream_cms_users",
+    "stream_scd_enrich",
 ]
 
 
