@@ -252,6 +252,115 @@ ORDER BY asset_id
 
 
 # --------------------------------------------------------------------------
+# multimodal_phash_pairs — image near-duplicate JOIN over the decoded
+# perceptual hashes: the 64 aHash bits band into 4×16-bit segments,
+# candidates collide on a raw segment (the simhash banding machinery
+# applied to images), exact hamming verifies. On the synthetic
+# digest-pixel corpus only byte-identical images land within the
+# threshold — which the oracle proves; on real photos the same plan
+# finds recompressions/rescales. No all-pairs stage at any scale.
+# --------------------------------------------------------------------------
+PH_BANDS, PH_SEG_BITS, PH_MAX_HAMMING = 4, 16, 12
+
+
+def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.operators.multimodal import ahash_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    ph = ahash_features(_synthetic_png_assets(docs)).select(
+        "asset_id", "phash_lo", "phash_hi"
+    )
+    segs = [
+        F.shiftrightunsigned(
+            F.col("phash_lo") if b < 2 else F.col("phash_hi"),
+            (b % 2) * PH_SEG_BITS,
+        )
+        .bitwiseAND(F.lit((1 << PH_SEG_BITS) - 1))
+        .alias("seg")
+        for b in range(PH_BANDS)
+    ]
+    banded = ph.select(
+        "asset_id", "phash_lo", "phash_hi",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), segs[b]) for b in range(PH_BANDS)
+            ])
+        ).alias("bb"),
+    ).select(
+        "asset_id", "phash_lo", "phash_hi",
+        F.col("bb.band").alias("band"), F.col("bb.seg").alias("seg"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = (
+        F.bit_count(F.col("a.phash_lo").bitwiseXOR(F.col("b.phash_lo")))
+        + F.bit_count(F.col("a.phash_hi").bitwiseXOR(F.col("b.phash_hi")))
+    )
+    return (
+        a.join(b, ["band", "seg"])
+        .filter(F.col("a.asset_id") < F.col("b.asset_id"))
+        .select(
+            F.col("a.asset_id").alias("id_a"),
+            F.col("b.asset_id").alias("id_b"),
+            hamming.cast("long").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= PH_MAX_HAMMING)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _phash_pairs_oracle() -> str:
+    # shared CTE: the phash halves exactly as in the phash oracle
+    seg_exprs = []
+    for b in range(PH_BANDS):
+        src = "phash_lo" if b < 2 else "phash_hi"
+        seg_exprs.append(
+            f"SELECT asset_id, phash_lo, phash_hi, {b} AS band,"
+            f" (({src} >> {(b % 2) * PH_SEG_BITS}) & {(1 << PH_SEG_BITS) - 1})"
+            f" AS seg FROM ph"
+        )
+    banded = "\nUNION ALL\n".join(seg_exprs)
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 15),
+             j -> ('0x' || substr(md5(text), 2*j + 1, 2))::BIGINT) AS db
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, {_AH_NPIX - 1}),
+             p -> db[((3*p) % 16) + 1] + db[((3*p + 1) % 16) + 1]
+                  + db[((3*p + 2) % 16) + 1]) AS grays
+  FROM d
+), t AS (
+  SELECT doc_id, grays, CAST(list_sum(grays) AS BIGINT) AS total FROM g
+), ph AS (
+  SELECT doc_id AS asset_id,
+         CAST(list_sum(list_transform(generate_series(0, 31),
+              p -> CASE WHEN {_AH_NPIX} * grays[p + 1] > total
+                   THEN (1::BIGINT << p) ELSE 0::BIGINT END)) AS BIGINT)
+             AS phash_lo,
+         CAST(list_sum(list_transform(generate_series(32, {_AH_NPIX - 1}),
+              p -> CASE WHEN {_AH_NPIX} * grays[p + 1] > total
+                   THEN (1::BIGINT << (p - 32)) ELSE 0::BIGINT END)) AS BIGINT)
+             AS phash_hi
+  FROM t
+), banded AS (
+{banded}
+), pairs AS (
+  SELECT DISTINCT a.asset_id AS id_a, b.asset_id AS id_b,
+         CAST(bit_count(xor(a.phash_lo, b.phash_lo))
+              + bit_count(xor(a.phash_hi, b.phash_hi)) AS BIGINT) AS hamming
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.seg = b.seg AND a.asset_id < b.asset_id
+)
+SELECT id_a, id_b, hamming FROM pairs
+WHERE hamming <= {PH_MAX_HAMMING}
+ORDER BY id_a, id_b
+"""
+
+
+# --------------------------------------------------------------------------
 # multimodal_phash — perceptual average-hash THROUGH the real decoder:
 # each synthetic PNG is zlib-inflated and unfiltered, each decoded
 # pixel's channel-sum thresholded against the image mean, 64 bits
@@ -362,6 +471,7 @@ QUERIES = {
     "multimodal_decode": multimodal_decode,
     "multimodal_phash": multimodal_phash,
     "multimodal_resize_real": multimodal_resize_real,
+    "multimodal_phash_pairs": multimodal_phash_pairs,
     "multimodal_features": multimodal_features,
     "multimodal_frames": multimodal_frames,
     "multimodal_infer": multimodal_infer,
@@ -374,6 +484,7 @@ ORACLES = {
     "multimodal_decode": ORACLE_MULTIMODAL_DECODE,
     "multimodal_phash": ORACLE_MULTIMODAL_PHASH,
     "multimodal_resize_real": _resize_real_oracle(),
+    "multimodal_phash_pairs": _phash_pairs_oracle(),
     "multimodal_features": _features_oracle(),
     "multimodal_frames": ORACLE_MULTIMODAL_FRAMES,
     "multimodal_infer": ORACLE_MULTIMODAL_INFER,
