@@ -1340,7 +1340,49 @@ ORDER BY rank
 """
 
 
+# --------------------------------------------------------------------------
+# pipe_shard_assign — the training-data "shuffle": every document gets
+# a shard (hash-bucket) and a deterministic pseudo-random position
+# within its shard (rank of an independent content hash). Together
+# they define the epoch-stable global visit order SGD training wants —
+# reproducible across clusters/retries, no RNG, no driver state. One
+# shard-keyed shuffle; at 100 TB each shard is written as its own
+# partition and the position is the within-file sort key.
+# --------------------------------------------------------------------------
+N_SHARDS = 8
+
+
+def pipe_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    shard = F.pmod(
+        md5_long(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))),
+        F.lit(N_SHARDS),
+    )
+    pos_h = md5_long(F.concat(F.lit("pos:"), F.col("doc_id").cast("string")))
+    w = W.partitionBy("shard").orderBy(F.col("pos_h"), F.col("doc_id"))
+    return (
+        docs.select("doc_id", shard.alias("shard"), pos_h.alias("pos_h"))
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
+    )
+
+
+_SHARD_H = _MD5.format(e="'shard:'||CAST(doc_id AS VARCHAR)")
+_POS_H = _MD5.format(e="'pos:'||CAST(doc_id AS VARCHAR)")
+ORACLE_PIPE_SHARD_ASSIGN = f"""
+SELECT doc_id, {_SHARD_H} % {N_SHARDS} AS shard,
+       CAST(row_number() OVER (PARTITION BY {_SHARD_H} % {N_SHARDS}
+            ORDER BY {_POS_H}, doc_id) AS BIGINT) AS pos
+FROM documents
+ORDER BY shard, pos
+"""
+
+
 QUERIES = {
+    "pipe_shard_assign": pipe_shard_assign,
     "pipe_bpe_learn": pipe_bpe_learn,
     "pipe_sample_weighted": pipe_sample_weighted,
     "pipe_encode_ids": pipe_encode_ids,
@@ -1369,6 +1411,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pipe_shard_assign": ORACLE_PIPE_SHARD_ASSIGN,
     "pipe_bpe_learn": _bpe_learn_oracle(),
     "pipe_sample_weighted": ORACLE_PIPE_SAMPLE_WEIGHTED,
     "pipe_encode_ids": ORACLE_PIPE_ENCODE,
