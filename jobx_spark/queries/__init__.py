@@ -59,7 +59,7 @@ def _utc_pinned(fn: QueryFn) -> QueryFn:
 # q66_binned_quantiles, multimodal_phash, dedup_minhash_est,
 # stream_cms_users, text_bigram_score, stream_scd_enrich,
 # ann_ivf_pq_topk, pipe_bpe_learn, multimodal_resize_real,
-# multimodal_phash_pairs, pipe_shard_assign,
+# multimodal_phash_pairs, pipe_shard_assign, stream_incremental_restart,
 # …sketch/sampler batch — all CI-green, sf0.001+sf0.01 verified under
 # a hostile non-UTC session before commit). r4 priority order:
 #   1. the post-gate additions above + anything new in r4;

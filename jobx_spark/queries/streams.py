@@ -735,7 +735,77 @@ ORDER BY event_id
 """
 
 
+# --------------------------------------------------------------------------
+# stream_incremental_restart — checkpoint-resume incrementality under
+# the gate: the event stream arrives in TWO batches of files through
+# the SAME checkpoint (run to completion, stop, more files land, run
+# again). The second run's file-source offsets skip everything already
+# committed, and the stateful aggregation resumes from checkpointed
+# state — so the final table must equal the one-shot batch aggregate
+# over ALL events, which is exactly what the oracle computes. This is
+# the restart/exactly-once contract as a driver-attested result, not
+# just a unit test.
+# --------------------------------------------------------------------------
+def stream_incremental_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from jobx_spark.lineage import scratch_dir
+    from jobx_spark.sources import load_table
+
+    evb = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    root = scratch_dir("stream_restart")
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    state, ckpt = os.path.join(root, "state"), os.path.join(root, "ckpt")
+
+    def land_half(pred, name: str) -> None:
+        d = os.path.join(root, "stage", name)
+        evb.filter(pred).coalesce(1).write.parquet(d)
+        part = glob.glob(os.path.join(d, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(src, f"{name}.parquet"))
+
+    def run_phase() -> None:
+        stream = spark.readStream.schema(evb.schema).parquet(src)
+        agg = stream.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(38,8)")).alias("total_s"),
+        )
+        S.stream_upsert_parquet(
+            agg, state, ckpt,
+            key_cols=["event_type"], version_col="n", output_mode="update",
+        )
+
+    land_half(F.col("event_id") % 2 == 0, "a")
+    run_phase()
+    land_half(F.col("event_id") % 2 == 1, "b")
+    run_phase()  # same checkpoint: resumes state, reads ONLY file b
+    return (
+        spark.read.parquet(state)
+        .select(
+            "event_type", "n",
+            F.col("total_s").cast("string").cast("double").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_STREAM_RESTART = f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       {dsum_sql('value')} AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "stream_incremental_restart": stream_incremental_restart,
     "stream_scd_enrich": stream_scd_enrich,
     "stream_cms_users": stream_cms_users,
     "stream_hll_cards": stream_hll_cards,
@@ -757,6 +827,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_incremental_restart": ORACLE_STREAM_RESTART,
     "stream_scd_enrich": ORACLE_STREAM_SCD,
     "stream_cms_users": _stream_cms_oracle(),
     "stream_hll_cards": _stream_hll_oracle(),
