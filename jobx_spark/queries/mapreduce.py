@@ -171,13 +171,95 @@ ORDER BY k
 """
 
 
+# --------------------------------------------------------------------------
+# mr_engine_combined_stats — the CUSTOM COMBINER (§2.1 #4) under the
+# driver gate: the mapper passes (event_type, floor(value·1000)) pairs
+# through, the user combiner pre-merges each invocation's stream to a
+# single [min, max, count, sum] state per key (map-side combine, the
+# 'groups similar or duplicate map output' contract), and the reducer
+# merges states. Combiner transparency — states merge to exactly what
+# the raw values aggregate to — is what the plain SQL min/max/count/sum
+# oracle proves. Integer arithmetic throughout.
+# --------------------------------------------------------------------------
+def _combiner_stats(scope, results):
+    acc = {}
+    for k, v in results:
+        v = int(v)
+        st = acc.get(k)
+        if st is None:
+            acc[k] = [v, v, 1, v]
+        else:
+            st[0] = min(st[0], v)
+            st[1] = max(st[1], v)
+            st[2] += 1
+            st[3] += v
+    for k in sorted(acc, key=str):
+        yield (k, [acc[k]])
+
+
+def _reducer_stats(scope, results):
+    acc = {}
+    for k, value_list in results:
+        for st in value_list:
+            mn, mx, n, s = st
+            cur = acc.get(k)
+            if cur is None:
+                acc[k] = [mn, mx, n, s]
+            else:
+                cur[0] = min(cur[0], mn)
+                cur[1] = max(cur[1], mx)
+                cur[2] += n
+                cur[3] += s
+    for k in sorted(acc, key=str):
+        yield (k, acc[k])
+
+
+def mr_engine_combined_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select(
+        F.concat(F.lit('"'), F.col("event_type"), F.lit('"')).alias("k"),
+        F.floor(F.col("value") * 1000).cast("long").cast("string").alias("v"),
+    )
+    engine = _build_engine(spark)
+    engine.register_handler(
+        "mr", "stats_comb", fn=_combiner_stats, handler_type="combiner"
+    )
+    engine.register_handler(
+        "mr", "stats_red", fn=_reducer_stats, handler_type="reducer"
+    )
+    engine.create_step("mr", "step_stats", "passthrough", "stats_red", "stats_comb")
+    engine.create_job("mr", "job_stats", "step_stats")
+    req = engine.submit_dataset("mr", "job_stats", pairs)
+    rows = [
+        (k, int(st[0]), int(st[1]), int(st[2]), int(st[3]))
+        for k, st in req.result["pairs"]
+    ]
+    return spark.createDataFrame(
+        rows, schema="k string, v_min long, v_max long, n long, v_sum long"
+    ).orderBy("k")
+
+
+ORACLE_COMBINED_STATS = """
+SELECT event_type AS k,
+       CAST(min(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS v_min,
+       CAST(max(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS v_max,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS v_sum
+FROM events
+GROUP BY event_type
+ORDER BY k
+"""
+
+
 QUERIES = {
+    "mr_engine_combined_stats": mr_engine_combined_stats,
     "mr_engine_fanout_rekey": mr_engine_fanout_rekey,
     "mr_engine_event_counts": mr_engine_event_counts,
     "mr_engine_user_value": mr_engine_user_value,
 }
 
 ORACLES = {
+    "mr_engine_combined_stats": ORACLE_COMBINED_STATS,
     "mr_engine_fanout_rekey": ORACLE_FANOUT_REKEY,
     "mr_engine_event_counts": ORACLE_EVENT_COUNTS,
     "mr_engine_user_value": ORACLE_USER_VALUE,
