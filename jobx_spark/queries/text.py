@@ -464,14 +464,23 @@ def text_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     bg = docs.select(
         "doc_id", F.explode(shingles(F.col("text"), 2)).alias("bigram")
-    ).withColumn("w1", F.split("bigram", " ")[0])
-    cb = bg.groupBy("bigram").agg(F.count("*").alias("cb"))
-    cp = bg.groupBy("w1").agg(F.count("*").alias("cp"))
-    scored = (
-        bg.join(cb, "bigram")
-        .join(cp, "w1")
-        .select("doc_id", F.expr(f"(cb * {BSCORE_SCALE}) div cp").alias("r_s"))
     )
+    # Fold both count tables into ONE vocabulary-sized ratio table
+    # before touching the full (doc, bigram) stream, so the 9M-row
+    # stream shuffles once (on bigram), not twice (bigram then w1) —
+    # measured ~0.7× at sf0.1, values identical.
+    cb = bg.groupBy("bigram").agg(F.count("*").alias("cb"))
+    cp = (
+        bg.select(F.split("bigram", " ")[0].alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("cp"))
+    )
+    ratio = (
+        cb.withColumn("w1", F.split("bigram", " ")[0])
+        .join(cp, "w1")
+        .select("bigram", F.expr(f"(cb * {BSCORE_SCALE}) div cp").alias("r_s"))
+    )
+    scored = bg.join(ratio, "bigram").select("doc_id", "r_s")
     return (
         scored.groupBy("doc_id")
         .agg(F.count("*").alias("n_bigrams"), F.sum("r_s").alias("score_s"))
