@@ -60,7 +60,7 @@ def _utc_pinned(fn: QueryFn) -> QueryFn:
 # stream_cms_users, text_bigram_score, stream_scd_enrich,
 # ann_ivf_pq_topk, pipe_bpe_learn, multimodal_resize_real,
 # multimodal_phash_pairs, pipe_shard_assign, stream_incremental_restart,
-# mr_engine_combined_stats,
+# mr_engine_combined_stats, dedup_cluster_profile,
 # …sketch/sampler batch — all CI-green, sf0.001+sf0.01 verified under
 # a hostile non-UTC session before commit). r4 priority order:
 #   1. the post-gate additions above + anything new in r4;

@@ -725,6 +725,74 @@ ORDER BY node
 
 
 # --------------------------------------------------------------------------
+# dedup_cluster_profile — the dedup REVIEW report: every near-dup
+# cluster profiled by size, internal edge count, pair density
+# (2E/n(n−1) — 1.0 means the LSH graph sees a full clique, low values
+# flag chains that deserve manual review before mass deletion), and
+# its document-length spread. Three comp-keyed aggregations joined on
+# the cluster label; all counts integer, density one exactly-rounded
+# division. Oracle: the recursive-CTE components plus the same three
+# GROUP BYs.
+# --------------------------------------------------------------------------
+def dedup_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, n_hashes=N_HASHES, bands=BANDS, shingle_n=SHINGLE_N, seed=SEED
+    ).select("id_a", "id_b")
+    pairs = cut_lineage(pairs, "profile-pairs")
+    labels = connected_components(pairs)
+    sizes = labels.groupBy("comp").agg(F.count("*").alias("n_docs"))
+    edges = (
+        pairs.join(labels, pairs.id_a == labels.node)
+        .groupBy("comp")
+        .agg(F.count("*").alias("n_edges"))
+    )
+    chars = (
+        labels.join(docs, labels.node == docs.doc_id)
+        .groupBy("comp")
+        .agg(
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+    density = (F.lit(2) * F.col("n_edges")).cast("double") / (
+        F.col("n_docs") * (F.col("n_docs") - 1)
+    ).cast("double")
+    return (
+        sizes.join(edges, "comp")
+        .join(chars, "comp")
+        .select(
+            "comp", "n_docs", "n_edges", density.alias("density"),
+            "min_chars", "max_chars", "total_chars",
+        )
+        .orderBy("comp")
+    )
+
+
+def _cluster_profile_oracle() -> str:
+    return f"""{_components_cte()},
+sizes AS (SELECT comp AS c, CAST(count(*) AS BIGINT) AS n_docs
+          FROM comp GROUP BY comp),
+edges AS (SELECT c.comp AS c, CAST(count(*) AS BIGINT) AS n_edges
+          FROM pairs p JOIN comp c ON c.node = p.id_a GROUP BY c.comp),
+chars AS (SELECT c.comp AS c,
+                 CAST(min(d.n_chars) AS BIGINT) AS min_chars,
+                 CAST(max(d.n_chars) AS BIGINT) AS max_chars,
+                 CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+          FROM comp c JOIN documents d ON d.doc_id = c.node GROUP BY c.comp)
+SELECT s.c AS comp, s.n_docs, e.n_edges,
+       CAST(2 * e.n_edges AS DOUBLE)
+         / CAST(s.n_docs * (s.n_docs - 1) AS DOUBLE) AS density,
+       ch.min_chars, ch.max_chars, ch.total_chars
+FROM sizes s JOIN edges e ON e.c = s.c JOIN chars ch ON ch.c = s.c
+ORDER BY comp
+"""
+
+
+# --------------------------------------------------------------------------
 # dedup_minhash_est — the sketch-accuracy ledger for minhash (CMS/HLL
 # precedent): for every LSH candidate pair, the Jaccard ESTIMATE read
 # off the signatures (matching components / 16) next to the TRUE
@@ -1018,6 +1086,7 @@ ORDER BY new_id, old_id
 
 
 QUERIES = {
+    "dedup_cluster_profile": dedup_cluster_profile,
     "dedup_minhash_est": dedup_minhash_est,
     "dedup_kcore": dedup_kcore,
     "dedup_label_prop": dedup_label_prop,
@@ -1042,6 +1111,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_cluster_profile": _cluster_profile_oracle(),
     "dedup_minhash_est": _minhash_est_oracle(),
     "dedup_kcore": _kcore_oracle(),
     "dedup_label_prop": _label_prop_oracle(),
