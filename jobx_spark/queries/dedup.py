@@ -725,6 +725,78 @@ ORDER BY node
 
 
 # --------------------------------------------------------------------------
+# dedup_lsh_recall — the dedup quality monitor (mirror of
+# ann_recall_eval on the text side): how many TRUE near-dup pairs
+# (exact 3-shingle Jaccard ≥ 0.5, computed within source blocks) does
+# the 16-hash/4-band LSH candidate set actually find? One row:
+# n_true / n_candidates / n_hit / recall. Banding parameters trade
+# recall for candidate volume — this query is the number that trade is
+# tuned against. All counts integer; recall one exactly-rounded
+# division.
+# --------------------------------------------------------------------------
+RECALL_JMIN = 0.5
+
+
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    true_pairs = ngram_jaccard_pairs(
+        docs, block_col="source", n=SHINGLE_N, min_jaccard=RECALL_JMIN
+    ).select("id_a", "id_b")
+    lsh = minhash_lsh_pairs(
+        docs, n_hashes=N_HASHES, bands=BANDS, shingle_n=SHINGLE_N, seed=SEED
+    ).select("id_a", "id_b")
+    hit = true_pairs.join(lsh, ["id_a", "id_b"], "left_semi")
+    return (
+        true_pairs.agg(F.count("*").alias("n_true"))
+        .crossJoin(lsh.agg(F.count("*").alias("n_candidates")))
+        .crossJoin(hit.agg(F.count("*").alias("n_hit")))
+        .select(
+            "n_true", "n_candidates", "n_hit",
+            F.when(
+                F.col("n_true") > 0,
+                F.col("n_hit").cast("double") / F.col("n_true").cast("double"),
+            ).alias("recall"),
+        )
+    )
+
+
+def _lsh_recall_oracle() -> str:
+    lsh_sql = _minhash_pairs_oracle(order_by="")
+    return f"""
+WITH lsh AS ({lsh_sql}),
+sh3 AS (
+  SELECT doc_id, source, unnest(list_distinct({_SHINGLES3})) AS s
+  FROM documents
+),
+hh3 AS (SELECT DISTINCT doc_id, source, {_MD5.format(e='s')} AS h FROM sh3),
+sz3 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM hh3 GROUP BY doc_id),
+int3 AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM hh3 a JOIN hh3 b
+    ON a.source = b.source AND a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+tp AS (
+  SELECT id_a, id_b FROM int3
+  JOIN sz3 sa ON sa.doc_id = id_a
+  JOIN sz3 sb ON sb.doc_id = id_b
+  WHERE n_inter::DOUBLE / (sa.sz + sb.sz - n_inter)::DOUBLE >= {RECALL_JMIN}
+),
+counts AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM tp) AS n_true,
+         (SELECT CAST(count(*) AS BIGINT) FROM lsh) AS n_candidates,
+         (SELECT CAST(count(*) AS BIGINT) FROM tp t
+          WHERE EXISTS (SELECT 1 FROM lsh l
+                        WHERE l.id_a = t.id_a AND l.id_b = t.id_b)) AS n_hit
+)
+SELECT n_true, n_candidates, n_hit,
+       CASE WHEN n_true > 0
+            THEN CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE) END AS recall
+FROM counts
+"""
+
+
+# --------------------------------------------------------------------------
 # dedup_cluster_profile — the dedup REVIEW report: every near-dup
 # cluster profiled by size, internal edge count, pair density
 # (2E/n(n−1) — 1.0 means the LSH graph sees a full clique, low values
@@ -1086,6 +1158,7 @@ ORDER BY new_id, old_id
 
 
 QUERIES = {
+    "dedup_lsh_recall": dedup_lsh_recall,
     "dedup_cluster_profile": dedup_cluster_profile,
     "dedup_minhash_est": dedup_minhash_est,
     "dedup_kcore": dedup_kcore,
@@ -1111,6 +1184,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_lsh_recall": _lsh_recall_oracle(),
     "dedup_cluster_profile": _cluster_profile_oracle(),
     "dedup_minhash_est": _minhash_est_oracle(),
     "dedup_kcore": _kcore_oracle(),

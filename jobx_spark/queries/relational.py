@@ -2093,7 +2093,50 @@ ORDER BY q
 """
 
 
+# --------------------------------------------------------------------------
+# q67: market-basket co-occurrence — the association-mining shape: part
+# pairs bought together in the same order, support-counted, top-20 by
+# support. The pair fan-out is bounded by ORDER SIZE (C(n,2) per order,
+# n ≈ single digits), not corpus size — the reason basket mining joins
+# the lineitem table to itself ON the order key and never all-pairs.
+# One orderkey-keyed self-join + one pair-keyed count + TakeOrdered.
+# --------------------------------------------------------------------------
+BASKET_TOP = 20
+
+
+def q67_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("support"))
+    )
+    return (
+        pairs.orderBy(F.desc("support"), "part_a", "part_b")
+        .limit(BASKET_TOP)
+        .select("part_a", "part_b", "support")
+    )
+
+
+ORACLE_Q67 = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       CAST(count(*) AS BIGINT) AS support
+FROM li a JOIN li b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY support DESC, part_a, part_b
+LIMIT {BASKET_TOP}
+"""
+
+
 QUERIES = {
+    "q67_market_basket": q67_market_basket,
     "q66_binned_quantiles": q66_binned_quantiles,
     "q65_bloom_prefilter_join": q65_bloom_prefilter_join,
     "q64_market_share": q64_market_share,
@@ -2146,6 +2189,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q67_market_basket": ORACLE_Q67,
     "q66_binned_quantiles": ORACLE_Q66,
     "q65_bloom_prefilter_join": _q65_oracle(),
     "q64_market_share": ORACLE_Q64,
