@@ -522,8 +522,62 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# text_readability — Flesch-style reading-ease per document: sentences
+# from terminal-punctuation runs, syllables proxied by vowel groups
+# (a vowel group can't span whitespace, so the per-text count equals
+# the per-word sum — one regex pass, no explode). The score is a
+# fixed-order chain of exactly-rounded IEEE ops over integer counts,
+# so it hash-verifies like every other quality feature. Scan-shaped:
+# zero shuffles.
+# --------------------------------------------------------------------------
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(tokens(F.col("text"))).cast("long")
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), 0)),
+        F.lit(1),
+    ).cast("long")
+    n_syll = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0)
+    ).cast("long")
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sent.cast("double"))
+        - F.lit(84.6) * (n_syll.cast("double") / n_words.cast("double"))
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syll.alias("n_syllables"),
+        flesch.alias("flesch"),
+    ).orderBy("doc_id")
+
+
+ORACLE_TEXT_READABILITY = f"""
+WITH c AS (
+  SELECT doc_id,
+         CAST(len({_TOKS}) AS BIGINT) AS n_words,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+             AS n_sentences,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+             AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       206.835
+         - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+         - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+           AS flesch
+FROM c
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_ttr": text_ttr,
+    "text_readability": text_readability,
     "text_bigram_score": text_bigram_score,
     "text_hll_distinct": text_hll_distinct,
     "text_quality": text_quality,
@@ -537,6 +591,7 @@ QUERIES = {
 
 ORACLES = {
     "text_ttr": ORACLE_TEXT_TTR,
+    "text_readability": ORACLE_TEXT_READABILITY,
     "text_bigram_score": ORACLE_TEXT_BIGRAM_SCORE,
     "text_hll_distinct": _hll_oracle(),
     "text_quality": ORACLE_TEXT_QUALITY,
