@@ -61,7 +61,7 @@ def _utc_pinned(fn: QueryFn) -> QueryFn:
 # ann_ivf_pq_topk, pipe_bpe_learn, multimodal_resize_real,
 # multimodal_phash_pairs, pipe_shard_assign, stream_incremental_restart,
 # mr_engine_combined_stats, dedup_cluster_profile,
-# q67_market_basket, dedup_lsh_recall, text_readability,
+# q67_market_basket, dedup_lsh_recall, text_readability, text_trigram_lang_eval,
 # …sketch/sampler batch — all CI-green, sf0.001+sf0.01 verified under
 # a hostile non-UTC session before commit). r4 priority order:
 #   1. the post-gate additions above + anything new in r4;

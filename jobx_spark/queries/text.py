@@ -575,8 +575,106 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# text_trigram_lang_eval — a supervised classifier trained AND
+# evaluated in-engine: per-language character-trigram profiles (top-50
+# by frequency from the labeled corpus) classify each document by
+# profile overlap; the output is the confusion matrix against the true
+# labels. The char-trigram profile is the classic langid approach; the
+# whole train→classify→evaluate loop is pure column algebra — profile
+# build is a vocabulary-bounded shuffle, classification a broadcast
+# join against ≤ 50·n_langs profile rows. Ties in the argmax break to
+# the lexicographically smallest language, a total order.
+# --------------------------------------------------------------------------
+TRIGRAM_TOP = 50
+
+
+def text_trigram_lang_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.filter(F.length("text") >= 3).select(
+        "doc_id", "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(lower(text)) - 2),"
+                " i -> substring(lower(text), i, 3))"
+            )
+        ).alias("g"),
+    )
+    prof = (
+        grams.groupBy("lang", "g")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("lang").orderBy(F.desc("n"), F.asc("g"))
+            ),
+        )
+        .filter(F.col("rk") <= TRIGRAM_TOP)
+        .select(F.col("lang").alias("plang"), "g")
+    )
+    doc_grams = grams.select("doc_id", "lang", "g").distinct()
+    overlap = (
+        doc_grams.join(F.broadcast(prof), "g")
+        .groupBy("doc_id", "lang", "plang")
+        .agg(F.count("*").alias("hits"))
+    )
+    pred = (
+        overlap.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("plang"))
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "lang", F.col("plang").alias("pred_lang"))
+    )
+    return (
+        pred.groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+ORACLE_TEXT_TRIGRAM_EVAL = f"""
+WITH grams AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(generate_series(1, length(lower(text)) - 2),
+                i -> substr(lower(text), i, 3))) AS g
+  FROM documents WHERE length(text) >= 3
+),
+prof AS (
+  SELECT lang AS plang, g FROM (
+    SELECT lang, g, count(*) AS n,
+           row_number() OVER (PARTITION BY lang
+               ORDER BY count(*) DESC, g ASC) AS rk
+    FROM grams GROUP BY lang, g
+  ) WHERE rk <= {TRIGRAM_TOP}
+),
+doc_grams AS (SELECT DISTINCT doc_id, lang, g FROM grams),
+overlap AS (
+  SELECT d.doc_id, d.lang, p.plang, count(*) AS hits
+  FROM doc_grams d JOIN prof p ON p.g = d.g
+  GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT doc_id, lang, plang AS pred_lang FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+               ORDER BY hits DESC, plang ASC) AS rk
+    FROM overlap
+  ) WHERE rk = 1
+)
+SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM pred
+GROUP BY lang, pred_lang
+ORDER BY lang, pred_lang
+"""
+
+
 QUERIES = {
     "text_ttr": text_ttr,
+    "text_trigram_lang_eval": text_trigram_lang_eval,
     "text_readability": text_readability,
     "text_bigram_score": text_bigram_score,
     "text_hll_distinct": text_hll_distinct,
@@ -591,6 +689,7 @@ QUERIES = {
 
 ORACLES = {
     "text_ttr": ORACLE_TEXT_TTR,
+    "text_trigram_lang_eval": ORACLE_TEXT_TRIGRAM_EVAL,
     "text_readability": ORACLE_TEXT_READABILITY,
     "text_bigram_score": ORACLE_TEXT_BIGRAM_SCORE,
     "text_hll_distinct": _hll_oracle(),
