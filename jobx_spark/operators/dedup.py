@@ -84,16 +84,54 @@ def minhash_signature(
     sf0.1). The universal-hash family is (a*h+b) mod P with
     deterministic (a, b).
     """
-    coeffs = minhash_coeffs(n_hashes, seed)
     base = (
         df.select(F.col(id_col).alias("id"), F.explode(shingles(text_col, shingle_n)).alias("sh"))
         .select("id", md5_long("sh").alias("h"))
     )
+    return minhash_signature_from_hashes(base, "id", "h", n_hashes, seed)
+
+
+def minhash_signature_from_hashes(
+    hashed: DataFrame,
+    id_col: str = "id",
+    hash_col: str = "h",
+    n_hashes: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """Signature from a PRECOMPUTED ``(id, shingle-hash)`` table.
+
+    Exists so review/eval queries that need the raw shingle table
+    anyway (sizes, intersections) can compute it ONCE, ``cut_lineage``
+    it, and derive signatures + LSH pairs from the same materialized
+    rows — one corpus scan instead of one per derived table (the
+    VERDICT r3 dedup_minhash_est finding: 10 scans). Duplicate hashes
+    per id are fine: min over a multiset equals min over its set.
+    """
+    coeffs = minhash_coeffs(n_hashes, seed)
     aggs = [
-        F.min(perm_hash(F.col("h"), a, b)).alias(f"mh{j}")
+        F.min(perm_hash(F.col(hash_col), a, b)).alias(f"mh{j}")
         for j, (a, b) in enumerate(coeffs)
     ]
-    return base.groupBy("id").agg(*aggs)
+    return hashed.groupBy(F.col(id_col).alias("id")).agg(*aggs)
+
+
+def banded_from_signature(
+    sig: DataFrame, n_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """(id, band, bh) banding of an existing (id, mh0..mh{n-1})
+    signature table — the LSH blocking key."""
+    rows_per_band = n_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        member = F.concat_ws(
+            ",", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        )
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), md5_long(member).alias("bh"))
+        )
+    return sig.select(
+        "id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
 
 
 def banded_signature(
@@ -108,19 +146,8 @@ def banded_signature(
     """(id, band, bh): each document's minhash signature split into
     `bands` band hashes — the LSH blocking key. Two documents are
     near-dup candidates iff they share at least one (band, bh)."""
-    rows_per_band = n_hashes // bands
     sig = minhash_signature(df, id_col, text_col, n_hashes, shingle_n, seed)
-    band_cols = []
-    for b in range(bands):
-        member = F.concat_ws(
-            ",", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        )
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), md5_long(member).alias("bh"))
-        )
-    return sig.select(
-        "id", F.explode(F.array(*band_cols)).alias("bb")
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    return banded_from_signature(sig, n_hashes, bands)
 
 
 def minhash_lsh_pairs(
@@ -139,6 +166,11 @@ def minhash_lsh_pairs(
     (id_a, id_b, n_shared_bands), id_a < id_b.
     """
     banded = banded_signature(df, id_col, text_col, n_hashes, bands, shingle_n, seed)
+    return lsh_pairs_from_banded(banded)
+
+
+def lsh_pairs_from_banded(banded: DataFrame) -> DataFrame:
+    """Candidate pairs from an existing (id, band, bh) banding table."""
     # Materialize one exchange on the join keys: the self-join then
     # reads BOTH sides from the same shuffle (ReusedExchange) instead of
     # recomputing the whole signature pipeline twice, and needs no

@@ -126,7 +126,7 @@ regs AS (
 est AS (
   SELECT {HLL_EST_NUM!r} / CAST(SUM(1::BIGINT << ({wb1} - max_rho)) AS DOUBLE)
              AS hll_est,
-         SUM(CASE WHEN max_rho = 0 THEN 1::BIGINT ELSE 0::BIGINT END)
+         CAST(SUM(CASE WHEN max_rho = 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS zero_registers
   FROM regs
 )"""

@@ -10,10 +10,13 @@ query is validated *before* the driver sees it.
 from __future__ import annotations
 
 import datetime
+import decimal
 import math
 from dataclasses import dataclass, field
 
 import duckdb
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from jobx_spark.sources import TABLES
@@ -27,26 +30,84 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm_cell(v):
-    """Normalize a cell to a canonical comparable value."""
+    """Normalize a cell to the driver's *string-canonical*, type-strict
+    form.
+
+    The driver hashes stringified values after a pandas fetch on both
+    sides, so ``0`` (int64) and ``0.0`` (float64) are DIFFERENT — a
+    DuckDB HUGEINT (windowed SUM of BIGINT) surfacing as float64 must
+    fail here exactly as it fails the gate (the round-3
+    ``pipe_pack_offsets`` lesson: a numeric-tolerant local comparator
+    predicted green on a red driver row). Each scalar is tagged with a
+    type class so int/float/decimal/bool never compare equal across
+    classes.
+    """
     if v is None:
         return None
-    if isinstance(v, bool):
-        return v
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return v
-    if isinstance(v, int):
-        return v
+    # pandas fetch surfaces missing values as NaN/NaT; fold to None the
+    # way a string-canonical "null" does on both sides.
+    if v is pd.NaT:
+        return None
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", bool(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return ("f", "NaN")
+        return ("f", repr(f))
+    if isinstance(v, (int, np.integer)):
+        return ("i", str(int(v)))
+    if isinstance(v, decimal.Decimal):
+        return ("dec", str(v))
+    if isinstance(v, pd.Timestamp):
+        return str(v.tz_localize(None) if v.tzinfo else v)
     if isinstance(v, datetime.datetime):
-        return v.replace(tzinfo=None).isoformat()
+        return v.replace(tzinfo=None).isoformat(sep=" ")
     if isinstance(v, datetime.date):
         return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return ("bytes", bytes(v).hex())
+    if isinstance(v, np.ndarray):
+        return tuple(_norm_cell(x) for x in v.tolist())
     if isinstance(v, (list, tuple)):
         return tuple(_norm_cell(x) for x in v)
     if isinstance(v, dict):
         return tuple(sorted((k, _norm_cell(x)) for k, x in v.items()))
     return v
+
+
+def _pandas_rows(df: pd.DataFrame) -> list[tuple]:
+    """Rows from a pandas frame with pandas' NA sentinels folded the
+    same way on both sides: NaT/pd.NA → None, float NaN kept as NaN
+    (nullable-int promotion to float64 happens identically on the
+    Spark-toPandas and DuckDB-df fetch paths, so NaN==NaN compares
+    clean via the "NaN" canonical).
+
+    datetime64 columns are stringified COLUMN-WISE with pandas'
+    ``astype(str)`` because that is the driver's rendering: a column
+    whose values are all midnight prints date-form ("2024-01-01"),
+    matching a Spark DATE column's ``str(date)``, while any non-
+    midnight value switches the whole column to full timestamps —
+    the behavior that lets duck's DATE→datetime64 conversion still
+    hash-match Spark dates (r1-attested q47)."""
+    if any(pd.api.types.is_datetime64_any_dtype(df[c]) for c in df.columns):
+        df = df.copy()
+        for c in df.columns:
+            if pd.api.types.is_datetime64_any_dtype(df[c]):
+                na = df[c].isna()
+                df[c] = df[c].astype(str).astype(object)
+                if na.any():
+                    df.loc[na, c] = None
+    out = []
+    for rec in df.itertuples(index=False, name=None):
+        row = []
+        for v in rec:
+            if v is None or v is pd.NaT or v is pd.NA:
+                row.append(None)
+            else:
+                row.append(v)
+        out.append(tuple(row))
+    return out
 
 
 def _sort_key(row):
@@ -81,12 +142,20 @@ def compare(
     Columns are matched by (sorted) name, rows order-insensitively —
     same as the driver. ``float_exact=True`` demands bit equality for
     doubles (our queries are written to achieve it).
+
+    Both sides go through pandas — ``spark_df.toPandas()`` and
+    DuckDB's ``.df()`` — because that is the driver's fetch path: it
+    is what turns a DuckDB HUGEINT into float64 and a nullable BIGINT
+    into float64+NaN, and the canonical comparison is type-strict, so
+    this harness reproduces the gate's hash verdict instead of
+    predicting green on numerically-equal-but-differently-typed rows.
     """
-    s_cols = spark_df.columns
-    s_rows = [tuple(r) for r in spark_df.collect()]
-    rel = con.execute(sql)
-    d_cols = [c[0] for c in rel.description]
-    d_rows = rel.fetchall()
+    s_pdf = spark_df.toPandas()
+    s_cols = list(s_pdf.columns)
+    s_rows = _pandas_rows(s_pdf)
+    d_pdf = con.execute(sql).df()
+    d_cols = list(d_pdf.columns)
+    d_rows = _pandas_rows(d_pdf)
 
     mismatches: list[str] = []
     if sorted(s_cols) != sorted(d_cols):
@@ -122,9 +191,11 @@ def _approx_eq(a, b, rtol: float = 1e-9) -> bool:
     if type(a) is not type(b):
         return False
     if isinstance(a, tuple):
+        if len(a) == 2 and a[0] == "f" and b[0] == "f":  # tagged float
+            if a[1] == "NaN" or b[1] == "NaN":
+                return a[1] == b[1]
+            return math.isclose(float(a[1]), float(b[1]), rel_tol=rtol, abs_tol=1e-12)
         return len(a) == len(b) and all(_approx_eq(x, y, rtol) for x, y in zip(a, b))
-    if isinstance(a, float):
-        return math.isclose(a, b, rel_tol=rtol, abs_tol=1e-12)
     return a == b
 
 

@@ -33,7 +33,19 @@ def _utc_pinned(fn: QueryFn) -> QueryFn:
 
 
 # Registry order IS verification order: the driver's correctness gate
-# checks the first 50 entries. Round-3 cut (VERDICT r2 item 1):
+# checks the first 50 entries.
+#
+# ROUND-4 cut (VERDICT r3 items 1+2): the 26 queries that have never
+# held a driver row (every session-3 sketch/PQ/graph/phash/streaming
+# addition), plus the re-attestation of pipe_pack_offsets (oracle
+# HUGEINT cast fixed, VERDICT r3 "What's wrong" #1), plus new r4
+# queries, then the r3-changed displaced rows (engine pair, kmeans/IVF,
+# embedding/canonical/two-hop, the 10 streams whose only r3 change was
+# the checkpoint-scratch move), then oldest-attestation-first rotation
+# of r1-banked relational rows. After r4 attests these, EVERY query in
+# the registry has held a green driver row at least once.
+#
+# Round-3 cut for the record (VERDICT r2 item 1):
 #   * the 12 pipe_* queries that have never held a driver row;
 #   * q22-q25 + q55 (never gated) and q45 + q29 (fixed in r2 but their
 #     driver record is still r1-stale-red);
@@ -77,49 +89,40 @@ def _utc_pinned(fn: QueryFn) -> QueryFn:
 #   python -c "from jobx_spark.queries import all_queries;
 #              print(list(all_queries())[:50])"
 GATE_FIRST_50 = [
-    # 12 never-gated pipeline queries
-    "pipe_length_buckets", "pipe_pack_offsets", "pipe_bpe_token_count",
-    "pipe_gapfill_hours", "pipe_rollup_reagg", "pipe_minmax_scale",
-    "pipe_mix_weighted", "pipe_text_chunks", "pipe_clean_corpus",
-    "pipe_blocklist_scrub", "pipe_manifest", "pipe_table_diff",
-    # never-gated relational/temporal + the two stale-red fixes
-    "q22_window_frames", "q23_stats_moments", "q24_percentile_disc",
-    "q25_argmax_per_group", "q55_bom_explosion",
-    "q45_big_volume_orders", "q29_array_map_functions",
-    # new in round 3
-    "dedup_embedding_lsh", "multimodal_decode", "q56_salted_skew_join",
-    "pipe_sample_fixed_k", "pipe_pii_scrub", "q57_range_bin_join",
-    "ann_quantize_int8", "dedup_triangle_count", "pipe_corpus_build",
-    "pipe_stratified_k", "stream_pii_scrub", "ann_recall_eval",
-    # new in the round-3 extension batch (never held any driver row —
-    # these outrank the stream re-attestations they displaced: the
-    # streams' only r3 change was the checkpoint-scratch-dir move,
-    # their r2 rows are green, and CI re-proves them at sf0.001)
-    "q58_disjunctive_join", "q59_waiting_suppliers", "q60_lateral_topn",
-    "q61_promo_share", "q62_supplier_census", "q63_dominant_supplier",
-    "dedup_ngram_overlap", "ann_knn_graph", "text_ttr",
-    "stream_zscore_anomaly", "stream_topk_trending",
-    "q64_market_share", "dedup_label_prop", "dedup_incremental",
-    "pipe_encode_ids",
-    # changed code paths this round → re-attest, one representative per
-    # changed MECHANISM (never-attested new queries outrank redundant
-    # re-attestation; every displaced row is r2-green + CI-covered):
-    #   cut_lineage loops → components + pagerank + kmeans
-    #   (two_hop/keep_canonical/ivf_trained consume the same machinery)
-    #   embedding safe default → dedup_embedding_lsh (new, above)
-    #   (kmeans/mr_engine/stream_sink_rollup yielded their slots to
-    #   never-attested new queries: cut_lineage is attested twice via
-    #   components+pagerank per VERDICT r2 item 3's Done-criterion; the
-    #   engine sink-decode fix is covered by the non-numeric-key test
-    #   ADVICE asked for; all displaced rows are r2-green + CI-covered)
-    "ann_range_search", "multimodal_audio_energy",
-    # first-ever driver attestation of the RECURSIVE engine path
-    # (MrConfigureToMap fan-out + hierarchical fold, §2.1 #5/#8/#9)
-    "mr_engine_fanout_rekey",
-    # cut_lineage-in-loop re-attest: pagerank (the cadence-change
-    # focus); components yielded its slot — the same helper is also
-    # exercised by the gated label_prop loop and kmeans-derived rows
-    "dedup_pagerank",
+    # -- the 26 never-attested queries (VERDICT r3 item 2), verbatim --
+    "ann_pq_codes", "ann_pq_adc_topk", "ann_ivf_pq_topk",
+    "dedup_kcore", "dedup_minhash_est", "dedup_lsh_recall",
+    "dedup_cluster_profile", "mr_engine_combined_stats",
+    "multimodal_phash", "multimodal_phash_pairs",
+    "multimodal_resize_real", "pipe_bpe_learn", "pipe_sample_weighted",
+    "pipe_shard_assign", "q65_bloom_prefilter_join",
+    "q66_binned_quantiles", "q67_market_basket",
+    "stream_window_distinct", "stream_hll_cards", "stream_cms_users",
+    "stream_incremental_restart", "stream_scd_enrich",
+    "text_readability", "text_bigram_score", "text_trigram_lang_eval",
+    "text_hll_distinct",
+    # -- re-attest the one red r3 row with the oracle HUGEINT cast
+    #    fixed (VERDICT r3 item 1) --
+    "pipe_pack_offsets",
+    # -- new in round 4 --
+    "dedup_components_scaled",  # scale probe under the gate (item 6)
+    # -- r3-changed code displaced from the r3 gate: engine pair (sink
+    #    decode + scratch dirs), kmeans/IVF (cut_lineage), embedding
+    #    safe-default consumers, two-hop/canonical (lineage), and the
+    #    10 streams whose r3 change was the checkpoint-scratch move.
+    #    All r2-green, CI-covered; this closes their re-attest debt. --
+    "mr_engine_event_counts", "mr_engine_user_value",
+    "ann_kmeans_train", "ann_ivf_trained_topk",
+    "dedup_embedding", "dedup_keep_canonical", "dedup_two_hop_reach",
+    "stream_tumbling_agg", "stream_sliding_agg",
+    "stream_session_window", "stream_stateful_user_stats",
+    "stream_dedup_activity", "stream_replay_dedup",
+    "stream_interval_join", "stream_left_outer_join",
+    "stream_static_enrich", "stream_timeout_sessions",
+    # -- oldest-attestation-first rotation (r1-banked relational rows
+    #    re-prove freshness; trimmed as new r4 queries land) --
+    "q01_pricing_summary", "q03_shipping_priority",
+    "q07_topk_per_group", "q16_sessionize", "q20_asof_join",
 ]
 
 

@@ -98,7 +98,9 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_pairs_oracle(order_by: str = "ORDER BY id_a, id_b\n") -> str:
+def _minhash_pairs_oracle(
+    order_by: str = "ORDER BY id_a, id_b\n", docs: str = "documents"
+) -> str:
     rows_per_band = N_HASHES // BANDS
     mins = ",\n       ".join(
         f"min(((h % {MINHASH_P}) * {a} + {b}) % {MINHASH_P}) AS mh{j}"
@@ -115,7 +117,7 @@ def _minhash_pairs_oracle(order_by: str = "ORDER BY id_a, id_b\n") -> str:
     banded = "\nUNION ALL\n".join(band_rows)
     return f"""
 WITH sh AS (
-  SELECT doc_id, unnest({_SHINGLES3}) AS s FROM documents
+  SELECT doc_id, unnest({_SHINGLES3}) AS s FROM {docs}
 ), hashed AS (
   SELECT doc_id, {_MD5.format(e='s')} AS h FROM sh
 ), sig AS (
@@ -584,12 +586,14 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).orderBy("node")
 
 
-def _components_cte() -> str:
+def _components_cte(docs: str = "documents", pre: str = "") -> str:
     """Shared WITH RECURSIVE prefix: LSH pairs → transitive closure →
-    per-node component label, as DuckDB CTEs named ``comp``."""
-    pairs = _minhash_pairs_oracle(order_by="")
+    per-node component label, as DuckDB CTEs named ``comp``. ``pre``
+    injects extra leading CTEs (e.g. a replicated-corpus table) and
+    ``docs`` points the pair generator at it."""
+    pairs = _minhash_pairs_oracle(order_by="", docs=docs)
     return f"""
-WITH RECURSIVE pairs AS ({pairs}),
+WITH RECURSIVE {pre}pairs AS ({pairs}),
 sym AS (
   SELECT id_a AS u, id_b AS v FROM pairs
   UNION
@@ -605,6 +609,56 @@ comp AS (SELECT node, MIN(reach) AS comp FROM walk GROUP BY node)"""
 
 def _components_oracle() -> str:
     return f"""{_components_cte()}
+SELECT node, comp FROM comp ORDER BY node
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup_components_scaled — the scale probe PROMOTED INTO THE GATE
+# (VERDICT r3 item 6): the corpus is replicated COMP_REP× with ids
+# remapped into disjoint ranges (doc_id + k·10⁹, the same remap as
+# tools/scale_probe.py), then the full LSH → candidate-pairs →
+# connected-components pipeline runs over the blown-up graph. Replicas
+# share text, so every original near-dup cluster becomes one cluster
+# COMP_REP× larger and every singleton becomes a COMP_REP-clique — the
+# pair-producer and the label loop both face a strictly denser graph
+# than the base corpus, and the driver hash-checks the FINAL LABELS of
+# that scaled run (not a self-reported timing). Replication is
+# explode(array(0..REP-1)) — scan-shaped, no join — and everything
+# downstream is the production operator code, so a green row attests
+# the scaled behavior of the same pipeline dedup_components uses.
+# --------------------------------------------------------------------------
+COMP_REP = 8
+_REP_BASE = 10**9
+
+
+def dedup_components_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    scaled = docs.select(
+        "doc_id",
+        "text",
+        F.explode(F.array(*[F.lit(i) for i in range(COMP_REP)])).alias("rep"),
+    ).select(
+        (
+            F.col("doc_id").cast("long")
+            + F.col("rep").cast("long") * F.lit(_REP_BASE).cast("long")
+        ).alias("doc_id"),
+        "text",
+    )
+    pairs = minhash_lsh_pairs(
+        scaled, n_hashes=N_HASHES, bands=BANDS, shingle_n=SHINGLE_N, seed=SEED
+    )
+    return connected_components(pairs).orderBy("node")
+
+
+def _components_scaled_oracle() -> str:
+    pre = f"""docs_scaled AS (
+  SELECT d.doc_id + r.rep * {_REP_BASE} AS doc_id, d.text
+  FROM documents d CROSS JOIN range({COMP_REP}) AS r(rep)
+), """
+    return f"""{_components_cte(docs="docs_scaled", pre=pre)}
 SELECT node, comp FROM comp ORDER BY node
 """
 
@@ -738,13 +792,65 @@ RECALL_JMIN = 0.5
 
 
 def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.functions import md5_long
+    from jobx_spark.operators.dedup import (
+        banded_from_signature,
+        lsh_pairs_from_banded,
+        minhash_signature_from_hashes,
+    )
+    from jobx_spark.operators.text import shingles
+
     docs = load_table(spark, sf_dir, "documents")
-    true_pairs = ngram_jaccard_pairs(
-        docs, block_col="source", n=SHINGLE_N, min_jaccard=RECALL_JMIN
+    # ONE corpus scan (VERDICT r3 "What's wrong" #2 — previously 5):
+    # the distinct (doc, source, shingle-hash) table feeds BOTH sides
+    # of the evaluation — the exact-Jaccard truth (sizes +
+    # within-block intersections) and the LSH candidate set
+    # (signatures → bands → bucket join) — mirroring the oracle's
+    # single-CTE shape.
+    hh = cut_lineage(
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(F.array_distinct(shingles("text", SHINGLE_N))).alias("s"),
+        )
+        .select("doc_id", "source", md5_long("s").alias("h"))
+        .distinct(),
+        "recall-hh",
+    )
+    sizes = hh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        hh.alias("a")
+        .join(hh.alias("b"), ["source", "h"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    true_pairs = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sza")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("szb")),
+            "id_b",
+        )
+        .filter(
+            F.col("n_inter").cast("double")
+            / (F.col("sza") + F.col("szb") - F.col("n_inter")).cast("double")
+            >= F.lit(RECALL_JMIN)
+        )
+        .select("id_a", "id_b")
+    )
+    true_pairs = cut_lineage(true_pairs, "recall-true")  # n_true + hit
+    sig = minhash_signature_from_hashes(
+        hh.select(F.col("doc_id").alias("id"), "h"), n_hashes=N_HASHES, seed=SEED
+    )
+    lsh = lsh_pairs_from_banded(
+        banded_from_signature(sig, N_HASHES, BANDS)
     ).select("id_a", "id_b")
-    lsh = minhash_lsh_pairs(
-        docs, n_hashes=N_HASHES, bands=BANDS, shingle_n=SHINGLE_N, seed=SEED
-    ).select("id_a", "id_b")
+    lsh = cut_lineage(lsh, "recall-lsh")  # consumed by 2 aggregates below
     hit = true_pairs.join(lsh, ["id_a", "id_b"], "left_semi")
     return (
         true_pairs.agg(F.count("*").alias("n_true"))
@@ -875,24 +981,37 @@ ORDER BY comp
 # production near-dup pipeline (estimate to block, verify to decide).
 # --------------------------------------------------------------------------
 def dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.functions import md5_long
+    from jobx_spark.operators.dedup import (
+        banded_from_signature,
+        lsh_pairs_from_banded,
+        minhash_signature_from_hashes,
+    )
     from jobx_spark.operators.text import shingles
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(
-        docs, n_hashes=N_HASHES, bands=BANDS, shingle_n=SHINGLE_N, seed=SEED
-    ).select("id_a", "id_b")
-    sig = minhash_signature(
-        docs, n_hashes=N_HASHES, shingle_n=SHINGLE_N, seed=SEED
-    )
-    from jobx_spark.functions import md5_long
-
-    hh = (
+    # ONE corpus scan: the distinct (id, shingle-hash) table is
+    # materialized once and signatures, LSH pairs, set sizes and
+    # intersections are all derived from it (VERDICT r3 "What's wrong"
+    # #2 — the previous shape re-tokenized documents ~10×). This is the
+    # same single-CTE structure the DuckDB oracle always had.
+    hh = cut_lineage(
         docs.select(
             F.col("doc_id").alias("id"),
             F.explode(F.array_distinct(shingles("text", SHINGLE_N))).alias("s"),
         )
         .select("id", md5_long("s").alias("h"))
-        .distinct()
+        .distinct(),
+        "est-hh",
+    )
+    sig = cut_lineage(
+        minhash_signature_from_hashes(hh, n_hashes=N_HASHES, seed=SEED),
+        "est-sig",
+    )
+    pairs = cut_lineage(
+        lsh_pairs_from_banded(banded_from_signature(sig, N_HASHES, BANDS))
+        .select("id_a", "id_b"),
+        "est-pairs",
     )
     sizes = hh.groupBy("id").agg(F.count("*").alias("sz"))
     inter = (
@@ -1168,6 +1287,7 @@ QUERIES = {
     "dedup_triangle_count": dedup_triangle_count,
     "dedup_exact": dedup_exact,
     "dedup_components": dedup_components,
+    "dedup_components_scaled": dedup_components_scaled,
     "dedup_keep_canonical": dedup_keep_canonical,
     "dedup_jaccard_prefix": dedup_jaccard_prefix,
     "dedup_minhash_sig": dedup_minhash_sig,
@@ -1194,6 +1314,7 @@ ORACLES = {
     "dedup_triangle_count": _triangle_oracle(),
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_components": _components_oracle(),
+    "dedup_components_scaled": _components_scaled_oracle(),
     "dedup_keep_canonical": _keep_canonical_oracle(),
     "dedup_jaccard_prefix": ORACLE_DEDUP_JACCARD,
     "dedup_minhash_sig": _minhash_sig_oracle(),

@@ -393,7 +393,7 @@ WITH t AS (
   FROM t
 )
 SELECT doc_id, source, n_tokens,
-       end_offset - n_tokens AS start_offset,
+       CAST(end_offset - n_tokens AS BIGINT) AS start_offset,
        CAST(floor((end_offset - n_tokens) / {PACK_WINDOW}) AS BIGINT) AS first_window,
        CAST(floor((end_offset - 1) / {PACK_WINDOW})
             - floor((end_offset - n_tokens) / {PACK_WINDOW}) + 1 AS BIGINT) AS n_windows
