@@ -106,6 +106,53 @@ def serve(
     return JobxHttpServer(eng, host=host, port=port).start()
 
 
+def _http_json(url: str) -> dict:
+    from urllib.request import urlopen
+
+    with urlopen(url) as resp:  # noqa: S310 - user-supplied --server target
+        return json.loads(resp.read().decode())
+
+
+def _read_side(args) -> dict:
+    """request-get / invocation-get / graph-draw / request-list against
+    a running ``serve`` — the CLI face of the HTTP read routes
+    (reference scripts: mr_kv_request_get, mr_kv_invocation_get,
+    mr_draw_invocation_graph; setup.py:37-71)."""
+    base = args.server.rstrip("/")
+    wf = args.workflow
+    if args.cmd == "request-list":
+        return _http_json(f"{base}/requests/{wf}")
+    if args.cmd == "request-get":
+        out = _http_json(f"{base}/result/{wf}/{args.request_id}")
+        flat = _http_json(f"{base}/request/{wf}/{args.request_id}?format=flat")
+        out["invocations"] = flat.get("invocations", [])
+        return out
+    if args.cmd == "invocation-get":
+        return _http_json(f"{base}/invocation/{wf}/{args.invocation_id}")
+    # graph-draw: fetch DOT source, write request-<id>.dot (the
+    # reference's _OUTPUT_FILEPATH_TEMPLATE), optionally render PNG.
+    from urllib.request import urlopen
+
+    with urlopen(f"{base}/request/{wf}/{args.request_id}") as resp:  # noqa: S310
+        dot_source = resp.read().decode()
+    path = args.output or f"request-{args.request_id}.dot"
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(dot_source)
+    out = {"dot_file": path}
+    if args.render:
+        import shutil
+        import subprocess
+
+        dot_bin = shutil.which("dot")
+        if dot_bin:
+            png = path.rsplit(".", 1)[0] + ".png"
+            subprocess.run([dot_bin, "-Tpng", path, "-o", png], check=True)
+            out["png_file"] = png
+        else:
+            out["render_skipped"] = "graphviz `dot` not installed"
+    return out
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="jobx_spark.cli")
     ap.add_argument("--catalog", required=True, help="JSON catalog file")
@@ -149,6 +196,37 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("workflow"); p.add_argument("name")
     p.add_argument("slot", choices=["map", "reduce", "combine"])
     p.add_argument("handler")
+
+    # mr_kv_step_update_handlers: bulk re-point — every step whose
+    # <slot> handler is if_name gets to_name (reference script walks
+    # all steps of the workflow; -s scans without changing).
+    p = sub.add_parser("step-update-handlers")
+    p.add_argument("workflow")
+    p.add_argument("slot", choices=["map", "reduce", "combine"])
+    p.add_argument("if_name"); p.add_argument("to_name")
+    p.add_argument("-s", "--simulate-only", action="store_true")
+
+    # read-side over a RUNNING serve process (the reference reads the
+    # shared etcd plane; our shared plane is the serving engine):
+    # mr_kv_request_get / mr_kv_invocation_get / mr_draw_invocation_graph
+    # / the request-range walk.
+    for name, extra in (
+        ("request-get", "request_id"),
+        ("invocation-get", "invocation_id"),
+        ("graph-draw", "request_id"),
+        ("request-list", None),
+    ):
+        p = sub.add_parser(name)
+        p.add_argument("workflow")
+        if extra:
+            p.add_argument(extra)
+        p.add_argument("--server", required=True,
+                       help="base URL of a running `serve` (http://host:port)")
+        if name == "graph-draw":
+            p.add_argument("-o", "--output", default=None,
+                           help="DOT output path (default request-<id>.dot)")
+            p.add_argument("--render", action="store_true",
+                           help="also render PNG via graphviz `dot` if installed")
 
     p = sub.add_parser("notify-listen")
     p.add_argument("--host", default="127.0.0.1")
@@ -246,6 +324,31 @@ def main(argv: list[str] | None = None) -> int:
             raise CatalogError(f"{args.handler!r} is not a {args.slot} handler")
         setattr(step, f"{args.slot}_handler_name", args.handler)
         out = {"step": step.name, "slot": args.slot, "handler": args.handler}
+    elif args.cmd == "step-update-handlers":
+        from jobx_spark.catalog import HT_COMBINER, HT_MAPPER, HT_REDUCER, CatalogError
+
+        want = {"map": HT_MAPPER, "reduce": HT_REDUCER, "combine": HT_COMBINER}[args.slot]
+        to = cat.get_handler(args.workflow, args.to_name)
+        if to.handler_type != want:
+            raise CatalogError(
+                f"'to' handler exists, but is the wrong type: {to.handler_type!r}"
+            )
+        slot_attr = f"{args.slot}_handler_name"
+        matched = []
+        for step in cat.list_steps(args.workflow):
+            if getattr(step, slot_attr) == args.if_name:
+                if not args.simulate_only:
+                    setattr(step, slot_attr, args.to_name)
+                matched.append(step.name)
+        out = {
+            "matched": sorted(matched),
+            "slot": args.slot,
+            "to": args.to_name,
+            "simulate": bool(args.simulate_only),
+        }
+    elif args.cmd in ("request-get", "invocation-get", "graph-draw", "request-list"):
+        cat.get_workflow(args.workflow)  # same existence check the reference does
+        out = _read_side(args)
     elif args.cmd == "serve":
         # the reference ships gunicorn launcher scripts (setup.py:37-71);
         # here one command serves the same HTTP contract over the catalog
@@ -270,7 +373,9 @@ def main(argv: list[str] | None = None) -> int:
     else:  # pragma: no cover
         raise AssertionError(args.cmd)
 
-    if args.cmd != "submit":
+    if args.cmd not in (
+        "submit", "request-get", "invocation-get", "graph-draw", "request-list",
+    ):
         cat.save(args.catalog)
     print(json.dumps(out))
     return 0

@@ -655,6 +655,31 @@ class Engine:
     def get_request(self, request_id: str) -> Request:
         return self._requests[request_id]
 
+    def list_requests(self, workflow_name: str | None = None) -> list[Request]:
+        """Known requests, newest-first (reference: the request KV range
+        walk its cleanup/read scripts iterate; driver registry here)."""
+        reqs = [
+            r for r in self._requests.values()
+            if workflow_name is None or r.workflow_name == workflow_name
+        ]
+        return sorted(reqs, key=lambda r: r.created_at, reverse=True)
+
+    def find_invocation(
+        self, workflow_name: str, invocation_id: str
+    ) -> tuple[Request, "InvocationRecord"]:
+        """Locate one invocation record across the workflow's requests
+        (reference: mr_kv_invocation_get reads the invocation entity by
+        id — ids are unique across requests there and here).
+
+        Raises KeyError when no request of the workflow traced it."""
+        for req in self.list_requests(workflow_name):
+            if req.trace is None:
+                continue
+            for rec in req.trace.invocations:
+                if rec.inv == invocation_id or rec.inv.startswith(invocation_id):
+                    return req, rec
+        raise KeyError(invocation_id)
+
     def submit_dataset(
         self,
         workflow_name: str,

@@ -85,7 +85,59 @@ class _Handler(BaseHTTPRequestHandler):
         if parts[0] == "sessions" and len(parts) == 3:
             self._get_sessions(parts[1], parts[2])
             return
+        if parts[0] == "requests" and len(parts) == 2:
+            self._list_requests(parts[1])
+            return
+        if parts[0] == "invocation" and len(parts) == 3:
+            self._get_invocation(parts[1], parts[2])
+            return
         self._send_json(404, {"error": f"no route for GET {url.path}"})
+
+    def _list_requests(self, workflow_name: str):
+        """Request registry listing — the shell's entry point into the
+        read-side (the reference walks the request KV range)."""
+        self._send_json(
+            200,
+            {
+                "workflow": workflow_name,
+                "requests": [
+                    {
+                        "request_id": r.request_id,
+                        "job": r.job_name,
+                        "is_done": r.is_done,
+                        "error": r.error,
+                        "created_at": r.created_at,
+                    }
+                    for r in self.engine.list_requests(workflow_name)
+                ],
+            },
+        )
+
+    def _get_invocation(self, workflow_name: str, invocation_id: str):
+        """One invocation entity by id (reference: mr_kv_invocation_get,
+        mr/models/kv/invocation.py) — searched across the workflow's
+        traced requests; id prefixes are accepted like git short ids."""
+        try:
+            req, rec = self.engine.find_invocation(workflow_name, invocation_id)
+        except KeyError:
+            self._send_json(
+                404, {"error": f"unknown invocation {invocation_id}"}
+            )
+            return
+        self._send_json(
+            200,
+            {
+                "request_id": req.request_id,
+                "invocation": rec.inv,
+                "parent": rec.parent_inv,
+                "step": rec.step,
+                "depth": rec.depth,
+                "n_args": rec.n_args,
+                "n_mapped": rec.n_mapped,
+                "n_reduced": rec.n_reduced,
+                "arg_sample": [list(kv) for kv in rec.arg_sample],
+            },
+        )
 
     def _get_sessions(self, workflow_name: str, request_id: str):
         """Sessions stored under a request's invocations (reference:

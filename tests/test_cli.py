@@ -141,3 +141,85 @@ def test_serve_refuses_non_loopback_without_opt_in():
 
     with pytest.raises(SystemExit, match="refusing to bind"):
         serve(Catalog(), host="0.0.0.0")
+
+
+def test_step_update_handlers_bulk(tmp_path, handler_dir, capsys):
+    """mr_kv_step_update_handlers parity: every step whose slot points
+    at if_name is re-pointed to to_name; -s scans without changing."""
+    cat_path = str(tmp_path / "cat.json")
+    (handler_dir / "dbl2.py").write_text(MAPPER_SRC.replace("v * 2", "v * 4"))
+
+    def run(*args):
+        assert main(["--catalog", cat_path, *args]) == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    run("workflow-create", "wf", "d")
+    run("handler-sync", "wf", str(handler_dir))
+    run("step-create", "wf", "s1", "dbl", "tot")
+    run("step-create", "wf", "s2", "dbl", "tot")
+    run("step-create", "wf", "s3", "dbl2", "tot")
+
+    sim = run("step-update-handlers", "wf", "map", "dbl", "dbl2", "-s")
+    assert sim == {"matched": ["s1", "s2"], "slot": "map", "to": "dbl2",
+                   "simulate": True}
+    # simulate changed nothing
+    assert run("step-get", "wf", "s1")["map_handler_name"] == "dbl"
+
+    real = run("step-update-handlers", "wf", "map", "dbl", "dbl2")
+    assert real["matched"] == ["s1", "s2"] and real["simulate"] is False
+    assert run("step-get", "wf", "s1")["map_handler_name"] == "dbl2"
+    assert run("step-get", "wf", "s2")["map_handler_name"] == "dbl2"
+    assert run("step-get", "wf", "s3")["map_handler_name"] == "dbl2"
+
+    # wrong-type 'to' handler refuses (reference exits with an error)
+    from jobx_spark.catalog import CatalogError
+    with pytest.raises(CatalogError, match="wrong type"):
+        run("step-update-handlers", "wf", "map", "dbl2", "tot")
+
+
+def test_cli_read_side_roundtrip(tmp_path, handler_dir, spark, capsys):
+    """VERDICT r3 item 5: a submitted request id round-trips through
+    request-list / request-get / invocation-get / graph-draw against a
+    running serve (reference: mr_kv_request_get, mr_kv_invocation_get,
+    mr_draw_invocation_graph)."""
+    from jobx_spark.catalog import Catalog
+    from jobx_spark.engine import Engine
+    from jobx_spark.http_api import JobxHttpServer
+
+    cat_path = str(tmp_path / "cat.json")
+
+    def run(*args):
+        assert main(["--catalog", cat_path, *args]) == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    run("workflow-create", "wf", "d")
+    run("handler-sync", "wf", str(handler_dir))
+    run("step-create", "wf", "s1", "dbl", "tot")
+    run("job-create", "wf", "j1", "s1")
+
+    eng = Engine(spark, catalog=Catalog.load(cat_path))
+    req = eng.submit("wf", "j1", {"arg1": 21})
+    assert req.result["pairs"] == [["arg1", 42]]
+    srv = JobxHttpServer(eng).start()
+    try:
+        listed = run("request-list", "wf", "--server", srv.url)
+        assert [r["request_id"] for r in listed["requests"]] == [req.request_id]
+
+        got = run("request-get", "wf", req.request_id, "--server", srv.url)
+        assert got["is_done"] is True
+        assert got["invocations"], "trace should carry invocation rows"
+        inv_id = got["invocations"][0]["invocation"]
+
+        inv = run("invocation-get", "wf", inv_id, "--server", srv.url)
+        assert inv["invocation"] == inv_id and inv["step"] == "s1"
+        assert inv["request_id"] == req.request_id
+
+        dot_path = str(tmp_path / "graph.dot")
+        drawn = run("graph-draw", "wf", req.request_id, "--server", srv.url,
+                    "-o", dot_path)
+        assert drawn["dot_file"] == dot_path
+        with open(dot_path, encoding="utf-8") as f:
+            dot = f.read()
+        assert "digraph request" in dot and req.request_id[:10] in dot
+    finally:
+        srv.stop()
