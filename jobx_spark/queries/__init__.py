@@ -106,6 +106,9 @@ GATE_FIRST_50 = [
     "pipe_pack_offsets",
     # -- new in round 4 --
     "dedup_components_scaled",  # scale probe under the gate (item 6)
+    "dedup_substring_spans",    # ExactSubstr census (Lee et al. 2022)
+    "pipe_quality_rules",       # Gopher-style rule filter
+    "pipe_mix_temperature",     # p^α domain mixing, α=1/2
     # -- r3-changed code displaced from the r3 gate: engine pair (sink
     #    decode + scratch dirs), kmeans/IVF (cut_lineage), embedding
     #    safe-default consumers, two-hop/canonical (lineage), and the
@@ -120,9 +123,9 @@ GATE_FIRST_50 = [
     "stream_interval_join", "stream_left_outer_join",
     "stream_static_enrich", "stream_timeout_sessions",
     # -- oldest-attestation-first rotation (r1-banked relational rows
-    #    re-prove freshness; trimmed as new r4 queries land) --
+    #    re-prove freshness; three slots yielded to the new r4 queries
+    #    above, which outrank redundant re-attestation) --
     "q01_pricing_summary", "q03_shipping_priority",
-    "q07_topk_per_group", "q16_sessionize", "q20_asof_join",
 ]
 
 

@@ -1276,7 +1276,70 @@ ORDER BY new_id, old_id
 """
 
 
+# --------------------------------------------------------------------------
+# dedup_substring_spans — exact-substring duplication census (Lee et
+# al. 2022, "Deduplicating Training Data Makes Language Models
+# Better": the ExactSubstr signal, re-expressed for Spark): every
+# SPAN_N-token window of every document is rolling-hashed, and a span
+# is reported when it occurs in MORE THAN ONE document — the cross-doc
+# boilerplate/quotation spans suffix-array dedup would cut. Shape:
+# explode windows (scan-side, no shuffle) → ONE hash-keyed aggregation
+# with map-side partial agg; at 100 TB the shuffle carries (hash,
+# partial counts), never text. The reference's suffix-array build is a
+# single-machine construction; the window-hash census is the
+# distributable equivalent with identical ≥2-doc span reporting.
+# --------------------------------------------------------------------------
+SPAN_N = 8
+
+
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.functions import md5_long
+    from jobx_spark.operators.text import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = docs.select(
+        "doc_id", F.explode(shingles("text", SPAN_N)).alias("s")
+    ).select("doc_id", md5_long("s").alias("h"))
+    return (
+        spans.groupBy("h")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("h")
+    )
+
+
+def _span_shingles_sql(n: int) -> str:
+    return (
+        f"list_transform(generate_series(1, greatest(len({_TOKS})-{n - 1}, 0)),"
+        f" i -> array_to_string(list_slice({_TOKS}, i, i+{n - 1}), ' '))"
+    )
+
+
+ORACLE_DEDUP_SUBSTRING_SPANS = f"""
+WITH sp AS (
+  SELECT doc_id, unnest({_span_shingles_sql(SPAN_N)}) AS s FROM documents
+), h AS (
+  SELECT doc_id, {_MD5.format(e='s')} AS h FROM sp
+)
+SELECT h,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM h
+GROUP BY h
+HAVING count(DISTINCT doc_id) > 1
+ORDER BY h
+"""
+
+
 QUERIES = {
+    "dedup_substring_spans": dedup_substring_spans,
     "dedup_lsh_recall": dedup_lsh_recall,
     "dedup_cluster_profile": dedup_cluster_profile,
     "dedup_minhash_est": dedup_minhash_est,
@@ -1304,6 +1367,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_substring_spans": ORACLE_DEDUP_SUBSTRING_SPANS,
     "dedup_lsh_recall": _lsh_recall_oracle(),
     "dedup_cluster_profile": _cluster_profile_oracle(),
     "dedup_minhash_est": _minhash_est_oracle(),

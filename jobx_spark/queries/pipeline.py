@@ -1381,7 +1381,134 @@ ORDER BY shard, pos
 """
 
 
+# --------------------------------------------------------------------------
+# pipe_quality_rules — Gopher-style per-document rule filter (Rae et
+# al. 2021 §A1.1 re-expressed): five cheap structural rules, each a
+# boolean column so the report says WHY a document fell out, plus the
+# conjunctive keep flag. Every rule is an integer cross-multiply
+# (never a float ratio compare), so the table hash-verifies exactly.
+# Pure scan shape — no shuffle at any corpus size; at 100 TB this is
+# the first pass over raw text and runs at I/O speed.
+# --------------------------------------------------------------------------
+QR_MIN_TOKENS, QR_MAX_TOKENS = 5, 100_000
+QR_MIN_MWL, QR_MAX_MWL = 2, 12  # mean word length bounds
+QR_MAX_SYMBOL_PCT = 20  # punctuation chars ≤ 20% of text
+QR_MIN_TTR_PCT = 20  # distinct/total tokens ≥ 20%
+
+
+def pipe_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.operators.text import punct_count, stopword_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_toks = F.size(toks).cast("long")
+    # total non-whitespace chars == sum of token lengths, without a
+    # higher-order lambda (stays in codegen)
+    nospace = F.length(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", "")
+    ).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    r_wordcount = (n_toks >= QR_MIN_TOKENS) & (n_toks <= QR_MAX_TOKENS)
+    r_wordlen = (nospace >= QR_MIN_MWL * n_toks) & (nospace <= QR_MAX_MWL * n_toks)
+    r_symbol = punct_count(F.col("text")) * 100 <= F.length("text").cast("long") * QR_MAX_SYMBOL_PCT
+    r_stopword = stopword_count(F.col("text"), "en") >= 1
+    r_repetition = n_distinct * 100 >= n_toks * QR_MIN_TTR_PCT
+    return docs.select(
+        "doc_id",
+        n_toks.alias("n_tokens"),
+        r_wordcount.alias("r_wordcount"),
+        r_wordlen.alias("r_wordlen"),
+        r_symbol.alias("r_symbol"),
+        r_stopword.alias("r_stopword"),
+        r_repetition.alias("r_repetition"),
+        (r_wordcount & r_wordlen & r_symbol & r_stopword & r_repetition).alias("keep"),
+    ).orderBy("doc_id")
+
+
+def _quality_rules_oracle() -> str:
+    from jobx_spark.operators.text import LANG_STOPWORDS, PUNCT_CLASS
+
+    en = LANG_STOPWORDS["en"]
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_replace(lower(trim(text)), '\\s+', '', 'g')) AS BIGINT) AS nospace,
+         CAST(len(list_distinct({_TOKS})) AS BIGINT) AS n_distinct,
+         CAST(len(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')) AS BIGINT) AS n_punct,
+         CAST(len(text) AS BIGINT) AS n_chars,
+         CAST(len(list_intersect({_TOKS}, {en!r})) AS BIGINT) AS n_stop
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       n_tokens >= {QR_MIN_TOKENS} AND n_tokens <= {QR_MAX_TOKENS} AS r_wordcount,
+       nospace >= {QR_MIN_MWL} * n_tokens AND nospace <= {QR_MAX_MWL} * n_tokens AS r_wordlen,
+       n_punct * 100 <= n_chars * {QR_MAX_SYMBOL_PCT} AS r_symbol,
+       n_stop >= 1 AS r_stopword,
+       n_distinct * 100 >= n_tokens * {QR_MIN_TTR_PCT} AS r_repetition,
+       (n_tokens >= {QR_MIN_TOKENS} AND n_tokens <= {QR_MAX_TOKENS})
+         AND (nospace >= {QR_MIN_MWL} * n_tokens AND nospace <= {QR_MAX_MWL} * n_tokens)
+         AND (n_punct * 100 <= n_chars * {QR_MAX_SYMBOL_PCT})
+         AND (n_stop >= 1)
+         AND (n_distinct * 100 >= n_tokens * {QR_MIN_TTR_PCT}) AS keep
+FROM t
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# pipe_mix_temperature — temperature-scaled domain mixing (the
+# multilingual-LM data-balancing rule: sampling weight ∝ p_s^α with
+# α = 1/2): per-source counts → integer-scaled √n weights → per-mille
+# budget allocation. √ via IEEE-754 sqrt (correctly rounded in every
+# engine) on an integer-scaled argument, then floor — so the weight
+# table is bit-exact cross-engine, unlike a pow()-based formulation.
+# Shape: ONE map-side-combinable count shuffle over the corpus; the
+# 20-row weight table is driver-scale at any corpus size.
+# --------------------------------------------------------------------------
+MIXT_SCALE = 10**12  # inside the sqrt: weights carry 6 integer digits
+MIXT_BUDGET = 100  # documents to allocate across sources
+
+
+def pipe_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    sq = F.floor(
+        F.sqrt(F.col("n_docs").cast("double") * F.lit(MIXT_SCALE).cast("double"))
+    ).cast("long")
+    s = counts.select("source", "n_docs", sq.alias("sq"))
+    total = s.agg(F.sum("sq").alias("tot"))
+    return (
+        s.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            F.expr("(sq * 1000000) div tot").alias("weight_ppm"),
+            F.expr(f"({MIXT_BUDGET} * sq) div tot").alias("target_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_PIPE_MIX_TEMPERATURE = f"""
+WITH c AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+), s AS (
+  SELECT source, n_docs,
+         CAST(floor(sqrt(CAST(n_docs AS DOUBLE) * CAST({MIXT_SCALE} AS DOUBLE))) AS BIGINT) AS sq
+  FROM c
+), t AS (SELECT CAST(SUM(sq) AS BIGINT) AS tot FROM s)
+SELECT source, n_docs,
+       (sq * 1000000) // tot AS weight_ppm,
+       ({MIXT_BUDGET} * sq) // tot AS target_docs
+FROM s, t
+ORDER BY source
+"""
+
+
 QUERIES = {
+    "pipe_quality_rules": pipe_quality_rules,
+    "pipe_mix_temperature": pipe_mix_temperature,
     "pipe_shard_assign": pipe_shard_assign,
     "pipe_bpe_learn": pipe_bpe_learn,
     "pipe_sample_weighted": pipe_sample_weighted,
@@ -1411,6 +1538,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pipe_quality_rules": _quality_rules_oracle(),
+    "pipe_mix_temperature": ORACLE_PIPE_MIX_TEMPERATURE,
     "pipe_shard_assign": ORACLE_PIPE_SHARD_ASSIGN,
     "pipe_bpe_learn": _bpe_learn_oracle(),
     "pipe_sample_weighted": ORACLE_PIPE_SAMPLE_WEIGHTED,
