@@ -109,6 +109,7 @@ GATE_FIRST_50 = [
     "dedup_substring_spans",    # ExactSubstr census (Lee et al. 2022)
     "pipe_quality_rules",       # Gopher-style rule filter
     "pipe_mix_temperature",     # p^α domain mixing, α=1/2
+    "dedup_semantic",           # SemDeDup (Abbas et al. 2023)
     # -- r3-changed code displaced from the r3 gate: engine pair (sink
     #    decode + scratch dirs), kmeans/IVF (cut_lineage), embedding
     #    safe-default consumers, two-hop/canonical (lineage), and the
@@ -125,7 +126,7 @@ GATE_FIRST_50 = [
     # -- oldest-attestation-first rotation (r1-banked relational rows
     #    re-prove freshness; three slots yielded to the new r4 queries
     #    above, which outrank redundant re-attestation) --
-    "q01_pricing_summary", "q03_shipping_priority",
+    "q01_pricing_summary",
 ]
 
 

@@ -980,7 +980,111 @@ ORDER BY query_id, rank
 """
 
 
+# --------------------------------------------------------------------------
+# dedup_semantic — SemDeDup (Abbas et al. 2023, "SemDeDup: Data-
+# efficient learning at web-scale through semantic deduplication"):
+# k-means clusters the embedding space, then near-duplicates are
+# pruned WITHIN each cluster only — cluster blocking is what makes
+# semantic dedup tractable at web scale (k grows with the corpus so
+# cluster size n/k stays bounded, and the pairwise cosine pass is
+# quadratic only within a cluster, never across the corpus). Keep
+# rule: a vector is dropped when some SMALLER-id member of its cluster
+# sits within cosine ≥ SEM_TAU (one survivor per semantic duplicate
+# set, deterministic). Reuses the attested scaled-int k-means
+# (ann_kmeans_train) and scaled-dot cosine, so the whole report —
+# cluster, duplicate count, max cosine, keep flag — hash-verifies
+# against the unrolled-CTE oracle.
+# --------------------------------------------------------------------------
+SEM_TAU = 0.9
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.lineage import cut_lineage
+    from jobx_spark.operators.dedup import cosine_from_scaled
+    from jobx_spark.operators.similarity import kmeans_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = kmeans_train(
+        emb, k=KM_K, iters=KM_ITERS, cent_base=KM_BASE, scale=KM_SCALE
+    ).select("vec_id", "cell")
+    v = emb.select("vec_id", "embedding").withColumn(
+        "vnorm_s", _sdot_col(F.col("embedding"), F.col("embedding"))
+    )
+    members = cut_lineage(  # consumed by both sides of the pair join
+        assign.join(v, "vec_id").select("vec_id", "cell", "embedding", "vnorm_s"),
+        "sem-members",
+    )
+    a, b = members.alias("a"), members.alias("b")
+    pairs = (
+        a.join(b, "cell")  # within-cluster only — the SemDeDup block
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("b.vec_id").alias("vec_id"),
+            cosine_from_scaled(
+                _sdot_col(F.col("a.embedding"), F.col("b.embedding")),
+                F.col("a.vnorm_s"),
+                F.col("b.vnorm_s"),
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= SEM_TAU)
+    )
+    hits = pairs.groupBy("vec_id").agg(
+        F.count("*").alias("n_dups_smaller"), F.max("cos").alias("max_cos")
+    )
+    return (
+        members.select("vec_id", "cell")
+        .join(hits, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.col("n_dups_smaller").isNull().alias("keep"),
+            F.coalesce("n_dups_smaller", F.lit(0).cast("long")).alias(
+                "n_dups_smaller"
+            ),
+            "max_cos",
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _sdot_col(a, b):
+    from jobx_spark.operators.similarity import _sdot
+
+    return _sdot(a, b)
+
+
+def _semantic_oracle() -> str:
+    parts, assign_cte = _kmeans_ctes()
+    T = KM_ITERS + 1
+    parts = parts + [assign_cte(T)]
+    body = ",\n".join(parts)
+    cos = (
+        f"{_SDOT.format(a='x.embedding', b='y.embedding')}::DOUBLE"
+        f" / (sqrt(ex.vnorm_s::DOUBLE) * sqrt(ey.vnorm_s::DOUBLE))"
+    )
+    return f"""
+WITH {body},
+pairs AS (
+  SELECT y.vec_id AS vec_id, {cos} AS cos
+  FROM a{T} x JOIN a{T} y ON x.cell = y.cell AND x.vec_id < y.vec_id
+  JOIN e ex ON ex.vec_id = x.vec_id
+  JOIN e ey ON ey.vec_id = y.vec_id
+),
+hits AS (
+  SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dups_smaller, max(cos) AS max_cos
+  FROM pairs WHERE cos >= {SEM_TAU} GROUP BY vec_id
+)
+SELECT m.vec_id, m.cell,
+       h.vec_id IS NULL AS keep,
+       COALESCE(h.n_dups_smaller, 0) AS n_dups_smaller,
+       h.max_cos
+FROM a{T} m LEFT JOIN hits h ON h.vec_id = m.vec_id
+ORDER BY m.vec_id
+"""
+
+
 QUERIES = {
+    "dedup_semantic": dedup_semantic,
     "ann_ivf_pq_topk": ann_ivf_pq_topk,
     "ann_pq_adc_topk": ann_pq_adc_topk,
     "ann_pq_codes": ann_pq_codes,
@@ -996,6 +1100,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_semantic": _semantic_oracle(),
     "ann_ivf_pq_topk": _ivf_pq_oracle(),
     "ann_pq_adc_topk": _pq_adc_oracle(),
     "ann_pq_codes": _pq_oracle(),
