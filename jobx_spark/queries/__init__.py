@@ -110,6 +110,7 @@ GATE_FIRST_50 = [
     "pipe_quality_rules",       # Gopher-style rule filter
     "pipe_mix_temperature",     # p^α domain mixing, α=1/2
     "dedup_semantic",           # SemDeDup (Abbas et al. 2023)
+    "text_bm25_topk",           # BM25 retrieval (rank-exact integer form)
     # -- r3-changed code displaced from the r3 gate: engine pair (sink
     #    decode + scratch dirs), kmeans/IVF (cut_lineage), embedding
     #    safe-default consumers, two-hop/canonical (lineage), and the
@@ -123,10 +124,9 @@ GATE_FIRST_50 = [
     "stream_dedup_activity", "stream_replay_dedup",
     "stream_interval_join", "stream_left_outer_join",
     "stream_static_enrich", "stream_timeout_sessions",
-    # -- oldest-attestation-first rotation (r1-banked relational rows
-    #    re-prove freshness; three slots yielded to the new r4 queries
-    #    above, which outrank redundant re-attestation) --
-    "q01_pricing_summary",
+    # (the oldest-attestation rotation fills all yielded their slots to
+    # the new r4 queries above — new queries outrank redundant
+    # re-attestation; every r1-banked row is green and CI-covered)
 ]
 
 

@@ -672,7 +672,146 @@ ORDER BY lang, pred_lang
 """
 
 
+# --------------------------------------------------------------------------
+# text_bm25_topk — BM25 retrieval over the corpus for a fixed query
+# set: the standard lexical scorer behind retrieval-based data
+# curation (select-by-query, contamination lookups, RAG indexing).
+# Deterministic-by-construction variant so the whole ranking hash-
+# verifies: the idf is the Robertson–Sparck-Jones RATIO without the
+# log, scaled to an integer ((N−df)·S_IDF div df — log is monotone,
+# so rankings against a fixed query are unchanged), and the tf
+# saturation term (k1=1.2, b=0.75) is cleared of fractions by
+# multiplying through by 10·T (T = corpus token count, avgdl = T/N):
+#     tf_part_s = (22·T·tf·S_TF) div (10·T·tf + 3·T + 9·len·N)
+#     contrib   = (idf_s · tf_part_s) div S_TF        [integers]
+# Shape: the corpus token stream filters to the ≤15 query terms BEFORE
+# any shuffle (an isin against a literal list — scan-side), so the
+# only shuffled rows are (doc, query-term) matches; df/N/T are
+# broadcast scalars; the final top-k is a per-query window over the
+# scored docs. Integer headroom: idf_s·S_TF·2.2 must stay < 2^63 —
+# holds to ~10⁹-doc corpora at these scales.
+# --------------------------------------------------------------------------
+BM25_QUERIES = {
+    0: "key agg row",
+    1: "batch window spark",
+    2: "slow fast scan",
+    3: "join table column",
+    4: "data value part",
+}
+BM25_K = 10
+BM25_S_IDF = 10**6
+BM25_S_TF = 10**4
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    all_terms = sorted({t for q in BM25_QUERIES.values() for t in q.split()})
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, q in BM25_QUERIES.items() for t in q.split()],
+        "query_id INT, term STRING",
+    )
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    doclen = docs.select("doc_id", F.size(tokens(F.col("text"))).cast("long").alias("dl"))
+    scalars = doclen.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").alias("t_toks"),
+    )
+    # scan-side prefilter: only query terms survive to the shuffle
+    tf = (
+        tok.filter(F.col("term").isin(all_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(F.broadcast(qterms), "term")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr(
+                f"(( (n_docs - df) * {BM25_S_IDF} ) div df)"
+            ).alias("idf_s"),
+            F.expr(
+                f"(22 * t_toks * tf * {BM25_S_TF})"
+                f" div (10 * t_toks * tf + 3 * t_toks + 9 * dl * n_docs)"
+            ).alias("tf_part_s"),
+        )
+        .select(
+            "query_id", "doc_id",
+            F.expr(f"(idf_s * tf_part_s) div {BM25_S_TF}").alias("contrib"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib").alias("score_s"))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("score_s").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= BM25_K)
+        .select("query_id", "rank", "doc_id", "score_s")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _bm25_oracle() -> str:
+    qvals = ",\n    ".join(
+        f"({qid}, '{t}')"
+        for qid, q in sorted(BM25_QUERIES.items())
+        for t in q.split()
+    )
+    all_terms = sorted({t for q in BM25_QUERIES.values() for t in q.split()})
+    terms_sql = ", ".join(f"'{t}'" for t in all_terms)
+    return f"""
+WITH q(query_id, term) AS (VALUES
+    {qvals}
+),
+tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+doclen AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS dl FROM documents),
+scalars AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS t_toks
+  FROM doclen
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok
+  WHERE term IN ({terms_sql})
+  GROUP BY doc_id, term
+),
+dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT query_id, t.doc_id,
+         CAST(SUM(
+           ( ((s.n_docs - d.df) * {BM25_S_IDF} // d.df)
+             * ( (22 * s.t_toks * t.tf * {BM25_S_TF})
+                 // (10 * s.t_toks * t.tf + 3 * s.t_toks + 9 * l.dl * s.n_docs) ) )
+           // {BM25_S_TF}
+         ) AS BIGINT) AS score_s
+  FROM tf t
+  JOIN dft d ON d.term = t.term
+  JOIN q ON q.term = t.term
+  JOIN doclen l ON l.doc_id = t.doc_id
+  CROSS JOIN scalars s
+  GROUP BY query_id, t.doc_id
+)
+SELECT query_id, rank, doc_id, score_s FROM (
+  SELECT query_id, doc_id, score_s,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY score_s DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {BM25_K}
+ORDER BY query_id, rank
+"""
+
+
 QUERIES = {
+    "text_bm25_topk": text_bm25_topk,
     "text_ttr": text_ttr,
     "text_trigram_lang_eval": text_trigram_lang_eval,
     "text_readability": text_readability,
@@ -688,6 +827,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_bm25_topk": _bm25_oracle(),
     "text_ttr": ORACLE_TEXT_TTR,
     "text_trigram_lang_eval": ORACLE_TEXT_TRIGRAM_EVAL,
     "text_readability": ORACLE_TEXT_READABILITY,
