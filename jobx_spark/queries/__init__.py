@@ -128,6 +128,10 @@ GATE_FIRST_50 = [
     # the new r4 queries above — new queries outrank redundant
     # re-attestation; every r1-banked row is green and CI-covered)
 ]
+# ROUND-5 GATE POOL (added after the r4 gate filled, CI-oracle-green at
+# sf0.001+sf0.01 under a hostile non-UTC session but never driver-
+# attested): text_hll_merge — plus anything new in r5, then continue
+# the oldest-attestation-first rotation.
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -810,7 +810,176 @@ ORDER BY query_id, rank
 """
 
 
+# --------------------------------------------------------------------------
+# text_hll_merge — the sketch MERGEABILITY certificate: per-source HLL
+# register tables are MAX-merged into a corpus sketch, and the merged
+# estimate must equal the directly-computed corpus estimate BIT-FOR-
+# BIT (both rows appear in the output; the hash gate proves the
+# algebra). This is the 100 TB counting pattern — per-shard/day/source
+# sketches of 64 ints each, re-aggregated along any dimension without
+# touching raw data — attested as a result, not a prose claim.
+# Per-source exact distincts ride along so the estimate error is
+# inspectable per shard.
+# --------------------------------------------------------------------------
+def text_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.functions import md5_long
+    from jobx_spark.operators.sketches import (
+        HLL_EST_NUM,
+        HLL_M,
+        HLL_P,
+        HLL_WBITS,
+        hll_rho,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    h = md5_long(F.concat(F.lit("hll:"), F.col("tok")))
+    touched = (
+        tok.select(
+            "source",
+            F.pmod(h, F.lit(HLL_M)).cast("int").alias("register"),
+            F.shiftright(h, HLL_P).alias("w"),
+        )
+        .select("source", "register", hll_rho(F.col("w")).alias("rho"))
+        .groupBy("source", "register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+    dense = (
+        docs.select("source").distinct()
+        .crossJoin(
+            F.broadcast(
+                spark.range(HLL_M).select(F.col("id").cast("int").alias("register"))
+            )
+        )
+    )
+    regs = dense.join(touched, ["source", "register"], "left").select(
+        "source", "register", F.coalesce("max_rho", F.lit(0)).alias("max_rho")
+    )
+    est_cols = [
+        (
+            F.lit(HLL_EST_NUM)
+            / F.sum(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_WBITS + 1} - max_rho)")
+            ).cast("double")
+        ).alias("hll_est"),
+        F.sum((F.col("max_rho") == 0).cast("long")).alias("zero_registers"),
+    ]
+    per_src = regs.groupBy("source").agg(*est_cols)
+    exact_src = tok.groupBy("source").agg(
+        F.count_distinct("tok").alias("exact_distinct")
+    )
+    merged_regs = regs.groupBy("register").agg(F.max("max_rho").alias("max_rho"))
+    exact_all = tok.agg(F.count_distinct("tok").alias("exact_distinct"))
+    merged = (
+        merged_regs.agg(*est_cols)
+        .crossJoin(F.broadcast(exact_all))
+        .select(F.lit("__merged__").alias("source"), "hll_est",
+                "zero_registers", "exact_distinct")
+    )
+    # direct corpus sketch, no per-source stage — must equal __merged__
+    direct_regs = (
+        tok.select(
+            F.pmod(h, F.lit(HLL_M)).cast("int").alias("register"),
+            F.shiftright(h, HLL_P).alias("w"),
+        )
+        .select("register", hll_rho(F.col("w")).alias("rho"))
+        .groupBy("register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+    dense1 = spark.range(HLL_M).select(F.col("id").cast("int").alias("register"))
+    direct = (
+        dense1.join(F.broadcast(direct_regs), "register", "left")
+        .select(F.coalesce("max_rho", F.lit(0)).alias("max_rho"))
+        .agg(*est_cols)
+        .crossJoin(F.broadcast(exact_all))
+        .select(F.lit("__direct__").alias("source"), "hll_est",
+                "zero_registers", "exact_distinct")
+    )
+    return (
+        per_src.join(exact_src, "source")
+        .select("source", "hll_est", "zero_registers", "exact_distinct")
+        .unionByName(merged)
+        .unionByName(direct)
+        .orderBy("source")
+    )
+
+
+def _hll_merge_oracle() -> str:
+    from jobx_spark.operators.sketches import (
+        HLL_EST_NUM,
+        HLL_M,
+        HLL_P,
+        HLL_WBITS,
+    )
+
+    wb1 = HLL_WBITS + 1
+    h = _MD5.format(e="('hll:' || tok)")
+    est = (
+        f"{HLL_EST_NUM!r} / CAST(SUM(1::BIGINT << ({wb1} - max_rho)) AS DOUBLE)"
+    )
+    zeros = "CAST(SUM(CASE WHEN max_rho = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+    return f"""
+WITH tok AS (SELECT source, unnest({_TOKS}) AS tok FROM documents),
+hashed AS (SELECT source, {h} AS h FROM tok),
+touched AS (
+  SELECT source, CAST(h % {HLL_M} AS INTEGER) AS register,
+         MAX(CASE WHEN (h >> {HLL_P}) = 0 THEN {wb1}
+                  ELSE {wb1} - length(bin(h >> {HLL_P})) END) AS max_rho
+  FROM hashed GROUP BY 1, 2
+),
+srcs AS (SELECT DISTINCT source FROM documents),
+regs AS (
+  SELECT s.source, CAST(r.range AS INTEGER) AS register,
+         CAST(COALESCE(t.max_rho, 0) AS INTEGER) AS max_rho
+  FROM srcs s CROSS JOIN range({HLL_M}) r
+  LEFT JOIN touched t ON t.source = s.source AND t.register = r.range
+),
+per_src AS (
+  SELECT source, {est} AS hll_est, {zeros} AS zero_registers
+  FROM regs GROUP BY source
+),
+exact_src AS (
+  SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS exact_distinct
+  FROM tok GROUP BY source
+),
+exact_all AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS exact_distinct FROM tok),
+merged_regs AS (
+  SELECT register, MAX(max_rho) AS max_rho FROM regs GROUP BY register
+),
+merged AS (
+  SELECT '__merged__' AS source, {est} AS hll_est, {zeros} AS zero_registers
+  FROM merged_regs
+),
+direct_touched AS (
+  SELECT CAST(h % {HLL_M} AS INTEGER) AS register,
+         MAX(CASE WHEN (h >> {HLL_P}) = 0 THEN {wb1}
+                  ELSE {wb1} - length(bin(h >> {HLL_P})) END) AS max_rho
+  FROM hashed GROUP BY 1
+),
+direct_regs AS (
+  SELECT CAST(COALESCE(t.max_rho, 0) AS INTEGER) AS max_rho
+  FROM range({HLL_M}) r LEFT JOIN direct_touched t ON t.register = r.range
+),
+direct AS (
+  SELECT '__direct__' AS source, {est} AS hll_est, {zeros} AS zero_registers
+  FROM direct_regs
+)
+SELECT p.source, p.hll_est, p.zero_registers, e.exact_distinct
+FROM per_src p JOIN exact_src e ON e.source = p.source
+UNION ALL
+SELECT m.source, m.hll_est, m.zero_registers, a.exact_distinct
+FROM merged m CROSS JOIN exact_all a
+UNION ALL
+SELECT d.source, d.hll_est, d.zero_registers, a.exact_distinct
+FROM direct d CROSS JOIN exact_all a
+ORDER BY source
+"""
+
+
 QUERIES = {
+    "text_hll_merge": text_hll_merge,
     "text_bm25_topk": text_bm25_topk,
     "text_ttr": text_ttr,
     "text_trigram_lang_eval": text_trigram_lang_eval,
@@ -827,6 +996,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_hll_merge": _hll_merge_oracle(),
     "text_bm25_topk": _bm25_oracle(),
     "text_ttr": ORACLE_TEXT_TTR,
     "text_trigram_lang_eval": ORACLE_TEXT_TRIGRAM_EVAL,
