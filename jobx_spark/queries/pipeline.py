@@ -1471,15 +1471,20 @@ MIXT_BUDGET = 100  # documents to allocate across sources
 
 
 def pipe_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
     docs = load_table(spark, sf_dir, "documents")
     counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
     sq = F.floor(
         F.sqrt(F.col("n_docs").cast("double") * F.lit(MIXT_SCALE).cast("double"))
     ).cast("long")
     s = counts.select("source", "n_docs", sq.alias("sq"))
-    total = s.agg(F.sum("sq").alias("tot"))
+    # the denominator via an unpartitioned window over the SOURCE table
+    # (20 rows at any corpus size — the corpus itself scans exactly
+    # once; a separate .agg() consumer re-scanned documents)
+    tot = F.sum("sq").over(W.partitionBy())
     return (
-        s.crossJoin(F.broadcast(total))
+        s.select("source", "n_docs", "sq", tot.alias("tot"))
         .select(
             "source",
             "n_docs",

@@ -706,6 +706,8 @@ BM25_S_TF = 10**4
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
+    from jobx_spark.lineage import cut_lineage
+
     docs = load_table(spark, sf_dir, "documents")
     all_terms = sorted({t for q in BM25_QUERIES.values() for t in q.split()})
     qterms = spark.createDataFrame(
@@ -715,16 +717,26 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("term")
     )
-    doclen = docs.select("doc_id", F.size(tokens(F.col("text"))).cast("long").alias("dl"))
+    # (doc_id, dl) is 16 bytes/doc — materializing it once is cheaper
+    # than re-tokenizing the text column for the corpus scalars
+    doclen = cut_lineage(
+        docs.select(
+            "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("dl")
+        ),
+        "bm25-doclen",
+    )
     scalars = doclen.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("dl").alias("t_toks"),
     )
-    # scan-side prefilter: only query terms survive to the shuffle
-    tf = (
+    # scan-side prefilter: only query terms survive to the shuffle; the
+    # match table is query-vocabulary-bounded, so materialize it once
+    # for its two consumers (df and the scoring join)
+    tf = cut_lineage(
         tok.filter(F.col("term").isin(all_terms))
         .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
+        .agg(F.count("*").alias("tf")),
+        "bm25-tf",
     )
     df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored = (

@@ -101,3 +101,58 @@ def test_asof_join_is_one_shuffle_no_explosion(spark, sf):
                       "BroadcastNestedLoopJoin"):
         assert not P.has_node(plan, join_node), P.node_names(plan)
     assert P.count_shuffles(plan) <= 2, P.node_names(plan)
+
+
+def test_substring_spans_is_one_agg_no_join(spark, sf):
+    """Lee-et-al span census: explode + ONE hash-keyed aggregation —
+    any join or extra exchange here would multiply at 100 TB."""
+    from jobx_spark.queries import dedup as D
+
+    plan = P.plan_str(D.dedup_substring_spans(spark, sf))
+    scan = P.scan_for(plan, "documents")
+    assert scan is not None
+    assert sorted(scan.read_columns) == ["doc_id", "text"], scan
+    for join_node in ("SortMergeJoin", "BroadcastHashJoin",
+                      "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert not P.has_node(plan, join_node), P.node_names(plan)
+    # agg exchange (+expand for count_distinct) + final sort, nothing else
+    assert P.count_shuffles(plan) <= 3, P.node_names(plan)
+
+
+def test_quality_rules_is_pure_scan_shape(spark, sf):
+    from jobx_spark.queries import pipeline as PL
+
+    plan = P.plan_str(PL.pipe_quality_rules(spark, sf))
+    scan = P.scan_for(plan, "documents")
+    assert scan is not None
+    assert sorted(scan.read_columns) == ["doc_id", "text"], scan
+    # only the final orderBy exchanges
+    assert P.count_shuffles(plan) <= 1, P.node_names(plan)
+
+
+def test_mix_temperature_single_count_shuffle(spark, sf):
+    from jobx_spark.queries import pipeline as PL
+
+    plan = P.plan_str(PL.pipe_mix_temperature(spark, sf))
+    scan = P.scan_for(plan, "documents")
+    assert scan is not None
+    assert scan.read_columns == ["source"], scan  # count needs only the key
+    # the corpus scans ONCE: the denominator is a window over the
+    # 20-row source table, not a second .agg() consumer
+    assert plan.count("documents.parquet") == 1, plan[:900]
+    # per-source count agg + the 20-row window exchange + final sort
+    assert P.count_shuffles(plan) <= 3, P.node_names(plan)
+
+
+def test_bm25_filters_before_shuffle_and_broadcasts_stats(spark, sf):
+    from jobx_spark.queries import text as T
+
+    plan = P.plan_str(T.text_bm25_topk(spark, sf))
+    # df/query-terms/scalars all broadcast — the fact stream shuffles
+    # only on (doc, term) after the scan-side vocabulary prefilter
+    assert P.count_nodes(plan, "BroadcastExchange") >= 3, P.node_names(plan)
+    assert not P.has_node(plan, "CartesianProduct"), P.node_names(plan)
+    # the final plan reads the materialized doclen/tf intermediates;
+    # documents itself was scanned during their (one-time) build
+    assert plan.count("documents.parquet") <= 1, plan[:900]
+    assert "bm25-doclen" in plan and "bm25-tf" in plan, plan[:900]
