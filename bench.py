@@ -64,6 +64,34 @@ HEADLINE = [
 ]
 
 
+LINE_BUDGET = 1600  # driver tail window is 2000 chars; leave headroom
+
+
+def budget_line(timings: dict[str, float], sf: float) -> tuple[str, dict]:
+    """The final JSON line, guaranteed ≤ LINE_BUDGET chars: cheapest
+    queries fold into other_sec/n_queries until the line fits. value
+    always covers ALL queries."""
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": dict(timings),
+        "sf": sf,
+    }
+    kept = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
+    line = json.dumps(out, separators=(",", ":"))
+    while len(line) > LINE_BUDGET and len(kept) > 1:
+        kept.pop()
+        shown = dict(sorted(kept))
+        out["queries"] = shown
+        out["n_queries"] = len(timings)
+        out["other_sec"] = round(
+            sum(v for k, v in timings.items() if k not in shown), 3
+        )
+        line = json.dumps(out, separators=(",", ":"))
+    return line, out
+
+
 def main() -> None:
     from jobx_spark.queries import all_queries
     from jobx_spark.session import get_spark
@@ -115,33 +143,22 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)
 
     sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
-    out = {
+    # The driver captures only the LAST 2000 chars of combined output
+    # and parses the JSON line out of that window — round 3's line was
+    # ~2.4k chars and arrived head-truncated (BENCH_r03.json parsed:
+    # null). Budget the line; the full per-query map goes to
+    # BENCH_FULL.json beside the repo for the judge.
+    line, _ = budget_line(timings, sf)
+    full = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": dict(timings),
         "sf": sf,
     }
-    # The driver captures only the LAST 2000 chars of combined output
-    # and parses the JSON line out of that window — round 3's line was
-    # ~2.4k chars and arrived head-truncated (BENCH_r03.json parsed:
-    # null). Budget the line: keep the most expensive queries
-    # per-query, fold the cheapest into other_sec, and write the full
-    # map to BENCH_FULL.json beside the repo for the judge.
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
     with open(full_path, "w", encoding="utf-8") as f:
-        json.dump(out, f, indent=1, sort_keys=True)
-    kept = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
-    line = json.dumps(out, separators=(",", ":"))
-    while len(line) > 1600 and len(kept) > 1:
-        kept.pop()
-        shown = dict(sorted(kept))
-        out["queries"] = shown
-        out["n_queries"] = len(timings)
-        out["other_sec"] = round(
-            sum(v for k, v in timings.items() if k not in shown), 3
-        )
-        line = json.dumps(out, separators=(",", ":"))
+        json.dump(full, f, indent=1, sort_keys=True)
     spark.stop()
     # printed AFTER spark.stop() so no shutdown log line lands behind
     # it inside the driver's 2000-char tail window

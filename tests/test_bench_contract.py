@@ -1,0 +1,48 @@
+"""bench.py's driver contract: the final JSON line must fit the
+driver's 2000-char tail window (it keeps only the last 2000 chars of
+combined output and parses the line from that — BENCH_r03.json arrived
+head-truncated and unparsed), while `value` always totals EVERY query.
+No SparkSession needed: budget_line is pure."""
+
+import json
+
+from bench import LINE_BUDGET, budget_line
+
+
+def _fake_timings(n: int) -> dict[str, float]:
+    return {f"query_family_name_{i:03d}_with_long_suffix": round(0.1 * i, 3)
+            for i in range(1, n + 1)}
+
+
+def test_small_set_keeps_every_query():
+    t = _fake_timings(10)
+    line, out = budget_line(t, 0.1)
+    parsed = json.loads(line)
+    assert parsed["queries"] == t
+    assert "other_sec" not in parsed
+    assert parsed["value"] == round(sum(t.values()), 3)
+
+
+def test_large_set_fits_budget_and_totals_everything():
+    t = _fake_timings(200)  # would be ~9k chars unfolded
+    line, out = budget_line(t, 0.1)
+    assert len(line) <= LINE_BUDGET
+    parsed = json.loads(line)
+    assert parsed["value"] == round(sum(t.values()), 3)
+    assert parsed["n_queries"] == 200
+    # kept + folded covers the total
+    assert round(sum(parsed["queries"].values()) + parsed["other_sec"], 2) == round(
+        parsed["value"], 2
+    )
+    # the EXPENSIVE queries are the ones kept per-query
+    kept_min = min(parsed["queries"].values())
+    folded_names = set(t) - set(parsed["queries"])
+    assert all(t[n] <= kept_min for n in folded_names)
+
+
+def test_budget_line_has_required_driver_keys():
+    line, _ = budget_line(_fake_timings(3), 0.01)
+    parsed = json.loads(line)
+    for key in ("metric", "value", "unit", "queries", "sf"):
+        assert key in parsed
+    assert parsed["unit"] == "sec" and parsed["sf"] == 0.01
