@@ -61,6 +61,9 @@ HEADLINE = [
     "stream_hll_cards",
     "stream_cms_users",
     "stream_scd_enrich",
+    # round-4 additions outside the auto-enrolled prefixes
+    "pipe_quality_rules",
+    "pipe_mix_temperature",
 ]
 
 

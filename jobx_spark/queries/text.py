@@ -835,6 +835,7 @@ ORDER BY query_id, rank
 # --------------------------------------------------------------------------
 def text_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jobx_spark.functions import md5_long
+    from jobx_spark.lineage import cut_lineage
     from jobx_spark.operators.sketches import (
         HLL_EST_NUM,
         HLL_M,
@@ -844,12 +845,21 @@ def text_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "source", F.explode(tokens(F.col("text"))).alias("tok")
+    # ONE corpus scan: duplicates never change a register MAX or a
+    # distinct count, so the distinct (source, token) table — the
+    # vocabulary-sized sketch input, map-side-combinable to produce —
+    # is materialized once and per-source registers, exact distincts,
+    # the merged sketch AND the direct corpus sketch all derive from it
+    # (every other shape re-scanned documents per consumer).
+    st = cut_lineage(
+        docs.select(
+            "source", F.explode(tokens(F.col("text"))).alias("tok")
+        ).distinct(),
+        "hllm-st",
     )
     h = md5_long(F.concat(F.lit("hll:"), F.col("tok")))
     touched = (
-        tok.select(
+        st.select(
             "source",
             F.pmod(h, F.lit(HLL_M)).cast("int").alias("register"),
             F.shiftright(h, HLL_P).alias("w"),
@@ -859,15 +869,18 @@ def text_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("rho").alias("max_rho"))
     )
     dense = (
-        docs.select("source").distinct()
+        st.select("source").distinct()
         .crossJoin(
             F.broadcast(
                 spark.range(HLL_M).select(F.col("id").cast("int").alias("register"))
             )
         )
     )
-    regs = dense.join(touched, ["source", "register"], "left").select(
-        "source", "register", F.coalesce("max_rho", F.lit(0)).alias("max_rho")
+    regs = cut_lineage(  # ≤ sources × 64 rows; read by 2 estimators
+        dense.join(touched, ["source", "register"], "left").select(
+            "source", "register", F.coalesce("max_rho", F.lit(0)).alias("max_rho")
+        ),
+        "hllm-regs",
     )
     est_cols = [
         (
@@ -879,20 +892,23 @@ def text_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("max_rho") == 0).cast("long")).alias("zero_registers"),
     ]
     per_src = regs.groupBy("source").agg(*est_cols)
-    exact_src = tok.groupBy("source").agg(
+    exact_src = st.groupBy("source").agg(
         F.count_distinct("tok").alias("exact_distinct")
     )
+    vocab = st.select("tok").distinct()
+    exact_all = vocab.agg(F.count("*").alias("exact_distinct"))
     merged_regs = regs.groupBy("register").agg(F.max("max_rho").alias("max_rho"))
-    exact_all = tok.agg(F.count_distinct("tok").alias("exact_distinct"))
     merged = (
         merged_regs.agg(*est_cols)
         .crossJoin(F.broadcast(exact_all))
         .select(F.lit("__merged__").alias("source"), "hll_est",
                 "zero_registers", "exact_distinct")
     )
-    # direct corpus sketch, no per-source stage — must equal __merged__
+    # direct corpus sketch from the corpus vocabulary (identical
+    # registers: MAX over the same distinct token set) — must equal
+    # __merged__
     direct_regs = (
-        tok.select(
+        vocab.select(
             F.pmod(h, F.lit(HLL_M)).cast("int").alias("register"),
             F.shiftright(h, HLL_P).alias("w"),
         )
