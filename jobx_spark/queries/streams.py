@@ -211,6 +211,66 @@ ORDER BY purchase_id, click_id
 """
 
 
+def stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev1 = S.stream_events(spark, sf_dir)
+    ev2 = S.stream_events(spark, sf_dir)
+    out = S.run_available_now(
+        S.interval_join_full_outer(ev1, ev2), "append", "fojoin"
+    )
+    return out.orderBy("purchase_id", "click_id")
+
+
+# Matched rows ≡ the inner interval join; null rows are watermark-gated
+# PER SIDE (see interval_join_full_outer): unmatched purchases emit iff
+# p.ts < watermark (their window closes at p.ts), unmatched clicks iff
+# c.ts + 1h < watermark (they can match purchases up to c.ts + 1h).
+# Watermark = min of both sides' max event time, ms-truncated, minus
+# the 2 h delay — same rule the attested left-outer oracle restates.
+ORACLE_STREAM_FULL_OUTER = """
+WITH mx AS (
+  SELECT make_timestamp(epoch_ms(least(
+           max(CASE WHEN event_type = 'purchase' THEN ts END),
+           max(CASE WHEN event_type = 'click'    THEN ts END))) * 1000)
+         AS m
+  FROM events
+),
+p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+c AS (SELECT * FROM events WHERE event_type = 'click'),
+matched AS (
+  SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+         c.event_id AS click_id, epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+  FROM p JOIN c ON p.user_id = c.user_id
+   AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+),
+evicted_p AS (
+  SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+         CAST(NULL AS BIGINT) AS click_id, CAST(NULL AS BIGINT) AS gap_us
+  FROM p, mx
+  WHERE p.ts < mx.m - INTERVAL 2 HOUR
+    AND NOT EXISTS (
+      SELECT 1 FROM c WHERE c.user_id = p.user_id
+        AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    )
+),
+evicted_c AS (
+  SELECT CAST(NULL AS BIGINT) AS purchase_id, c.user_id AS user_id,
+         c.event_id AS click_id, CAST(NULL AS BIGINT) AS gap_us
+  FROM c, mx
+  WHERE c.ts + INTERVAL 1 HOUR < mx.m - INTERVAL 2 HOUR
+    AND NOT EXISTS (
+      SELECT 1 FROM p WHERE p.user_id = c.user_id
+        AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    )
+)
+SELECT * FROM matched
+UNION ALL
+SELECT * FROM evicted_p
+UNION ALL
+SELECT * FROM evicted_c
+ORDER BY purchase_id, click_id
+"""
+
+
 def stream_replay_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev1 = S.stream_events(spark, sf_dir)
     ev2 = S.stream_events(spark, sf_dir)
@@ -820,6 +880,7 @@ QUERIES = {
     "stream_dedup_activity": stream_dedup_activity,
     "stream_timeout_sessions": stream_timeout_sessions,
     "stream_left_outer_join": stream_left_outer_join,
+    "stream_full_outer_join": stream_full_outer_join,
     "stream_replay_dedup": stream_replay_dedup,
     "stream_static_enrich": stream_static_enrich,
     "stream_stateful_user_stats": stream_stateful_user_stats,
@@ -838,6 +899,7 @@ ORACLES = {
     "stream_tumbling_agg": ORACLE_STREAM_TUMBLING,
     "stream_timeout_sessions": ORACLE_STREAM_TIMEOUT_SESSIONS,
     "stream_left_outer_join": ORACLE_STREAM_LEFT_OUTER,
+    "stream_full_outer_join": ORACLE_STREAM_FULL_OUTER,
     "stream_replay_dedup": ORACLE_STREAM_REPLAY_DEDUP,
     "stream_dedup_activity": ORACLE_STREAM_DEDUP,
     "stream_static_enrich": ORACLE_STREAM_STATIC_ENRICH,

@@ -294,6 +294,52 @@ def interval_join_left_outer(events: DataFrame, events2: DataFrame) -> DataFrame
     )
 
 
+def interval_join_full_outer(events: DataFrame, events2: DataFrame) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — both sides' unmatched
+    rows emit on state eviction, completing the streaming join matrix
+    (inner / left-outer / full-outer).
+
+    Eviction is per-side, read off the join condition
+    ``p_ts - 1h <= c_ts <= p_ts``: a PURCHASE's match window closes at
+    ``p_ts`` (clicks precede it), so its null row emits once the
+    watermark passes ``p_ts``; a CLICK can match purchases up to
+    ``c_ts + 1h``, so its null row emits once the watermark passes
+    ``c_ts + 1h``. Rows inside the final watermark delay stay open and
+    unemitted at end-of-input — completeness up to the watermark, the
+    only completeness an unbounded join can claim.
+    """
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        events2.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "full_outer",
+    ).select(
+        "purchase_id",
+        F.coalesce("p_user", "c_user").alias("user_id"),
+        "click_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+    )
+
+
 def replay_dedup(events: DataFrame, events2: DataFrame) -> DataFrame:
     """Exactly-once ingestion from an at-least-once source: the same
     stream arrives twice (replay / duplicated delivery) and
