@@ -2135,7 +2135,57 @@ LIMIT {BASKET_TOP}
 """
 
 
+# --------------------------------------------------------------------------
+# q68: TPC-H Q9 shape — product-type profit by nation and year: the
+# 5-table join tree (part ⨝ lineitem ⨝ supplier ⨝ orders ⨝ nation)
+# with a computed profit measure, grouped (nation, year). The testdata
+# carries no partsupp, so cost is the retail-price proxy
+# p_retailprice·l_quantity — the JOIN TREE and the measure-over-join
+# shape are what Q9 exercises. part/supplier/nation broadcast; the one
+# real shuffle is lineitem ⨝ orders on orderkey, then the group-by.
+# Profit is a pure double expression (IEEE-identical cross-engine);
+# the sum goes through the exact decimal dsum.
+# --------------------------------------------------------------------------
+def q68_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "orders", "supplier", "nation", "part"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS INT) AS o_year,
+               CAST(CAST(SUM(CAST(
+                   l_extendedprice * (1 - l_discount)
+                     - p_retailprice * l_quantity
+                 AS DECIMAL(38,8))) AS STRING) AS DOUBLE) AS profit
+        FROM part, supplier, lineitem, orders, nation
+        WHERE s_suppkey = l_suppkey
+          AND p_partkey = l_partkey
+          AND o_orderkey = l_orderkey
+          AND s_nationkey = n_nationkey
+          AND p_name LIKE '%red%'
+        GROUP BY n_name, year(o_orderdate)
+        ORDER BY nation, o_year DESC
+        """
+    )
+
+
+ORACLE_Q68 = f"""
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       {dsum_sql("l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity")} AS profit
+FROM part, supplier, lineitem, orders, nation
+WHERE s_suppkey = l_suppkey
+  AND p_partkey = l_partkey
+  AND o_orderkey = l_orderkey
+  AND s_nationkey = n_nationkey
+  AND p_name LIKE '%red%'
+GROUP BY n_name, year(o_orderdate)
+ORDER BY nation, o_year DESC
+"""
+
+
 QUERIES = {
+    "q68_product_profit": q68_product_profit,
     "q67_market_basket": q67_market_basket,
     "q66_binned_quantiles": q66_binned_quantiles,
     "q65_bloom_prefilter_join": q65_bloom_prefilter_join,
@@ -2189,6 +2239,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q68_product_profit": ORACLE_Q68,
     "q67_market_basket": ORACLE_Q67,
     "q66_binned_quantiles": ORACLE_Q66,
     "q65_bloom_prefilter_join": _q65_oracle(),
