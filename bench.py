@@ -64,6 +64,7 @@ HEADLINE = [
     # round-4 additions outside the auto-enrolled prefixes
     "pipe_quality_rules",
     "pipe_mix_temperature",
+    "q68_product_profit",
 ]
 
 
