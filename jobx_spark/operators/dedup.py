@@ -452,6 +452,105 @@ def connected_components(
     return labels
 
 
+def connected_components_lsss(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR
+    rounds (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond") — the web-scale algorithm: O(log n) rounds regardless of
+    graph DIAMETER, where min-label propagation
+    (:func:`connected_components`) needs O(diameter) rounds and stalls
+    on long chains. Both return the same (node, component-min) labels;
+    this one is the right choice when the dup graph might carry long
+    paths (chained near-dups, link graphs) rather than LSH's
+    near-cliques.
+
+      * large-star (on the symmetric edge list): every neighbor LARGER
+        than u re-points to m(u) = min(Γ(u) ∪ {u});
+      * small-star (on edges oriented large→small): u and its smaller
+        neighbors all re-point to the minimum.
+
+    Each half-round is ONE groupBy(node) min-aggregation joined back to
+    the edge list — plain keyed shuffles, AQE/skew handling untouched.
+    Convergence = the oriented edge set reaches a fixpoint, checked
+    with an O(1)-result count + commutative checksum job per round;
+    lineage is truncated per round via reliable parquet
+    ``cut_lineage`` (survives executor loss, like the label-prop twin).
+    """
+    e0 = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    # oriented large→small, deduped — the small-star input convention
+    oriented = cut_lineage(
+        e0.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct(),
+        "lsss-edges",
+    )
+    nodes = cut_lineage(
+        oriented.select(F.col("u").alias("node"))
+        .union(oriented.select(F.col("v").alias("node")))
+        .distinct(),
+        "lsss-nodes",
+    )
+
+    def _sig(e: DataFrame) -> tuple[int, int]:
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(  # XOR: commutative, overflow-free under ANSI
+                F.bit_xor(F.xxhash64("u", "v")), F.lit(0).cast("long")
+            ).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"])
+
+    sig = _sig(oriented)
+    for _ in range(max_iter):
+        # ---- large-star over the SYMMETRIC view of the oriented edges
+        sym = oriented.union(
+            oriented.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mn = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mn, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .union(mn.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .select(
+                F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+            )
+            .distinct()
+        )
+        large = cut_lineage(large, "lsss-edges")
+        # ---- small-star on the oriented (large→small) edges
+        mn2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(mn2, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .union(mn2.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .select(
+                F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+            )
+            .distinct()
+        )
+        oriented = cut_lineage(small, "lsss-edges")
+        new_sig = _sig(oriented)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # fixpoint is a star forest: (u → root). Roots label themselves.
+    return (
+        nodes.join(oriented, nodes.node == oriented.u, "left")
+        .select("node", F.coalesce("v", "node").alias("comp"))
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "id_a",

@@ -614,6 +614,26 @@ SELECT node, comp FROM comp ORDER BY node
 
 
 # --------------------------------------------------------------------------
+# dedup_components_lsss — the SAME component labels via the web-scale
+# algorithm: alternating large-star/small-star rounds (Kiveris et al.
+# 2014), O(log n) rounds regardless of graph diameter where the
+# min-label loop needs O(diameter). Verified against the identical
+# recursive-CTE oracle as dedup_components, so the two distributed
+# algorithms are attested to agree bit-for-bit — algorithm choice
+# becomes a pure performance decision (label-prop for near-clique LSH
+# graphs, LSSS for long-chain link graphs).
+# --------------------------------------------------------------------------
+def dedup_components_lsss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.operators.dedup import connected_components_lsss
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, n_hashes=N_HASHES, bands=BANDS, shingle_n=SHINGLE_N, seed=SEED
+    )
+    return connected_components_lsss(pairs).orderBy("node")
+
+
+# --------------------------------------------------------------------------
 # dedup_components_scaled — the scale probe PROMOTED INTO THE GATE
 # (VERDICT r3 item 6): the corpus is replicated COMP_REP× with ids
 # remapped into disjoint ranges (doc_id + k·10⁹, the same remap as
@@ -1351,6 +1371,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_components": dedup_components,
     "dedup_components_scaled": dedup_components_scaled,
+    "dedup_components_lsss": dedup_components_lsss,
     "dedup_keep_canonical": dedup_keep_canonical,
     "dedup_jaccard_prefix": dedup_jaccard_prefix,
     "dedup_minhash_sig": dedup_minhash_sig,
@@ -1379,6 +1400,7 @@ ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_components": _components_oracle(),
     "dedup_components_scaled": _components_scaled_oracle(),
+    "dedup_components_lsss": _components_oracle(),
     "dedup_keep_canonical": _keep_canonical_oracle(),
     "dedup_jaccard_prefix": ORACLE_DEDUP_JACCARD,
     "dedup_minhash_sig": _minhash_sig_oracle(),

@@ -188,3 +188,30 @@ def test_kcore_of_clique_is_identity(spark):
     clique = [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
     got = {(r.node, r.core_deg) for r in kcore(_edges(spark, clique), k=4).collect()}
     assert got == {(n, 4) for n in range(1, 6)}
+
+
+def test_lsss_agrees_with_label_prop_on_long_chain(spark):
+    """A 40-node path is the adversarial case for min-label propagation
+    (O(diameter) rounds); large-star/small-star collapses it in
+    O(log n). Both must produce identical (node, min-of-component)
+    labels — algorithm choice is pure performance."""
+    from jobx_spark.operators.dedup import (
+        connected_components,
+        connected_components_lsss,
+    )
+
+    chain = [(i, i + 1) for i in range(1, 40)]
+    extra = [(100, 101), (101, 102), (100, 102)]  # separate triangle
+    e = _edges(spark, chain + extra)
+    lp = {(r.node, r.comp) for r in connected_components(e, max_iter=50).collect()}
+    ls = {(r.node, r.comp) for r in connected_components_lsss(e).collect()}
+    assert lp == ls
+    assert ls == {(n, 1) for n in range(1, 41)} | {(n, 100) for n in (100, 101, 102)}
+
+
+def test_lsss_single_edge(spark):
+    from jobx_spark.operators.dedup import connected_components_lsss
+
+    got = {(r.node, r.comp)
+           for r in connected_components_lsss(_edges(spark, [(7, 3)])).collect()}
+    assert got == {(3, 3), (7, 3)}
