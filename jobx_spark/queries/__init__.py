@@ -131,7 +131,8 @@ GATE_FIRST_50 = [
 # ROUND-5 GATE POOL (added after the r4 gate filled, CI-oracle-green at
 # sf0.001+sf0.01 under a hostile non-UTC session but never driver-
 # attested): text_hll_merge, stream_full_outer_join,
-# q68_product_profit, dedup_components_lsss — plus anything new in r5, then continue
+# q68_product_profit, dedup_components_lsss, pipe_ewma_user_value —
+# plus anything new in r5, then continue
 # the oldest-attestation-first rotation.
 
 

@@ -1511,7 +1511,82 @@ ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+# pipe_ewma_user_value — per-key EXPONENTIALLY-DECAYED running
+# statistic (the online loss-smoothing / rate-estimator shape): each
+# user's event values folded in (ts, event_id) order through the
+# integer recurrence acc ← (acc + x)//2 (α = 1/2 EWMA with exact
+# dyadic decay — float pow() could never hash-verify). Per-key
+# sequential recurrences don't vectorize into window functions, so
+# this is the canonical ``applyInPandas`` use: one shuffle on user_id,
+# then an Arrow-batched in-order fold per group; the oracle is the
+# same fold as a DuckDB list_reduce over the identically-ordered list.
+# Values are nonnegative (events.value ≥ 0), keeping // semantics
+# engine-identical (DuckDB truncates toward zero, Python floors —
+# equal on nonnegatives).
+# --------------------------------------------------------------------------
+EWMA_SCALE = 10**6
+
+
+def pipe_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        F.floor(F.col("value") * EWMA_SCALE).cast("long").alias("x_s"),
+        "ts",
+        "event_id",
+    )
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "event_id"])
+        acc = 0
+        for x in pdf["x_s"].tolist():
+            acc = (acc + int(x)) // 2
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(pdf)],
+                "ewma_s": [acc],
+            }
+        )
+
+    out = base.groupBy("user_id").applyInPandas(
+        fold, "user_id long, n_events long, ewma_s long"
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        "ewma_s",
+        (F.col("ewma_s").cast("double") / EWMA_SCALE).alias("ewma"),
+    ).orderBy("user_id")
+
+
+ORACLE_PIPE_EWMA = f"""
+WITH ordered AS (
+  SELECT user_id, CAST(floor(value * {EWMA_SCALE}) AS BIGINT) AS x_s,
+         ts, event_id
+  FROM events
+),
+folded AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         list_reduce(
+           list_prepend(0::BIGINT, list(x_s ORDER BY ts, event_id)),
+           (a, b) -> (a + b) // 2
+         ) AS ewma_s
+  FROM ordered GROUP BY user_id
+)
+SELECT user_id, n_events, ewma_s,
+       ewma_s::DOUBLE / {EWMA_SCALE} AS ewma
+FROM folded
+ORDER BY user_id
+"""
+
+
 QUERIES = {
+    "pipe_ewma_user_value": pipe_ewma_user_value,
     "pipe_quality_rules": pipe_quality_rules,
     "pipe_mix_temperature": pipe_mix_temperature,
     "pipe_shard_assign": pipe_shard_assign,
@@ -1543,6 +1618,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pipe_ewma_user_value": ORACLE_PIPE_EWMA,
     "pipe_quality_rules": _quality_rules_oracle(),
     "pipe_mix_temperature": ORACLE_PIPE_MIX_TEMPERATURE,
     "pipe_shard_assign": ORACLE_PIPE_SHARD_ASSIGN,
