@@ -103,14 +103,18 @@ def main() -> None:
     spark = get_spark("jobx_spark_bench")
     qs = all_queries()
     names = [n for n in HEADLINE if n in qs]
-    # extend with any llm-ops headliners present; dedup_components_scaled
-    # is excluded — it is a deliberately 8×-replicated stress probe, and
-    # folding it into the headline total would break the r1→rN series
-    # comparability (its scale behavior is gated for correctness and
-    # documented in PLANS.md/SURVEY §8.4 instead).
+    # extend with any llm-ops headliners present; two exclusions:
+    #   dedup_components_scaled — a deliberately 8×-replicated stress
+    #     probe; folding it into the headline total would break the
+    #     r1→rN series comparability (gated for correctness, documented
+    #     in PLANS.md/SURVEY §8.4);
+    #   dedup_components_lsss — the long-chain-specialist ALGORITHM
+    #     TWIN of dedup_components (same labels, same oracle); LSH dup
+    #     graphs are near-cliques where label-prop is the right engine
+    #     choice, so the headline keeps one representative.
     for n in qs:
         if n.startswith(("dedup_", "ann_", "text_")) and n not in names \
-                and n != "dedup_components_scaled":
+                and n not in ("dedup_components_scaled", "dedup_components_lsss"):
             names.append(n)
 
     # warm the JVM, parquet footers and Python UDF workers once (not timed)
