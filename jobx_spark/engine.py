@@ -655,6 +655,30 @@ class Engine:
     def get_request(self, request_id: str) -> Request:
         return self._requests[request_id]
 
+    def cleanup_request(self, workflow_name: str, request_id: str) -> Request:
+        """Drop a FINISHED request — trace, sessions, registry entry —
+        from this engine (reference: mr_kv_request_cleanup walks and
+        deletes the request's KV subtree, setup.py:52; our plane is the
+        driver registry, so cleanup is a registry pop plus unpersisting
+        any dataset-sink result still cached).
+
+        Raises KeyError for unknown/foreign requests and ValueError for
+        a request still running — the reference's cleanup likewise only
+        makes sense for settled requests (a running one would rebuild
+        its subtree mid-walk)."""
+        request = self._requests[request_id]
+        if request.workflow_name != workflow_name:
+            raise KeyError(request_id)
+        if not request.is_done and request.error is None:
+            raise ValueError(f"request {request_id} is still running")
+        if request.result_df is not None:
+            try:
+                request.result_df.unpersist()
+            except Exception:  # noqa: BLE001 - cleanup best-effort
+                pass
+        del self._requests[request_id]
+        return request
+
     def list_requests(self, workflow_name: str | None = None) -> list[Request]:
         """Known requests, newest-first (reference: the request KV range
         walk its cleanup/read scripts iterate; driver registry here)."""
@@ -671,13 +695,27 @@ class Engine:
         (reference: mr_kv_invocation_get reads the invocation entity by
         id — ids are unique across requests there and here).
 
-        Raises KeyError when no request of the workflow traced it."""
+        Raises KeyError when no request of the workflow traced it, and
+        ValueError when a short prefix matches more than one invocation
+        — like git, an ambiguous abbreviation is an error, never a
+        silent first-match resolution (ADVICE r4)."""
+        matches: list[tuple[Request, "InvocationRecord"]] = []
         for req in self.list_requests(workflow_name):
             if req.trace is None:
                 continue
             for rec in req.trace.invocations:
-                if rec.inv == invocation_id or rec.inv.startswith(invocation_id):
-                    return req, rec
+                if rec.inv == invocation_id:
+                    return req, rec  # exact id: unique by construction
+                if rec.inv.startswith(invocation_id):
+                    matches.append((req, rec))
+        if len(matches) > 1:
+            ids = sorted(rec.inv for _, rec in matches)
+            raise ValueError(
+                f"ambiguous invocation prefix {invocation_id!r}: matches "
+                f"{ids[:5]}{'...' if len(ids) > 5 else ''}"
+            )
+        if matches:
+            return matches[0]
         raise KeyError(invocation_id)
 
     def submit_dataset(

@@ -507,6 +507,7 @@ def connected_components_lsss(
         return int(row["n"]), int(row["h"])
 
     sig = _sig(oriented)
+    converged = False
     for _ in range(max_iter):
         # ---- large-star over the SYMMETRIC view of the oriented edges
         sym = oriented.union(
@@ -542,8 +543,21 @@ def connected_components_lsss(
         oriented = cut_lineage(small, "lsss-edges")
         new_sig = _sig(oriented)
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
+    if not converged:
+        # Exiting via max_iter would leave a non-star edge set where a
+        # node can appear as ``u`` in several oriented edges, and the
+        # final left-join below would then silently emit duplicate
+        # (node, comp) rows. O(log n) rounds means 30 covers graphs far
+        # beyond any real corpus, so this is a bug/misuse signal, not a
+        # tuning knob — fail loudly instead of corrupting output.
+        raise RuntimeError(
+            f"connected_components_lsss: no star-forest fixpoint after "
+            f"{max_iter} rounds (edge signature still changing); raise "
+            f"max_iter"
+        )
     # fixpoint is a star forest: (u → root). Roots label themselves.
     return (
         nodes.join(oriented, nodes.node == oriented.u, "left")

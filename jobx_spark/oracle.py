@@ -29,6 +29,22 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+class _TagType:
+    """Private sentinel heading every tagged scalar tuple so normalized
+    DATA can never alias a tag: a genuine string array ["f", "1.5"]
+    normalizes to ("f", "1.5") while a tagged float is
+    (_TAG, "f", "1.5") — the sentinel instance is unforgeable from cell
+    values (ADVICE r4)."""
+
+    __slots__ = ()
+
+    def __repr__(self) -> str:  # stable sort key via _sort_key's str()
+        return "<oracle-tag>"
+
+
+_TAG = _TagType()
+
+
 def _norm_cell(v):
     """Normalize a cell to the driver's *string-canonical*, type-strict
     form.
@@ -49,16 +65,16 @@ def _norm_cell(v):
     if v is pd.NaT:
         return None
     if isinstance(v, (bool, np.bool_)):
-        return ("b", bool(v))
+        return (_TAG, "b", bool(v))
     if isinstance(v, (float, np.floating)):
         f = float(v)
         if math.isnan(f):
-            return ("f", "NaN")
-        return ("f", repr(f))
+            return (_TAG, "f", "NaN")
+        return (_TAG, "f", repr(f))
     if isinstance(v, (int, np.integer)):
-        return ("i", str(int(v)))
+        return (_TAG, "i", str(int(v)))
     if isinstance(v, decimal.Decimal):
-        return ("dec", str(v))
+        return (_TAG, "dec", str(v))
     if isinstance(v, pd.Timestamp):
         return str(v.tz_localize(None) if v.tzinfo else v)
     if isinstance(v, datetime.datetime):
@@ -66,7 +82,7 @@ def _norm_cell(v):
     if isinstance(v, datetime.date):
         return v.isoformat()
     if isinstance(v, (bytes, bytearray)):
-        return ("bytes", bytes(v).hex())
+        return (_TAG, "bytes", bytes(v).hex())
     if isinstance(v, np.ndarray):
         return tuple(_norm_cell(x) for x in v.tolist())
     if isinstance(v, (list, tuple)):
@@ -191,10 +207,13 @@ def _approx_eq(a, b, rtol: float = 1e-9) -> bool:
     if type(a) is not type(b):
         return False
     if isinstance(a, tuple):
-        if len(a) == 2 and a[0] == "f" and b[0] == "f":  # tagged float
-            if a[1] == "NaN" or b[1] == "NaN":
-                return a[1] == b[1]
-            return math.isclose(float(a[1]), float(b[1]), rel_tol=rtol, abs_tol=1e-12)
+        if (
+            len(a) == 3 and a[0] is _TAG and a[1] == "f"
+            and len(b) == 3 and b[0] is _TAG and b[1] == "f"
+        ):  # tagged float
+            if a[2] == "NaN" or b[2] == "NaN":
+                return a[2] == b[2]
+            return math.isclose(float(a[2]), float(b[2]), rel_tol=rtol, abs_tol=1e-12)
         return len(a) == len(b) and all(_approx_eq(x, y, rtol) for x, y in zip(a, b))
     return a == b
 

@@ -458,10 +458,13 @@ ORDER BY register
 BSCORE_SCALE = 10**9
 
 
-def text_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bigram_doc_scores(docs: DataFrame) -> DataFrame:
+    """Per-doc corpus-LM totals: (doc_id, n_bigrams, score_s) with
+    score_s = Σ over the doc's bigrams of (count(w1 w2)·SCALE div
+    count(w1 ·)) — the shared core of text_bigram_score and
+    text_perplexity_buckets."""
     from jobx_spark.operators.text import shingles
 
-    docs = load_table(spark, sf_dir, "documents")
     bg = docs.select(
         "doc_id", F.explode(shingles(F.col("text"), 2)).alias("bigram")
     )
@@ -481,9 +484,15 @@ def text_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bigram", F.expr(f"(cb * {BSCORE_SCALE}) div cp").alias("r_s"))
     )
     scored = bg.join(ratio, "bigram").select("doc_id", "r_s")
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"), F.sum("r_s").alias("score_s")
+    )
+
+
+def text_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
     return (
-        scored.groupBy("doc_id")
-        .agg(F.count("*").alias("n_bigrams"), F.sum("r_s").alias("score_s"))
+        _bigram_doc_scores(docs)
         .select(
             "doc_id", "n_bigrams", "score_s",
             (
@@ -519,6 +528,103 @@ SELECT doc_id, n_bigrams, score_s,
        score_s::DOUBLE / (n_bigrams * {BSCORE_SCALE})::DOUBLE AS fluency
 FROM pd
 ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# text_perplexity_buckets — perplexity-band bucketing over the corpus
+# LM (VERDICT r4 #8): each document's mean scaled transition
+# probability m = score_s div n_bigrams is binned by its integer
+# floor(log₂) — the document's "bits of surprise" band, the integer-
+# exact stand-in for log-perplexity deciles (bucket k holds docs whose
+# mean P̂(w2|w1) ∈ [2^k/SCALE, 2^(k+1)/SCALE)). Curation pipelines
+# keep/drop/resample by exactly these bands. floor(log₂ m) is computed
+# as length(bin(m))−1 on both engines — pure integer, no libm — and
+# refined to QUARTER-octaves by the two bits after the leading one
+# (bucket = 4·p + ((m >> (p−2)) − 4)), giving ~4× histogram resolution
+# with the same exactness.
+# Scale shape: the per-doc scores reuse _bigram_doc_scores' single
+# bigram shuffle; bucketing is scan-side arithmetic (NO global
+# sort/ntile — rank-based deciles would funnel 100 TB through one
+# window partition); the census is one ~30-row aggregation, and the
+# corpus-share ppm divides by a windowed total over the BUCKET table
+# (≤64 rows at any corpus size).
+# --------------------------------------------------------------------------
+def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    pd_scores = _bigram_doc_scores(docs)
+    m = F.expr("score_s div n_bigrams")
+    binned = pd_scores.select(
+        m.alias("m_s"), F.greatest(m, F.lit(1)).alias("gm"), "n_bigrams"
+    ).select(
+        F.expr(
+            "CAST(4 * (length(bin(gm)) - 1) + CASE"
+            " WHEN length(bin(gm)) >= 3"
+            " THEN shiftright(gm, length(bin(gm)) - 3) - 4"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("bucket"),
+        "m_s",
+        "n_bigrams",
+    )
+    census = binned.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.min("m_s").alias("min_score"),
+        F.max("m_s").alias("max_score"),
+        F.sum("n_bigrams").alias("total_bigrams"),
+    )
+    tot = F.sum("n_docs").over(W.partitionBy())
+    return (
+        census.withColumn("tot", tot)
+        .select(
+            "bucket", "n_docs", "min_score", "max_score", "total_bigrams",
+            F.expr(f"(n_docs * {10**6}) div tot").alias("share_ppm"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ORACLE_TEXT_PERPLEXITY_BUCKETS = f"""
+WITH bg AS (
+  SELECT doc_id, bigram, string_split(bigram, ' ')[1] AS w1
+  FROM (SELECT doc_id, unnest({_BIGRAMS2}) AS bigram FROM documents)
+),
+cb AS (SELECT bigram, CAST(count(*) AS BIGINT) AS cb FROM bg GROUP BY bigram),
+cp AS (SELECT w1, CAST(count(*) AS BIGINT) AS cp FROM bg GROUP BY w1),
+sc AS (
+  SELECT doc_id, (cb.cb * {BSCORE_SCALE}) // cp.cp AS r_s
+  FROM bg JOIN cb USING (bigram) JOIN cp USING (w1)
+),
+pd AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(r_s) AS BIGINT) AS score_s
+  FROM sc GROUP BY doc_id
+),
+g AS (
+  SELECT score_s // n_bigrams AS m_s,
+         greatest(score_s // n_bigrams, 1) AS gm, n_bigrams
+  FROM pd
+),
+binned AS (
+  SELECT CAST(4 * (length(bin(gm)) - 1) + CASE
+             WHEN length(bin(gm)) >= 3
+             THEN (gm >> (length(bin(gm)) - 3)) - 4
+             ELSE 0 END AS BIGINT) AS bucket,
+         m_s, n_bigrams
+  FROM g
+),
+census AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         min(m_s) AS min_score, max(m_s) AS max_score,
+         CAST(SUM(n_bigrams) AS BIGINT) AS total_bigrams
+  FROM binned GROUP BY bucket
+),
+t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS tot FROM census)
+SELECT bucket, n_docs, min_score, max_score, total_bigrams,
+       (n_docs * {10**6}) // tot AS share_ppm
+FROM census, t
+ORDER BY bucket
 """
 
 
@@ -678,8 +784,12 @@ ORDER BY lang, pred_lang
 # curation (select-by-query, contamination lookups, RAG indexing).
 # Deterministic-by-construction variant so the whole ranking hash-
 # verifies: the idf is the Robertson–Sparck-Jones RATIO without the
-# log, scaled to an integer ((N−df)·S_IDF div df — log is monotone,
-# so rankings against a fixed query are unchanged), and the tf
+# log, scaled to an integer ((N−df)·S_IDF div df). NOTE: dropping the
+# log is rank-preserving per TERM, but summing per-term contributions
+# does not commute with the per-term monotone transform, so multi-term
+# rankings can differ from true log-idf BM25 — this variant is
+# deterministic and Spark/oracle self-consistent, not rank-identical
+# to textbook BM25 for multi-term queries. The tf
 # saturation term (k1=1.2, b=0.75) is cleared of fractions by
 # multiplying through by 10·T (T = corpus token count, avgdl = T/N):
 #     tf_part_s = (22·T·tf·S_TF) div (10·T·tf + 3·T + 9·len·N)
@@ -869,7 +979,11 @@ def text_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("rho").alias("max_rho"))
     )
     dense = (
-        st.select("source").distinct()
+        # source list from the DOCS table, not the exploded tokens: a
+        # source whose documents are all NULL-text has no token rows but
+        # the oracle's SELECT DISTINCT source FROM documents still lists
+        # it (ADVICE r4) — the dense frame must agree.
+        docs.select("source").distinct()
         .crossJoin(
             F.broadcast(
                 spark.range(HLL_M).select(F.col("id").cast("int").alias("register"))
@@ -1013,6 +1127,7 @@ QUERIES = {
     "text_trigram_lang_eval": text_trigram_lang_eval,
     "text_readability": text_readability,
     "text_bigram_score": text_bigram_score,
+    "text_perplexity_buckets": text_perplexity_buckets,
     "text_hll_distinct": text_hll_distinct,
     "text_quality": text_quality,
     "text_repetition": text_repetition,
@@ -1030,6 +1145,7 @@ ORACLES = {
     "text_trigram_lang_eval": ORACLE_TEXT_TRIGRAM_EVAL,
     "text_readability": ORACLE_TEXT_READABILITY,
     "text_bigram_score": ORACLE_TEXT_BIGRAM_SCORE,
+    "text_perplexity_buckets": ORACLE_TEXT_PERPLEXITY_BUCKETS,
     "text_hll_distinct": _hll_oracle(),
     "text_quality": ORACLE_TEXT_QUALITY,
     "text_repetition": ORACLE_TEXT_REPETITION,

@@ -70,6 +70,22 @@ def test_int_float_never_cross_compare():
     assert _norm_frame(a) != _norm_frame(b)
 
 
+def test_string_array_never_aliases_a_tagged_scalar():
+    """ADVICE r4: a genuine 2-element string array whose first element
+    happens to spell a tag name ("f", "1.5") must not normalize equal
+    to a tagged float 1.5 — the sentinel makes tags unforgeable."""
+    arr = _norm_cell(["f", "1.5"])
+    flt = _norm_cell(1.5)
+    assert arr != flt
+    assert arr == ("f", "1.5")  # data arrays keep their plain form
+
+    from jobx_spark.oracle import _approx_eq
+
+    # and the approx path must not treat the array as a float tag
+    assert not _approx_eq(arr, flt)
+    assert _approx_eq(_norm_cell(1.5), _norm_cell(1.5 + 1e-13))
+
+
 def test_bool_is_not_int():
     a = pd.DataFrame({"v": pd.Series([True])})
     b = pd.DataFrame({"v": pd.Series([1], dtype="int64")})
