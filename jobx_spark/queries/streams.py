@@ -769,6 +769,7 @@ def stream_scd_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    S._capture_run(q)
     return (
         spark.read.parquet(out)
         .select("event_id", "user_id", "tier")

@@ -31,6 +31,34 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 _name_counter = itertools.count()
 
+# Audit trail of completed streaming runs (tools/plan_audit.py reads
+# this to build STREAM_PLANS.md; tests/test_stream_plans.py gates it):
+# the per-run physical plan plus the progress facts that decide 100 TB
+# viability — which STATE-STORE operators ran and whether a WATERMARK
+# bounded their state. Batch queries get the same scrutiny via
+# PLANS.md; a streaming regression (e.g. a dropped watermark producing
+# unbounded state) was the one unaudited surface (VERDICT r4 #3).
+RUN_LOG: list[dict] = []
+
+
+def _capture_run(query) -> None:
+    try:  # explainInternal is py4j-internal but stable; never fail a run
+        plan = query._jsq.explainInternal(True)
+    except Exception:  # pragma: no cover - defensive
+        plan = ""
+    prog = query.lastProgress or {}
+    RUN_LOG.append(
+        {
+            "name": getattr(query, "name", None) or "?",
+            "plan": plan,
+            "state_operators": [
+                op.get("operatorName", "?")
+                for op in prog.get("stateOperators", [])
+            ],
+            "watermark": (prog.get("eventTime") or {}).get("watermark"),
+        }
+    )
+
 
 def _scratch(tag: str) -> str:
     """Streaming checkpoints live under the atexit-cleaned process
@@ -91,6 +119,7 @@ def run_available_now(
         .start()
     )
     query.awaitTermination()
+    _capture_run(query)
     return spark.table(name)
 
 
@@ -687,6 +716,7 @@ def stream_to_parquet(
         .start()
     )
     query.awaitTermination()
+    _capture_run(query)
 
 
 def stream_upsert_parquet(
@@ -744,6 +774,7 @@ def stream_upsert_parquet(
         .start()
     )
     query.awaitTermination()
+    _capture_run(query)
 
 
 def finalize_update_stream(snapshot: DataFrame) -> DataFrame:
