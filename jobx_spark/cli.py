@@ -122,6 +122,17 @@ def _read_side(args) -> dict:
     wf = args.workflow
     if args.cmd == "request-list":
         return _http_json(f"{base}/requests/{wf}")
+    if args.cmd == "request-cleanup":
+        # reference: mr_kv_request_cleanup (setup.py:52) — drop one
+        # finished request's trace/sessions/registry entry from the
+        # running serve.
+        from urllib.request import Request, urlopen
+
+        req = Request(  # noqa: S310 - user-supplied --server target
+            f"{base}/request/{wf}/{args.request_id}", method="DELETE"
+        )
+        with urlopen(req) as resp:  # noqa: S310
+            return json.loads(resp.read().decode())
     if args.cmd == "request-get":
         out = _http_json(f"{base}/result/{wf}/{args.request_id}")
         flat = _http_json(f"{base}/request/{wf}/{args.request_id}?format=flat")
@@ -215,6 +226,7 @@ def main(argv: list[str] | None = None) -> int:
         ("invocation-get", "invocation_id"),
         ("graph-draw", "request_id"),
         ("request-list", None),
+        ("request-cleanup", "request_id"),
     ):
         p = sub.add_parser(name)
         p.add_argument("workflow")
@@ -346,7 +358,10 @@ def main(argv: list[str] | None = None) -> int:
             "to": args.to_name,
             "simulate": bool(args.simulate_only),
         }
-    elif args.cmd in ("request-get", "invocation-get", "graph-draw", "request-list"):
+    elif args.cmd in (
+        "request-get", "invocation-get", "graph-draw", "request-list",
+        "request-cleanup",
+    ):
         cat.get_workflow(args.workflow)  # same existence check the reference does
         out = _read_side(args)
     elif args.cmd == "serve":
@@ -375,6 +390,7 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd not in (
         "submit", "request-get", "invocation-get", "graph-draw", "request-list",
+        "request-cleanup",
     ):
         cat.save(args.catalog)
     print(json.dumps(out))

@@ -194,6 +194,35 @@ class _Handler(BaseHTTPRequestHandler):
             },
         )
 
+    def do_DELETE(self):  # noqa: N802 - http.server API
+        url = urlparse(self.path)
+        parts = [p for p in url.path.split("/") if p]
+        if parts and parts[0] == "request" and len(parts) == 3:
+            self._delete_request(parts[1], parts[2])
+            return
+        self._send_json(404, {"error": f"no route for DELETE {url.path}"})
+
+    def _delete_request(self, workflow_name: str, request_id: str):
+        """Drop a finished request from the serving engine's registry
+        (reference: mr_kv_request_cleanup, setup.py:52 — the last
+        reference script with user-facing semantics)."""
+        try:
+            request = self.engine.cleanup_request(workflow_name, request_id)
+        except KeyError:
+            self._send_json(404, {"error": f"unknown request {request_id}"})
+            return
+        except ValueError as e:
+            self._send_json(409, {"error": str(e)})
+            return
+        self._send_json(
+            200,
+            {
+                "deleted": request.request_id,
+                "job": request.job_name,
+                "was_done": request.is_done,
+            },
+        )
+
     def do_POST(self):  # noqa: N802 - http.server API
         url = urlparse(self.path)
         parts = [p for p in url.path.split("/") if p]

