@@ -103,19 +103,27 @@ def main() -> None:
     spark = get_spark("jobx_spark_bench")
     qs = all_queries()
     names = [n for n in HEADLINE if n in qs]
-    # extend with any llm-ops headliners present; two exclusions:
-    #   dedup_components_scaled — a deliberately 8×-replicated stress
-    #     probe; folding it into the headline total would break the
-    #     r1→rN series comparability (gated for correctness, documented
-    #     in PLANS.md/SURVEY §8.4);
+    # extend with any llm-ops headliners present; exclusions:
+    #   dedup_components_scaled / dedup_substring_scaled — deliberately
+    #     8×-replicated stress probes; folding them into the headline
+    #     total would break the r1→rN series comparability (gated for
+    #     correctness, documented in PLANS.md/SURVEY §8.4);
     #   dedup_components_lsss — the long-chain-specialist ALGORITHM
     #     TWIN of dedup_components (same labels, same oracle); LSH dup
     #     graphs are near-cliques where label-prop is the right engine
     #     choice, so the headline keeps one representative.
     for n in qs:
         if n.startswith(("dedup_", "ann_", "text_")) and n not in names \
-                and n not in ("dedup_components_scaled", "dedup_components_lsss"):
+                and n not in ("dedup_components_scaled",
+                              "dedup_substring_scaled",
+                              "dedup_components_lsss"):
             names.append(n)
+
+    # Load snapshot BEFORE warmup: a high 1-min loadavg here means some
+    # other process (e.g. the driver's verify) is sharing the box and
+    # the numbers describe a LOADED run — r4's 215s-vs-195s ambiguity
+    # (VERDICT r4 #5) came from exactly that, unrecorded.
+    load_start = os.getloadavg()[0]
 
     # warm the JVM, parquet footers and Python UDF workers once (not timed)
     qs["q01_pricing_summary"](spark, SF_DIR).count()
@@ -157,12 +165,38 @@ def main() -> None:
     # null). Budget the line; the full per-query map goes to
     # BENCH_FULL.json beside the repo for the judge.
     line, _ = budget_line(timings, sf)
+    import datetime
+    import hashlib
+
+    load_end = os.getloadavg()[0]
+    ncpu = os.cpu_count() or 1
+    # external load ≈ loadavg beyond what this bench itself generates;
+    # the start sample (taken before our JVM spun up) is the cleaner
+    # signal, the end sample catches load arriving mid-run.
+    quiet = load_start < max(2.0, ncpu * 0.25)
     full = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": dict(timings),
         "sf": sf,
+        # run-environment stamp (VERDICT r4 #5): lets a reader tell a
+        # quiet-box close from a driver run taken under concurrent
+        # verify load without cross-referencing BENCH_NOTES.md.
+        "run_meta": {
+            "timestamp_utc": datetime.datetime.now(datetime.timezone.utc)
+            .isoformat(timespec="seconds"),
+            "quiet_box": quiet,
+            "concurrent_load_hint": {
+                "loadavg_1m_start": round(load_start, 2),
+                "loadavg_1m_end": round(load_end, 2),
+                "cpus": ncpu,
+            },
+            "headline_set_version": hashlib.sha256(
+                ",".join(sorted(timings)).encode()
+            ).hexdigest()[:12],
+            "n_queries": len(timings),
+        },
     }
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
     with open(full_path, "w", encoding="utf-8") as f:

@@ -1333,6 +1333,56 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# dedup_substring_scaled — the second scale probe PROMOTED INTO THE
+# GATE (VERDICT r4 item 4, dedup_components_scaled's mold): the corpus
+# replicated SUB_REP× with ids remapped into disjoint ranges, then the
+# PRODUCTION span census runs over the 8× token-window stream. Every
+# replica multiplies each span's occurrences by SUB_REP, so the census
+# arithmetic itself attests the blow-up (n_total and n_docs are exactly
+# 8× their base-corpus values — hash-checked by the driver, not
+# self-reported). The report threshold scales with the replication
+# (n_docs > SUB_REP keeps exactly the spans that were cross-doc in the
+# ORIGINAL corpus), so the probe exercises an 8× explode+aggregate
+# while the OUTPUT stays census-sized — the "aggregation bounds output"
+# claim under a green row, complementing components_scaled's graph-loop
+# probe.
+# --------------------------------------------------------------------------
+SUB_REP = 8
+
+
+def dedup_substring_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.functions import md5_long
+    from jobx_spark.operators.text import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    scaled = docs.select(
+        "doc_id",
+        "text",
+        F.explode(F.array(*[F.lit(i) for i in range(SUB_REP)])).alias("rep"),
+    ).select(
+        (
+            F.col("doc_id").cast("long")
+            + F.col("rep").cast("long") * F.lit(_REP_BASE).cast("long")
+        ).alias("doc_id"),
+        "text",
+    )
+    spans = scaled.select(
+        "doc_id", F.explode(shingles("text", SPAN_N)).alias("s")
+    ).select("doc_id", md5_long("s").alias("h"))
+    return (
+        spans.groupBy("h")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .filter(F.col("n_docs") > SUB_REP)
+        .orderBy("h")
+    )
+
+
 def _span_shingles_sql(n: int) -> str:
     return (
         f"list_transform(generate_series(1, greatest(len({_TOKS})-{n - 1}, 0)),"
@@ -1358,8 +1408,30 @@ ORDER BY h
 """
 
 
+ORACLE_DEDUP_SUBSTRING_SCALED = f"""
+WITH docs_scaled AS (
+  SELECT d.doc_id + r.rep * {_REP_BASE} AS doc_id, d.text
+  FROM documents d CROSS JOIN range({SUB_REP}) AS r(rep)
+), sp AS (
+  SELECT doc_id, unnest({_span_shingles_sql(SPAN_N)}) AS s FROM docs_scaled
+), h AS (
+  SELECT doc_id, {_MD5.format(e='s')} AS h FROM sp
+)
+SELECT h,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM h
+GROUP BY h
+HAVING count(DISTINCT doc_id) > {SUB_REP}
+ORDER BY h
+"""
+
+
 QUERIES = {
     "dedup_substring_spans": dedup_substring_spans,
+    "dedup_substring_scaled": dedup_substring_scaled,
     "dedup_lsh_recall": dedup_lsh_recall,
     "dedup_cluster_profile": dedup_cluster_profile,
     "dedup_minhash_est": dedup_minhash_est,
@@ -1389,6 +1461,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_substring_spans": ORACLE_DEDUP_SUBSTRING_SPANS,
+    "dedup_substring_scaled": ORACLE_DEDUP_SUBSTRING_SCALED,
     "dedup_lsh_recall": _lsh_recall_oracle(),
     "dedup_cluster_profile": _cluster_profile_oracle(),
     "dedup_minhash_est": _minhash_est_oracle(),
