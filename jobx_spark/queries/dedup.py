@@ -1383,6 +1383,84 @@ def dedup_substring_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# dedup_source_overlap — cross-source contamination matrix: for every
+# source pair, how many distinct SPAN_N-token spans they share, plus
+# the span-set Jaccard in ppm. This is the shard/provider-level
+# decontamination view (train-vs-eval overlap, mirror detection,
+# licensing-pool leakage) that doc-level dedup doesn't surface.
+# Shape: the span stream collapses to the DISTINCT (span-hash, source)
+# table first — vocabulary-sized, map-side combinable — and the pair
+# stage self-joins THAT table on span hash, so per-span work is
+# bounded by n_sources and the output by n_sources²; the corpus text
+# itself is scanned exactly once. Per-source span counts ride the same
+# distinct table. At 100 TB with S sources the matrix is S² rows —
+# driver-tiny — while every stage stays a keyed shuffle.
+# --------------------------------------------------------------------------
+def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.functions import md5_long
+    from jobx_spark.operators.text import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    st = cut_lineage(
+        docs.select("source", F.explode(shingles("text", SPAN_N)).alias("s"))
+        .select("source", md5_long("s").alias("h"))
+        .distinct(),
+        "srcov-st",
+    )
+    per_src = st.groupBy("source").agg(F.count("*").alias("n_spans"))
+    a = st.select(F.col("source").alias("source_a"), "h")
+    b = st.select(F.col("source").alias("source_b"), "h")
+    shared = (
+        a.join(b, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared_spans"))
+    )
+    pa = per_src.select(
+        F.col("source").alias("source_a"), F.col("n_spans").alias("n_a")
+    )
+    pb = per_src.select(
+        F.col("source").alias("source_b"), F.col("n_spans").alias("n_b")
+    )
+    return (
+        shared.join(F.broadcast(pa), "source_a")
+        .join(F.broadcast(pb), "source_b")
+        .select(
+            "source_a", "source_b", "n_shared_spans", "n_a", "n_b",
+            F.expr(
+                "(n_shared_spans * 1000000) div (n_a + n_b - n_shared_spans)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def _source_overlap_oracle() -> str:
+    return f"""
+WITH sp AS (
+  SELECT source, unnest({_span_shingles_sql(SPAN_N)}) AS s FROM documents
+), st AS (
+  SELECT DISTINCT source, {_MD5.format(e='s')} AS h FROM sp
+), per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_spans FROM st GROUP BY source
+), shared AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_shared_spans
+  FROM st a JOIN st b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_shared_spans,
+       pa.n_spans AS n_a, pb.n_spans AS n_b,
+       (n_shared_spans * 1000000) // (pa.n_spans + pb.n_spans - n_shared_spans)
+           AS jaccard_ppm
+FROM shared
+JOIN per_src pa ON pa.source = source_a
+JOIN per_src pb ON pb.source = source_b
+ORDER BY source_a, source_b
+"""
+
+
 def _span_shingles_sql(n: int) -> str:
     return (
         f"list_transform(generate_series(1, greatest(len({_TOKS})-{n - 1}, 0)),"
@@ -1432,6 +1510,7 @@ ORDER BY h
 QUERIES = {
     "dedup_substring_spans": dedup_substring_spans,
     "dedup_substring_scaled": dedup_substring_scaled,
+    "dedup_source_overlap": dedup_source_overlap,
     "dedup_lsh_recall": dedup_lsh_recall,
     "dedup_cluster_profile": dedup_cluster_profile,
     "dedup_minhash_est": dedup_minhash_est,
@@ -1462,6 +1541,7 @@ QUERIES = {
 ORACLES = {
     "dedup_substring_spans": ORACLE_DEDUP_SUBSTRING_SPANS,
     "dedup_substring_scaled": ORACLE_DEDUP_SUBSTRING_SCALED,
+    "dedup_source_overlap": _source_overlap_oracle(),
     "dedup_lsh_recall": _lsh_recall_oracle(),
     "dedup_cluster_profile": _cluster_profile_oracle(),
     "dedup_minhash_est": _minhash_est_oracle(),

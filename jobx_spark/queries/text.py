@@ -1120,8 +1120,97 @@ ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+# text_domain_signature — per-source distinctive vocabulary: each
+# source's top-10 terms by LIFT, the integer odds ratio
+# P̂(term|source)/P̂(term|corpus) = (c_st·T·S) div (T_s·c_t). This is
+# the domain-mixture diagnostic behind source labeling, mixture
+# re-weighting and contamination triage (a "crawl" shard whose
+# signature terms are another shard's boilerplate is a mirror).
+# Terms below MIN_CORPUS_TF are dropped — hapax terms always have
+# maximal lift and zero diagnostic value. Shape: one vocabulary-sized
+# (source, term) count shuffle; corpus totals are a second aggregation
+# of THAT table (never a rescan); T rides a broadcast scalar; top-k is
+# a per-source window over the per-source slice of the count table.
+# Integer headroom: c_st·T·S < 2^63 holds to ~10¹²-token corpora at
+# S = 10⁴ with per-source term counts ≤ 10⁶ — beyond that, drop S a
+# decade.
+# --------------------------------------------------------------------------
+DOMSIG_SCALE = 10**4
+DOMSIG_MIN_TF = 5
+DOMSIG_K = 10
+
+
+def text_domain_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from jobx_spark.lineage import cut_lineage
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokens(F.col("text"))).alias("term"))
+    cst = cut_lineage(
+        tok.groupBy("source", "term").agg(F.count("*").alias("c_st")),
+        "domsig-cst",
+    )
+    ts = cst.groupBy("source").agg(F.sum("c_st").alias("t_s"))
+    ct = cst.groupBy("term").agg(F.sum("c_st").alias("c_t"))
+    tot = ct.agg(F.sum("c_t").alias("t_corpus"))
+    scored = (
+        cst.join(ct.filter(F.col("c_t") >= DOMSIG_MIN_TF), "term")
+        .join(F.broadcast(ts), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source", "term", "c_st",
+            F.expr(
+                f"(c_st * t_corpus * {DOMSIG_SCALE}) div (t_s * c_t)"
+            ).alias("lift_s"),
+        )
+    )
+    w = W.partitionBy("source").orderBy(
+        F.col("lift_s").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= DOMSIG_K)
+        .select("source", "rk", "term", "c_st", "lift_s")
+        .orderBy("source", "rk")
+    )
+
+
+ORACLE_TEXT_DOMAIN_SIGNATURE = f"""
+WITH tok AS (
+  SELECT source, unnest({_TOKS}) AS term FROM documents
+),
+cst AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS c_st
+  FROM tok GROUP BY 1, 2
+),
+ts AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS t_s FROM cst GROUP BY source),
+ct AS (SELECT term, CAST(SUM(c_st) AS BIGINT) AS c_t FROM cst GROUP BY term),
+tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS t_corpus FROM ct),
+scored AS (
+  SELECT cst.source, cst.term, cst.c_st,
+         (cst.c_st * t.t_corpus * {DOMSIG_SCALE}) // (ts.t_s * ct.c_t)
+             AS lift_s
+  FROM cst
+  JOIN ct ON ct.term = cst.term AND ct.c_t >= {DOMSIG_MIN_TF}
+  JOIN ts ON ts.source = cst.source
+  CROSS JOIN tot t
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY source ORDER BY lift_s DESC, term ASC) AS rk
+  FROM scored
+)
+SELECT source, CAST(rk AS BIGINT) AS rk, term, c_st, lift_s
+FROM ranked WHERE rk <= {DOMSIG_K}
+ORDER BY source, rk
+"""
+
+
 QUERIES = {
     "text_hll_merge": text_hll_merge,
+    "text_domain_signature": text_domain_signature,
     "text_bm25_topk": text_bm25_topk,
     "text_ttr": text_ttr,
     "text_trigram_lang_eval": text_trigram_lang_eval,
@@ -1140,6 +1229,7 @@ QUERIES = {
 
 ORACLES = {
     "text_hll_merge": _hll_merge_oracle(),
+    "text_domain_signature": ORACLE_TEXT_DOMAIN_SIGNATURE,
     "text_bm25_topk": _bm25_oracle(),
     "text_ttr": ORACLE_TEXT_TTR,
     "text_trigram_lang_eval": ORACLE_TEXT_TRIGRAM_EVAL,
