@@ -96,6 +96,33 @@ def budget_line(timings: dict[str, float], sf: float) -> tuple[str, dict]:
     return line, out
 
 
+def run_meta(
+    load_start: float, load_end: float, timings: dict[str, float]
+) -> dict:
+    """Run-environment stamp for BENCH_FULL.json. External load ≈
+    loadavg beyond what this bench itself generates; the start sample
+    (taken before our JVM spun up) is the cleaner quiet/loaded signal,
+    the end sample catches load arriving mid-run."""
+    import datetime
+    import hashlib
+
+    ncpu = os.cpu_count() or 1
+    return {
+        "timestamp_utc": datetime.datetime.now(datetime.timezone.utc)
+        .isoformat(timespec="seconds"),
+        "quiet_box": load_start < max(2.0, ncpu * 0.25),
+        "concurrent_load_hint": {
+            "loadavg_1m_start": round(load_start, 2),
+            "loadavg_1m_end": round(load_end, 2),
+            "cpus": ncpu,
+        },
+        "headline_set_version": hashlib.sha256(
+            ",".join(sorted(timings)).encode()
+        ).hexdigest()[:12],
+        "n_queries": len(timings),
+    }
+
+
 def main() -> None:
     from jobx_spark.queries import all_queries
     from jobx_spark.session import get_spark
@@ -165,15 +192,6 @@ def main() -> None:
     # null). Budget the line; the full per-query map goes to
     # BENCH_FULL.json beside the repo for the judge.
     line, _ = budget_line(timings, sf)
-    import datetime
-    import hashlib
-
-    load_end = os.getloadavg()[0]
-    ncpu = os.cpu_count() or 1
-    # external load ≈ loadavg beyond what this bench itself generates;
-    # the start sample (taken before our JVM spun up) is the cleaner
-    # signal, the end sample catches load arriving mid-run.
-    quiet = load_start < max(2.0, ncpu * 0.25)
     full = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 3),
@@ -183,20 +201,7 @@ def main() -> None:
         # run-environment stamp (VERDICT r4 #5): lets a reader tell a
         # quiet-box close from a driver run taken under concurrent
         # verify load without cross-referencing BENCH_NOTES.md.
-        "run_meta": {
-            "timestamp_utc": datetime.datetime.now(datetime.timezone.utc)
-            .isoformat(timespec="seconds"),
-            "quiet_box": quiet,
-            "concurrent_load_hint": {
-                "loadavg_1m_start": round(load_start, 2),
-                "loadavg_1m_end": round(load_end, 2),
-                "cpus": ncpu,
-            },
-            "headline_set_version": hashlib.sha256(
-                ",".join(sorted(timings)).encode()
-            ).hexdigest()[:12],
-            "n_queries": len(timings),
-        },
+        "run_meta": run_meta(load_start, os.getloadavg()[0], timings),
     }
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
     with open(full_path, "w", encoding="utf-8") as f:

@@ -46,3 +46,28 @@ def test_budget_line_has_required_driver_keys():
     for key in ("metric", "value", "unit", "queries", "sf"):
         assert key in parsed
     assert parsed["unit"] == "sec" and parsed["sf"] == 0.01
+
+
+def test_run_meta_stamps_environment(monkeypatch):
+    """VERDICT r4 #5: BENCH_FULL must be self-describing about its load
+    conditions — quiet vs loaded, when, and which headline set."""
+    import bench
+    from bench import run_meta
+
+    monkeypatch.setattr(bench.os, "cpu_count", lambda: 32)  # pin threshold
+    t = _fake_timings(5)
+    quiet = run_meta(0.3, 8.0, t)
+    assert quiet["quiet_box"] is True
+    assert quiet["concurrent_load_hint"]["loadavg_1m_start"] == 0.3
+    assert quiet["n_queries"] == 5
+    assert len(quiet["headline_set_version"]) == 12
+    assert "T" in quiet["timestamp_utc"]
+
+    loaded = run_meta(20.0, 25.0, t)
+    assert loaded["quiet_box"] is False
+    # same query set -> same version; different set -> different version
+    assert loaded["headline_set_version"] == quiet["headline_set_version"]
+    other = run_meta(0.3, 8.0, _fake_timings(6))
+    assert other["headline_set_version"] != quiet["headline_set_version"]
+    # meta must serialize (it lands in BENCH_FULL.json)
+    json.dumps(quiet)
