@@ -215,3 +215,15 @@ def test_lsss_single_edge(spark):
     got = {(r.node, r.comp)
            for r in connected_components_lsss(_edges(spark, [(7, 3)])).collect()}
     assert got == {(3, 3), (7, 3)}
+
+
+def test_lsss_raises_on_max_iter_exhaustion(spark):
+    """ADVICE r4: exiting via max_iter before the star-forest fixpoint
+    must raise, never silently emit duplicate (node, comp) rows."""
+    import pytest
+
+    from jobx_spark.operators.dedup import connected_components_lsss
+
+    chain = [(i, i + 1) for i in range(1, 20)]
+    with pytest.raises(RuntimeError, match="no star-forest fixpoint"):
+        connected_components_lsss(_edges(spark, chain), max_iter=0).collect()
