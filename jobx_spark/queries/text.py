@@ -462,30 +462,42 @@ def _bigram_doc_scores(docs: DataFrame) -> DataFrame:
     """Per-doc corpus-LM totals: (doc_id, n_bigrams, score_s) with
     score_s = Σ over the doc's bigrams of (count(w1 w2)·SCALE div
     count(w1 ·)) — the shared core of text_bigram_score and
-    text_perplexity_buckets."""
+    text_perplexity_buckets.
+
+    SCAN-ONCE shape (the est/recall r3 lesson): the corpus explodes to
+    bigrams exactly once, aggregated straight into the (doc_id, bigram,
+    c_db) occurrence-count table and materialized; the bigram table
+    (cb), the prefix table (cp) and the per-doc scoring all RE-AGGREGATE
+    that compact table (Σ c_db groupings are map-side combinable), so
+    three heavy-corpus scans become one + three count-table reads.
+    Values are bit-identical to the per-occurrence form: summing r_s
+    over occurrences equals Σ_distinct r_s·c_db, all integer."""
+    from jobx_spark.lineage import cut_lineage
     from jobx_spark.operators.text import shingles
 
-    bg = docs.select(
-        "doc_id", F.explode(shingles(F.col("text"), 2)).alias("bigram")
+    cdb = cut_lineage(
+        docs.select(
+            "doc_id", F.explode(shingles(F.col("text"), 2)).alias("bigram")
+        )
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c_db")),
+        "bscore-cdb",
     )
-    # Fold both count tables into ONE vocabulary-sized ratio table
-    # before touching the full (doc, bigram) stream, so the 9M-row
-    # stream shuffles once (on bigram), not twice (bigram then w1) —
-    # measured ~0.7× at sf0.1, values identical.
-    cb = bg.groupBy("bigram").agg(F.count("*").alias("cb"))
+    cb = cdb.groupBy("bigram").agg(F.sum("c_db").alias("cb"))
     cp = (
-        bg.select(F.split("bigram", " ")[0].alias("w1"))
+        cdb.select(F.split("bigram", " ")[0].alias("w1"), "c_db")
         .groupBy("w1")
-        .agg(F.count("*").alias("cp"))
+        .agg(F.sum("c_db").alias("cp"))
     )
     ratio = (
         cb.withColumn("w1", F.split("bigram", " ")[0])
         .join(cp, "w1")
         .select("bigram", F.expr(f"(cb * {BSCORE_SCALE}) div cp").alias("r_s"))
     )
-    scored = bg.join(ratio, "bigram").select("doc_id", "r_s")
+    scored = cdb.join(ratio, "bigram").select("doc_id", "c_db", "r_s")
     return scored.groupBy("doc_id").agg(
-        F.count("*").alias("n_bigrams"), F.sum("r_s").alias("score_s")
+        F.sum("c_db").alias("n_bigrams"),
+        F.sum(F.col("r_s") * F.col("c_db")).alias("score_s"),
     )
 
 

@@ -94,6 +94,33 @@ def test_wave_aggregation_coalesces_and_is_exact(spark, wave_conf):
     assert "coalesced" in final.lower(), final[:800]
 
 
+def test_wave_hot_key_ewma_bounded_groups(spark, wave_conf):
+    """VERDICT r4 #7 at wave scale: ONE key holding 10⁷ ordered events
+    folds through the chunked dyadic-EWMA (operators/recurrence.py)
+    under the 100 TB conf. The naive applyInPandas would materialize a
+    10⁷-row pandas frame in one Python worker; the chunked path's
+    biggest group is 4096 event rows (pass 1) / ~2.4k summary rows
+    (pass 2). Exactness is checked against a driver-side reference
+    fold of the same periodic sequence — any ordering or transfer-
+    function error diverges within ~60 trailing elements."""
+    from jobx_spark.operators.recurrence import ewma_dyadic_fold
+
+    n = 10_000_000
+    df = spark.range(n).select(
+        F.lit(0).cast("long").alias("user_id"),
+        F.col("id").alias("ord"),
+        (F.col("id") % MOD).alias("x"),
+    )
+    out = ewma_dyadic_fold(df, key="user_id", value="x", order=["ord"])
+    row = out.collect()[0]
+    assert row["n_events"] == n
+
+    acc = 0
+    for i in range(n):
+        acc = (acc + i % MOD) // 2
+    assert row["ewma_s"] == acc
+
+
 def test_wave_join_broadcasts_from_conf_threshold(spark, wave_conf):
     fact = spark.range(N).select(
         (F.col("id") % GROUPS).alias("k"), (F.col("id") % MOD).alias("v")
