@@ -1384,6 +1384,84 @@ def dedup_substring_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# dedup_split_leakage — eval-contamination census across the
+# train/val/test assignment: near-dup candidate pairs (the production
+# LSH banding) whose endpoints fall in DIFFERENT splits are exactly the
+# leaks that inflate eval scores; the same-split cells are the benign
+# baseline. Uses the identical hash gate as pipe_split_train_val_test,
+# so the census describes the repo's own split function, not a
+# hypothetical one. Output per (split_a ≤ split_b) cell: pair count +
+# distinct docs on each side (how many *unique* eval docs are
+# compromised, not just how many pairs touch them). Shape: the LSH
+# pair table (banded, never all-pairs) plus scan-side split labels and
+# one 6-row aggregation — label assignment adds zero shuffles.
+# --------------------------------------------------------------------------
+def dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.functions import md5_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, n_hashes=N_HASHES, bands=BANDS, shingle_n=SHINGLE_N, seed=SEED
+    )
+
+    def split_of(c: str):
+        g = md5_long(F.concat(F.lit("split:"), F.col(c).cast("string"))) % 100
+        return (
+            F.when(g < 90, F.lit("train"))
+            .when(g < 95, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    sa, sb = split_of("id_a"), split_of("id_b")
+    canon = pairs.select(
+        F.least(sa, sb).alias("split_a"),
+        F.greatest(sa, sb).alias("split_b"),
+        F.when(sa <= sb, F.col("id_a")).otherwise(F.col("id_b")).alias("da"),
+        F.when(sa <= sb, F.col("id_b")).otherwise(F.col("id_a")).alias("db"),
+    )
+    return (
+        canon.groupBy("split_a", "split_b")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.count_distinct("da").alias("n_docs_a"),
+            F.count_distinct("db").alias("n_docs_b"),
+        )
+        .orderBy("split_a", "split_b")
+    )
+
+
+def _split_leakage_oracle() -> str:
+    pairs_sql = _minhash_pairs_oracle(order_by="")
+    gate = _MD5.format(e="'split:'||CAST({c} AS VARCHAR)") + " % 100"
+
+    def split_case(c: str) -> str:
+        g = gate.format(c=c)
+        return (
+            f"CASE WHEN {g} < 90 THEN 'train' "
+            f"WHEN {g} < 95 THEN 'val' ELSE 'test' END"
+        )
+
+    return f"""
+WITH pr AS ({pairs_sql}),
+lab AS (
+  SELECT id_a, id_b, {split_case('id_a')} AS sa, {split_case('id_b')} AS sb
+  FROM pr
+),
+canon AS (
+  SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b,
+         CASE WHEN sa <= sb THEN id_a ELSE id_b END AS da,
+         CASE WHEN sa <= sb THEN id_b ELSE id_a END AS db
+  FROM lab
+)
+SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT da) AS BIGINT) AS n_docs_a,
+       CAST(count(DISTINCT db) AS BIGINT) AS n_docs_b
+FROM canon GROUP BY 1, 2
+ORDER BY split_a, split_b
+"""
+
+
+# --------------------------------------------------------------------------
 # dedup_source_overlap — cross-source contamination matrix: for every
 # source pair, how many distinct SPAN_N-token spans they share, plus
 # the span-set Jaccard in ppm. This is the shard/provider-level
@@ -1511,6 +1589,7 @@ QUERIES = {
     "dedup_substring_spans": dedup_substring_spans,
     "dedup_substring_scaled": dedup_substring_scaled,
     "dedup_source_overlap": dedup_source_overlap,
+    "dedup_split_leakage": dedup_split_leakage,
     "dedup_lsh_recall": dedup_lsh_recall,
     "dedup_cluster_profile": dedup_cluster_profile,
     "dedup_minhash_est": dedup_minhash_est,
@@ -1542,6 +1621,7 @@ ORACLES = {
     "dedup_substring_spans": ORACLE_DEDUP_SUBSTRING_SPANS,
     "dedup_substring_scaled": ORACLE_DEDUP_SUBSTRING_SCALED,
     "dedup_source_overlap": _source_overlap_oracle(),
+    "dedup_split_leakage": _split_leakage_oracle(),
     "dedup_lsh_recall": _lsh_recall_oracle(),
     "dedup_cluster_profile": _cluster_profile_oracle(),
     "dedup_minhash_est": _minhash_est_oracle(),
