@@ -104,12 +104,13 @@ def _utc_pinned(fn: QueryFn) -> QueryFn:
 #      changed paths re-prove; the other streams share these exact
 #      paths and are CI-covered by test_streaming_oracle +
 #      test_stream_plans;
-#   4. oldest-attestation-first rotation: 36 of the 48 r1-banked
+#   4. oldest-attestation-first rotation: 35 of the 48 r1-banked
 #      relational/temporal rows (three rounds stale), in registry-age
-#      order. The 12 that don't fit (q42/q43/q44 + the q46-q54 tail —
-#      three slots yielded to the late-r5 dedup_source_overlap /
-#      text_domain_signature / dedup_split_leakage, new queries
-#      outrank redundant re-attestation) lead the r6 rotation.
+#      order. The 13 that don't fit (q41-q44 + the q46-q54 tail —
+#      four slots yielded to the late-r5 dedup_source_overlap /
+#      text_domain_signature / dedup_split_leakage /
+#      stream_ewma_user_value, new queries outrank redundant
+#      re-attestation) lead the r6 rotation.
 # NOTE for r6: pipe_ewma_user_value's fold moved to the chunked
 # operators/recurrence.py path and text_hll_merge's dense source frame
 # now derives from documents (ADVICE r4) — both are in the pool below,
@@ -121,7 +122,7 @@ GATE_FIRST_50 = [
     # -- 2. new in round 5 --
     "dedup_substring_scaled", "text_perplexity_buckets",
     "dedup_source_overlap", "text_domain_signature",
-    "dedup_split_leakage",
+    "dedup_split_leakage", "stream_ewma_user_value",
     # -- 3. changed-code re-attests --
     "text_bigram_score",
     "stream_tumbling_agg", "stream_scd_enrich",
@@ -139,7 +140,6 @@ GATE_FIRST_50 = [
     "q33_balance_distribution", "q34_conditional_agg", "q35_string_agg",
     "q36_unpivot_metrics", "q37_approx_distinct_kmv",
     "q38_salted_skew_agg", "q39_nation_trade", "q40_monthly_growth",
-    "q41_percentile_cont",
 ]
 
 

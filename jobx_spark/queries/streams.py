@@ -865,8 +865,85 @@ ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# stream_ewma_user_value — the chunked batch EWMA's STREAMING twin
+# (operators/recurrence.py ↔ streaming.stateful_ewma): per-user dyadic
+# decay carried across micro-batches AND a checkpoint restart in 16
+# bytes of keyed state. The corpus lands as two event-time halves
+# (everything before the span midpoint, then the rest); phase 2 starts
+# a fresh query on the SAME checkpoint, so it resumes the saved
+# per-user accumulators and reads only the second file — attesting
+# exact-integer state recovery, not just windowed counts. The final
+# per-user row (max n_events — emissions strictly grow n) must equal
+# the batch oracle's whole-history fold, proving batch/stream parity
+# for an ORDER-SENSITIVE reducer.
+# --------------------------------------------------------------------------
+def stream_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from jobx_spark.lineage import scratch_dir
+    from jobx_spark.queries.pipeline import EWMA_SCALE
+    from jobx_spark.sources import load_table
+
+    evb = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.col("value") * EWMA_SCALE).cast("long").alias("x_s"),
+        "ts",
+        "event_id",
+    )
+    lo, hi = evb.agg(F.min("ts"), F.max("ts")).collect()[0]
+    mid = lo + (hi - lo) / 2
+
+    root = scratch_dir("stream_ewma")
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    state, ckpt = os.path.join(root, "state"), os.path.join(root, "ckpt")
+
+    def land_half(pred, name: str) -> None:
+        d = os.path.join(root, "stage", name)
+        evb.filter(pred).coalesce(1).write.parquet(d)
+        part = glob.glob(os.path.join(d, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(src, f"{name}.parquet"))
+
+    def run_phase() -> None:
+        stream = spark.readStream.schema(evb.schema).parquet(src)
+        # memory sinks can't recover a checkpoint; the MERGE sink can —
+        # emissions carry strictly-growing n_events, so the keyed upsert
+        # keeps the newest accumulator per user.
+        S.stream_upsert_parquet(
+            S.stateful_ewma(stream), state, ckpt,
+            key_cols=["user_id"], version_col="n_events",
+            output_mode="update",
+        )
+
+    land_half(F.col("ts") < F.lit(mid), "a")
+    run_phase()
+    land_half(F.col("ts") >= F.lit(mid), "b")
+    run_phase()  # same checkpoint: resumes state, reads ONLY file b
+
+    return (
+        spark.read.parquet(state)
+        .select(
+            "user_id", "n_events", "ewma_s",
+            (F.col("ewma_s").cast("double") / EWMA_SCALE).alias("ewma"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _stream_ewma_oracle() -> str:
+    from jobx_spark.queries.pipeline import ORACLE_PIPE_EWMA
+
+    return ORACLE_PIPE_EWMA  # identical fold: batch/stream parity
+
+
 QUERIES = {
     "stream_incremental_restart": stream_incremental_restart,
+    "stream_ewma_user_value": stream_ewma_user_value,
     "stream_scd_enrich": stream_scd_enrich,
     "stream_cms_users": stream_cms_users,
     "stream_hll_cards": stream_hll_cards,
@@ -890,6 +967,7 @@ QUERIES = {
 
 ORACLES = {
     "stream_incremental_restart": ORACLE_STREAM_RESTART,
+    "stream_ewma_user_value": _stream_ewma_oracle(),
     "stream_scd_enrich": ORACLE_STREAM_SCD,
     "stream_cms_users": _stream_cms_oracle(),
     "stream_hll_cards": _stream_hll_oracle(),

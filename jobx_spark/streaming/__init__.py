@@ -390,6 +390,48 @@ def replay_dedup(events: DataFrame, events2: DataFrame) -> DataFrame:
 
 # ------------------------------------------------------- custom stateful op
 
+_EWMA_OUTPUT = "user_id bigint, n_events bigint, ewma_s bigint"
+_EWMA_STATE = "acc bigint, n bigint"
+
+
+def _ewma_fn(key, pdf_iter, state: GroupState):
+    """Per-user dyadic EWMA ``acc ← (acc + x)//2`` carried across
+    micro-batches in 16 bytes of keyed state — the streaming twin of
+    operators/recurrence.py's batch fold.
+
+    Within a batch, rows fold in (ts, event_id) order (arrival order
+    inside the batch never decides). ACROSS batches the operator's
+    contract is per-key event-time-ordered delivery — a Kafka key
+    partition or time-landed files — the standard contract for any
+    order-sensitive streaming reducer; the state is the exact integer
+    accumulator, so replaying the same ordered stream through any batch
+    split yields bit-identical results."""
+    (user_id,) = key
+    acc, n = state.get if state.exists else (0, 0)
+    frames = [pdf for pdf in pdf_iter if len(pdf)]
+    if frames:
+        pdf = pd.concat(frames).sort_values(["ts", "event_id"])
+        for x in pdf["x_s"].tolist():
+            acc = (acc + int(x)) // 2
+        n += len(pdf)
+    state.update((int(acc), int(n)))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "ewma_s": [acc]}
+    )
+
+
+def stateful_ewma(events: DataFrame) -> DataFrame:
+    """events must carry (user_id, x_s, ts, event_id); emits the
+    running per-user EWMA each batch (update mode)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _ewma_fn,
+        outputStructType=_EWMA_OUTPUT,
+        stateStructType=_EWMA_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 _USER_STATS_OUTPUT = "user_id bigint, n_events bigint, max_value double"
 _USER_STATS_STATE = "n bigint, mx double"
 

@@ -52,6 +52,10 @@ EXPECT = {
     # two phases (pre/post restart), each a bounded-key rollup
     "stream_incremental_restart": (
         ["stateStoreSave", "stateStoreSave"], False, set()),
+    # two phases through ONE checkpoint; 16-byte accumulators per user,
+    # no event-time state to bound — watermark-free by design
+    "stream_ewma_user_value": (
+        ["applyInPandasWithState", "applyInPandasWithState"], False, set()),
     "stream_sink_rollup": (["stateStoreSave"], True, set()),
     # foreachBatch MERGE — stateless per batch, state lives in the sink
     "stream_scd_enrich": ([], False, set()),
