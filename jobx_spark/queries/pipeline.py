@@ -431,6 +431,67 @@ ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# pipe_tokenizer_fertility — per-language tokenizer diagnostics: the
+# FERTILITY (sub-word tokens per whitespace word, in ppm) and the
+# compression ratio (characters per sub-word token, in milli) of the
+# BPE-ish tokenizer over each language slice. These are the two
+# numbers tokenizer evaluations report to decide whether a vocabulary
+# under-serves a language (fertility ≫ 1 ⇒ words shatter into many
+# pieces ⇒ inflated sequence lengths and cost for that language).
+# Pure scan + one language-keyed rollup; integer cross-multiplies only.
+# --------------------------------------------------------------------------
+def pipe_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("ws"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0))
+        .cast("bigint")
+        .alias("bpe"),
+        F.col("n_chars").cast("bigint").alias("chars"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("bpe").alias("bpe_tokens"),
+            F.sum("chars").alias("n_chars"),
+        )
+        .select(
+            "lang", "n_docs", "ws_tokens", "bpe_tokens", "n_chars",
+            F.expr("(bpe_tokens * 1000000) div ws_tokens")
+            .alias("fertility_ppm"),
+            F.expr("(n_chars * 1000) div bpe_tokens")
+            .alias("chars_per_token_milli"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_PIPE_TOKENIZER_FERTILITY = f"""
+WITH per_doc AS (
+  SELECT lang,
+         CAST(len({_TOKS}) AS BIGINT) AS ws,
+         CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT) AS bpe,
+         CAST(n_chars AS BIGINT) AS chars
+  FROM documents
+), agg AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+         CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+         CAST(SUM(chars) AS BIGINT) AS n_chars
+  FROM per_doc GROUP BY lang
+)
+SELECT lang, n_docs, ws_tokens, bpe_tokens, n_chars,
+       (bpe_tokens * 1000000) // ws_tokens AS fertility_ppm,
+       (n_chars * 1000) // bpe_tokens AS chars_per_token_milli
+FROM agg
+ORDER BY lang
+"""
+
+
+# --------------------------------------------------------------------------
 # pipe_gapfill_hours — calendar densification: hourly event counts per
 # type with MISSING HOURS filled with zeros (sequence + explode builds
 # the dense calendar; left join fills). The calendar side is
@@ -1593,6 +1654,7 @@ QUERIES = {
     "pipe_length_buckets": pipe_length_buckets,
     "pipe_pack_offsets": pipe_pack_offsets,
     "pipe_bpe_token_count": pipe_bpe_token_count,
+    "pipe_tokenizer_fertility": pipe_tokenizer_fertility,
     "pipe_gapfill_hours": pipe_gapfill_hours,
     "pipe_rollup_reagg": pipe_rollup_reagg,
     "pipe_minmax_scale": pipe_minmax_scale,
@@ -1625,6 +1687,7 @@ ORACLES = {
     "pipe_length_buckets": ORACLE_PIPE_LENGTH_BUCKETS,
     "pipe_pack_offsets": ORACLE_PIPE_PACK,
     "pipe_bpe_token_count": ORACLE_PIPE_BPE,
+    "pipe_tokenizer_fertility": ORACLE_PIPE_TOKENIZER_FERTILITY,
     "pipe_gapfill_hours": ORACLE_PIPE_GAPFILL,
     "pipe_rollup_reagg": ORACLE_PIPE_ROLLUP_REAGG,
     "pipe_minmax_scale": ORACLE_PIPE_MINMAX,

@@ -1220,9 +1220,116 @@ ORDER BY source, rk
 """
 
 
+# --------------------------------------------------------------------------
+# text_winnow_fingerprints — winnowing document fingerprints
+# (Schleimer, Wilkerson & Aiken 2003 — the MOSS algorithm): every
+# WIN_K-gram is hashed and each WIN_W-window of consecutive hashes
+# contributes its MINIMUM (rightmost on ties) to the fingerprint set,
+# guaranteeing detection of shared substrings ≥ WIN_K+WIN_W−1 tokens
+# with expected density 2/(WIN_W+1) — the position-robust sketch
+# behind plagiarism/boilerplate matchers, complementing the global
+# rolling hash (text_fingerprint) and the full span census
+# (dedup_substring_spans) at ~1/3 the selected-hash volume.
+# Single-pass shape: hash and RIGHTMOST-tiebreak position pack into
+# ONE int64 (hw·2²² + (2²²−1−pos), hw 40-bit so the product stays
+# < 2⁶²), making the per-window argmin a plain windowed MIN — no
+# band join, no second pass; the ROWS frame sorts per doc JVM-side
+# and spills. Census per doc: distinct selected positions + the
+# XOR of selected hashes (set-equality attestation).
+# --------------------------------------------------------------------------
+WIN_K, WIN_W = 4, 4
+_WIN_HBITS, _WIN_PBITS = 40, 22
+
+
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from jobx_spark.functions import md5_long
+    from jobx_spark.operators.text import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.posexplode(shingles(F.col("text"), WIN_K)).alias("pos", "g")
+    ).select(
+        "doc_id", "pos",
+        F.pmod(md5_long(F.col("g")), F.lit(1 << _WIN_HBITS)).alias("hw"),
+    )
+    pmax = (1 << _WIN_PBITS) - 1
+    keyed = grams.select(
+        "doc_id", "pos",
+        (
+            F.col("hw") * F.lit(1 << _WIN_PBITS)
+            + (F.lit(pmax) - F.col("pos"))
+        ).alias("key"),
+    )
+    frame = (
+        W.partitionBy("doc_id").orderBy("pos").rowsBetween(-(WIN_W - 1), 0)
+    )
+    wins = keyed.select(
+        "doc_id",
+        F.min("key").over(frame).alias("wkey"),
+        F.count("*").over(frame).alias("in_frame"),
+    ).filter(F.col("in_frame") == WIN_W)
+    sel = wins.select(
+        "doc_id",
+        (F.lit(pmax) - F.pmod(F.col("wkey"), F.lit(1 << _WIN_PBITS)))
+        .alias("sel_pos"),
+        F.expr(f"wkey div {1 << _WIN_PBITS}").alias("sel_h"),
+    ).distinct()
+    return (
+        sel.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_fingerprints"),
+            F.bit_xor("sel_h").alias("fp_xor"),
+            F.min("sel_h").alias("fp_min"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _winnow_shingles_sql(n: int) -> str:
+    return (
+        f"list_transform(generate_series(1, greatest(len({_TOKS})-{n - 1}, 0)),"
+        f" i -> array_to_string(list_slice({_TOKS}, i, i+{n - 1}), ' '))"
+    )
+
+
+ORACLE_TEXT_WINNOW = f"""
+WITH g AS (
+  SELECT doc_id, unnest({_winnow_shingles_sql(WIN_K)}) AS g,
+         generate_subscripts({_winnow_shingles_sql(WIN_K)}, 1) - 1 AS pos
+  FROM documents
+), keyed AS (
+  SELECT doc_id, pos,
+         ({_MD5.format(e='g')} % {1 << _WIN_HBITS}) * {1 << _WIN_PBITS}
+           + ({(1 << _WIN_PBITS) - 1} - pos) AS key
+  FROM g
+), wins AS (
+  SELECT doc_id,
+         min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN {WIN_W - 1} PRECEDING AND CURRENT ROW)
+             AS wkey,
+         count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN {WIN_W - 1} PRECEDING AND CURRENT ROW)
+             AS in_frame
+  FROM keyed
+), sel AS (
+  SELECT DISTINCT doc_id,
+         {(1 << _WIN_PBITS) - 1} - (wkey % {1 << _WIN_PBITS}) AS sel_pos,
+         wkey // {1 << _WIN_PBITS} AS sel_h
+  FROM wins WHERE in_frame = {WIN_W}
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fingerprints,
+       bit_xor(sel_h) AS fp_xor, min(sel_h) AS fp_min
+FROM sel GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_hll_merge": text_hll_merge,
     "text_domain_signature": text_domain_signature,
+    "text_winnow_fingerprints": text_winnow_fingerprints,
     "text_bm25_topk": text_bm25_topk,
     "text_ttr": text_ttr,
     "text_trigram_lang_eval": text_trigram_lang_eval,
@@ -1242,6 +1349,7 @@ QUERIES = {
 ORACLES = {
     "text_hll_merge": _hll_merge_oracle(),
     "text_domain_signature": ORACLE_TEXT_DOMAIN_SIGNATURE,
+    "text_winnow_fingerprints": ORACLE_TEXT_WINNOW,
     "text_bm25_topk": _bm25_oracle(),
     "text_ttr": ORACLE_TEXT_TTR,
     "text_trigram_lang_eval": ORACLE_TEXT_TRIGRAM_EVAL,
