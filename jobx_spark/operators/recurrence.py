@@ -89,17 +89,54 @@ def ewma_dyadic_fold(
     (ExternalSorter) and ``row_number`` streams over the sorted run —
     bounded memory. The cliff being removed is specifically the
     PYTHON-side whole-group materialization of ``applyInPandas``.
+
+    SKEW-SPLIT: the two-pass shape costs ~2.2× the naive one-pass fold
+    when no key is actually hot (measured sf0.1: 6.6 s vs 3.0 s — the
+    ordering window plus a second Arrow stage), so keys are first
+    counted and only those EXCEEDING ``chunk`` rows take the chunked
+    path; the rest fold in one pass whose pandas groups are ≤ ``chunk``
+    rows BY THE SPLIT — the same memory bound, the cheap plan on
+    realistic data, and the hot-key table is small by construction
+    (≤ n/chunk keys) so AQE broadcasts the semi/anti routing joins.
     """
     import pandas as pd
+
+    base = df.select(
+        F.col(key).alias("k"),
+        F.col(value).cast("long").alias("x"),
+        *[F.col(c) for c in order],
+    )
+    hot_keys = (
+        base.groupBy("k").agg(F.count("*").alias("n"))
+        .filter(F.col("n") > chunk)
+        .select("k")
+    )
+    cold = base.join(hot_keys, "k", "left_anti")
+    hot = base.join(hot_keys, "k", "left_semi")
+
+    def fold_small(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(order)
+        acc = 0
+        for x in pdf["x"].tolist():
+            acc = (acc + int(x)) // 2
+        return pd.DataFrame(
+            {
+                "k": [pdf["k"].iloc[0]],
+                "n_events": [len(pdf)],
+                "ewma_s": [acc],
+            }
+        )
+
+    cold_out = cold.groupBy("k").applyInPandas(
+        fold_small, "k long, n_events long, ewma_s long"
+    )
 
     rn = F.row_number().over(
         Window.partitionBy("k").orderBy(*[F.col(c) for c in order])
     )
-    chunked = df.select(
-        F.col(key).alias("k"),
-        F.col(value).cast("long").alias("x"),
-        *[F.col(c) for c in order],
-    ).withColumn("chunk_id", ((rn - F.lit(1)) / F.lit(chunk)).cast("long"))
+    chunked = hot.withColumn(
+        "chunk_id", ((rn - F.lit(1)) / F.lit(chunk)).cast("long")
+    )
 
     def summarize(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(order)
@@ -131,7 +168,7 @@ def ewma_dyadic_fold(
             }
         )
 
-    out = summaries.groupBy("k").applyInPandas(
+    hot_out = summaries.groupBy("k").applyInPandas(
         replay, "k long, n_events long, ewma_s long"
     )
-    return out.withColumnRenamed("k", key)
+    return cold_out.unionByName(hot_out).withColumnRenamed("k", key)
