@@ -65,6 +65,10 @@ HEADLINE = [
     "pipe_quality_rules",
     "pipe_mix_temperature",
     "q68_product_profit",
+    # round-5 additions outside the auto-enrolled prefixes
+    "pipe_ewma_user_value",
+    "pipe_tokenizer_fertility",
+    "stream_ewma_user_value",
 ]
 
 
