@@ -1462,6 +1462,71 @@ ORDER BY split_a, split_b
 
 
 # --------------------------------------------------------------------------
+# dedup_winnow_pairs — the MOSS MATCHING step over winnowed
+# fingerprints (Schleimer et al. 2003 §4): documents sharing selected
+# fingerprint hashes are near-dup/plagiarism candidates, reported when
+# they share ≥ WINPAIR_MIN fingerprints. The winnowing guarantee makes
+# this detect any shared run of ≥ WIN_K+WIN_W−1 tokens while touching
+# only the 2/(WIN_W+1)-density selected set — the cheap cousin of the
+# full span census. Very common fingerprints (boilerplate present in
+# > WINPAIR_MAXDF docs) are dropped BEFORE pairing, exactly as MOSS
+# does, which also bounds the per-hash join fan-out — no quadratic
+# blow-up on a corpus-wide template. One fingerprint shuffle + a
+# df-capped self-join + a pair census.
+# --------------------------------------------------------------------------
+WINPAIR_MIN = 3
+WINPAIR_MAXDF = 50
+
+
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.queries.text import winnow_selected
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = cut_lineage(
+        winnow_selected(docs).select("doc_id", "sel_h").distinct(),
+        "winpair-fps",
+    )
+    rare = fps.join(
+        fps.groupBy("sel_h")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= WINPAIR_MAXDF)
+        .select("sel_h"),
+        "sel_h",
+    )
+    a = rare.select(F.col("doc_id").alias("id_a"), "sel_h")
+    b = rare.select(F.col("doc_id").alias("id_b"), "sel_h")
+    return (
+        a.join(b, "sel_h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= WINPAIR_MIN)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _winnow_pairs_oracle() -> str:
+    from jobx_spark.queries.text import WINNOW_SEL_CTES
+
+    return f"""
+WITH {WINNOW_SEL_CTES},
+fps AS (SELECT DISTINCT doc_id, sel_h FROM sel),
+rare AS (
+  SELECT doc_id, sel_h FROM fps
+  WHERE sel_h IN (
+    SELECT sel_h FROM fps GROUP BY sel_h HAVING count(*) <= {WINPAIR_MAXDF}
+  )
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS BIGINT) AS n_shared_fps
+FROM rare a JOIN rare b ON a.sel_h = b.sel_h AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {WINPAIR_MIN}
+ORDER BY id_a, id_b
+"""
+
+
+# --------------------------------------------------------------------------
 # dedup_source_overlap — cross-source contamination matrix: for every
 # source pair, how many distinct SPAN_N-token spans they share, plus
 # the span-set Jaccard in ppm. This is the shard/provider-level
@@ -1590,6 +1655,7 @@ QUERIES = {
     "dedup_substring_scaled": dedup_substring_scaled,
     "dedup_source_overlap": dedup_source_overlap,
     "dedup_split_leakage": dedup_split_leakage,
+    "dedup_winnow_pairs": dedup_winnow_pairs,
     "dedup_lsh_recall": dedup_lsh_recall,
     "dedup_cluster_profile": dedup_cluster_profile,
     "dedup_minhash_est": dedup_minhash_est,
@@ -1622,6 +1688,7 @@ ORACLES = {
     "dedup_substring_scaled": ORACLE_DEDUP_SUBSTRING_SCALED,
     "dedup_source_overlap": _source_overlap_oracle(),
     "dedup_split_leakage": _split_leakage_oracle(),
+    "dedup_winnow_pairs": _winnow_pairs_oracle(),
     "dedup_lsh_recall": _lsh_recall_oracle(),
     "dedup_cluster_profile": _cluster_profile_oracle(),
     "dedup_minhash_est": _minhash_est_oracle(),

@@ -1241,13 +1241,16 @@ WIN_K, WIN_W = 4, 4
 _WIN_HBITS, _WIN_PBITS = 40, 22
 
 
-def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+def winnow_selected(docs: DataFrame) -> DataFrame:
+    """The winnowing selection core: (doc_id, sel_pos, sel_h) — each
+    doc's selected fingerprint positions/hashes. Shared by the per-doc
+    census (text_winnow_fingerprints) and the MOSS matching step
+    (dedup_winnow_pairs)."""
     from pyspark.sql import Window as W
 
     from jobx_spark.functions import md5_long
     from jobx_spark.operators.text import shingles
 
-    docs = load_table(spark, sf_dir, "documents")
     grams = docs.select(
         "doc_id", F.posexplode(shingles(F.col("text"), WIN_K)).alias("pos", "g")
     ).select(
@@ -1270,14 +1273,18 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("key").over(frame).alias("wkey"),
         F.count("*").over(frame).alias("in_frame"),
     ).filter(F.col("in_frame") == WIN_W)
-    sel = wins.select(
+    return wins.select(
         "doc_id",
         (F.lit(pmax) - F.pmod(F.col("wkey"), F.lit(1 << _WIN_PBITS)))
         .alias("sel_pos"),
         F.expr(f"wkey div {1 << _WIN_PBITS}").alias("sel_h"),
     ).distinct()
+
+
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
     return (
-        sel.groupBy("doc_id")
+        winnow_selected(docs).groupBy("doc_id")
         .agg(
             F.count("*").alias("n_fingerprints"),
             F.bit_xor("sel_h").alias("fp_xor"),
@@ -1294,8 +1301,8 @@ def _winnow_shingles_sql(n: int) -> str:
     )
 
 
-ORACLE_TEXT_WINNOW = f"""
-WITH g AS (
+# the selection CTE chain, shared with dedup_winnow_pairs' oracle
+WINNOW_SEL_CTES = f"""g AS (
   SELECT doc_id, unnest({_winnow_shingles_sql(WIN_K)}) AS g,
          generate_subscripts({_winnow_shingles_sql(WIN_K)}, 1) - 1 AS pos
   FROM documents
@@ -1318,7 +1325,10 @@ WITH g AS (
          {(1 << _WIN_PBITS) - 1} - (wkey % {1 << _WIN_PBITS}) AS sel_pos,
          wkey // {1 << _WIN_PBITS} AS sel_h
   FROM wins WHERE in_frame = {WIN_W}
-)
+)"""
+
+ORACLE_TEXT_WINNOW = f"""
+WITH {WINNOW_SEL_CTES}
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fingerprints,
        bit_xor(sel_h) AS fp_xor, min(sel_h) AS fp_min
 FROM sel GROUP BY doc_id
