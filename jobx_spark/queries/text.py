@@ -1238,7 +1238,12 @@ ORDER BY source, rk
 # XOR of selected hashes (set-equality attestation).
 # --------------------------------------------------------------------------
 WIN_K, WIN_W = 4, 4
-_WIN_HBITS, _WIN_PBITS = 40, 22
+# hash 36 bits / position 26 bits: the packed key stays < 2^62 and a
+# document may carry up to 2^26 ≈ 67M grams (~0.4 GB of text) before
+# the position field would wrap — far beyond any real document; the
+# 36-bit fingerprint space is ample for winnowing (ties only matter
+# WITHIN a w=4 window, where collisions are ~w²/2^36).
+_WIN_HBITS, _WIN_PBITS = 36, 26
 
 
 def winnow_selected(docs: DataFrame) -> DataFrame:
