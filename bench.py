@@ -135,10 +135,11 @@ def main() -> None:
     qs = all_queries()
     names = [n for n in HEADLINE if n in qs]
     # extend with any llm-ops headliners present; exclusions:
-    #   dedup_components_scaled / dedup_substring_scaled — deliberately
-    #     8×-replicated stress probes; folding them into the headline
-    #     total would break the r1→rN series comparability (gated for
-    #     correctness, documented in PLANS.md/SURVEY §8.4);
+    #   dedup_components_scaled / dedup_substring_scaled /
+    #   ann_bruteforce_scaled — deliberately 8×-replicated stress
+    #     probes; folding them into the headline total would break the
+    #     r1→rN series comparability (gated for correctness,
+    #     documented in PLANS.md/SURVEY §8.4);
     #   dedup_components_lsss — the long-chain-specialist ALGORITHM
     #     TWIN of dedup_components (same labels, same oracle); LSH dup
     #     graphs are near-cliques where label-prop is the right engine
@@ -147,6 +148,7 @@ def main() -> None:
         if n.startswith(("dedup_", "ann_", "text_")) and n not in names \
                 and n not in ("dedup_components_scaled",
                               "dedup_substring_scaled",
+                              "ann_bruteforce_scaled",
                               "dedup_components_lsss"):
             names.append(n)
 

@@ -144,9 +144,10 @@ GATE_FIRST_50 = [
 # ROUND-6 GATE POOL (added after the r5 gate filled, CI-oracle-green at
 # sf0.001+sf0.01+sf0.1 under a hostile non-UTC session but never
 # driver-attested): text_winnow_fingerprints (MOSS winnowing),
-# dedup_winnow_pairs (the MOSS matching step), pipe_tokenizer_fertility
-# — plus anything new in r6, then the remaining r1-banked rotation
-# (q41-q44, q46-q54 tail).
+# dedup_winnow_pairs (the MOSS matching step), pipe_tokenizer_fertility,
+# ann_bruteforce_scaled (the third 8× scale probe — graph loop, span
+# census, similarity scan) — plus anything new in r6, then the
+# remaining r1-banked rotation (q41-q44, q46-q54 tail).
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -84,6 +84,67 @@ ORDER BY query_id, rank
 
 
 # --------------------------------------------------------------------------
+# ann_bruteforce_scaled — the ANN scale probe (the
+# dedup_components_scaled / dedup_substring_scaled mold, completing
+# the probe trio: graph loop, span census, similarity scan): the
+# embedding corpus replicated ANN_REP× into disjoint id ranges, then
+# the PRODUCTION corpus-scan-once top-k over the blown-up corpus for
+# the original 5 probes. Every original vector now appears ANN_REP
+# times at an EXACTLY TIED cosine, so the probe also attests the
+# deterministic tie policy (vec_id asc) that makes distributed top-k
+# hash-stable — the property a 1000-executor run depends on when
+# partial top-k lists merge.
+# --------------------------------------------------------------------------
+ANN_REP = 8
+_ANN_REP_BASE = 10**9
+
+
+def ann_bruteforce_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    scaled = emb.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.array(*[F.lit(i) for i in range(ANN_REP)])).alias("rep"),
+    ).select(
+        (
+            F.col("vec_id").cast("long")
+            + F.col("rep").cast("long") * F.lit(_ANN_REP_BASE).cast("long")
+        ).alias("vec_id"),
+        "embedding",
+    )
+    return brute_force_topk(scaled, _probe_queries(scaled), k=K).orderBy(
+        "query_id", "rank"
+    )
+
+
+ORACLE_ANN_BRUTEFORCE_SCALED = f"""
+WITH es AS (
+  SELECT b.vec_id + r.rep * {_ANN_REP_BASE} AS vec_id, b.embedding
+  FROM embeddings b CROSS JOIN range({ANN_REP}) AS r(rep)
+), e AS (
+  SELECT vec_id, embedding, {_SDOT.format(a='embedding', b='embedding')} AS norm_s
+  FROM es
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv, norm_s AS qnorm_s
+  FROM e WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         {_SDOT.format(a='q.qv', b='e.embedding')}::DOUBLE
+           / (sqrt(q.qnorm_s::DOUBLE) * sqrt(e.norm_s::DOUBLE)) AS cosine
+  FROM e, q
+), ranked AS (
+  SELECT query_id, vec_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, rank, cosine
+FROM ranked WHERE rank <= {K}
+ORDER BY query_id, rank
+"""
+
+
+# --------------------------------------------------------------------------
 # ann_lsh_topk — hyperplane-bucketed approximate top-k.
 # --------------------------------------------------------------------------
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1091,6 +1152,7 @@ QUERIES = {
     "ann_range_search": ann_range_search,
     "ann_knn_graph": ann_knn_graph,
     "ann_bruteforce_topk": ann_bruteforce_topk,
+    "ann_bruteforce_scaled": ann_bruteforce_scaled,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_kmeans_train": ann_kmeans_train,
@@ -1109,6 +1171,7 @@ ORACLES = {
     "ann_quantize_int8": ORACLE_ANN_QUANTIZE,
     "ann_recall_eval": _recall_oracle(),
     "ann_bruteforce_topk": ORACLE_ANN_BRUTEFORCE,
+    "ann_bruteforce_scaled": ORACLE_ANN_BRUTEFORCE_SCALED,
     "ann_lsh_topk": _lsh_oracle(),
     "ann_ivf_topk": ORACLE_ANN_IVF,
     "ann_kmeans_train": _kmeans_oracle(),
