@@ -146,8 +146,10 @@ GATE_FIRST_50 = [
 # driver-attested): text_winnow_fingerprints (MOSS winnowing),
 # dedup_winnow_pairs (the MOSS matching step), pipe_tokenizer_fertility,
 # ann_bruteforce_scaled (the third 8× scale probe — graph loop, span
-# census, similarity scan) — plus anything new in r6, then the
-# remaining r1-banked rotation (q41-q44, q46-q54 tail).
+# census, similarity scan), dedup_rate_by_source (per-provider dup
+# triage), text_zipf_census (rank-frequency doubling diagnostic) —
+# plus anything new in r6, then the remaining r1-banked rotation
+# (q41-q44, q46-q54 tail).
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -55,6 +55,58 @@ ORDER BY digest
 
 
 # --------------------------------------------------------------------------
+# dedup_rate_by_source — duplication health per provider: for each
+# source, documents vs distinct normalized texts and the dup rate in
+# ppm, plus a __all__ row where cross-source copies also collapse (so
+# __all__'s dup_ppm ≥ any per-source rate exposes cross-provider
+# mirroring). This is the triage table that decides WHERE dedup budget
+# goes. Shape: one scan → (source, digest) distinct-combining
+# aggregations — map-side combinable, linear at any corpus size.
+# --------------------------------------------------------------------------
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.operators.dedup import normalized_digest
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("source", normalized_digest("text").alias("digest"))
+    per_src = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("digest").alias("n_unique"),
+    )
+    total = d.agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("digest").alias("n_unique"),
+    ).select(F.lit("__all__").alias("source"), "n_docs", "n_unique")
+    return (
+        per_src.unionByName(total)
+        .select(
+            "source", "n_docs", "n_unique",
+            F.expr("((n_docs - n_unique) * 1000000) div n_docs")
+            .alias("dup_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_DEDUP_RATE_BY_SOURCE = f"""
+WITH d AS (SELECT source, {_DIGEST} AS digest FROM documents),
+per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT digest) AS BIGINT) AS n_unique
+  FROM d GROUP BY source
+),
+total AS (
+  SELECT '__all__' AS source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT digest) AS BIGINT) AS n_unique
+  FROM d
+),
+u AS (SELECT * FROM per_src UNION ALL SELECT * FROM total)
+SELECT source, n_docs, n_unique,
+       ((n_docs - n_unique) * 1000000) // n_docs AS dup_ppm
+FROM u ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
 # dedup_minhash_sig — per-document minhash signatures (the LSH input).
 # --------------------------------------------------------------------------
 def dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1656,6 +1708,7 @@ QUERIES = {
     "dedup_source_overlap": dedup_source_overlap,
     "dedup_split_leakage": dedup_split_leakage,
     "dedup_winnow_pairs": dedup_winnow_pairs,
+    "dedup_rate_by_source": dedup_rate_by_source,
     "dedup_lsh_recall": dedup_lsh_recall,
     "dedup_cluster_profile": dedup_cluster_profile,
     "dedup_minhash_est": dedup_minhash_est,
@@ -1689,6 +1742,7 @@ ORACLES = {
     "dedup_source_overlap": _source_overlap_oracle(),
     "dedup_split_leakage": _split_leakage_oracle(),
     "dedup_winnow_pairs": _winnow_pairs_oracle(),
+    "dedup_rate_by_source": ORACLE_DEDUP_RATE_BY_SOURCE,
     "dedup_lsh_recall": _lsh_recall_oracle(),
     "dedup_cluster_profile": _cluster_profile_oracle(),
     "dedup_minhash_est": _minhash_est_oracle(),

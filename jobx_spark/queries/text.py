@@ -1341,10 +1341,72 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# text_zipf_census — rank-frequency doubling census: corpus token
+# frequencies ranked (count desc, token asc), then bucketed by rank
+# OCTAVE (floor log₂ rank via length(bin())−1). A healthy natural-
+# language corpus roughly halves total count per octave (Zipf s ≈ 1);
+# generated/templated text bends the curve — the corpus-health
+# diagnostic next to TTR and the perplexity bands, in pure integer
+# form (no regression, no libm, no overflow headroom games).
+# Shape: one vocabulary count shuffle; the global rank window runs
+# over the VOCABULARY table (≪ corpus; JVM sort, spills); the census
+# is ~⌈log₂ V⌉ rows.
+# --------------------------------------------------------------------------
+def text_zipf_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+    )
+    rk = F.row_number().over(
+        W.orderBy(F.col("c").desc(), F.col("term").asc())
+    )
+    ranked = counts.select(
+        "c", rk.alias("rank")
+    ).select(
+        (F.length(F.bin(F.col("rank"))) - 1).cast("long").alias("octave"),
+        "c",
+    )
+    return (
+        ranked.groupBy("octave")
+        .agg(
+            F.count("*").alias("n_types"),
+            F.sum("c").alias("total_count"),
+            F.max("c").alias("max_count"),
+            F.min("c").alias("min_count"),
+        )
+        .orderBy("octave")
+    )
+
+
+ORACLE_TEXT_ZIPF = f"""
+WITH counts AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest({_TOKS}) AS term FROM documents)
+  GROUP BY term
+),
+ranked AS (
+  SELECT CAST(length(bin(row_number() OVER (ORDER BY c DESC, term ASC)))
+              - 1 AS BIGINT) AS octave, c
+  FROM counts
+)
+SELECT octave, CAST(count(*) AS BIGINT) AS n_types,
+       CAST(SUM(c) AS BIGINT) AS total_count,
+       max(c) AS max_count, min(c) AS min_count
+FROM ranked GROUP BY octave
+ORDER BY octave
+"""
+
+
 QUERIES = {
     "text_hll_merge": text_hll_merge,
     "text_domain_signature": text_domain_signature,
     "text_winnow_fingerprints": text_winnow_fingerprints,
+    "text_zipf_census": text_zipf_census,
     "text_bm25_topk": text_bm25_topk,
     "text_ttr": text_ttr,
     "text_trigram_lang_eval": text_trigram_lang_eval,
@@ -1365,6 +1427,7 @@ ORACLES = {
     "text_hll_merge": _hll_merge_oracle(),
     "text_domain_signature": ORACLE_TEXT_DOMAIN_SIGNATURE,
     "text_winnow_fingerprints": ORACLE_TEXT_WINNOW,
+    "text_zipf_census": ORACLE_TEXT_ZIPF,
     "text_bm25_topk": _bm25_oracle(),
     "text_ttr": ORACLE_TEXT_TTR,
     "text_trigram_lang_eval": ORACLE_TEXT_TRIGRAM_EVAL,
