@@ -233,6 +233,55 @@ def main() -> None:
         .count(),
     )
 
+    # ---- round-5 operators ----
+    from jobx_spark.functions import md5_long
+    from jobx_spark.operators.recurrence import ewma_dyadic_fold
+    from jobx_spark.operators.text import shingles
+    from jobx_spark.queries.text import winnow_selected
+
+    probe("winnow_selected", lambda: winnow_selected(docs).count())
+
+    def _source_overlap() -> int:
+        st = (
+            docs.select(
+                "source", F.explode(shingles("text", 8)).alias("s")
+            )
+            .select("source", md5_long("s").alias("h"))
+            .distinct()
+            .persist()
+        )
+        a = st.select(F.col("source").alias("sa"), "h")
+        b = st.select(F.col("source").alias("sb"), "h")
+        n = (
+            a.join(b, "h")
+            .filter(F.col("sa") < F.col("sb"))
+            .groupBy("sa", "sb")
+            .count()
+            .count()
+        )
+        st.unpersist()
+        return n
+
+    probe("source_overlap_census", _source_overlap)
+
+    # 10× events: ~6.7k events/user > the 4096 chunk, so every key
+    # takes the HOT two-pass transfer-function path — the skew machinery
+    # under real volume, not just the synthetic wave test.
+    probe(
+        "ewma_fold_hot",
+        lambda: ewma_dyadic_fold(
+            events.select(
+                "user_id",
+                F.floor(F.col("value") * 10**6).cast("long").alias("x_s"),
+                "ts",
+                "event_id",
+            ),
+            key="user_id",
+            value="x_s",
+            order=["ts", "event_id"],
+        ).count(),
+    )
+
     print(
         json.dumps(
             {
