@@ -319,6 +319,13 @@ class Engine:
         # the per-step latency matters more than forensics.
         self.capture_forensics = capture_forensics
         self._requests: dict[str, Request] = {}
+        # The HTTP API serves from ThreadingHTTPServer: a DELETE
+        # (cleanup_request) can race a concurrent list/find iterating
+        # the same dict and raise "dictionary changed size during
+        # iteration" (ADVICE r5). Registry mutations and snapshots go
+        # through this lock; Request objects themselves stay lock-free
+        # (single-writer per request).
+        self._requests_lock = threading.Lock()
 
     # ---------------------------------------------------------------- CRUD
     def create_workflow(
@@ -601,7 +608,8 @@ class Engine:
             is_blocking=blocking,
             trace=RequestTrace(),
         )
-        self._requests[request.request_id] = request
+        with self._requests_lock:
+            self._requests[request.request_id] = request
 
         def run():
             persisted: list[DataFrame] = []
@@ -653,7 +661,8 @@ class Engine:
         return request
 
     def get_request(self, request_id: str) -> Request:
-        return self._requests[request_id]
+        with self._requests_lock:
+            return self._requests[request_id]
 
     def cleanup_request(self, workflow_name: str, request_id: str) -> Request:
         """Drop a FINISHED request — trace, sessions, registry entry —
@@ -666,24 +675,27 @@ class Engine:
         a request still running — the reference's cleanup likewise only
         makes sense for settled requests (a running one would rebuild
         its subtree mid-walk)."""
-        request = self._requests[request_id]
-        if request.workflow_name != workflow_name:
-            raise KeyError(request_id)
-        if not request.is_done and request.error is None:
-            raise ValueError(f"request {request_id} is still running")
+        with self._requests_lock:
+            request = self._requests[request_id]
+            if request.workflow_name != workflow_name:
+                raise KeyError(request_id)
+            if not request.is_done and request.error is None:
+                raise ValueError(f"request {request_id} is still running")
+            del self._requests[request_id]
         if request.result_df is not None:
             try:
                 request.result_df.unpersist()
             except Exception:  # noqa: BLE001 - cleanup best-effort
                 pass
-        del self._requests[request_id]
         return request
 
     def list_requests(self, workflow_name: str | None = None) -> list[Request]:
         """Known requests, newest-first (reference: the request KV range
         walk its cleanup/read scripts iterate; driver registry here)."""
+        with self._requests_lock:
+            snapshot = tuple(self._requests.values())
         reqs = [
-            r for r in self._requests.values()
+            r for r in snapshot
             if workflow_name is None or r.workflow_name == workflow_name
         ]
         return sorted(reqs, key=lambda r: r.created_at, reverse=True)
@@ -762,7 +774,8 @@ class Engine:
             is_blocking=True,
             trace=RequestTrace(),
         )
-        self._requests[request.request_id] = request
+        with self._requests_lock:
+            self._requests[request.request_id] = request
         persisted: list[DataFrame] = []
         try:
             root_inv = hashlib.sha1(f"{workflow_name}:{job_name}:dataset".encode()).hexdigest()

@@ -81,8 +81,18 @@ def ewma_dyadic_fold(
     more than ``chunk`` event rows (pass 1) or ``ceil(n/chunk)`` summary
     rows (pass 2), regardless of key skew.
 
-    Returns one row per key: ``(key, n_events long, ewma_s long)``.
+    Returns one row per key: ``(key, n_events long, ewma_s long)``;
+    the key column keeps ``df``'s type (ADVICE r5 — the pandas schemas
+    below are derived from it, so string/int keys both work).
     Values must be nonnegative int64 (floor == truncate division).
+
+    ``order`` MUST be a strict total order within each key (ADVICE r5):
+    the fold is order-sensitive, and with ties both the chunking
+    ``row_number`` and the pandas ``sort_values`` may place tied rows
+    differently between runs, changing the result. Callers pass a
+    unique suffix column (e.g. ``(ts, event_id)``) — there is no cheap
+    distributed uniqueness check, so this is a documented contract,
+    not a runtime assertion.
 
     The chunking ``row_number`` window does put a whole key in one sort
     partition, but Spark's window sort is JVM-side and disk-spilling
@@ -101,6 +111,7 @@ def ewma_dyadic_fold(
     """
     import pandas as pd
 
+    k_type = df.schema[key].dataType.simpleString()
     base = df.select(
         F.col(key).alias("k"),
         F.col(value).cast("long").alias("x"),
@@ -128,7 +139,7 @@ def ewma_dyadic_fold(
         )
 
     cold_out = cold.groupBy("k").applyInPandas(
-        fold_small, "k long, n_events long, ewma_s long"
+        fold_small, f"k {k_type}, n_events long, ewma_s long"
     )
 
     rn = F.row_number().over(
@@ -152,7 +163,7 @@ def ewma_dyadic_fold(
         )
 
     summaries = chunked.groupBy("k", "chunk_id").applyInPandas(
-        summarize, "k long, chunk_id long, length long, base long, aux long"
+        summarize, f"k {k_type}, chunk_id long, length long, base long, aux long"
     )
 
     def replay(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -169,6 +180,6 @@ def ewma_dyadic_fold(
         )
 
     hot_out = summaries.groupBy("k").applyInPandas(
-        replay, "k long, n_events long, ewma_s long"
+        replay, f"k {k_type}, n_events long, ewma_s long"
     )
     return cold_out.unionByName(hot_out).withColumnRenamed("k", key)

@@ -21,6 +21,7 @@ eviction — the plan shape is identical.
 
 from __future__ import annotations
 
+import collections
 import itertools
 import os
 
@@ -38,7 +39,12 @@ _name_counter = itertools.count()
 # bounded their state. Batch queries get the same scrutiny via
 # PLANS.md; a streaming regression (e.g. a dropped watermark producing
 # unbounded state) was the one unaudited surface (VERDICT r4 #3).
-RUN_LOG: list[dict] = []
+# Bounded (ADVICE r5): each entry carries a full explainInternal plan
+# string, so an unbounded list would grow without limit in a long-lived
+# serve/bench process; the audit consumers (tools/plan_audit.py,
+# tests/test_stream_plans.py) clear it around each query, far below
+# the cap.
+RUN_LOG: collections.deque[dict] = collections.deque(maxlen=256)
 
 
 def _capture_run(query) -> None:
@@ -53,6 +59,12 @@ def _capture_run(query) -> None:
             "plan": plan,
             "state_operators": [
                 op.get("operatorName", "?")
+                for op in prog.get("stateOperators", [])
+            ],
+            # per-operator state-store row counts at the final batch —
+            # what the r6 scale probe asserts stays watermark-bounded
+            "state_rows": [
+                op.get("numRowsTotal")
                 for op in prog.get("stateOperators", [])
             ],
             "watermark": (prog.get("eventTime") or {}).get("watermark"),

@@ -102,3 +102,24 @@ def test_query_matches_unchunked_semantics(spark, sf_dir):
     for uid, grp in ev.groupby("user_id"):
         xs = grp["x_s"].tolist()
         assert got[int(uid)] == (len(xs), _ref_fold(xs)), uid
+
+
+@pytest.mark.usefixtures("spark")
+def test_string_key_schema_derivation(spark):
+    """ADVICE r5: the applyInPandas schemas derive the key type from
+    the input, so non-integral keys (string here) fold without an
+    Arrow cast error — both the cold path and the chunked hot path."""
+    rng = random.Random(5)
+    rows = [("hot", i, rng.randrange(0, 10**6)) for i in range(600)]
+    rows += [("cold", 10**6 + i, rng.randrange(0, 10**6)) for i in range(40)]
+    df = spark.createDataFrame(rows, "name string, event_id long, x long")
+    out = ewma_dyadic_fold(
+        df, key="name", value="x", order=["event_id"], chunk=256
+    )
+    got = {r["name"]: (r["n_events"], r["ewma_s"]) for r in out.collect()}
+    by_key = {}
+    for name, eid, x in sorted(rows, key=lambda t: (t[0], t[1])):
+        by_key.setdefault(name, []).append(x)
+    assert got == {
+        k: (len(xs), _ref_fold(xs)) for k, xs in by_key.items()
+    }
