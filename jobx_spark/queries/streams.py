@@ -941,6 +941,78 @@ def _stream_ewma_oracle() -> str:
     return ORACLE_PIPE_EWMA  # identical fold: batch/stream parity
 
 
+# --------------------------------------------------------------------------
+# stream_window_distinct_scaled — the STREAMING scale probe (VERDICT
+# r5 #4, the `*_scaled` mold of dedup_components_scaled /
+# dedup_substring_scaled / ann_bruteforce_scaled): the events corpus is
+# replicated 8× with disjoint user-id namespaces (user_id + rep·10⁶)
+# and pushed through the PRODUCTION chained-stateful path
+# (windowed_distinct_users — two state-store operators in one
+# append-mode query) under the hash gate. What it attests beyond the
+# base query: per-key state volume 8× the base run stays
+# watermark-bounded — the final progress's numRowsTotal lands in
+# streaming.RUN_LOG and tests/test_stream_plans.py asserts it equals
+# open+closed window cardinality, never event cardinality. The batch
+# side had three such probes; this is the streaming one.
+# --------------------------------------------------------------------------
+STREAM_REP = 8
+_STREAM_REP_BASE = 10**6
+
+
+def stream_window_distinct_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql import functions as F
+
+    from jobx_spark.lineage import scratch_dir
+    from jobx_spark.sources import load_table
+
+    evb = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts",
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_type", "value",
+    )
+    scaled = evb.select(
+        "event_id", "ts", "user_id", "event_type", "value",
+        F.explode(F.array(*[F.lit(i) for i in range(STREAM_REP)])).alias("rep"),
+    ).select(
+        "event_id", "ts",
+        (F.col("user_id") + F.col("rep") * F.lit(_STREAM_REP_BASE)).alias(
+            "user_id"
+        ),
+        "event_type", "value",
+    )
+    src = os.path.join(scratch_dir("stream_wdist_scaled"), "src")
+    scaled.write.parquet(src)
+    stream = spark.readStream.schema(scaled.schema).parquet(src)
+    out = S.run_available_now(
+        S.windowed_distinct_users(stream), "append", "wdist_scaled"
+    )
+    return out.orderBy("window_start", "event_type", "n_users")
+
+
+ORACLE_STREAM_WINDOW_DISTINCT_SCALED = f"""
+WITH ev AS (
+  SELECT e.ts, e.event_type, e.user_id + r.rep * {_STREAM_REP_BASE} AS user_id
+  FROM events e CROSS JOIN range({STREAM_REP}) AS r(rep)
+),
+per_user AS (
+  SELECT date_trunc('hour', ts) AS ws, event_type, user_id,
+         count(*) AS n
+  FROM ev GROUP BY 1, 2, 3
+)
+SELECT ws AS window_start,
+       ws + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(SUM(n) AS BIGINT) AS n_events
+FROM per_user
+WHERE ws + INTERVAL 1 HOUR <= (SELECT max(ts) FROM ev)
+GROUP BY 1, 2, 3
+ORDER BY window_start, event_type, n_users
+"""
+
+
 QUERIES = {
     "stream_incremental_restart": stream_incremental_restart,
     "stream_ewma_user_value": stream_ewma_user_value,
@@ -948,6 +1020,7 @@ QUERIES = {
     "stream_cms_users": stream_cms_users,
     "stream_hll_cards": stream_hll_cards,
     "stream_window_distinct": stream_window_distinct,
+    "stream_window_distinct_scaled": stream_window_distinct_scaled,
     "stream_zscore_anomaly": stream_zscore_anomaly,
     "stream_topk_trending": stream_topk_trending,
     "stream_pii_scrub": stream_pii_scrub,
@@ -972,6 +1045,7 @@ ORACLES = {
     "stream_cms_users": _stream_cms_oracle(),
     "stream_hll_cards": _stream_hll_oracle(),
     "stream_window_distinct": ORACLE_STREAM_WINDOW_DISTINCT,
+    "stream_window_distinct_scaled": ORACLE_STREAM_WINDOW_DISTINCT_SCALED,
     "stream_zscore_anomaly": ORACLE_STREAM_ZSCORE,
     "stream_topk_trending": ORACLE_STREAM_TOPK,
     "stream_pii_scrub": _pii_oracle(),
