@@ -1443,6 +1443,269 @@ ORDER BY shard, pos
 
 
 # --------------------------------------------------------------------------
+# pipe_pack_sequences — sequence packing (VERDICT r5 #5): greedy
+# next-fit token-budget packing of documents into fixed context
+# windows — the step between tokenization and training that every LLM
+# pipeline runs. Docs are concatenated into the current window until
+# the next one would overflow PACK_BUDGET, then a new window starts
+# (next-fit: no doc splits, no lookback into earlier windows — the
+# variant whose greedy fold is a pure left-to-right recurrence, which
+# is what makes it BOTH shard-parallel and oracle-expressible; DuckDB
+# replays the identical fold as a recursive CTE). Docs longer than the
+# budget truncate to exactly one full window.
+# Deterministic: docs are hash-ordered within hash-assigned shards
+# (pipe_shard_assign's exact layout — same salts, so the pack output
+# composes with the shard manifest), never rand()-shuffled — retries,
+# partitionings and engines all agree.
+# Scale shape: packing is sequential only WITHIN a shard; shards are
+# the parallelism unit and N_SHARDS grows with the corpus, so each
+# pandas group holds docs/shard 4-int64 rows (a 3B-doc corpus at 1024
+# shards ≈ 3M rows ≈ 100 MB — bounded by layout, not corpus). Output
+# is the fill-rate census (≤ ~101 rows at any scale), never
+# per-window rows.
+# --------------------------------------------------------------------------
+PACK_BUDGET = 512
+
+
+def pipe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    shard = F.pmod(
+        md5_long(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))),
+        F.lit(N_SHARDS),
+    )
+    pos_h = md5_long(F.concat(F.lit("pos:"), F.col("doc_id").cast("string")))
+    tlen = F.least(
+        F.size(tokens(F.col("text"))).cast("long"), F.lit(PACK_BUDGET)
+    )
+    base = docs.select(
+        "doc_id", shard.alias("shard"), pos_h.alias("pos_h"),
+        tlen.alias("tok_len"),
+    )
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["pos_h", "doc_id"])
+        wins: list[list[int]] = []  # [win, n_docs, fill]
+        for t in pdf["tok_len"].tolist():
+            t = int(t)
+            if wins and wins[-1][2] + t <= PACK_BUDGET:
+                wins[-1][1] += 1
+                wins[-1][2] += t
+            else:
+                wins.append([len(wins), 1, t])
+        return pd.DataFrame(
+            {
+                "shard": [int(pdf["shard"].iloc[0])] * len(wins),
+                "win": [w[0] for w in wins],
+                "n_docs": [w[1] for w in wins],
+                "fill_tokens": [w[2] for w in wins],
+            }
+        )
+
+    wins = base.groupBy("shard").applyInPandas(
+        pack, "shard long, win long, n_docs long, fill_tokens long"
+    )
+    return (
+        wins.groupBy(
+            F.expr(f"(fill_tokens * 100) div {PACK_BUDGET}").alias("fill_pct")
+        )
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("fill_tokens").alias("total_tokens"),
+        )
+        .orderBy("fill_pct")
+    )
+
+
+_PACK_SHARD = _MD5.format(e="'shard:'||CAST(doc_id AS VARCHAR)")
+_PACK_POS = _MD5.format(e="'pos:'||CAST(doc_id AS VARCHAR)")
+ORACLE_PIPE_PACK_SEQUENCES = f"""
+WITH RECURSIVE t AS (
+  SELECT shard,
+         row_number() OVER (PARTITION BY shard ORDER BY pos_h, doc_id) AS rn,
+         tok_len
+  FROM (
+    SELECT doc_id,
+           {_PACK_SHARD} % {N_SHARDS} AS shard,
+           {_PACK_POS} AS pos_h,
+           least(len({_TOKS}), {PACK_BUDGET}) AS tok_len
+    FROM documents)
+),
+steps AS (
+  SELECT shard, rn, tok_len, tok_len AS fill, 0 AS win FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.shard, t.rn, t.tok_len,
+         CASE WHEN s.fill + t.tok_len <= {PACK_BUDGET}
+              THEN s.fill + t.tok_len ELSE t.tok_len END,
+         CASE WHEN s.fill + t.tok_len <= {PACK_BUDGET}
+              THEN s.win ELSE s.win + 1 END
+  FROM steps s JOIN t ON t.shard = s.shard AND t.rn = s.rn + 1
+),
+wins AS (
+  SELECT shard, win, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(max(fill) AS BIGINT) AS fill_tokens
+  FROM steps GROUP BY shard, win
+)
+SELECT CAST((fill_tokens * 100) // {PACK_BUDGET} AS BIGINT) AS fill_pct,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(fill_tokens) AS BIGINT) AS total_tokens
+FROM wins GROUP BY 1
+ORDER BY fill_pct
+"""
+
+
+# --------------------------------------------------------------------------
+# pipe_dsir_sample — DSIR-style importance resampling (Xie et al. 2023,
+# "Data Selection for Language Models via Importance Resampling",
+# VERDICT r5 #6): corpus documents are re-weighted toward a target
+# domain by HASHED N-GRAM features — each doc's unigrams+bigrams hash
+# into DSIR_NB buckets, the target sample (here source='src0', the
+# held-out domain) and the raw corpus each yield a bucket profile, and
+# a doc's importance is its mean per-gram likelihood ratio
+# (target+1)/(corpus+1), Laplace-smoothed. Selection is HASH-GATED
+# acceptance ∝ weight (accept iff h(doc) mod TAU < mean ratio) — the
+# same rand()-free gate every sampler here uses, so the resample is
+# retry/partition-deterministic and exactly oracle-checkable.
+# Integer-exactness: ratios are scaled-integer floor divisions
+# (r_s = (p+1)·K div (q+1)); the target is a subset of the corpus so
+# p ≤ q and r_s ≤ K — per-doc sums stay far inside int64 at any
+# corpus size.
+# Scale shape (the verdict's prescription): two vocabulary-BOUNDED
+# census shuffles (DSIR_NB=256 buckets, map-side combinable) build the
+# ratio profile, which BROADCASTS back as a 256-entry map — per-doc
+# scoring is then scan-side arithmetic over the doc's own gram array
+# (no doc-keyed shuffle, no join), and the final per-source census is
+# the only other aggregation. 100 TB cost: 2 corpus scans + ~22 rows
+# out.
+# --------------------------------------------------------------------------
+DSIR_NB = 256
+DSIR_K = 1 << 20
+DSIR_TAU = 2 * DSIR_K  # mean ratio ≥ 2 ⇒ always accepted
+DSIR_TARGET = "src0"
+
+
+def _dsir_grams(text_col) -> "F.Column":
+    from jobx_spark.operators.text import shingles
+
+    return F.concat(tokens(text_col), shingles(text_col, 2))
+
+
+def pipe_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket_of = lambda c: F.pmod(  # noqa: E731
+        md5_long(F.concat(F.lit("dsir:"), c)), F.lit(DSIR_NB)
+    )
+    gb = docs.select(
+        "source", F.explode(_dsir_grams(F.col("text"))).alias("gram")
+    ).select("source", bucket_of(F.col("gram")).alias("b"))
+    q = gb.groupBy("b").agg(F.count("*").alias("q"))
+    p = gb.filter(F.col("source") == DSIR_TARGET).groupBy("b").agg(
+        F.count("*").alias("p")
+    )
+    dom = spark.range(DSIR_NB).select(F.col("id").alias("b"))
+    ratio = (
+        dom.join(p, "b", "left").join(q, "b", "left")
+        .select(
+            "b",
+            F.expr(
+                f"((coalesce(p, 0) + 1) * {DSIR_K})"
+                f" div (coalesce(q, 0) + 1)"
+            ).alias("r_s"),
+        )
+    )
+    rmap = ratio.agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("b", "r_s")))
+        ).alias("rmap")
+    )
+    scored = (
+        docs.select("doc_id", "source", _dsir_grams(F.col("text")).alias("grams"))
+        .crossJoin(F.broadcast(rmap))
+        .select(
+            "doc_id",
+            "source",
+            F.size("grams").cast("long").alias("n_grams"),
+            F.aggregate(
+                F.transform(
+                    "grams", lambda g: F.element_at(F.col("rmap"), bucket_of(g))
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("score_s"),
+        )
+        .select(
+            "doc_id", "source", "n_grams",
+            F.expr("score_s div n_grams").alias("mean_s"),
+        )
+    )
+    acc = F.pmod(
+        md5_long(F.concat(F.lit("dsiracc:"), F.col("doc_id").cast("string"))),
+        F.lit(DSIR_TAU),
+    ) < F.col("mean_s")
+    return (
+        scored.withColumn("accepted", acc.cast("int"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("accepted").alias("n_accepted"),
+            F.sum("mean_s").alias("sum_w_s"),
+        )
+        .select(
+            "source", "n_docs", "n_accepted", "sum_w_s",
+            F.expr(f"(n_accepted * {10**6}) div n_docs").alias("accept_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+_BIGRAMS2 = (
+    f"list_transform(generate_series(1, greatest(len({_TOKS})-1, 0)),"
+    f" i -> array_to_string(list_slice({_TOKS}, i, i+1), ' '))"
+)
+_DSIR_H = _MD5.format(e="'dsir:'||gram")
+_DSIR_B = f"({_DSIR_H}) % {DSIR_NB}"
+_DSIR_ACC = _MD5.format(e="'dsiracc:'||CAST(doc_id AS VARCHAR)")
+ORACLE_PIPE_DSIR_SAMPLE = f"""
+WITH g AS (
+  SELECT doc_id, source, unnest(list_concat({_TOKS}, {_BIGRAMS2})) AS gram
+  FROM documents
+),
+gb AS (SELECT doc_id, source, {_DSIR_B} AS b FROM g),
+q AS (SELECT b, CAST(count(*) AS BIGINT) AS q FROM gb GROUP BY b),
+p AS (SELECT b, CAST(count(*) AS BIGINT) AS p
+      FROM gb WHERE source = '{DSIR_TARGET}' GROUP BY b),
+dom AS (SELECT range AS b FROM range({DSIR_NB})),
+r AS (
+  SELECT dom.b,
+         ((coalesce(p.p, 0) + 1) * {DSIR_K}) // (coalesce(q.q, 0) + 1) AS r_s
+  FROM dom LEFT JOIN p ON p.b = dom.b LEFT JOIN q ON q.b = dom.b
+),
+ds AS (
+  SELECT gb.doc_id, gb.source, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(SUM(r.r_s) AS BIGINT) AS score_s
+  FROM gb JOIN r ON r.b = gb.b
+  GROUP BY gb.doc_id, gb.source
+),
+scored AS (
+  SELECT doc_id, source, n_grams, score_s // n_grams AS mean_s,
+         CASE WHEN ({_DSIR_ACC}) % {DSIR_TAU} < score_s // n_grams
+              THEN 1 ELSE 0 END AS accepted
+  FROM ds
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(accepted) AS BIGINT) AS n_accepted,
+       CAST(SUM(mean_s) AS BIGINT) AS sum_w_s,
+       (CAST(SUM(accepted) AS BIGINT) * {10**6})
+           // CAST(count(*) AS BIGINT) AS accept_ppm
+FROM scored GROUP BY source
+ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
 # pipe_quality_rules — Gopher-style per-document rule filter (Rae et
 # al. 2021 §A1.1 re-expressed): five cheap structural rules, each a
 # boolean column so the report says WHY a document fell out, plus the
@@ -1638,6 +1901,8 @@ ORDER BY user_id
 
 
 QUERIES = {
+    "pipe_pack_sequences": pipe_pack_sequences,
+    "pipe_dsir_sample": pipe_dsir_sample,
     "pipe_ewma_user_value": pipe_ewma_user_value,
     "pipe_quality_rules": pipe_quality_rules,
     "pipe_mix_temperature": pipe_mix_temperature,
@@ -1671,6 +1936,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pipe_pack_sequences": ORACLE_PIPE_PACK_SEQUENCES,
+    "pipe_dsir_sample": ORACLE_PIPE_DSIR_SAMPLE,
     "pipe_ewma_user_value": ORACLE_PIPE_EWMA,
     "pipe_quality_rules": _quality_rules_oracle(),
     "pipe_mix_temperature": ORACLE_PIPE_MIX_TEMPERATURE,
