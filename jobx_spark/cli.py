@@ -140,6 +140,30 @@ def _read_side(args) -> dict:
         return out
     if args.cmd == "invocation-get":
         return _http_json(f"{base}/invocation/{wf}/{args.invocation_id}")
+    if args.cmd == "tree-get":
+        # reference: mr_kv_t_mapped_steps_get (setup.py:59) — read the
+        # RelationshipsTree (RT_MAPPED/RT_REDUCED edges) under one
+        # invocation (mr/models/kv/trees/relationships.py:5-41). Our
+        # lineage plane is the driver trace, so the read-side verb
+        # reconstructs the same edge sets from it; the _create/_add
+        # mutation scripts are N/A-by-design (SURVEY §8.1) — there is
+        # no external KV tree to hand-edit, the engine owns lineage.
+        inv = _http_json(f"{base}/invocation/{wf}/{args.invocation_id}")
+        flat = _http_json(
+            f"{base}/request/{wf}/{inv['request_id']}?format=flat"
+        )
+        me = inv["invocation"]
+        children = [
+            r for r in flat.get("invocations", []) if r.get("parent") == me
+        ]
+        return {
+            "invocation": me,
+            "request_id": inv["request_id"],
+            "mapped": [r["invocation"] for r in children],
+            "mapped_steps": sorted({r["step"] for r in children}),
+            "n_mapped": inv.get("n_mapped"),
+            "n_reduced": inv.get("n_reduced"),
+        }
     # graph-draw: fetch DOT source, write request-<id>.dot (the
     # reference's _OUTPUT_FILEPATH_TEMPLATE), optionally render PNG.
     from urllib.request import urlopen
@@ -224,6 +248,7 @@ def main(argv: list[str] | None = None) -> int:
     for name, extra in (
         ("request-get", "request_id"),
         ("invocation-get", "invocation_id"),
+        ("tree-get", "invocation_id"),
         ("graph-draw", "request_id"),
         ("request-list", None),
         ("request-cleanup", "request_id"),
@@ -359,8 +384,8 @@ def main(argv: list[str] | None = None) -> int:
             "simulate": bool(args.simulate_only),
         }
     elif args.cmd in (
-        "request-get", "invocation-get", "graph-draw", "request-list",
-        "request-cleanup",
+        "request-get", "invocation-get", "tree-get", "graph-draw",
+        "request-list", "request-cleanup",
     ):
         cat.get_workflow(args.workflow)  # same existence check the reference does
         out = _read_side(args)
@@ -389,8 +414,8 @@ def main(argv: list[str] | None = None) -> int:
         raise AssertionError(args.cmd)
 
     if args.cmd not in (
-        "submit", "request-get", "invocation-get", "graph-draw", "request-list",
-        "request-cleanup",
+        "submit", "request-get", "invocation-get", "tree-get", "graph-draw",
+        "request-list", "request-cleanup",
     ):
         cat.save(args.catalog)
     print(json.dumps(out))

@@ -91,7 +91,101 @@ class _Handler(BaseHTTPRequestHandler):
         if parts[0] == "invocation" and len(parts) == 3:
             self._get_invocation(parts[1], parts[2])
             return
+        if parts[0] == "ui" and len(parts) >= 2 and parts[1] == "job":
+            if len(parts) == 2:
+                self._ui_job_browser()
+                return
+            if len(parts) == 4:
+                self._ui_job_submit(parts[2], parts[3])
+                return
         self._send_json(404, {"error": f"no route for GET {url.path}"})
+
+    # ------------------------------------------------------------ HTML UI
+    # The reference serves an HTML submit UI under /ui/job
+    # (mr/views/ui/job.py:13-19: url_prefix='/ui/job', GET
+    # /<workflow>/<job> renders templates/ui/job/submit.html, GET /
+    # renders submit_navigate.html). Same two routes here; where the
+    # reference's template is a placeholder ("Submit!"), this form is
+    # functional: one input per declared mapper argument (the
+    # argument_spec contract, mr/models/kv/handler.py:49-69), POSTed
+    # as the same JSON body the API route takes.
+
+    _UI_CSS = (
+        "body{font-family:sans-serif;margin:2em;max-width:40em}"
+        "label{display:block;margin:.5em 0 .1em}"
+        "input{width:100%}pre{background:#f4f4f4;padding:1em}"
+    )
+
+    def _ui_job_browser(self):
+        import html
+
+        rows = []
+        for wf in self.engine.catalog.list_workflows():
+            for job in self.engine.catalog.list_jobs(wf.name):
+                w, j = html.escape(wf.name), html.escape(job.name)
+                rows.append(
+                    f'<li><a href="/ui/job/{w}/{j}">{w} / {j}</a>'
+                    f" — {html.escape(job.description or '')}</li>"
+                )
+        self._send_text(
+            200,
+            "<!doctype html><html><head><title>Jobs</title>"
+            f"<style>{self._UI_CSS}</style></head><body>"
+            "<h1>Submit a job</h1><ul>"
+            + ("".join(rows) or "<li>(no jobs registered)</li>")
+            + "</ul></body></html>",
+            "text/html",
+        )
+
+    def _ui_job_submit(self, workflow_name: str, job_name: str):
+        import html
+
+        try:
+            job = self.engine.catalog.get_job(workflow_name, job_name)
+            step = self.engine.catalog.get_step(
+                workflow_name, job.initial_step_name
+            )
+            mapper = self.engine.catalog.get_handler(
+                workflow_name, step.map_handler_name
+            )
+        except Exception as e:  # unknown workflow/job → 404 like the API
+            self._send_json(404, {"error": str(e)})
+            return
+        w, j = html.escape(workflow_name), html.escape(job_name)
+        fields = "".join(
+            f'<label>{html.escape(name)} ({html.escape(typ)})</label>'
+            f'<input name="{html.escape(name)}" data-type="{html.escape(typ)}">'
+            for name, typ in mapper.argument_spec
+        )
+        script = """
+<script>
+document.querySelector('form').addEventListener('submit', async (ev) => {
+  ev.preventDefault();
+  const args = {};
+  for (const inp of document.querySelectorAll('input[name]')) {
+    const t = inp.dataset.type, v = inp.value;
+    args[inp.name] = (t === 'int' || t === 'float') ? Number(v)
+        : (t === 'list' || t === 'dict' || t === 'bool') ? JSON.parse(v) : v;
+  }
+  const resp = await fetch(document.querySelector('form').action, {
+    method: 'POST', headers: {'Content-Type': 'application/json'},
+    body: JSON.stringify({arguments: args})});
+  document.querySelector('pre').textContent = await resp.text();
+});
+</script>"""
+        self._send_text(
+            200,
+            "<!doctype html><html><head>"
+            f"<title>Submit {w}/{j}</title>"
+            f"<style>{self._UI_CSS}</style></head><body>"
+            f"<h1>{w} / {j}</h1>"
+            f"<p>{html.escape(job.description or '')}</p>"
+            f'<form action="/job/{w}/{j}?blocking=true" method="post">'
+            f"{fields}<p><button>Submit</button></p></form>"
+            "<h2>Result</h2><pre>(none yet)</pre>"
+            f"{script}</body></html>",
+            "text/html",
+        )
 
     def _list_requests(self, workflow_name: str):
         """Request registry listing — the shell's entry point into the

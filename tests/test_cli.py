@@ -214,6 +214,15 @@ def test_cli_read_side_roundtrip(tmp_path, handler_dir, spark, capsys):
         assert inv["invocation"] == inv_id and inv["step"] == "s1"
         assert inv["request_id"] == req.request_id
 
+        # tree-get (reference: mr_kv_t_mapped_steps_get, setup.py:59):
+        # the read-only RelationshipsTree view over the same trace.
+        # j1 is a single-step job: the root has no mapped children and
+        # the read-side still returns the (empty) edge sets.
+        tree = run("tree-get", "wf", inv_id, "--server", srv.url)
+        assert tree["invocation"] == inv_id
+        assert tree["request_id"] == req.request_id
+        assert tree["mapped"] == [] and tree["mapped_steps"] == []
+
         dot_path = str(tmp_path / "graph.dot")
         drawn = run("graph-draw", "wf", req.request_id, "--server", srv.url,
                     "-o", dot_path)

@@ -242,3 +242,30 @@ def test_invocation_flat_list(server):
         "n_args", "n_mapped", "n_reduced",
     }
     assert row["step"] == "s1"
+
+
+def test_ui_job_browser_lists_jobs(server):
+    """Reference parity: GET /ui/job/ (mr/views/ui/job.py:17-19 renders
+    submit_navigate.html) — the browser page links every catalog job."""
+    with urllib.request.urlopen(server.url + "/ui/job/") as resp:
+        assert resp.status == 200
+        assert resp.headers["Content-Type"].startswith("text/html")
+        body = resp.read().decode()
+    assert '/ui/job/wfh/j1' in body
+
+
+def test_ui_job_submit_form_renders_argument_spec(server):
+    """Reference parity: GET /ui/job/<wf>/<job> (mr/views/ui/job.py:13-15
+    renders submit.html) — our form is functional: one input per
+    declared mapper argument, POSTing the API's JSON contract."""
+    with urllib.request.urlopen(server.url + "/ui/job/wfh/j1") as resp:
+        assert resp.status == 200
+        body = resp.read().decode()
+    assert 'name="arg1"' in body and 'data-type="int"' in body
+    assert '/job/wfh/j1?blocking=true' in body  # posts to the API route
+
+
+def test_ui_job_unknown_job_404(server):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(server.url + "/ui/job/wfh/nope")
+    assert ei.value.code == 404
