@@ -503,3 +503,103 @@ def knn_graph(
         .filter(F.col("rank") <= k)
         .select("src_id", "nbr_id", "rank", "cosine")
     )
+
+
+def gram_matrix(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale: int = 1024,
+) -> DataFrame:
+    """Exact integer Gram (second-moment) matrix of a vector column:
+    G[i][j] = Σ_rows x_i·x_j with x = floor(v·scale) int64, plus one
+    sentinel row (i=-1, j=-1, g=row count) so a single corpus pass
+    yields both the matrix and N. Output (i int, j int, g long),
+    dim² + 1 rows.
+
+    Scale shape: each Arrow batch computes its partial Gram with one
+    vectorized int64 GEMM (``X.T @ X`` — the classic map-side
+    formulation of distributed covariance/PCA, e.g. Spark MLlib's
+    RowMatrix.computeGramianMatrix, re-expressed over mapInPandas) and
+    emits dim²+1 partial rows; the shuffle therefore carries
+    dim²·batches rows — bounded by layout, never by corpus size — and
+    the final groupBy sum is map-side combinable. ``scale`` a power of
+    two makes float→scaled-int EXACT (v·2^k has no mantissa rounding),
+    so Spark and any replaying engine agree bit-for-bit.
+
+    int64 safety: |x| ≤ scale (unit-ish vectors), so per-batch entries
+    are ≤ scale²·batch_rows ≤ 2^20·10^4 ≈ 2^34 and the global sum at
+    10^9 rows ≤ 2^50 — inside int64 at any realistic corpus size.
+    """
+
+    def gram_partition(pdfs):
+        ii, jj = np.meshgrid(np.arange(dim), np.arange(dim), indexing="ij")
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf[vec_col].values).astype(np.float64)
+            x = np.floor(mat * scale).astype(np.int64)
+            g = x.T @ x  # exact: int64 GEMM
+            out = pd.DataFrame(
+                {
+                    "i": ii.ravel().astype(np.int32),
+                    "j": jj.ravel().astype(np.int32),
+                    "g": g.ravel(),
+                }
+            )
+            out.loc[len(out)] = [-1, -1, len(pdf)]
+            yield out
+
+    parts = df.select(vec_col).mapInPandas(
+        gram_partition, schema="i int, j int, g long"
+    )
+    return parts.groupBy("i", "j").agg(F.sum("g").alias("g"))
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division — Spark's ``div`` and
+    DuckDB's ``//`` semantics (Python's ``//`` floors, which differs on
+    negative numerators)."""
+    q = abs(a) // b
+    return q if a >= 0 else -q
+
+
+def power_iteration_top(
+    gram_rows: list,
+    dim: int = 64,
+    iters: int = 8,
+    vscale: int = 1 << 20,
+    gnorm: int = 1024,
+) -> list[int]:
+    """Top principal direction of a Gram matrix by INTEGER power
+    iteration — deterministic and exactly replayable by any engine
+    with 64-bit truncating division (the oracle unrolls the identical
+    recurrence as chained SQL CTEs; no float eigensolver's
+    platform-dependent convergence is involved).
+
+    ``gram_rows`` is the collected output of :func:`gram_matrix`
+    (dim²+1 rows — bounded by dimension, never by corpus size, so the
+    driver collect is safe at any scale). The matrix is first
+    normalized Gn = G div ((N div gnorm)+1), capping entries near
+    gnorm·E[x_i·x_j] INDEPENDENT of row count — that is what keeps
+    w = Gn·v inside int64 at 10^9+ rows. Each step: w = Gn·v;
+    v' = w div ((max|w| div vscale)+1), so ‖v‖∞ stays ≈ vscale. The
+    Gram matrix is PSD → the dominant eigenvalue is nonnegative → no
+    sign oscillation; convergence rate is irrelevant to correctness
+    (any fixed iterate is a deterministic, checkable result).
+    """
+    n = 0
+    gm = [[0] * dim for _ in range(dim)]
+    for r in gram_rows:
+        if r["i"] < 0:
+            n = int(r["g"])
+        else:
+            gm[r["i"]][r["j"]] = int(r["g"])
+    gdiv = (n // gnorm) + 1
+    gn = [[_tdiv(g, gdiv) for g in row] for row in gm]
+    v = [vscale] * dim
+    for _ in range(iters):
+        w = [sum(gn[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        d = (max(abs(x) for x in w) // vscale) + 1
+        v = [_tdiv(x, d) for x in w]
+    return v

@@ -666,14 +666,36 @@ ORDER BY src_id, nbr_id
 PQ_SUB, PQ_DIM = 4, 16
 
 
-def _pq_subspaces(emb: DataFrame) -> list[DataFrame]:
-    return [
-        emb.select(
-            "vec_id",
-            F.slice("embedding", s * PQ_DIM + 1, PQ_DIM).alias("embedding"),
-        )
+def _pq_subspaces(emb: DataFrame, with_full: bool = False):
+    """Materialize the subspace-split projection ONCE (VERDICT r5 #2)
+    and derive every training/assignment input from it: the PQ queries'
+    5 k-means chains each rescan their input per Lloyd round, which
+    multiplied into ~10 source-table scans per index build — at 100 TB
+    ten corpus scans dominate everything else the build does. One
+    ``cut_lineage`` write turns them into reads of the (much narrower)
+    local projection. ``with_full=True`` additionally carries the raw
+    embedding for the coarse/IVF chain, so ann_ivf_pq_topk's source
+    scan count is exactly 1 (the materialization itself).
+
+    Returns ``(subs, full)`` where ``subs[s]`` is (vec_id, embedding=
+    slice s) and ``full`` is (vec_id, embedding) read from the same
+    materialized table (None unless ``with_full``). Parquet round-trips
+    doubles bit-exactly, so values are unchanged."""
+    from jobx_spark.lineage import cut_lineage
+
+    cols = [
+        F.slice("embedding", s * PQ_DIM + 1, PQ_DIM).alias(f"sub{s}")
         for s in range(PQ_SUB)
     ]
+    if with_full:
+        cols.append(F.col("embedding"))
+    mat = cut_lineage(emb.select("vec_id", *cols), "pq-base")
+    subs = [
+        mat.select("vec_id", F.col(f"sub{s}").alias("embedding"))
+        for s in range(PQ_SUB)
+    ]
+    full = mat.select("vec_id", "embedding") if with_full else None
+    return subs, full
 
 
 def _train_concurrent(trains: list) -> list[DataFrame]:
@@ -701,7 +723,7 @@ def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    subs = _pq_subspaces(emb)
+    subs, _ = _pq_subspaces(emb)
     cents = _train_concurrent([
         (lambda sub=sub: kmeans_train(
             sub, k=KM_K, iters=KM_ITERS, cent_base=KM_BASE, scale=KM_SCALE,
@@ -771,7 +793,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jobx_spark.operators.similarity import _sdot, ivf_assign, kmeans_train
 
     emb = load_table(spark, sf_dir, "embeddings")
-    subs = _pq_subspaces(emb)
+    subs, _ = _pq_subspaces(emb)
     # Train ONCE per subspace (assignment reuses the trained centroids
     # via the shared broadcast-argmax assigner rather than re-running
     # the Lloyd rounds), and train all subspaces CONCURRENTLY —
@@ -883,11 +905,11 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    subs = _pq_subspaces(emb)
+    subs, full = _pq_subspaces(emb, with_full=True)
     trained = _train_concurrent(
         [
             (lambda: kmeans_train(
-                emb, k=KM_K, iters=KM_ITERS, cent_base=KM_BASE, scale=KM_SCALE,
+                full, k=KM_K, iters=KM_ITERS, cent_base=KM_BASE, scale=KM_SCALE,
                 output="centroids",
             ))
         ]
@@ -900,11 +922,11 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     coarse, sub_cents = trained[0], trained[1:]
-    cells = ivf_assign(emb, coarse).select(
+    cells = ivf_assign(full, coarse).select(
         F.col("id").alias("vec_id"), "cell"
     )
     cd = coarse.withColumn("cnorm_s", _sdot(F.col("cv"), F.col("cv")))
-    qs = emb.filter(F.col("vec_id") < N_QUERIES).select(
+    qs = full.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     ).withColumn("qnorm_s", _sdot(F.col("qv"), F.col("qv")))
     qscore = qs.join(F.broadcast(cd)).select(
@@ -1144,8 +1166,124 @@ ORDER BY m.vec_id
 """
 
 
+# --------------------------------------------------------------------------
+# ann_pca_project — distributed PCA (top principal component) by exact
+# integer power iteration, projected back over the corpus as a
+# per-label census. The embedding-ops capability every index/compaction
+# pipeline needs before IVF/PQ: find the dominant variance direction
+# (whitening, dimensionality triage, drift detection all start here).
+# Shape: ONE corpus pass builds the 64×64 integer Gram matrix
+# (mapInPandas int64 GEMM per Arrow batch, shuffle carries dim²·batches
+# rows — layout-bounded, not corpus-bounded), a dim²-row driver collect
+# runs 8 integer power-iteration steps (pure 64-bit arithmetic with
+# truncating division — replayed verbatim by the oracle as 8 unrolled
+# CTE steps, no float eigensolver anywhere), and a SECOND corpus pass
+# projects every vector onto the resulting direction with the
+# eigenvector embedded as plan literals — scan-side arithmetic, no
+# join, no shuffle beyond the ~n_labels-row census. 100 TB cost: 2
+# corpus scans + dim²-bounded everything else. The per-label projection
+# spread (mean/min/max along the top axis) is the class-separation
+# readout an embedding-quality dashboard reports.
+# --------------------------------------------------------------------------
+PCA_DIM = 64
+PCA_SCALE = 1024  # power of two: float→scaled-int is EXACT
+PCA_VSCALE = 1 << 20
+PCA_ITERS = 8
+PCA_GNORM = 1024
+
+
+def ann_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.operators.similarity import gram_matrix, power_iteration_top
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = gram_matrix(
+        emb, dim=PCA_DIM, scale=PCA_SCALE
+    ).collect()  # dim²+1 rows — bounded by dimension, never corpus size
+    v = power_iteration_top(
+        rows, dim=PCA_DIM, iters=PCA_ITERS, vscale=PCA_VSCALE,
+        gnorm=PCA_GNORM,
+    )
+    vlit = F.array(*[F.lit(c).cast("long") for c in v])
+    x = F.transform(
+        "embedding",
+        lambda e: F.floor(e.cast("double") * PCA_SCALE).cast("long"),
+    )
+    proj = F.aggregate(
+        F.zip_with(x, vlit, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    return (
+        emb.select("label", proj.alias("proj_s"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("proj_s").alias("sum_proj_s"),
+            F.min("proj_s").alias("min_proj_s"),
+            F.max("proj_s").alias("max_proj_s"),
+        )
+        .select(
+            "label", "n_vecs", "sum_proj_s",
+            F.expr("sum_proj_s div n_vecs").alias("mean_proj_s"),
+            "min_proj_s", "max_proj_s",
+        )
+        .orderBy("label")
+    )
+
+
+def _pca_oracle() -> str:
+    """Replay: scaled-int Gram → normalized Gn → 8 unrolled power
+    steps (w = Gn·v; v = w // ((max|w| // 2^20)+1); both engines'
+    integer division truncates toward zero) → corpus projection →
+    per-label census."""
+    steps = []
+    prev = "v0"
+    for t in range(1, PCA_ITERS + 1):
+        steps.append(
+            f"w{t} AS (SELECT gn.i AS i, CAST(SUM(gn.g * {prev}.v) AS BIGINT)"
+            f" AS w FROM gn JOIN {prev} ON {prev}.i = gn.j GROUP BY gn.i),\n"
+            f"m{t} AS (SELECT max(abs(w)) AS m FROM w{t}),\n"
+            f"v{t} AS (SELECT i, w // ((m // {PCA_VSCALE}) + 1) AS v"
+            f" FROM w{t}, m{t})"
+        )
+        prev = f"v{t}"
+    return f"""
+WITH x AS (
+  SELECT label,
+         list_transform(embedding,
+             e -> CAST(floor(e::DOUBLE * {PCA_SCALE}) AS BIGINT)) AS x
+  FROM embeddings
+),
+g AS (
+  SELECT i, j, CAST(SUM(x[i + 1] * x[j + 1]) AS BIGINT) AS g
+  FROM x, range({PCA_DIM}) AS _i(i), range({PCA_DIM}) AS _j(j)
+  GROUP BY i, j
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM x),
+gn AS (SELECT i, j, g // ((n.n // {PCA_GNORM}) + 1) AS g FROM g, n),
+v0 AS (SELECT i, CAST({PCA_VSCALE} AS BIGINT) AS v
+       FROM range({PCA_DIM}) AS _(i)),
+{','.join(steps)},
+pvec AS (SELECT list(v ORDER BY i) AS vv FROM {prev}),
+proj AS (
+  SELECT label,
+         CAST(list_sum(list_transform(generate_series(1, {PCA_DIM}),
+              i -> x[i] * vv[i])) AS BIGINT) AS proj_s
+  FROM x, pvec
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(proj_s) AS BIGINT) AS sum_proj_s,
+       CAST(SUM(proj_s) AS BIGINT) // CAST(count(*) AS BIGINT)
+           AS mean_proj_s,
+       min(proj_s) AS min_proj_s, max(proj_s) AS max_proj_s
+FROM proj GROUP BY label
+ORDER BY label
+"""
+
+
 QUERIES = {
     "dedup_semantic": dedup_semantic,
+    "ann_pca_project": ann_pca_project,
     "ann_ivf_pq_topk": ann_ivf_pq_topk,
     "ann_pq_adc_topk": ann_pq_adc_topk,
     "ann_pq_codes": ann_pq_codes,
@@ -1163,6 +1301,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_semantic": _semantic_oracle(),
+    "ann_pca_project": _pca_oracle(),
     "ann_ivf_pq_topk": _ivf_pq_oracle(),
     "ann_pq_adc_topk": _pq_adc_oracle(),
     "ann_pq_codes": _pq_oracle(),
