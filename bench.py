@@ -16,6 +16,22 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Wall-clock anchor for the rep budget — process start, so JVM spin-up
+# and warmup count against it (the driver's timeout measures the same).
+_T0 = time.monotonic()
+
+# The driver wraps bench in `timeout 580`; r6's headline set at a flat
+# 2 reps overran it (2×~280 s of queries + startup → exit 124,
+# artifact lost). Reps are therefore TWO-PASS AND BUDGETED: pass 1
+# runs EVERY query exactly once (coverage is the contract and a single
+# pass fits the timeout with ~2× headroom), then pass 2 re-runs
+# queries front-to-back for min-of-reps timing only while inside the
+# budget — an overrun can only ever degrade the TAIL to single-rep
+# timings, never the artifact to `parsed: null`. An in-flight pass-2
+# query may overshoot the budget by its own runtime (≤ ~20 s), which
+# the 80 s budget→timeout gap absorbs.
+BENCH_BUDGET_S = float(os.environ.get("JOBX_BENCH_BUDGET_S", "500"))
+
 # Headline set: the queries that exercise the heavy operators (big agg,
 # 3-way join, window, dedup/similarity once implemented).
 HEADLINE = [
@@ -69,7 +85,14 @@ HEADLINE = [
     "pipe_ewma_user_value",
     "pipe_tokenizer_fertility",
     "stream_ewma_user_value",
+    # round-6 additions outside the auto-enrolled prefixes
+    # (stream_window_distinct_scaled is excluded like the other 8×
+    # replication probes — see the exclusion note in main())
+    "pipe_pack_sequences",
+    "pipe_dsir_sample",
 ]
+
+BENCH_REPS = 2  # per-query timing = min over this many runs
 
 
 LINE_BUDGET = 1600  # driver tail window is 2000 chars; leave headroom
@@ -101,7 +124,8 @@ def budget_line(timings: dict[str, float], sf: float) -> tuple[str, dict]:
 
 
 def run_meta(
-    load_start: float, load_end: float, timings: dict[str, float]
+    load_start: float, load_end: float, timings: dict[str, float],
+    reps_done: dict[str, int] | None = None,
 ) -> dict:
     """Run-environment stamp for BENCH_FULL.json. External load ≈
     loadavg beyond what this bench itself generates; the start sample
@@ -124,6 +148,22 @@ def run_meta(
             ",".join(sorted(timings)).encode()
         ).hexdigest()[:12],
         "n_queries": len(timings),
+        # per-query timing is min-of-N (VERDICT r5 #8): single runs on
+        # a shared box are noise-dominated; the minimum is the
+        # steady-state cost of the plan itself. Second reps are
+        # wall-clock-budgeted (see BENCH_BUDGET_S): reps_completed
+        # says how many queries actually got each rep count.
+        "reps_target": BENCH_REPS,
+        "timing": "min_of_reps",
+        "rep_budget_s": BENCH_BUDGET_S,
+        "reps_completed": (
+            {
+                str(k): sum(1 for v in reps_done.values() if v == k)
+                for k in sorted(set(reps_done.values()))
+            }
+            if reps_done
+            else {}
+        ),
     }
 
 
@@ -149,6 +189,7 @@ def main() -> None:
                 and n not in ("dedup_components_scaled",
                               "dedup_substring_scaled",
                               "ann_bruteforce_scaled",
+                              "stream_window_distinct_scaled",
                               "dedup_components_lsss"):
             names.append(n)
 
@@ -173,23 +214,41 @@ def main() -> None:
     # projection-shaped queries would time as scans. The noop sink
     # evaluates every output row/column and discards it; an Observation
     # rides along to report row counts without a second run.
+    def run_once(name: str) -> tuple[float, int]:
+        t0 = time.monotonic()
+        df = qs[name](spark, SF_DIR)
+        obs = Observation()
+        (
+            df.observe(obs, F.count(F.lit(1)).alias("rows"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return time.monotonic() - t0, obs.get["rows"]
+
     timings: dict[str, float] = {}
+    reps_done: dict[str, int] = {}
+    rows_seen: dict[str, int] = {}
+    # pass 1: every query once — coverage before timing stability
     for name in names:
-        best, n = float("inf"), 0
-        for _ in range(2):
-            t0 = time.monotonic()
-            df = qs[name](spark, SF_DIR)
-            obs = Observation()
-            (
-                df.observe(obs, F.count(F.lit(1)).alias("rows"))
-                .write.format("noop")
-                .mode("overwrite")
-                .save()
-            )
-            n = obs.get["rows"]
-            best = min(best, time.monotonic() - t0)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)
+        t, n = run_once(name)
+        timings[name] = round(t, 3)
+        reps_done[name] = 1
+        rows_seen[name] = n
+    # pass 2+: min-of-reps, front-to-back, only while inside the budget
+    for rep in range(1, BENCH_REPS):
+        for name in names:
+            if time.monotonic() - _T0 > BENCH_BUDGET_S:
+                break
+            t, _ = run_once(name)
+            timings[name] = round(min(timings[name], t), 3)
+            reps_done[name] += 1
+    for name in names:
+        print(
+            f"# {name}: {timings[name]}s rows={rows_seen[name]}"
+            f" reps={reps_done[name]}",
+            file=sys.stderr,
+        )
 
     sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
     # The driver captures only the LAST 2000 chars of combined output
@@ -207,7 +266,7 @@ def main() -> None:
         # run-environment stamp (VERDICT r4 #5): lets a reader tell a
         # quiet-box close from a driver run taken under concurrent
         # verify load without cross-referencing BENCH_NOTES.md.
-        "run_meta": run_meta(load_start, os.getloadavg()[0], timings),
+        "run_meta": run_meta(load_start, os.getloadavg()[0], timings, reps_done),
     }
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
     with open(full_path, "w", encoding="utf-8") as f:
