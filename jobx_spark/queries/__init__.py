@@ -115,41 +115,61 @@ def _utc_pinned(fn: QueryFn) -> QueryFn:
 # operators/recurrence.py path and text_hll_merge's dense source frame
 # now derives from documents (ADVICE r4) — both are in the pool below,
 # so their changed code gets attested this round.
+# ROUND-6 GATE (VERDICT r5 #1):
+#   1. the declared round-6 pool — the 6 queries added after the r5
+#      gate filled, never driver-attested (judge-verified hash-exact
+#      at sf0.01 under a hostile non-UTC session; their driver rows
+#      complete the all-time attestation: every registry query will
+#      hold a green driver row in some round);
+#   2. new in r6: pipe_pack_sequences (next-fit context-window
+#      packing, VERDICT #5), pipe_dsir_sample (hashed-ngram
+#      importance resampling, VERDICT #6), and
+#      stream_window_distinct_scaled (the 8× STREAMING scale probe,
+#      VERDICT #4 — state-rows assertion in test_stream_plans.py);
+#   3. changed-code re-attests: the three PQ queries (subspace
+#      projection materialized once — VERDICT #2, ~10 embeddings
+#      scans → 1), text_bigram_score + text_perplexity_buckets
+#      (size-gated shared count table — VERDICT #3), and
+#      pipe_ewma_user_value (recurrence.py now derives the key type
+#      for its applyInPandas schemas — ADVICE r5);
+#   4. oldest-attestation-first rotation: the 13 r1-banked rows that
+#      didn't fit the r5 gate (q41-q44 + the q46-q54 tail — three
+#      rounds stale), then the alphabetical head of the r2-banked
+#      rows (22 slots; the r2 cohort is uniformly 4 rounds stale, so
+#      alphabetical order within it is the deterministic tiebreak).
 GATE_FIRST_50 = [
-    # -- 1. the round-5 pool --
-    "text_hll_merge", "stream_full_outer_join", "q68_product_profit",
-    "dedup_components_lsss", "pipe_ewma_user_value",
-    # -- 2. new in round 5 --
-    "dedup_substring_scaled", "text_perplexity_buckets",
-    "dedup_source_overlap", "text_domain_signature",
-    "dedup_split_leakage", "stream_ewma_user_value",
+    # -- 1. the round-6 pool (never driver-attested) --
+    "ann_bruteforce_scaled", "dedup_rate_by_source", "dedup_winnow_pairs",
+    "pipe_tokenizer_fertility", "text_winnow_fingerprints",
+    "text_zipf_census",
+    # -- 2. new in round 6 --
+    "pipe_pack_sequences", "pipe_dsir_sample",
+    "stream_window_distinct_scaled", "ann_pca_project",
     # -- 3. changed-code re-attests --
-    "text_bigram_score",
-    "stream_tumbling_agg", "stream_scd_enrich",
-    "stream_stateful_user_stats",
-    # -- 4. oldest-attestation-first rotation (r1-banked) --
-    "q01_pricing_summary", "q02_filter_project", "q03_shipping_priority",
-    "q04_brand_revenue", "q05_semi_join", "q06_anti_join",
-    "q07_topk_per_group", "q08_running_sum", "q09_rollup", "q10_cube",
-    "q11_distinct_agg", "q12_set_ops", "q13_top_orders",
-    "q14_scalar_functions", "q15_json_extract", "q16_sessionize",
-    "q17_pivot", "q18_grouping_sets", "q19_above_nation_avg",
-    "q20_asof_join", "q21_band_join", "q26_outer_join_dist",
-    "q27_full_outer", "q28_cheapest_supplier", "q30_exists_late_ship",
-    "q31_idle_rich_customers", "q32_explode_words",
-    "q33_balance_distribution", "q34_conditional_agg", "q35_string_agg",
-    "q36_unpivot_metrics", "q37_approx_distinct_kmv",
-    "q38_salted_skew_agg", "q39_nation_trade", "q40_monthly_growth",
+    "ann_pq_codes", "ann_pq_adc_topk", "ann_ivf_pq_topk",
+    "text_bigram_score", "text_perplexity_buckets",
+    "pipe_ewma_user_value",
+    # -- 4a. r1-banked rotation tail from r5's plan --
+    "q41_percentile_cont", "q42_important_parts",
+    "q43_small_qty_revenue", "q44_top_supplier", "q46_fuzzy_name_pairs",
+    "q47_cohort_retention", "q48_funnel_steps",
+    "q49_local_supplier_volume", "q50_returned_items",
+    "q51_window_navigation", "q52_revenue_share",
+    "q53_select_scalar_subquery", "q54_session_conversion",
+    # -- 4b. r2-banked rotation (alphabetical head) --
+    "ann_bruteforce_topk", "ann_ivf_topk", "ann_lsh_topk",
+    "dedup_components", "dedup_containment", "dedup_decontaminate",
+    "dedup_exact", "dedup_jaccard_prefix", "dedup_minhash_pairs",
+    "dedup_minhash_sig", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_simhash_pairs", "multimodal_features", "multimodal_frames",
+    "multimodal_infer", "multimodal_meta", "multimodal_resize",
+    "pipe_bigram_counts", "pipe_corpus_stats", "pipe_sample_hash",
 ]
-# ROUND-6 GATE POOL (added after the r5 gate filled, CI-oracle-green at
-# sf0.001+sf0.01+sf0.1 under a hostile non-UTC session but never
-# driver-attested): text_winnow_fingerprints (MOSS winnowing),
-# dedup_winnow_pairs (the MOSS matching step), pipe_tokenizer_fertility,
-# ann_bruteforce_scaled (the third 8× scale probe — graph loop, span
-# census, similarity scan), dedup_rate_by_source (per-provider dup
-# triage), text_zipf_census (rank-frequency doubling diagnostic) —
-# plus anything new in r6, then the remaining r1-banked rotation
-# (q41-q44, q46-q54 tail).
+# ROUND-7 GATE POOL: rotate the remaining r2-banked rows
+# (pipe_sample_join, pipe_split_train_val_test, pipe_vocab_topk, stream_sink_rollup,
+# text_cms_heavy_hitters, text_fingerprint, text_lang_id,
+# text_quality, text_repetition, …alphabetical continuation), plus
+# anything new in r7 and any changed-code re-attests.
 
 
 def all_queries() -> dict[str, QueryFn]:
