@@ -1281,9 +1281,160 @@ ORDER BY label
 """
 
 
+# --------------------------------------------------------------------------
+# ann_jl_distortion — Johnson–Lindenstrauss random-projection quality
+# census: project 64-dim embeddings to JL_K=16 dims with a
+# deterministic ±1 matrix (the database-friendly JL variant, Achlioptas
+# 2003) and measure how well pairwise squared distances survive, as a
+# distortion-ratio histogram over a bounded probe sample. This is the
+# go/no-go measurement before swapping full vectors for projections in
+# a dedup/ANN pipeline (the complement of ann_recall_eval, which
+# measures end-task recall; this measures the geometric guarantee
+# itself).
+# Determinism: the ±1 signs are md5 parities of "jlw:<j>:<i>" —
+# PRECOMPUTED at plan build and embedded as literals on both engines
+# (the LSH hyperplanes' linear parity family is visibly biased as a
+# JL matrix: its correlated rows centered the ratio at ~0.65, which
+# this census itself exposed); float→int is the exact ·2^10 floor;
+# everything after is integer.
+# Scale shape: the projection is scan-side arithmetic (zip_with over
+# literal sign arrays — no shuffle, no UDF); the probe is the JL_C
+# hash-SMALLEST vectors (TakeOrderedAndProject: map-side top-C, one
+# C-row driver-side frame at any corpus size — a rate-based sample
+# would grow quadratically in the pair stage); the C·(C-1)/2 pair
+# census is one broadcast self-join over C rows. 100 TB cost: one
+# corpus scan + a 2016-pair tail.
+# --------------------------------------------------------------------------
+JL_K = 16
+JL_C = 64
+JL_RHO_SCALE = 1000
+
+
+def _jl_signs() -> list[list[int]]:
+    """±1 projection matrix [JL_K][dim]: md5 parity of "jlw:<j>:<i>",
+    evaluated once at plan build — both engines see literal arrays."""
+    import hashlib
+
+    def sign(j: int, i: int) -> int:
+        h = hashlib.md5(f"jlw:{j}:{i}".encode()).hexdigest()
+        return 1 if int(h[:15], 16) % 2 == 0 else -1
+
+    return [[sign(j, i) for i in range(PCA_DIM)] for j in range(JL_K)]
+
+
+def ann_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    from jobx_spark.functions import md5_long
+
+    x = F.transform(
+        "embedding",
+        lambda e: F.floor(e.cast("double") * PCA_SCALE).cast("long"),
+    )
+    signs = _jl_signs()
+    y = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col("x"),
+                    F.array(*[F.lit(s).cast("long") for s in signs[j]]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, t: acc + t,
+            )
+            for j in range(JL_K)
+        ]
+    )
+    probe = (
+        emb.select(
+            "vec_id",
+            x.alias("x"),
+            md5_long(
+                F.concat(F.lit("jl:"), F.col("vec_id").cast("string"))
+            ).alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(JL_C)
+        .withColumn("y", y)
+        .select("vec_id", "x", "y")
+    )
+    a, b = probe.alias("a"), probe.alias("b")
+    sq = lambda u, v: (u - v) * (u - v)  # noqa: E731
+    pairs = (
+        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.aggregate(
+                F.zip_with("a.x", "b.x", sq),
+                F.lit(0).cast("long"),
+                lambda acc, t: acc + t,
+            ).alias("d2"),
+            F.aggregate(
+                F.zip_with("a.y", "b.y", sq),
+                F.lit(0).cast("long"),
+                lambda acc, t: acc + t,
+            ).alias("p2"),
+        )
+        .filter(F.col("d2") > 0)
+        # E[p2] = K·d2 for ±1 JL: rho_s ≈ 1000 when undistorted
+        .select(
+            F.expr(
+                f"(p2 * {JL_RHO_SCALE}) div (d2 * {JL_K})"
+            ).alias("rho_s")
+        )
+    )
+    return (
+        pairs.groupBy(F.expr("rho_s div 100").alias("rho_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("rho_s").alias("sum_rho_s"),
+            F.min("rho_s").alias("min_rho_s"),
+            F.max("rho_s").alias("max_rho_s"),
+        )
+        .orderBy("rho_bucket")
+    )
+
+
+def _jl_oracle() -> str:
+    signs = _jl_signs()
+    proj = ", ".join(
+        "CAST(list_sum(list_transform(generate_series(1, %d), i -> x[i] * (%s)[i])) AS BIGINT)"
+        % (PCA_DIM, "[" + ",".join(str(s) for s in signs[j]) + "]")
+        for j in range(JL_K)
+    )
+    h = md5_long_sql_duck("'jl:'||CAST(vec_id AS VARCHAR)")
+    return f"""
+WITH x AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             e -> CAST(floor(e::DOUBLE * {PCA_SCALE}) AS BIGINT)) AS x,
+         {h} AS h
+  FROM embeddings
+),
+probe AS (SELECT vec_id, x FROM x ORDER BY h, vec_id LIMIT {JL_C}),
+py AS (SELECT vec_id, x, [{proj}] AS y FROM probe),
+pairs AS (
+  SELECT CAST(list_sum(list_transform(generate_series(1, {PCA_DIM}),
+             i -> (a.x[i] - b.x[i]) * (a.x[i] - b.x[i]))) AS BIGINT) AS d2,
+         CAST(list_sum(list_transform(generate_series(1, {JL_K}),
+             j -> (a.y[j] - b.y[j]) * (a.y[j] - b.y[j]))) AS BIGINT) AS p2
+  FROM py a JOIN py b ON a.vec_id < b.vec_id
+),
+rho AS (
+  SELECT (p2 * {JL_RHO_SCALE}) // (d2 * {JL_K}) AS rho_s
+  FROM pairs WHERE d2 > 0
+)
+SELECT rho_s // 100 AS rho_bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(rho_s) AS BIGINT) AS sum_rho_s,
+       min(rho_s) AS min_rho_s, max(rho_s) AS max_rho_s
+FROM rho GROUP BY 1
+ORDER BY rho_bucket
+"""
+
+
 QUERIES = {
     "dedup_semantic": dedup_semantic,
     "ann_pca_project": ann_pca_project,
+    "ann_jl_distortion": ann_jl_distortion,
     "ann_ivf_pq_topk": ann_ivf_pq_topk,
     "ann_pq_adc_topk": ann_pq_adc_topk,
     "ann_pq_codes": ann_pq_codes,
@@ -1302,6 +1453,7 @@ QUERIES = {
 ORACLES = {
     "dedup_semantic": _semantic_oracle(),
     "ann_pca_project": _pca_oracle(),
+    "ann_jl_distortion": _jl_oracle(),
     "ann_ivf_pq_topk": _ivf_pq_oracle(),
     "ann_pq_adc_topk": _pq_adc_oracle(),
     "ann_pq_codes": _pq_oracle(),
