@@ -90,6 +90,7 @@ HEADLINE = [
     # replication probes — see the exclusion note in main())
     "pipe_pack_sequences",
     "pipe_dsir_sample",
+    "pipe_snapshot_diff",
 ]
 
 BENCH_REPS = 2  # per-query timing = min over this many runs

@@ -126,8 +126,10 @@ def _utc_pinned(fn: QueryFn) -> QueryFn:
 #      importance resampling, VERDICT #6),
 #      stream_window_distinct_scaled (the 8× STREAMING scale probe,
 #      VERDICT #4 — state-rows assertion in test_stream_plans.py),
-#      ann_pca_project (integer power-iteration PCA) and
-#      ann_jl_distortion (JL projection quality census);
+#      ann_pca_project (integer power-iteration PCA),
+#      ann_jl_distortion (JL projection quality census),
+#      ann_ivf_balance (IVF cell-balance index health) and
+#      pipe_snapshot_diff (dataset-version churn census);
 #   3. changed-code re-attests: the three PQ queries (subspace
 #      projection materialized once — VERDICT #2, ~10 embeddings
 #      scans → 1), text_bigram_score + text_perplexity_buckets
@@ -147,7 +149,7 @@ GATE_FIRST_50 = [
     # -- 2. new in round 6 --
     "pipe_pack_sequences", "pipe_dsir_sample",
     "stream_window_distinct_scaled", "ann_pca_project",
-    "ann_jl_distortion",
+    "ann_jl_distortion", "ann_ivf_balance", "pipe_snapshot_diff",
     # -- 3. changed-code re-attests --
     "ann_pq_codes", "ann_pq_adc_topk", "ann_ivf_pq_topk",
     "text_bigram_score", "text_perplexity_buckets",
@@ -166,10 +168,9 @@ GATE_FIRST_50 = [
     "dedup_minhash_sig", "dedup_ngram_jaccard", "dedup_simhash",
     "dedup_simhash_pairs", "multimodal_features", "multimodal_frames",
     "multimodal_infer", "multimodal_meta", "multimodal_resize",
-    "pipe_bigram_counts", "pipe_corpus_stats",
 ]
 # ROUND-7 GATE POOL: rotate the remaining r2-banked rows
-# (pipe_sample_hash, pipe_sample_join, pipe_split_train_val_test, pipe_vocab_topk, stream_sink_rollup,
+# (pipe_bigram_counts, pipe_corpus_stats, pipe_sample_hash, pipe_sample_join, pipe_split_train_val_test, pipe_vocab_topk, stream_sink_rollup,
 # text_cms_heavy_hitters, text_fingerprint, text_lang_id,
 # text_quality, text_repetition, …alphabetical continuation), plus
 # anything new in r7 and any changed-code re-attests.

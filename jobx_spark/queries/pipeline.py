@@ -1706,6 +1706,109 @@ ORDER BY source
 
 
 # --------------------------------------------------------------------------
+# pipe_snapshot_diff — dataset-version diff census: given two corpus
+# snapshots, classify every document as added / removed / modified /
+# unchanged by content fingerprint and census the churn per source —
+# the audit every versioned training-data release publishes (what
+# changed between v1 and v2, and how much text moved). Here v2 is
+# DERIVED deterministically from v1 (hash-gated 1-in-20 deletes,
+# 1-in-20 text edits, 1-in-20 additions under a disjoint id namespace)
+# so the operator is oracle-checkable; against real stored snapshots
+# the shape is identical.
+# Scale shape: the diff is ONE full-outer equi-join on doc_id — with
+# both snapshot tables bucketed by doc_id (how versioned corpora
+# should be stored) it is co-located and shuffle-free; the census is a
+# (source × 4)-row aggregation. No fingerprint table needs to fit
+# anywhere: the hash compare happens row-wise inside the join.
+# --------------------------------------------------------------------------
+SNAP_ADD_BASE = 10**12
+
+
+def pipe_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    gate = lambda tag: (  # noqa: E731
+        md5_long(F.concat(F.lit(tag), F.col("doc_id").cast("string"))) % 20
+    )
+    v1 = docs.select("doc_id", "source", "text")
+    kept = v1.filter(gate("snapdel:") != 0)
+    edited = kept.withColumn(
+        "text",
+        F.when(
+            gate("snapedit:") == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+        ).otherwise(F.col("text")),
+    )
+    added = v1.filter(gate("snapadd:") == 0).select(
+        (F.col("doc_id") + F.lit(SNAP_ADD_BASE)).alias("doc_id"),
+        "source", "text",
+    )
+    v2 = edited.unionByName(added)
+
+    fp = lambda c: md5_long(F.col(c))  # noqa: E731
+    a = v1.select(
+        "doc_id", F.col("source").alias("src1"), fp("text").alias("fp1"),
+        F.length("text").cast("long").alias("len1"),
+    )
+    b = v2.select(
+        "doc_id", F.col("source").alias("src2"), fp("text").alias("fp2"),
+        F.length("text").cast("long").alias("len2"),
+    )
+    j = a.join(b, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("fp1").isNull(), F.lit("added"))
+        .when(F.col("fp2").isNull(), F.lit("removed"))
+        .when(F.col("fp1") == F.col("fp2"), F.lit("unchanged"))
+        .otherwise(F.lit("modified"))
+    )
+    return (
+        j.select(
+            F.coalesce("src1", "src2").alias("source"),
+            status.alias("status"),
+            (F.coalesce("len2", F.lit(0)) - F.coalesce("len1", F.lit(0)))
+            .alias("delta_chars"),
+        )
+        .groupBy("source", "status")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("delta_chars").alias("delta_chars"),
+        )
+        .orderBy("source", "status")
+    )
+
+
+_SNAP_DEL = _MD5.format(e="'snapdel:'||CAST(doc_id AS VARCHAR)") + " % 20"
+_SNAP_EDIT = _MD5.format(e="'snapedit:'||CAST(doc_id AS VARCHAR)") + " % 20"
+_SNAP_ADD = _MD5.format(e="'snapadd:'||CAST(doc_id AS VARCHAR)") + " % 20"
+ORACLE_PIPE_SNAPSHOT_DIFF = f"""
+WITH v1 AS (SELECT doc_id, source, text FROM documents),
+v2 AS (
+  SELECT doc_id, source,
+         CASE WHEN {_SNAP_EDIT} = 0 THEN text || ' [rev2]' ELSE text END AS text
+  FROM v1 WHERE {_SNAP_DEL} != 0
+  UNION ALL
+  SELECT doc_id + {SNAP_ADD_BASE}, source, text
+  FROM v1 WHERE {_SNAP_ADD} = 0
+),
+a AS (SELECT doc_id, source AS src1, {_MD5.format(e='text')} AS fp1,
+             CAST(len(text) AS BIGINT) AS len1 FROM v1),
+b AS (SELECT doc_id, source AS src2, {_MD5.format(e='text')} AS fp2,
+             CAST(len(text) AS BIGINT) AS len2 FROM v2),
+j AS (
+  SELECT coalesce(a.src1, b.src2) AS source,
+         CASE WHEN a.fp1 IS NULL THEN 'added'
+              WHEN b.fp2 IS NULL THEN 'removed'
+              WHEN a.fp1 = b.fp2 THEN 'unchanged'
+              ELSE 'modified' END AS status,
+         coalesce(b.len2, 0) - coalesce(a.len1, 0) AS delta_chars
+  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+)
+SELECT source, status, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(delta_chars) AS BIGINT) AS delta_chars
+FROM j GROUP BY source, status
+ORDER BY source, status
+"""
+
+
+# --------------------------------------------------------------------------
 # pipe_quality_rules — Gopher-style per-document rule filter (Rae et
 # al. 2021 §A1.1 re-expressed): five cheap structural rules, each a
 # boolean column so the report says WHY a document fell out, plus the
@@ -1903,6 +2006,7 @@ ORDER BY user_id
 QUERIES = {
     "pipe_pack_sequences": pipe_pack_sequences,
     "pipe_dsir_sample": pipe_dsir_sample,
+    "pipe_snapshot_diff": pipe_snapshot_diff,
     "pipe_ewma_user_value": pipe_ewma_user_value,
     "pipe_quality_rules": pipe_quality_rules,
     "pipe_mix_temperature": pipe_mix_temperature,
@@ -1938,6 +2042,7 @@ QUERIES = {
 ORACLES = {
     "pipe_pack_sequences": ORACLE_PIPE_PACK_SEQUENCES,
     "pipe_dsir_sample": ORACLE_PIPE_DSIR_SAMPLE,
+    "pipe_snapshot_diff": ORACLE_PIPE_SNAPSHOT_DIFF,
     "pipe_ewma_user_value": ORACLE_PIPE_EWMA,
     "pipe_quality_rules": _quality_rules_oracle(),
     "pipe_mix_temperature": ORACLE_PIPE_MIX_TEMPERATURE,

@@ -270,6 +270,77 @@ ORDER BY vec_id
 
 
 # --------------------------------------------------------------------------
+# ann_ivf_balance — IVF index health census: per-cell population of the
+# k-means-trained coarse quantizer, with share and balance ratio
+# (1000 = perfectly even). Operationally this is the FIRST thing to
+# check before shipping an IVF index: probe latency is bounded by the
+# largest cell, and a skewed quantizer (dead cells + one mega-cell)
+# silently degrades nprobe recall/latency math — the same census a
+# FAISS imbalance_factor call reports, as a first-class gated query.
+# Shape: train (the shared scaled-int Lloyd chain), assign (broadcast
+# argmax, no shuffle), then ONE k-row aggregation; the range(k) left
+# join keeps dead cells visible as zero rows (the pathology this
+# census exists to catch). 100 TB cost: the training scans + one
+# corpus scan + a k-row census.
+# --------------------------------------------------------------------------
+def ann_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.operators.similarity import ivf_assign, kmeans_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = kmeans_train(
+        emb, k=KM_K, iters=KM_ITERS, cent_base=KM_BASE, scale=KM_SCALE,
+        output="centroids",
+    )
+    sizes = (
+        ivf_assign(emb, centroids)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
+    dom = spark.range(KM_K).select(F.col("id").cast("int").alias("cell"))
+    from pyspark.sql import Window as W
+
+    # total = Σ n_vecs over the k-row census (an empty-frame window —
+    # 8 rows on one reducer), NOT a second emb.count() corpus scan
+    total = F.sum("n_vecs").over(W.partitionBy())
+    return (
+        dom.join(sizes, "cell", "left")
+        .select(
+            "cell",
+            F.coalesce("n_vecs", F.lit(0)).cast("long").alias("n_vecs"),
+        )
+        .withColumn("total", total)
+        .select(
+            "cell", "n_vecs",
+            F.expr(f"(n_vecs * {10**6}) div total").alias("share_ppm"),
+            F.expr(f"(n_vecs * {KM_K} * 1000) div total").alias(
+                "balance_x1000"
+            ),
+        )
+        .orderBy("cell")
+    )
+
+
+def _ivf_balance_oracle() -> str:
+    parts, assign_cte = _kmeans_ctes()
+    parts = parts + [assign_cte(KM_ITERS + 1)]
+    body = ",\n".join(parts)
+    return f"""
+WITH {body},
+sizes AS (
+  SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs
+  FROM a{KM_ITERS + 1} GROUP BY cell
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM embeddings)
+SELECT CAST(d.c AS INTEGER) AS cell,
+       coalesce(s.n_vecs, 0) AS n_vecs,
+       (coalesce(s.n_vecs, 0) * {10**6}) // n.total AS share_ppm,
+       (coalesce(s.n_vecs, 0) * {KM_K} * 1000) // n.total AS balance_x1000
+FROM range({KM_K}) AS d(c) LEFT JOIN sizes s ON s.cell = d.c, n
+ORDER BY cell
+"""
+
+
+# --------------------------------------------------------------------------
 # ann_ivf_trained_topk — the index pipeline end-to-end: k-means-trained
 # centroids (3 Lloyd rounds, scaled-int) feed the IVF index, each query
 # probes its nprobe closest trained cells and ranks exactly within
@@ -1435,6 +1506,7 @@ QUERIES = {
     "dedup_semantic": dedup_semantic,
     "ann_pca_project": ann_pca_project,
     "ann_jl_distortion": ann_jl_distortion,
+    "ann_ivf_balance": ann_ivf_balance,
     "ann_ivf_pq_topk": ann_ivf_pq_topk,
     "ann_pq_adc_topk": ann_pq_adc_topk,
     "ann_pq_codes": ann_pq_codes,
@@ -1454,6 +1526,7 @@ ORACLES = {
     "dedup_semantic": _semantic_oracle(),
     "ann_pca_project": _pca_oracle(),
     "ann_jl_distortion": _jl_oracle(),
+    "ann_ivf_balance": _ivf_balance_oracle(),
     "ann_ivf_pq_topk": _ivf_pq_oracle(),
     "ann_pq_adc_topk": _pq_adc_oracle(),
     "ann_pq_codes": _pq_oracle(),
