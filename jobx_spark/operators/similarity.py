@@ -570,7 +570,8 @@ def power_iteration_top(
     iters: int = 8,
     vscale: int = 1 << 20,
     gnorm: int = 1024,
-) -> list[int]:
+    with_eigval: bool = False,
+):
     """Top principal direction of a Gram matrix by INTEGER power
     iteration — deterministic and exactly replayable by any engine
     with 64-bit truncating division (the oracle unrolls the identical
@@ -602,4 +603,12 @@ def power_iteration_top(
         w = [sum(gn[i][j] * v[j] for j in range(dim)) for i in range(dim)]
         d = (max(abs(x) for x in w) // vscale) + 1
         v = [_tdiv(x, d) for x in w]
-    return v
+    if not with_eigval:
+        return v
+    # Dominant-eigenvalue estimate via the ∞-norm ratio of one more
+    # matrix application: λ ≈ max|Gn·v| / max|v|, scaled ×1000. Stays
+    # inside int64 (max|Gn·v| ≤ 2^54; the ratio divisor ≥ 1) where the
+    # textbook Rayleigh quotient v·Gn·v would overflow at 2^74.
+    w = [sum(gn[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+    lam_s = max(abs(x) for x in w) // ((max(abs(x) for x in v) // 1000) + 1)
+    return v, lam_s

@@ -1270,9 +1270,9 @@ def ann_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = gram_matrix(
         emb, dim=PCA_DIM, scale=PCA_SCALE
     ).collect()  # dim²+1 rows — bounded by dimension, never corpus size
-    v = power_iteration_top(
+    v, lam_s = power_iteration_top(
         rows, dim=PCA_DIM, iters=PCA_ITERS, vscale=PCA_VSCALE,
-        gnorm=PCA_GNORM,
+        gnorm=PCA_GNORM, with_eigval=True,
     )
     vlit = F.array(*[F.lit(c).cast("long") for c in v])
     x = F.transform(
@@ -1297,6 +1297,10 @@ def ann_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label", "n_vecs", "sum_proj_s",
             F.expr("sum_proj_s div n_vecs").alias("mean_proj_s"),
             "min_proj_s", "max_proj_s",
+            # dominant-eigenvalue estimate (∞-norm ratio, ×1000 in Gn
+            # units) — constant per row, the spectrum readout a
+            # variance dashboard quotes alongside the axis spread
+            F.lit(lam_s).cast("long").alias("top_eigval_s"),
         )
         .orderBy("label")
     )
@@ -1307,17 +1311,31 @@ def _pca_oracle() -> str:
     steps (w = Gn·v; v = w // ((max|w| // 2^20)+1); both engines'
     integer division truncates toward zero) → corpus projection →
     per-label census."""
+    # every iteration CTE is MATERIALIZED: the chain is deep and each
+    # step references the previous one (and gn) — inlined CTEs would
+    # re-expand the whole prefix per reference and the planner's
+    # expression tree grows exponentially with depth (observed: the
+    # 9-step chain stopped terminating without the hint)
     steps = []
     prev = "v0"
     for t in range(1, PCA_ITERS + 1):
         steps.append(
-            f"w{t} AS (SELECT gn.i AS i, CAST(SUM(gn.g * {prev}.v) AS BIGINT)"
+            f"w{t} AS MATERIALIZED (SELECT gn.i AS i,"
+            f" CAST(SUM(gn.g * {prev}.v) AS BIGINT)"
             f" AS w FROM gn JOIN {prev} ON {prev}.i = gn.j GROUP BY gn.i),\n"
-            f"m{t} AS (SELECT max(abs(w)) AS m FROM w{t}),\n"
-            f"v{t} AS (SELECT i, w // ((m // {PCA_VSCALE}) + 1) AS v"
-            f" FROM w{t}, m{t})"
+            f"m{t} AS MATERIALIZED (SELECT max(abs(w)) AS m FROM w{t}),\n"
+            f"v{t} AS MATERIALIZED (SELECT i, w // ((m // {PCA_VSCALE}) + 1)"
+            f" AS v FROM w{t}, m{t})"
         )
         prev = f"v{t}"
+    t = PCA_ITERS + 1
+    steps.append(
+        f"w{t} AS MATERIALIZED (SELECT gn.i AS i,"
+        f" CAST(SUM(gn.g * {prev}.v) AS BIGINT)"
+        f" AS w FROM gn JOIN {prev} ON {prev}.i = gn.j GROUP BY gn.i),\n"
+        f"lam AS MATERIALIZED (SELECT (SELECT max(abs(w)) FROM w{t})"
+        f" // (((SELECT max(abs(v)) FROM {prev}) // 1000) + 1) AS lam_s)"
+    )
     return f"""
 WITH x AS (
   SELECT label,
@@ -1325,13 +1343,14 @@ WITH x AS (
              e -> CAST(floor(e::DOUBLE * {PCA_SCALE}) AS BIGINT)) AS x
   FROM embeddings
 ),
-g AS (
+g AS MATERIALIZED (
   SELECT i, j, CAST(SUM(x[i + 1] * x[j + 1]) AS BIGINT) AS g
   FROM x, range({PCA_DIM}) AS _i(i), range({PCA_DIM}) AS _j(j)
   GROUP BY i, j
 ),
 n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM x),
-gn AS (SELECT i, j, g // ((n.n // {PCA_GNORM}) + 1) AS g FROM g, n),
+gn AS MATERIALIZED (
+  SELECT i, j, g // ((n.n // {PCA_GNORM}) + 1) AS g FROM g, n),
 v0 AS (SELECT i, CAST({PCA_VSCALE} AS BIGINT) AS v
        FROM range({PCA_DIM}) AS _(i)),
 {','.join(steps)},
@@ -1346,8 +1365,9 @@ SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
        CAST(SUM(proj_s) AS BIGINT) AS sum_proj_s,
        CAST(SUM(proj_s) AS BIGINT) // CAST(count(*) AS BIGINT)
            AS mean_proj_s,
-       min(proj_s) AS min_proj_s, max(proj_s) AS max_proj_s
-FROM proj GROUP BY label
+       min(proj_s) AS min_proj_s, max(proj_s) AS max_proj_s,
+       lam.lam_s AS top_eigval_s
+FROM proj, lam GROUP BY label, lam.lam_s
 ORDER BY label
 """
 
