@@ -165,6 +165,9 @@ def run_meta(
             if reps_done
             else {}
         ),
+        # per-query rep counts: lets a reader tell a warm min-of-2 row
+        # from a cold single-rep row before comparing across rounds
+        "reps_per_query": dict(sorted(reps_done.items())) if reps_done else {},
     }
 
 
@@ -236,9 +239,20 @@ def main() -> None:
         timings[name] = round(t, 3)
         reps_done[name] = 1
         rows_seen[name] = n
-    # pass 2+: min-of-reps, front-to-back, only while inside the budget
+    # pass 2+: min-of-reps in DESCENDING pass-1-time order, only while
+    # inside the budget. Warm coverage of the full set cannot fit the
+    # driver timeout (pass 1 alone is ~400 s), so the budget goes to
+    # the most expensive queries first — cold plan-compile/codegen
+    # overhead (+1-3 s/query) distorts exactly those rows, and they
+    # dominate the headline total. Sub-second queries are never worth
+    # a re-run. run_meta.reps_per_query records who got a warm min, so
+    # cross-round comparisons can filter on equal treatment.
+    pass2 = sorted(
+        (n for n in names if timings[n] >= 1.0),
+        key=lambda n: (-timings[n], n),
+    )
     for rep in range(1, BENCH_REPS):
-        for name in names:
+        for name in pass2:
             if time.monotonic() - _T0 > BENCH_BUDGET_S:
                 break
             t, _ = run_once(name)
