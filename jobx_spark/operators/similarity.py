@@ -612,3 +612,92 @@ def power_iteration_top(
     w = [sum(gn[i][j] * v[j] for j in range(dim)) for i in range(dim)]
     lam_s = max(abs(x) for x in w) // ((max(abs(x) for x in v) // 1000) + 1)
     return v, lam_s
+
+
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k HARD NEGATIVES per query: highest-cosine corpus
+    vectors whose label differs from the query's — the mining step
+    that builds contrastive/retrieval training pairs (the negatives
+    that are hard precisely because they look like positives).
+
+    Same corpus-scan-once shape as :func:`brute_force_topk` (queries +
+    their labels ship in the task closure; each Arrow batch scores all
+    queries vectorized and keeps its local top-k AFTER masking
+    same-label rows), so the shuffle carries ≤ batches·|Q|·k candidate
+    rows — never |corpus|·|Q| scored pairs. The label mask is applied
+    during the scan, not by a post-rank filter (which would under-fill
+    k), and numerics are bit-identical to the brute-force ranker.
+    """
+    qrows = queries.select(
+        F.col(query_id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        F.col(label_col).alias("qlabel"),
+    ).collect()
+    if not qrows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, vec_id long, rank int, cosine double"
+        )
+    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    qlabels = np.array([r["qlabel"] for r in qrows], dtype=np.int64)
+    qmat = np.array([r["qv"] for r in qrows], dtype=np.float64)
+    qnorm_sqrt = np.sqrt(
+        np.floor((qmat * qmat) * 1e12).astype(np.int64).sum(axis=1).astype(np.float64)
+    )
+
+    def score_partition(pdfs):
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            labels = pdf[label_col].to_numpy(dtype=np.int64)
+            mat = np.stack(pdf[vec_col].values).astype(np.float64)
+            cnorm_sqrt = np.sqrt(
+                np.floor((mat * mat) * 1e12)
+                .astype(np.int64)
+                .sum(axis=1)
+                .astype(np.float64)
+            )
+            out_q, out_id, out_cos = [], [], []
+            for j in range(len(qids)):
+                keepmask = labels != qlabels[j]
+                if not keepmask.any():
+                    continue
+                mids = ids[keepmask]
+                dot = (
+                    np.floor((mat[keepmask] * qmat[j]) * 1e12)
+                    .astype(np.int64)
+                    .sum(axis=1)
+                    .astype(np.float64)
+                )
+                cos = dot / (qnorm_sqrt[j] * cnorm_sqrt[keepmask])
+                keep = np.lexsort((mids, -cos))[:k]
+                out_q.append(np.full(len(keep), qids[j], dtype=np.int64))
+                out_id.append(mids[keep])
+                out_cos.append(cos[keep])
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "qid": np.concatenate(out_q),
+                    "vec_id": np.concatenate(out_id),
+                    "cosine": np.concatenate(out_cos),
+                }
+            )
+
+    cand = corpus.select(id_col, label_col, vec_col).mapInPandas(
+        score_partition, schema="qid long, vec_id long, cosine double"
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias("query_id"), "vec_id", "rank", "cosine")
+    )

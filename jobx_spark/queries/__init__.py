@@ -150,6 +150,7 @@ GATE_FIRST_50 = [
     "pipe_pack_sequences", "pipe_dsir_sample",
     "stream_window_distinct_scaled", "ann_pca_project",
     "ann_jl_distortion", "ann_ivf_balance", "pipe_snapshot_diff",
+    "ann_hard_negatives",
     # -- 3. changed-code re-attests --
     "ann_pq_codes", "ann_pq_adc_topk", "ann_ivf_pq_topk",
     "text_bigram_score", "text_perplexity_buckets",
@@ -167,10 +168,10 @@ GATE_FIRST_50 = [
     "dedup_exact", "dedup_jaccard_prefix", "dedup_minhash_pairs",
     "dedup_minhash_sig", "dedup_ngram_jaccard", "dedup_simhash",
     "dedup_simhash_pairs", "multimodal_features", "multimodal_frames",
-    "multimodal_infer", "multimodal_meta", "multimodal_resize",
+    "multimodal_infer", "multimodal_meta",
 ]
 # ROUND-7 GATE POOL: rotate the remaining r2-banked rows
-# (pipe_bigram_counts, pipe_corpus_stats, pipe_sample_hash, pipe_sample_join, pipe_split_train_val_test, pipe_vocab_topk, stream_sink_rollup,
+# (multimodal_resize, pipe_bigram_counts, pipe_corpus_stats, pipe_sample_hash, pipe_sample_join, pipe_split_train_val_test, pipe_vocab_topk, stream_sink_rollup,
 # text_cms_heavy_hitters, text_fingerprint, text_lang_id,
 # text_quality, text_repetition, …alphabetical continuation), plus
 # anything new in r7 and any changed-code re-attests.

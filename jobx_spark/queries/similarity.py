@@ -270,6 +270,52 @@ ORDER BY vec_id
 
 
 # --------------------------------------------------------------------------
+# ann_hard_negatives — top-k highest-cosine corpus vectors whose label
+# DIFFERS from the query's: hard-negative mining, the data-prep step
+# for contrastive/retrieval training (negatives that are hard because
+# they look like positives). Same corpus-scan-once, map-side-top-k
+# shape as the brute-force ranker — the label mask applies during the
+# scan (a post-rank filter would under-fill k), queries + labels ship
+# in the task closure, and the shuffle carries ≤ batches·|Q|·k
+# candidates, never |corpus|·|Q| scored pairs.
+# --------------------------------------------------------------------------
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.operators.similarity import hard_negative_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    return hard_negative_topk(emb, qs, k=K).orderBy("query_id", "rank")
+
+
+ORACLE_ANN_HARD_NEGATIVES = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding,
+         {_SDOT.format(a='embedding', b='embedding')} AS norm_s
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, label AS qlabel, embedding AS qv,
+         norm_s AS qnorm_s
+  FROM e WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         {_SDOT.format(a='q.qv', b='e.embedding')}::DOUBLE
+           / (sqrt(q.qnorm_s::DOUBLE) * sqrt(e.norm_s::DOUBLE)) AS cosine
+  FROM e, q WHERE e.label != q.qlabel
+), ranked AS (
+  SELECT query_id, vec_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, rank, cosine
+FROM ranked WHERE rank <= {K}
+ORDER BY query_id, rank
+"""
+
+
+# --------------------------------------------------------------------------
 # ann_ivf_balance — IVF index health census: per-cell population of the
 # k-means-trained coarse quantizer, with share and balance ratio
 # (1000 = perfectly even). Operationally this is the FIRST thing to
@@ -1436,7 +1482,12 @@ def ann_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(JL_K)
         ]
     )
-    probe = (
+    from jobx_spark.lineage import cut_lineage
+
+    # materialized: the pair stage references the probe TWICE (both
+    # join sides) — without the cut each alias would re-run the
+    # corpus-wide TakeOrdered, doubling the corpus scans
+    probe = cut_lineage(
         emb.select(
             "vec_id",
             x.alias("x"),
@@ -1447,7 +1498,8 @@ def ann_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("h", "vec_id")
         .limit(JL_C)
         .withColumn("y", y)
-        .select("vec_id", "x", "y")
+        .select("vec_id", "x", "y"),
+        "jl-probe",
     )
     a, b = probe.alias("a"), probe.alias("b")
     sq = lambda u, v: (u - v) * (u - v)  # noqa: E731
@@ -1527,6 +1579,7 @@ QUERIES = {
     "ann_pca_project": ann_pca_project,
     "ann_jl_distortion": ann_jl_distortion,
     "ann_ivf_balance": ann_ivf_balance,
+    "ann_hard_negatives": ann_hard_negatives,
     "ann_ivf_pq_topk": ann_ivf_pq_topk,
     "ann_pq_adc_topk": ann_pq_adc_topk,
     "ann_pq_codes": ann_pq_codes,
@@ -1547,6 +1600,7 @@ ORACLES = {
     "ann_pca_project": _pca_oracle(),
     "ann_jl_distortion": _jl_oracle(),
     "ann_ivf_balance": _ivf_balance_oracle(),
+    "ann_hard_negatives": ORACLE_ANN_HARD_NEGATIVES,
     "ann_ivf_pq_topk": _ivf_pq_oracle(),
     "ann_pq_adc_topk": _pq_adc_oracle(),
     "ann_pq_codes": _pq_oracle(),
