@@ -91,6 +91,8 @@ HEADLINE = [
     "pipe_pack_sequences",
     "pipe_dsir_sample",
     "pipe_snapshot_diff",
+    "pipe_k_anonymity",
+    "pipe_l_diversity",
 ]
 
 BENCH_REPS = 2  # per-query timing = min over this many runs

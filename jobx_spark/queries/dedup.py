@@ -1702,7 +1702,105 @@ ORDER BY h
 """
 
 
+# --------------------------------------------------------------------------
+# dedup_entity_resolution — record linkage end-to-end over the part
+# catalog: block on the name's last token, verify candidates with
+# levenshtein ≤ 3 (q46's blocked fuzzy join), resolve the match graph
+# with min-label connected components, and census the entity-cluster
+# sizes — the classic ER pipeline (blocking → pairwise verify →
+# transitive closure) as one gated operator. The readout is what an ER
+# evaluation reports: how many distinct entities survive merging, and
+# the merge-cluster size distribution (a fat cluster = an overly loose
+# matcher).
+# Scale shape: blocking bounds the pair stage (per-block self-join,
+# never O(N²)); components is one shuffle per round over the match
+# edges; singletons (names with no match) rejoin via a left join on
+# the hash id — no collect anywhere. Name → node id is the shared
+# md5_long hash, identical in the oracle.
+# --------------------------------------------------------------------------
+ER_MAX_DIST = 3
+
+
+def dedup_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.functions import md5_long
+    from jobx_spark.operators.dedup import connected_components
+
+    part = load_table(spark, sf_dir, "part")
+    names = (
+        part.select(F.col("p_name").alias("name"))
+        .distinct()
+        .withColumn("block", F.element_at(F.split(F.col("name"), " "), -1))
+        .withColumn("nid", md5_long(F.col("name")))
+    )
+    a, b = names.alias("a"), names.alias("b")
+    pairs = (
+        a.join(b, F.col("a.block") == F.col("b.block"))
+        .filter(F.col("a.name") < F.col("b.name"))
+        .filter(
+            F.levenshtein(F.col("a.name"), F.col("b.name")) <= ER_MAX_DIST
+        )
+        .select(F.col("a.nid").alias("id_a"), F.col("b.nid").alias("id_b"))
+    )
+    cc = connected_components(pairs)
+    resolved = (
+        names.join(cc, names.nid == cc.node, "left")
+        .select(
+            "name", F.coalesce("comp", F.col("nid")).alias("entity")
+        )
+    )
+    sizes = resolved.groupBy("entity").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_entities"),
+            F.sum("cluster_size").alias("n_names"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+def _entity_resolution_oracle() -> str:
+    nid = _MD5.format(e="name")
+    return f"""
+WITH RECURSIVE names AS (
+  SELECT DISTINCT p_name AS name,
+         string_split(p_name, ' ')[-1] AS block,
+         {nid} AS nid
+  FROM part
+),
+pairs AS (
+  SELECT a.nid AS id_a, b.nid AS id_b
+  FROM names a JOIN names b ON a.block = b.block AND a.name < b.name
+  WHERE levenshtein(a.name, b.name) <= {ER_MAX_DIST}
+),
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+walk(node, reach) AS (
+  SELECT u, u FROM sym
+  UNION
+  SELECT w.node, s.v FROM walk w JOIN sym s ON w.reach = s.u
+),
+comp AS (SELECT node, MIN(reach) AS comp FROM walk GROUP BY node),
+resolved AS (
+  SELECT n.name, coalesce(c.comp, n.nid) AS entity
+  FROM names n LEFT JOIN comp c ON c.node = n.nid
+),
+sizes AS (
+  SELECT entity, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM resolved GROUP BY entity
+)
+SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_entities,
+       CAST(SUM(cluster_size) AS BIGINT) AS n_names
+FROM sizes GROUP BY cluster_size
+ORDER BY cluster_size
+"""
+
+
 QUERIES = {
+    "dedup_entity_resolution": dedup_entity_resolution,
     "dedup_substring_spans": dedup_substring_spans,
     "dedup_substring_scaled": dedup_substring_scaled,
     "dedup_source_overlap": dedup_source_overlap,
@@ -1737,6 +1835,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_entity_resolution": _entity_resolution_oracle(),
     "dedup_substring_spans": ORACLE_DEDUP_SUBSTRING_SPANS,
     "dedup_substring_scaled": ORACLE_DEDUP_SUBSTRING_SCALED,
     "dedup_source_overlap": _source_overlap_oracle(),

@@ -1706,6 +1706,120 @@ ORDER BY source
 
 
 # --------------------------------------------------------------------------
+# pipe_k_anonymity — k-anonymity census over quasi-identifiers: group
+# records by the QI tuple (nation, market segment, account-balance
+# band), measure every equivalence-class size k, and report the class/
+# row distribution across k bands — the re-identification-risk audit a
+# dataset release runs before shipping records that are "anonymous"
+# only until someone joins three harmless-looking columns (Sweeney
+# 2002). k=1 rows are unique individuals; the k<5 mass is what a
+# governance gate bounds.
+# Scale shape: two map-side-combinable aggregations (records → QI
+# classes → k-band census) — the first shuffle is QI-cardinality-
+# bounded, the second is ~5 rows. The balance band uses floor(x/1000)
+# on the SAME IEEE double op both engines run, so banding is exact.
+# --------------------------------------------------------------------------
+K_ANON_BANDS = [(1, 1), (2, 4), (5, 9), (10, 49), (50, None)]
+
+
+def pipe_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    qi = cust.select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long").alias("band"),
+    )
+    classes = qi.groupBy("nation", "segment", "band").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    band_lo = (
+        F.when(F.col("k") >= 50, F.lit(50))
+        .when(F.col("k") >= 10, F.lit(10))
+        .when(F.col("k") >= 5, F.lit(5))
+        .when(F.col("k") >= 2, F.lit(2))
+        .otherwise(F.lit(1))
+    )
+    return (
+        classes.select(band_lo.cast("long").alias("k_band"), "k")
+        .groupBy("k_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum("k").alias("n_rows"),
+        )
+        .orderBy("k_band")
+    )
+
+
+ORACLE_PIPE_K_ANONYMITY = """
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band,
+         CAST(count(*) AS BIGINT) AS k
+  FROM customer GROUP BY 1, 2, 3
+)
+SELECT CASE WHEN k >= 50 THEN 50 WHEN k >= 10 THEN 10
+            WHEN k >= 5 THEN 5 WHEN k >= 2 THEN 2 ELSE 1 END AS k_band,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(SUM(k) AS BIGINT) AS n_rows
+FROM classes GROUP BY 1
+ORDER BY k_band
+"""
+
+
+# --------------------------------------------------------------------------
+# pipe_l_diversity — l-diversity census, the companion audit to
+# k-anonymity (Machanavajjhala et al. 2006): k-anonymity alone fails
+# when every record in an equivalence class shares the SAME sensitive
+# value (the homogeneity attack — the class is large, yet the
+# attacker learns the secret). Here the QI is (nation, balance band)
+# and the sensitive attribute is the market segment: per QI class,
+# l = count of DISTINCT sensitive values; the readout is the class/row
+# distribution per l, plus each l-level's minimum class size (a row
+# with l=1 and any k is a leaking class regardless of k).
+# Scale shape: one scan → distinct-combining aggregation keyed by the
+# QI tuple (count + count_distinct over a 5-value attribute), then a
+# ~|segments|-row census — both shuffles QI-cardinality-bounded, never
+# corpus-sized.
+# --------------------------------------------------------------------------
+def pipe_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    qi = cust.select(
+        F.col("c_nationkey").alias("nation"),
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long").alias("band"),
+        F.col("c_mktsegment").alias("sensitive"),
+    )
+    classes = qi.groupBy("nation", "band").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.count_distinct("sensitive").alias("l"),
+    )
+    return (
+        classes.groupBy("l")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum("k").alias("n_rows"),
+            F.min("k").alias("min_k"),
+        )
+        .orderBy("l")
+    )
+
+
+ORACLE_PIPE_L_DIVERSITY = """
+WITH classes AS (
+  SELECT c_nationkey,
+         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band,
+         CAST(count(*) AS BIGINT) AS k,
+         CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l
+  FROM customer GROUP BY 1, 2
+)
+SELECT l, CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(SUM(k) AS BIGINT) AS n_rows,
+       CAST(MIN(k) AS BIGINT) AS min_k
+FROM classes GROUP BY l
+ORDER BY l
+"""
+
+
+# --------------------------------------------------------------------------
 # pipe_snapshot_diff — dataset-version diff census: given two corpus
 # snapshots, classify every document as added / removed / modified /
 # unchanged by content fingerprint and census the churn per source —
@@ -2007,6 +2121,8 @@ QUERIES = {
     "pipe_pack_sequences": pipe_pack_sequences,
     "pipe_dsir_sample": pipe_dsir_sample,
     "pipe_snapshot_diff": pipe_snapshot_diff,
+    "pipe_k_anonymity": pipe_k_anonymity,
+    "pipe_l_diversity": pipe_l_diversity,
     "pipe_ewma_user_value": pipe_ewma_user_value,
     "pipe_quality_rules": pipe_quality_rules,
     "pipe_mix_temperature": pipe_mix_temperature,
@@ -2043,6 +2159,8 @@ ORACLES = {
     "pipe_pack_sequences": ORACLE_PIPE_PACK_SEQUENCES,
     "pipe_dsir_sample": ORACLE_PIPE_DSIR_SAMPLE,
     "pipe_snapshot_diff": ORACLE_PIPE_SNAPSHOT_DIFF,
+    "pipe_k_anonymity": ORACLE_PIPE_K_ANONYMITY,
+    "pipe_l_diversity": ORACLE_PIPE_L_DIVERSITY,
     "pipe_ewma_user_value": ORACLE_PIPE_EWMA,
     "pipe_quality_rules": _quality_rules_oracle(),
     "pipe_mix_temperature": ORACLE_PIPE_MIX_TEMPERATURE,

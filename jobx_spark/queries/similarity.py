@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from jobx_spark.functions import md5_long_sql_duck
+from jobx_spark.functions import md5_long, md5_long_sql_duck
 from jobx_spark.operators.similarity import (
     _WMOD,
     _WP1,
@@ -1574,7 +1574,153 @@ ORDER BY rho_bucket
 """
 
 
+# --------------------------------------------------------------------------
+# ann_kcenter_select — diversity-aware coreset selection via greedy
+# k-center (Gonzalez farthest-point traversal): within each hash shard
+# pick a seed, then KC_K-1 times pick the point farthest (max min-
+# distance) from the selected set, reporting per step the chosen
+# center and the shard's coverage radius (max-over-points min-distance
+# to any selected center). This is the composable-coreset construction
+# behind diverse training-data subsampling (D4 / coverage sampling):
+# the union of per-shard Gonzalez centers is a provable 2-approx
+# k-center coreset, so sharding IS the distributed algorithm, not a
+# test convenience.
+# Determinism/exactness: vectors quantize to floor(x*KC_SCALE) int64
+# (KC_SCALE a power of two — float→scaled-int is exact, the
+# ann_pca_project trick); distances are integer squared-L2; seed = min
+# (pos_h, vec_id); argmax ties break by vec_id asc. The oracle unrolls
+# the KC_K greedy steps as materialized CTE pairs (center t → updated
+# min-dist t), exactly like the PCA power iteration — no float
+# anywhere, so the hash gate attests the full selection trajectory.
+# Scale shape: ONE embeddings scan, ONE shuffle (groupBy shard);
+# packing is sequential only WITHIN a shard and KC_SHARDS grows with
+# the corpus, so each pandas group is layout-bounded (vectors/shard ×
+# dim int64); the numpy loop is KC_K passes over the shard block.
+# Output is KC_SHARDS × KC_K rows at any corpus size.
+# --------------------------------------------------------------------------
+KC_SHARDS, KC_K, KC_SCALE = 8, 4, 1024
+
+
+def ann_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    shard = F.pmod(
+        md5_long(F.concat(F.lit("kc:"), F.col("vec_id").cast("string"))),
+        F.lit(KC_SHARDS),
+    )
+    pos_h = md5_long(F.concat(F.lit("kc-pos:"), F.col("vec_id").cast("string")))
+    base = emb.select(
+        "vec_id", shard.alias("shard"), pos_h.alias("pos_h"), "embedding"
+    )
+
+    def gonzalez(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        order = np.lexsort((pdf["vec_id"].to_numpy(), pdf["pos_h"].to_numpy()))
+        pdf = pdf.iloc[order]
+        qv = np.floor(
+            np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            * KC_SCALE
+        ).astype(np.int64)
+        ids = pdf["vec_id"].to_numpy()
+        steps, centers, radii = [], [], []
+        cur = 0  # seed: first point in (pos_h, vec_id) order
+        md = ((qv - qv[cur]) ** 2).sum(axis=1)
+        steps.append(0), centers.append(int(ids[cur])), radii.append(int(md.max()))
+        for step in range(1, KC_K):
+            cur = int(np.lexsort((ids, -md))[0])  # max md, ties: min vec_id
+            md = np.minimum(md, ((qv - qv[cur]) ** 2).sum(axis=1))
+            steps.append(step)
+            centers.append(int(ids[cur]))
+            radii.append(int(md.max()))
+        return pd.DataFrame(
+            {
+                "shard": [int(pdf["shard"].iloc[0])] * KC_K,
+                "step": steps,
+                "center_id": centers,
+                "n_points": [len(ids)] * KC_K,
+                "radius": radii,
+            }
+        )
+
+    out = base.groupBy("shard").applyInPandas(
+        gonzalez, "shard long, step long, center_id long, n_points long, radius long"
+    )
+    return out.orderBy("shard", "step")
+
+
+def _kcenter_oracle() -> str:
+    def dist(a: str, b: str) -> str:
+        return (
+            f"CAST(list_sum(list_transform(generate_series(1, len({a})),"
+            f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) AS BIGINT)"
+        )
+
+    h_shard = md5_long_sql_duck("'kc:' || CAST(vec_id AS VARCHAR)")
+    h_pos = md5_long_sql_duck("'kc-pos:' || CAST(vec_id AS VARCHAR)")
+    ctes = [
+        f"""base AS MATERIALIZED (
+  SELECT vec_id, {h_shard} % {KC_SHARDS} AS shard, {h_pos} AS pos_h,
+         list_transform(embedding,
+                        x -> CAST(floor(x::DOUBLE * {KC_SCALE}) AS BIGINT)) AS qv
+  FROM embeddings
+)""",
+        f"""c0 AS MATERIALIZED (
+  SELECT shard, vec_id AS center_id, qv AS cv
+  FROM (SELECT shard, vec_id, qv,
+               row_number() OVER (PARTITION BY shard
+                                  ORDER BY pos_h, vec_id) AS rn
+        FROM base) WHERE rn = 1
+)""",
+        f"""d0 AS MATERIALIZED (
+  SELECT b.shard, b.vec_id, b.qv, {dist('b.qv', 'c.cv')} AS md
+  FROM base b JOIN c0 c ON b.shard = c.shard
+)""",
+    ]
+    for t in range(1, KC_K):
+        ctes.append(
+            f"""c{t} AS MATERIALIZED (
+  SELECT shard, vec_id AS center_id, qv AS cv
+  FROM (SELECT shard, vec_id, qv,
+               row_number() OVER (PARTITION BY shard
+                                  ORDER BY md DESC, vec_id ASC) AS rn
+        FROM d{t - 1}) WHERE rn = 1
+)"""
+        )
+        ctes.append(
+            f"""d{t} AS MATERIALIZED (
+  SELECT d.shard, d.vec_id, d.qv, least(d.md, {dist('d.qv', 'c.cv')}) AS md
+  FROM d{t - 1} d JOIN c{t} c ON d.shard = c.shard
+)"""
+        )
+    cents = "\n  UNION ALL ".join(
+        f"SELECT shard, {t} AS step, center_id FROM c{t}" for t in range(KC_K)
+    )
+    radii = "\n  UNION ALL ".join(
+        f"SELECT shard, {t} AS step, CAST(max(md) AS BIGINT) AS radius"
+        f" FROM d{t} GROUP BY shard"
+        for t in range(KC_K)
+    )
+    ctes.append(f"cents AS (\n  {cents}\n)")
+    ctes.append(f"radii AS (\n  {radii}\n)")
+    ctes.append(
+        "npts AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_points"
+        " FROM base GROUP BY shard)"
+    )
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT c.shard, CAST(c.step AS BIGINT) AS step, c.center_id,
+       n.n_points, r.radius
+FROM cents c
+JOIN radii r ON r.shard = c.shard AND r.step = c.step
+JOIN npts n ON n.shard = c.shard
+ORDER BY c.shard, c.step
+"""
+
+
 QUERIES = {
+    "ann_kcenter_select": ann_kcenter_select,
     "dedup_semantic": dedup_semantic,
     "ann_pca_project": ann_pca_project,
     "ann_jl_distortion": ann_jl_distortion,
@@ -1596,6 +1742,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ann_kcenter_select": _kcenter_oracle(),
     "dedup_semantic": _semantic_oracle(),
     "ann_pca_project": _pca_oracle(),
     "ann_jl_distortion": _jl_oracle(),
