@@ -93,6 +93,7 @@ HEADLINE = [
     "pipe_snapshot_diff",
     "pipe_k_anonymity",
     "pipe_l_diversity",
+    "pipe_watermark_lateness",
 ]
 
 BENCH_REPS = 2  # per-query timing = min over this many runs

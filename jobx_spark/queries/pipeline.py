@@ -1820,6 +1820,105 @@ ORDER BY l
 
 
 # --------------------------------------------------------------------------
+# pipe_watermark_lateness — watermark retention curve: for each
+# candidate watermark delay D, the share of events a streaming job
+# would RETAIN (lateness ≤ D), where an event's lateness is the gap
+# between its own event time and the per-key running-max event time at
+# its arrival — exactly the quantity Structured Streaming's
+# withWatermark drops on. This is the audit that picks the watermark:
+# run it over a day of ingest, read off the smallest D that keeps your
+# retention SLO, instead of guessing "10 minutes" and silently losing
+# the tail (the failure mode the streaming gotchas doc records).
+# The testdata's events are perfectly time-ordered (zero lateness), so
+# arrival is modeled as event time plus a DETERMINISTIC hash-bounded
+# delay (≤ WM_JITTER_US = 6 h — the batched-client upload pattern of
+# mobile telemetry, and the bounded-disorder shape real ingest has; a
+# full hash permutation would destroy time locality and flatline the
+# curve) — the same rand()-free device every sampler here uses: it
+# simulates upload delay identically in both engines, keeping the
+# operator oracle-checkable end to end.
+# Scale shape: ONE key-partitioned shuffle (the window's partitionBy —
+# the partitioning ingest already has), running max is a within-key
+# prefix scan; the retention census is conditional SUMs folded
+# map-side into |DELAYS| rows. A pathological hot key is the chunked
+# prefix-scan case operators/recurrence.py solves (prefix max is an
+# associative fold). ppm is integer floor division — no float.
+# --------------------------------------------------------------------------
+WM_DELAYS_S = [0, 900, 1800, 3600, 7200, 14400, 21600]
+WM_JITTER_US = 21_600_000_000  # arrival = event time + hash % 6 h
+
+
+def pipe_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    jitter = F.pmod(
+        md5_long(F.concat(F.lit("arr:"), F.col("event_id").cast("string"))),
+        F.lit(WM_JITTER_US),
+    )
+    x = ev.select(
+        "user_id", "event_id",
+        F.unix_micros("ts").alias("tsu"),
+        (F.unix_micros("ts") + jitter).alias("arr"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("arr", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    late = x.select((F.max("tsu").over(w) - F.col("tsu")).alias("late_us"))
+    counts = late.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        *[
+            F.sum(
+                (F.col("late_us") <= d * 1_000_000).cast("long")
+            ).alias(f"d{d}")
+            for d in WM_DELAYS_S
+        ],
+    )
+    stacked = counts.select(
+        "n_events",
+        F.expr(
+            "stack({n}, {args}) AS (delay_s, n_retained)".format(
+                n=len(WM_DELAYS_S),
+                args=", ".join(f"{d}L, d{d}" for d in WM_DELAYS_S),
+            )
+        ),
+    )
+    return stacked.select(
+        "delay_s",
+        "n_retained",
+        F.expr("n_retained * 1000000 div n_events").alias("retained_ppm"),
+    ).orderBy("delay_s")
+
+
+def _watermark_lateness_oracle() -> str:
+    h = _MD5.format(e="'arr:'||CAST(event_id AS VARCHAR)")
+    vals = ", ".join(f"({d})" for d in WM_DELAYS_S)
+    return f"""
+WITH r AS (
+  SELECT epoch_us(ts) AS tsu,
+         max(epoch_us(ts)) OVER (
+           PARTITION BY user_id
+           ORDER BY epoch_us(ts) + ({h}) % {WM_JITTER_US}, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmax
+  FROM events
+),
+l AS (SELECT runmax - tsu AS late_us FROM r),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_events FROM l)
+SELECT CAST(d.delay_s AS BIGINT) AS delay_s,
+       CAST(sum(CASE WHEN l.late_us <= CAST(d.delay_s AS BIGINT) * 1000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+       CAST(sum(CASE WHEN l.late_us <= CAST(d.delay_s AS BIGINT) * 1000000
+                     THEN 1 ELSE 0 END) * 1000000
+            // max(tot.n_events) AS BIGINT) AS retained_ppm
+FROM l, tot, (VALUES {vals}) d(delay_s)
+GROUP BY d.delay_s
+ORDER BY delay_s
+"""
+
+
+# --------------------------------------------------------------------------
 # pipe_snapshot_diff — dataset-version diff census: given two corpus
 # snapshots, classify every document as added / removed / modified /
 # unchanged by content fingerprint and census the churn per source —
@@ -2123,6 +2222,7 @@ QUERIES = {
     "pipe_snapshot_diff": pipe_snapshot_diff,
     "pipe_k_anonymity": pipe_k_anonymity,
     "pipe_l_diversity": pipe_l_diversity,
+    "pipe_watermark_lateness": pipe_watermark_lateness,
     "pipe_ewma_user_value": pipe_ewma_user_value,
     "pipe_quality_rules": pipe_quality_rules,
     "pipe_mix_temperature": pipe_mix_temperature,
@@ -2161,6 +2261,7 @@ ORACLES = {
     "pipe_snapshot_diff": ORACLE_PIPE_SNAPSHOT_DIFF,
     "pipe_k_anonymity": ORACLE_PIPE_K_ANONYMITY,
     "pipe_l_diversity": ORACLE_PIPE_L_DIVERSITY,
+    "pipe_watermark_lateness": _watermark_lateness_oracle(),
     "pipe_ewma_user_value": ORACLE_PIPE_EWMA,
     "pipe_quality_rules": _quality_rules_oracle(),
     "pipe_mix_temperature": ORACLE_PIPE_MIX_TEMPERATURE,
