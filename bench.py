@@ -94,6 +94,7 @@ HEADLINE = [
     "pipe_k_anonymity",
     "pipe_l_diversity",
     "pipe_watermark_lateness",
+    "pipe_dp_release",
 ]
 
 BENCH_REPS = 2  # per-query timing = min over this many runs

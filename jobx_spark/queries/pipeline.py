@@ -1820,6 +1820,104 @@ ORDER BY l
 
 
 # --------------------------------------------------------------------------
+# pipe_dp_release — differentially-private count release, completing
+# the governance trio (k-anonymity, l-diversity, DP): per-cell counts
+# over (nation, segment) are released with additive noise from the
+# truncated two-sided geometric mechanism (the discrete Laplace of
+# Ghosh/Roughgarden/Sundararajan 2009, truncated at ±DP_TRUNC), the
+# standard mechanism for integer count queries. The noise is sampled
+# by INVERSE CDF over a deterministic per-cell hash draw: Python
+# precomputes the cumulative thresholds of the truncated distribution
+# ONCE as integer literals on a 2^40 grid, and both engines compare
+# the same 40-bit hash against the same literals — so the "random"
+# mechanism is exactly replayable cross-engine (the rand()-free gate
+# device again; a production run would key the draw by a secret salt).
+# Scale shape: one map-side-combinable aggregation to QI-cardinality-
+# bounded cells, then scan-side CASE arithmetic on each cell row; the
+# released table is |cells| rows. Released = max(count + noise, 0) —
+# the true count never leaves the operator.
+# --------------------------------------------------------------------------
+DP_EPS = 1.0
+DP_TRUNC = 8  # noise support: [-8, +8]
+_DP_GRID = 1 << 40
+
+
+def _dp_thresholds() -> list[int]:
+    """Cumulative inverse-CDF thresholds of the truncated two-sided
+    geometric: P(k) ∝ alpha^|k|, alpha = exp(-DP_EPS), k in
+    [-DP_TRUNC, DP_TRUNC], discretized onto a 2^40 hash grid. The
+    floats only exist here, at module load — both engines see the
+    same integer literals."""
+    import math
+
+    alpha = math.exp(-DP_EPS)
+    ks = list(range(-DP_TRUNC, DP_TRUNC + 1))
+    weights = [alpha ** abs(k) for k in ks]
+    total = sum(weights)
+    acc, out = 0.0, []
+    for w in weights[:-1]:  # last bucket absorbs the remainder
+        acc += w
+        out.append(int(acc / total * _DP_GRID))
+    return out
+
+
+DP_THRESHOLDS = _dp_thresholds()
+
+
+def pipe_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    cells = cust.groupBy(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+    ).agg(F.count(F.lit(1)).alias("true_n"))
+    draw = F.pmod(
+        md5_long(
+            F.concat(
+                F.lit("dp:"),
+                F.col("nation").cast("string"),
+                F.lit("|"),
+                F.col("segment"),
+            )
+        ),
+        F.lit(_DP_GRID),
+    )
+    # first-match-wins CASE: built innermost-last so the SMALLEST
+    # matching threshold decides, mirroring the SQL CASE order
+    noise = F.lit(DP_TRUNC)  # fell past every threshold → last bucket
+    for i in range(len(DP_THRESHOLDS) - 1, -1, -1):
+        noise = F.when(
+            draw < F.lit(DP_THRESHOLDS[i]), F.lit(i - DP_TRUNC)
+        ).otherwise(noise)
+    released = F.greatest(F.col("true_n") + noise, F.lit(0)).cast("long")
+    return cells.select(
+        "nation", "segment", released.alias("released_n")
+    ).orderBy("nation", "segment")
+
+
+def _dp_release_oracle() -> str:
+    draw = "(" + _MD5.format(
+        e="'dp:'||CAST(c_nationkey AS VARCHAR)||'|'||c_mktsegment"
+    ) + f") % {_DP_GRID}"
+    branches = "\n           ".join(
+        f"WHEN draw < {t} THEN {i - DP_TRUNC}"
+        for i, t in enumerate(DP_THRESHOLDS)
+    )
+    return f"""
+WITH cells AS (
+  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+         CAST(count(*) AS BIGINT) AS true_n,
+         {draw} AS draw
+  FROM customer GROUP BY 1, 2
+)
+SELECT nation, segment,
+       CAST(greatest(true_n + CASE {branches}
+           ELSE {DP_TRUNC} END, 0) AS BIGINT) AS released_n
+FROM cells
+ORDER BY nation, segment
+"""
+
+
+# --------------------------------------------------------------------------
 # pipe_watermark_lateness — watermark retention curve: for each
 # candidate watermark delay D, the share of events a streaming job
 # would RETAIN (lateness ≤ D), where an event's lateness is the gap
@@ -2222,6 +2320,7 @@ QUERIES = {
     "pipe_snapshot_diff": pipe_snapshot_diff,
     "pipe_k_anonymity": pipe_k_anonymity,
     "pipe_l_diversity": pipe_l_diversity,
+    "pipe_dp_release": pipe_dp_release,
     "pipe_watermark_lateness": pipe_watermark_lateness,
     "pipe_ewma_user_value": pipe_ewma_user_value,
     "pipe_quality_rules": pipe_quality_rules,
@@ -2261,6 +2360,7 @@ ORACLES = {
     "pipe_snapshot_diff": ORACLE_PIPE_SNAPSHOT_DIFF,
     "pipe_k_anonymity": ORACLE_PIPE_K_ANONYMITY,
     "pipe_l_diversity": ORACLE_PIPE_L_DIVERSITY,
+    "pipe_dp_release": _dp_release_oracle(),
     "pipe_watermark_lateness": _watermark_lateness_oracle(),
     "pipe_ewma_user_value": ORACLE_PIPE_EWMA,
     "pipe_quality_rules": _quality_rules_oracle(),
