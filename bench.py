@@ -197,6 +197,7 @@ def main() -> None:
                 and n not in ("dedup_components_scaled",
                               "dedup_substring_scaled",
                               "ann_bruteforce_scaled",
+                              "ann_kcenter_scaled",
                               "stream_window_distinct_scaled",
                               "dedup_components_lsss"):
             names.append(n)

@@ -1601,14 +1601,13 @@ ORDER BY rho_bucket
 KC_SHARDS, KC_K, KC_SCALE = 8, 4, 1024
 
 
-def ann_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _kcenter_run(emb: DataFrame, n_shards: int) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    emb = load_table(spark, sf_dir, "embeddings")
     shard = F.pmod(
         md5_long(F.concat(F.lit("kc:"), F.col("vec_id").cast("string"))),
-        F.lit(KC_SHARDS),
+        F.lit(n_shards),
     )
     pos_h = md5_long(F.concat(F.lit("kc-pos:"), F.col("vec_id").cast("string")))
     base = emb.select(
@@ -1649,7 +1648,37 @@ def ann_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("shard", "step")
 
 
-def _kcenter_oracle() -> str:
+def ann_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _kcenter_run(emb, KC_SHARDS)
+
+
+# --------------------------------------------------------------------------
+# ann_kcenter_scaled — the coreset scale probe, in the
+# *_scaled mold (components/substring/bruteforce/window_distinct):
+# the corpus replicated ANN_REP× into disjoint id ranges AND the shard
+# count grown by the same factor — exactly the "KC_SHARDS grows with
+# the corpus" scaling claim, executed: per-shard block size stays
+# constant while total work fans out 8×, and the hash gate checks the
+# full 8×-wider selection trajectory (KC_SHARDS·ANN_REP·KC_K rows).
+# --------------------------------------------------------------------------
+def ann_kcenter_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    scaled = emb.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.array(*[F.lit(i) for i in range(ANN_REP)])).alias("rep"),
+    ).select(
+        (
+            F.col("vec_id").cast("long")
+            + F.col("rep").cast("long") * F.lit(_ANN_REP_BASE).cast("long")
+        ).alias("vec_id"),
+        "embedding",
+    )
+    return _kcenter_run(scaled, KC_SHARDS * ANN_REP)
+
+
+def _kcenter_oracle(n_shards: int = KC_SHARDS, source: str = "embeddings") -> str:
     def dist(a: str, b: str) -> str:
         return (
             f"CAST(list_sum(list_transform(generate_series(1, len({a})),"
@@ -1660,10 +1689,10 @@ def _kcenter_oracle() -> str:
     h_pos = md5_long_sql_duck("'kc-pos:' || CAST(vec_id AS VARCHAR)")
     ctes = [
         f"""base AS MATERIALIZED (
-  SELECT vec_id, {h_shard} % {KC_SHARDS} AS shard, {h_pos} AS pos_h,
+  SELECT vec_id, {h_shard} % {n_shards} AS shard, {h_pos} AS pos_h,
          list_transform(embedding,
                         x -> CAST(floor(x::DOUBLE * {KC_SCALE}) AS BIGINT)) AS qv
-  FROM embeddings
+  FROM {source}
 )""",
         f"""c0 AS MATERIALIZED (
   SELECT shard, vec_id AS center_id, qv AS cv
@@ -1719,8 +1748,14 @@ ORDER BY c.shard, c.step
 """
 
 
+_KC_SCALED_SOURCE = (
+    f"(SELECT b.vec_id + r.rep * {_ANN_REP_BASE} AS vec_id, b.embedding"
+    f" FROM embeddings b CROSS JOIN range({ANN_REP}) AS r(rep))"
+)
+
 QUERIES = {
     "ann_kcenter_select": ann_kcenter_select,
+    "ann_kcenter_scaled": ann_kcenter_scaled,
     "dedup_semantic": dedup_semantic,
     "ann_pca_project": ann_pca_project,
     "ann_jl_distortion": ann_jl_distortion,
@@ -1743,6 +1778,9 @@ QUERIES = {
 
 ORACLES = {
     "ann_kcenter_select": _kcenter_oracle(),
+    "ann_kcenter_scaled": _kcenter_oracle(
+        n_shards=KC_SHARDS * ANN_REP, source=_KC_SCALED_SOURCE
+    ),
     "dedup_semantic": _semantic_oracle(),
     "ann_pca_project": _pca_oracle(),
     "ann_jl_distortion": _jl_oracle(),
