@@ -95,6 +95,7 @@ HEADLINE = [
     "pipe_l_diversity",
     "pipe_watermark_lateness",
     "pipe_dp_release",
+    "pipe_epochs_budget",
 ]
 
 BENCH_REPS = 2  # per-query timing = min over this many runs

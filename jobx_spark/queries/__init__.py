@@ -140,7 +140,9 @@ def _utc_pinned(fn: QueryFn) -> QueryFn:
 #      (truncated-geometric DP count release — the governance trio's
 #      third leg), plus ann_kcenter_scaled (the coreset 8× scale
 #      probe: corpus AND shard count both ×8, per-shard block
-#      constant — the scaling claim executed under the hash gate);
+#      constant — the scaling claim executed under the hash gate) and
+#      pipe_epochs_budget (data-constrained epoch audit, Muennighoff
+#      2023);
 #   3. changed-code re-attests: the three PQ queries (subspace
 #      projection materialized once — VERDICT #2, ~10 embeddings
 #      scans → 1), text_bigram_score + text_perplexity_buckets
@@ -163,7 +165,7 @@ GATE_FIRST_50 = [
     "ann_jl_distortion", "ann_ivf_balance", "pipe_snapshot_diff",
     "ann_hard_negatives", "pipe_k_anonymity", "dedup_entity_resolution",
     "ann_kcenter_select", "pipe_l_diversity", "pipe_watermark_lateness",
-    "pipe_dp_release", "ann_kcenter_scaled",
+    "pipe_dp_release", "ann_kcenter_scaled", "pipe_epochs_budget",
     # -- 3. changed-code re-attests --
     "ann_pq_codes", "ann_pq_adc_topk", "ann_ivf_pq_topk",
     "text_bigram_score", "text_perplexity_buckets",
@@ -179,10 +181,9 @@ GATE_FIRST_50 = [
     "ann_bruteforce_topk", "ann_ivf_topk", "ann_lsh_topk",
     "dedup_components", "dedup_containment", "dedup_decontaminate",
     "dedup_exact", "dedup_jaccard_prefix", "dedup_minhash_pairs",
-    "dedup_minhash_sig",
 ]
 # ROUND-7 GATE POOL: rotate the remaining r2-banked rows
-# (dedup_ngram_jaccard, dedup_simhash, dedup_simhash_pairs, multimodal_features, multimodal_frames, multimodal_infer, multimodal_meta, multimodal_resize, pipe_bigram_counts, pipe_corpus_stats, pipe_sample_hash, pipe_sample_join, pipe_split_train_val_test, pipe_vocab_topk, stream_sink_rollup,
+# (dedup_minhash_sig, dedup_ngram_jaccard, dedup_simhash, dedup_simhash_pairs, multimodal_features, multimodal_frames, multimodal_infer, multimodal_meta, multimodal_resize, pipe_bigram_counts, pipe_corpus_stats, pipe_sample_hash, pipe_sample_join, pipe_split_train_val_test, pipe_vocab_topk, stream_sink_rollup,
 # text_cms_heavy_hitters, text_fingerprint, text_lang_id,
 # text_quality, text_repetition, …alphabetical continuation), plus
 # anything new in r7 and any changed-code re-attests.

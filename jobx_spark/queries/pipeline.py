@@ -2250,6 +2250,90 @@ ORDER BY source
 
 
 # --------------------------------------------------------------------------
+# pipe_epochs_budget — data-constrained mixing audit (Muennighoff et
+# al. 2023, "Scaling Data-Constrained Language Models"): under a fixed
+# training-token budget, temperature-weighted sampling (α = 1/2, the
+# pipe_mix_temperature weights computed over TOKENS rather than docs)
+# makes small sources repeat — this census reports each source's
+# allocated tokens and repeat count in milli-epochs, plus the paper's
+# actionable flag: epochs > 4, past which repeated data's value decays
+# rapidly (their Fig. 1 readout). This is the pre-training-run audit
+# that catches "our weights make source X repeat 11 times" before the
+# run, not after. The budget is EPOCHS_PASSES × total corpus tokens
+# (the canonical data-constrained setup: you want more tokens than you
+# uniquely have), so the audit is scale-invariant — uniform sources
+# sit near EPOCHS_PASSES epochs and the flag fires exactly on sources
+# the temperature upweights past EPOCHS_FLAG.
+# Exactness: weights are floor(sqrt(tokens)) scaled integers (same
+# IEEE sqrt both engines — the pipe_mix_temperature device WITHOUT its
+# SCALE boost: sq ≤ √tokens keeps (budget % tot)·sq inside int64 even
+# at petabyte-token corpora); everything after is int64 floor
+# division, ordered budget-div-tot FIRST so budget·sq never forms.
+# Scale shape:
+# one documents scan → per-source token census (map-side combinable),
+# then ~|sources|-row arithmetic via unpartitioned windows over the
+# census (never a second corpus scan).
+# --------------------------------------------------------------------------
+EPOCHS_PASSES = 2  # budget = 2× unique corpus tokens
+EPOCHS_FLAG = 4  # Muennighoff: >4 epochs ≈ diminishing returns
+
+
+def pipe_epochs_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.sum(F.size(tokens(F.col("text"))).cast("long")).alias("src_tokens")
+    )
+    sq = F.floor(F.sqrt(F.col("src_tokens").cast("double"))).cast("long")
+    s = counts.select("source", "src_tokens", sq.alias("sq"))
+    w = W.partitionBy()
+    s = s.select(
+        "source", "src_tokens", "sq",
+        F.sum("sq").over(w).alias("tot"),
+        (F.sum("src_tokens").over(w) * F.lit(EPOCHS_PASSES)).alias("budget"),
+    )
+    # per-source share of the budget, overflow-safe order: the budget
+    # (≤ passes·corpus tokens) is divided by tot FIRST
+    alloc = "(budget div tot) * sq + ((budget % tot) * sq) div tot"
+    return s.select(
+        "source",
+        "src_tokens",
+        F.expr("(sq * 1000000) div tot").alias("weight_ppm"),
+        F.expr(alloc).alias("alloc_tokens"),
+        F.expr(f"(({alloc}) * 1000) div src_tokens").alias("epochs_milli"),
+        (
+            F.expr(f"(({alloc}) * 1000) div src_tokens")
+            > F.lit(EPOCHS_FLAG * 1000)
+        ).alias("over_budget"),
+    ).orderBy("source")
+
+
+_EB_ALLOC = "(budget // tot) * sq + ((budget % tot) * sq) // tot"
+ORACLE_PIPE_EPOCHS_BUDGET = f"""
+WITH c AS (
+  SELECT source, CAST(SUM(len({_TOKS})) AS BIGINT) AS src_tokens
+  FROM documents GROUP BY source
+), s AS (
+  SELECT source, src_tokens,
+         CAST(floor(sqrt(CAST(src_tokens AS DOUBLE))) AS BIGINT) AS sq
+  FROM c
+), t AS (
+  SELECT CAST(SUM(sq) AS BIGINT) AS tot,
+         CAST(SUM(src_tokens) * {EPOCHS_PASSES} AS BIGINT) AS budget
+  FROM s
+)
+SELECT source, src_tokens,
+       (sq * 1000000) // tot AS weight_ppm,
+       {_EB_ALLOC} AS alloc_tokens,
+       (({_EB_ALLOC}) * 1000) // src_tokens AS epochs_milli,
+       (({_EB_ALLOC}) * 1000) // src_tokens > {EPOCHS_FLAG * 1000} AS over_budget
+FROM s, t
+ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
 # pipe_ewma_user_value — per-key EXPONENTIALLY-DECAYED running
 # statistic (the online loss-smoothing / rate-estimator shape): each
 # user's event values folded in (ts, event_id) order through the
@@ -2322,6 +2406,7 @@ QUERIES = {
     "pipe_l_diversity": pipe_l_diversity,
     "pipe_dp_release": pipe_dp_release,
     "pipe_watermark_lateness": pipe_watermark_lateness,
+    "pipe_epochs_budget": pipe_epochs_budget,
     "pipe_ewma_user_value": pipe_ewma_user_value,
     "pipe_quality_rules": pipe_quality_rules,
     "pipe_mix_temperature": pipe_mix_temperature,
@@ -2362,6 +2447,7 @@ ORACLES = {
     "pipe_l_diversity": ORACLE_PIPE_L_DIVERSITY,
     "pipe_dp_release": _dp_release_oracle(),
     "pipe_watermark_lateness": _watermark_lateness_oracle(),
+    "pipe_epochs_budget": ORACLE_PIPE_EPOCHS_BUDGET,
     "pipe_ewma_user_value": ORACLE_PIPE_EWMA,
     "pipe_quality_rules": _quality_rules_oracle(),
     "pipe_mix_temperature": ORACLE_PIPE_MIX_TEMPERATURE,
