@@ -1461,7 +1461,111 @@ ORDER BY octave
 """
 
 
+# --------------------------------------------------------------------------
+# text_ngram_novelty — memorization/novelty audit (the RAVEN-style
+# readout): for every VAL-split document, the share of its token
+# 8-grams never seen in the TRAIN split, censused by novelty decile
+# per source. Low-novelty val docs are the ones a model can ace by
+# recall rather than generalization — this is the eval-integrity audit
+# that complements dedup_decontaminate (which *removes* contaminated
+# train docs; this *measures* how much of the val set remains trivial
+# after whatever dedup ran). The split gate is the SAME md5 gate
+# pipe_split_train_val_test attests, so the audit composes with the
+# shipped split manifest. Val docs shorter than NOVELTY_N tokens have
+# no grams and drop out (stated contract, identical both engines).
+# NOVELTY_N is 8 in the literature; here it is 3 because the synthetic
+# corpus draws from a ~30-word vocabulary, so 8-grams never repeat and
+# the hit path would go unattested — at n=3 the gate exercises hits
+# AND misses across deciles, which is the stronger attestation.
+# Scale shape: one corpus scan explodes grams; the TRAIN gram set is a
+# distinct on the 60-bit gram hash (map-side combinable, gram-bounded
+# — the dedup_substring_spans shuffle class); the VAL side (5% of the
+# corpus) probes it with a hash equi-join (index-probe shape, never
+# train×train); per-doc then per-(source, decile) censuses are
+# QI-bounded. Novelty is integer: ((n−hits)·100 div n) div 10.
+# --------------------------------------------------------------------------
+NOVELTY_N = 3
+
+
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.functions import md5_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    gate = md5_long(
+        F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
+    ) % 100
+    t = docs.select(
+        "doc_id", "source", gate.alias("gate"), tokens(F.col("text")).alias("toks")
+    )
+    grams = F.when(
+        F.size("toks") >= NOVELTY_N,
+        F.expr(
+            f"transform(sequence(1, size(toks) - {NOVELTY_N - 1}),"
+            f" i -> array_join(slice(toks, i, {NOVELTY_N}), ' '))"
+        ),
+    ).otherwise(F.array())
+    g = t.select("doc_id", "source", "gate", F.explode(grams).alias("gram"))
+    g = g.select("doc_id", "source", "gate", md5_long(F.col("gram")).alias("h"))
+    train = (
+        g.filter(F.col("gate") < 90).select("h").distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    val = g.filter((F.col("gate") >= 90) & (F.col("gate") < 95))
+    per_doc = (
+        val.join(train, "h", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("seen"), F.lit(0))).alias("hits"),
+        )
+    )
+    decile = F.expr("((n_grams - hits) * 100 div n_grams) div 10")
+    return (
+        per_doc.groupBy("source", decile.alias("novelty_decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_grams").alias("sum_grams"),
+            F.sum("hits").alias("sum_hits"),
+        )
+        .orderBy("source", "novelty_decile")
+    )
+
+
+_NOV_GATE = "(" + _MD5.format(e="'split:'||CAST(doc_id AS VARCHAR)") + ") % 100"
+_NOV_GRAMS = (
+    f"list_transform(generate_series(1, greatest(len(toks) - {NOVELTY_N - 1}, 0)),"
+    f" i -> array_to_string(list_slice(toks, i, i + {NOVELTY_N - 1}), ' '))"
+)
+ORACLE_TEXT_NGRAM_NOVELTY = f"""
+WITH g AS (
+  SELECT doc_id, source, gate, {_MD5.format(e='gram')} AS h
+  FROM (
+    SELECT doc_id, source, {_NOV_GATE} AS gate,
+           unnest({_NOV_GRAMS}) AS gram
+    FROM (SELECT doc_id, source, {_TOKS} AS toks FROM documents)
+  )
+), tr AS (
+  SELECT DISTINCT h FROM g WHERE gate < 90
+), pd AS (
+  SELECT v.doc_id, v.source,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(SUM(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+  FROM g v LEFT JOIN tr ON v.h = tr.h
+  WHERE v.gate >= 90 AND v.gate < 95
+  GROUP BY 1, 2
+)
+SELECT source,
+       ((n_grams - hits) * 100 // n_grams) // 10 AS novelty_decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_grams) AS BIGINT) AS sum_grams,
+       CAST(SUM(hits) AS BIGINT) AS sum_hits
+FROM pd GROUP BY 1, 2
+ORDER BY source, novelty_decile
+"""
+
+
 QUERIES = {
+    "text_ngram_novelty": text_ngram_novelty,
     "text_hll_merge": text_hll_merge,
     "text_domain_signature": text_domain_signature,
     "text_winnow_fingerprints": text_winnow_fingerprints,
@@ -1483,6 +1587,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_ngram_novelty": ORACLE_TEXT_NGRAM_NOVELTY,
     "text_hll_merge": _hll_merge_oracle(),
     "text_domain_signature": ORACLE_TEXT_DOMAIN_SIGNATURE,
     "text_winnow_fingerprints": ORACLE_TEXT_WINNOW,
