@@ -96,6 +96,7 @@ HEADLINE = [
     "pipe_watermark_lateness",
     "pipe_dp_release",
     "pipe_epochs_budget",
+    "pipe_padding_waste",
 ]
 
 BENCH_REPS = 2  # per-query timing = min over this many runs

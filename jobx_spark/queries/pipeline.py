@@ -2334,6 +2334,80 @@ ORDER BY source
 
 
 # --------------------------------------------------------------------------
+# pipe_padding_waste — bucketed-batching overhead audit: assign every
+# document to the smallest sequence-length boundary ≥ its token count
+# (docs past the largest boundary truncate into it) and census, per
+# boundary, the kept / padding / truncated token mass plus the padding
+# overhead in ppm of the batch slots (n_docs × boundary). This is the
+# training-efficiency companion to pipe_pack_sequences: packing
+# eliminates padding, bucketed batching only bounds it — this table is
+# the data-driven answer to "are these bucket edges wasting 30% of
+# every batch, and how much text does the truncation cap destroy".
+# Scale shape: one corpus scan, scan-side CASE arithmetic, one
+# |boundaries|-row map-side-combinable census. All integer.
+# --------------------------------------------------------------------------
+PAD_BOUNDS = [16, 32, 64, 96]  # candidate max-seq-len bucket edges
+
+
+def pipe_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(tokens(F.col("text"))).cast("long")
+    top = PAD_BOUNDS[-1]
+    boundary = F.lit(top)
+    for b in reversed(PAD_BOUNDS):
+        boundary = F.when(n <= b, F.lit(b)).otherwise(boundary)
+    kept = F.least(n, F.lit(top))
+    x = docs.select(
+        boundary.alias("boundary"),
+        kept.alias("kept"),
+        (boundary - kept).alias("pad"),
+        (n - kept).alias("trunc"),
+    )
+    return (
+        x.groupBy("boundary")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept").alias("kept_tokens"),
+            F.sum("pad").alias("pad_tokens"),
+            F.sum("trunc").alias("trunc_tokens"),
+        )
+        .select(
+            "boundary", "n_docs", "kept_tokens", "pad_tokens", "trunc_tokens",
+            F.expr("(pad_tokens * 1000000) div (n_docs * boundary)").alias(
+                "pad_ppm"
+            ),
+        )
+        .orderBy("boundary")
+    )
+
+
+def _padding_waste_oracle() -> str:
+    top = PAD_BOUNDS[-1]
+    arms = " ".join(f"WHEN n <= {b} THEN {b}" for b in PAD_BOUNDS)
+    return f"""
+WITH t AS (
+  SELECT CAST(len({_TOKS}) AS BIGINT) AS n FROM documents
+), x AS (
+  SELECT CASE {arms} ELSE {top} END AS boundary,
+         least(n, {top}) AS kept,
+         CASE {arms} ELSE {top} END - least(n, {top}) AS pad,
+         n - least(n, {top}) AS trunc
+  FROM t
+), c AS (
+  SELECT boundary, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(SUM(kept) AS BIGINT) AS kept_tokens,
+         CAST(SUM(pad) AS BIGINT) AS pad_tokens,
+         CAST(SUM(trunc) AS BIGINT) AS trunc_tokens
+  FROM x GROUP BY boundary
+)
+SELECT boundary, n_docs, kept_tokens, pad_tokens, trunc_tokens,
+       (pad_tokens * 1000000) // (n_docs * boundary) AS pad_ppm
+FROM c
+ORDER BY boundary
+"""
+
+
+# --------------------------------------------------------------------------
 # pipe_ewma_user_value — per-key EXPONENTIALLY-DECAYED running
 # statistic (the online loss-smoothing / rate-estimator shape): each
 # user's event values folded in (ts, event_id) order through the
@@ -2407,6 +2481,7 @@ QUERIES = {
     "pipe_dp_release": pipe_dp_release,
     "pipe_watermark_lateness": pipe_watermark_lateness,
     "pipe_epochs_budget": pipe_epochs_budget,
+    "pipe_padding_waste": pipe_padding_waste,
     "pipe_ewma_user_value": pipe_ewma_user_value,
     "pipe_quality_rules": pipe_quality_rules,
     "pipe_mix_temperature": pipe_mix_temperature,
@@ -2448,6 +2523,7 @@ ORACLES = {
     "pipe_dp_release": _dp_release_oracle(),
     "pipe_watermark_lateness": _watermark_lateness_oracle(),
     "pipe_epochs_budget": ORACLE_PIPE_EPOCHS_BUDGET,
+    "pipe_padding_waste": _padding_waste_oracle(),
     "pipe_ewma_user_value": ORACLE_PIPE_EWMA,
     "pipe_quality_rules": _quality_rules_oracle(),
     "pipe_mix_temperature": ORACLE_PIPE_MIX_TEMPERATURE,
