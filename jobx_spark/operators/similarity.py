@@ -141,12 +141,19 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors live in their nearest-
     centroid cell; each query probes its `nprobe` closest cells and
     ranks exactly within them. Cells are disjoint, so candidates never
-    duplicate. Output (query_id, vec_id, rank, cosine)."""
-    cells = ivf_assign(corpus, centroids, id_col, vec_col)
+    duplicate. Output (query_id, vec_id, rank, cosine).
+
+    ``cells`` optionally injects a pre-built assignment (the
+    ``ivf_assign`` output, typically lineage-cut) so several searches
+    over the same index — an nprobe sweep, a query batch fan-out —
+    share ONE assignment pass instead of re-scanning the corpus each."""
+    if cells is None:
+        cells = ivf_assign(corpus, centroids, id_col, vec_col)
     c = centroids.select("cent_id", "cv").withColumn(
         "cnorm_s", _sdot(F.col("cv"), F.col("cv"))
     )

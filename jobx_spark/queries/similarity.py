@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from jobx_spark.functions import md5_long, md5_long_sql_duck
+from jobx_spark.lineage import cut_lineage
 from jobx_spark.operators.similarity import (
     _WMOD,
     _WP1,
@@ -458,6 +459,142 @@ cent AS (
 SELECT query_id, vec_id, rank, cosine
 FROM ranked WHERE rank <= {K}
 ORDER BY query_id, rank
+"""
+
+
+# --------------------------------------------------------------------------
+# ann_nprobe_sweep — the IVF tuning curve: recall@K of the TRAINED
+# index at nprobe ∈ NPROBE_SWEEP against brute-force truth, one row
+# per setting — the readout every FAISS deployment produces before
+# picking its latency/recall operating point (probe cost grows
+# linearly in nprobe; this table says what each extra probe buys).
+# Complements ann_recall_eval (one LSH config) and ann_ivf_balance
+# (cell skew) — together: index health, tuning curve, recall audit.
+# Scale shape: the k-means training materializes ONCE (kmeans_train
+# cut_lineages its centroids — the PQ device), so the sweep adds one
+# probe-bounded search per setting, each the corpus-scan-once
+# cell-partition-pruned shape of ann_ivf_trained_topk; truth is one
+# brute-force pass; hits reduce by semi-join to |sweep| rows. Recall
+# is integer permille — no float division.
+# --------------------------------------------------------------------------
+NPROBE_SWEEP = [1, 2, 4]
+
+
+def ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from jobx_spark.operators.similarity import (
+        brute_force_topk as _bf,
+        ivf_assign,
+        ivf_topk,
+        kmeans_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _probe_queries(emb)
+    centroids = kmeans_train(
+        emb, k=KM_K, iters=KM_ITERS, cent_base=KM_BASE, scale=KM_SCALE,
+        output="centroids",
+    )
+    # ONE assignment pass and ONE truth pass serve every sweep point
+    # (lineage-cut, the PQ device) — without this, each union leg
+    # re-scans the corpus for its own cells and ground truth
+    cells = cut_lineage(ivf_assign(emb, centroids), "ivf-cells")
+    gt = cut_lineage(
+        _bf(emb, q, k=K).select("query_id", "vec_id"), "ivf-truth"
+    )
+    denom = K * N_QUERIES
+    per_np = []
+    for np_ in NPROBE_SWEEP:
+        ap = ivf_topk(
+            emb, q, centroids, k=K, nprobe=np_, cells=cells
+        ).select("query_id", "vec_id")
+        hits = ap.join(gt, ["query_id", "vec_id"], "left_semi").agg(
+            F.count(F.lit(1)).alias("hits")
+        )
+        per_np.append(
+            hits.select(
+                F.lit(np_).cast("long").alias("nprobe"),
+                F.col("hits").cast("long").alias("hits"),
+                F.expr(f"CAST(hits * 1000 div {denom} AS BIGINT)").alias(
+                    "recall_permille"
+                ),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), per_np).orderBy("nprobe")
+
+
+def _nprobe_sweep_oracle() -> str:
+    parts, _assign = _kmeans_ctes()
+    body = ",\n".join(parts)
+    denom = K * N_QUERIES
+    shared = f"""cent AS (
+  SELECT cent_id, list_transform(cv_s, c -> c::DOUBLE / {KM_SCALE}) AS cv
+  FROM c{KM_ITERS}
+), centn AS (
+  SELECT cent_id, cv, {_SDOT.format(a='cv', b='cv')} AS cnorm_s FROM cent
+), ascore AS (
+  SELECT e.vec_id, e.embedding, e.vnorm_s, n.cent_id,
+         {_SDOT.format(a='e.embedding', b='n.cv')}::DOUBLE
+           / (sqrt(e.vnorm_s::DOUBLE) * sqrt(n.cnorm_s::DOUBLE)) AS cos
+  FROM e, centn n
+), cells AS (
+  SELECT vec_id, embedding, vnorm_s, cent_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+           ORDER BY cos DESC, cent_id ASC) AS rn
+    FROM ascore
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv, vnorm_s AS qnorm_s
+  FROM e WHERE vec_id < {N_QUERIES}
+), qscore AS (
+  SELECT query_id, qv, qnorm_s, cell, pr FROM (
+    SELECT q.query_id, q.qv, q.qnorm_s, n.cent_id AS cell,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_SDOT.format(a='q.qv', b='n.cv')}::DOUBLE
+               / (sqrt(q.qnorm_s::DOUBLE) * sqrt(n.cnorm_s::DOUBLE)) DESC,
+               n.cent_id ASC) AS pr
+    FROM q, centn n
+  )
+), gtruth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_SDOT.format(a='q.qv', b='e.embedding')}::DOUBLE
+               / (sqrt(q.qnorm_s::DOUBLE) * sqrt(e.vnorm_s::DOUBLE)) DESC,
+               e.vec_id ASC) AS rnk
+    FROM e, q
+  ) WHERE rnk <= {K}
+)"""
+    sweeps, rows = [], []
+    for np_ in NPROBE_SWEEP:
+        sweeps.append(
+            f"""rk{np_} AS (
+  SELECT query_id, vec_id FROM (
+    SELECT p.query_id, c.vec_id,
+           row_number() OVER (PARTITION BY p.query_id
+             ORDER BY {_SDOT.format(a='p.qv', b='c.embedding')}::DOUBLE
+               / (sqrt(p.qnorm_s::DOUBLE) * sqrt(c.vnorm_s::DOUBLE)) DESC,
+               c.vec_id ASC) AS rank
+    FROM cells c JOIN (SELECT * FROM qscore WHERE pr <= {np_}) p
+      ON c.cell = p.cell
+  ) WHERE rank <= {K}
+), h{np_} AS (
+  SELECT CAST({np_} AS BIGINT) AS nprobe, CAST(count(*) AS BIGINT) AS hits
+  FROM rk{np_} r JOIN gtruth g
+    ON r.query_id = g.query_id AND r.vec_id = g.vec_id
+)"""
+        )
+        rows.append(f"SELECT nprobe, hits FROM h{np_}")
+    union = "\n  UNION ALL ".join(rows)
+    sweep_body = ",\n".join(sweeps)
+    return f"""
+WITH {body},
+{shared},
+{sweep_body}
+SELECT nprobe, hits, (hits * 1000) // {denom} AS recall_permille
+FROM ({union})
+ORDER BY nprobe
 """
 
 
@@ -1756,6 +1893,7 @@ _KC_SCALED_SOURCE = (
 QUERIES = {
     "ann_kcenter_select": ann_kcenter_select,
     "ann_kcenter_scaled": ann_kcenter_scaled,
+    "ann_nprobe_sweep": ann_nprobe_sweep,
     "dedup_semantic": dedup_semantic,
     "ann_pca_project": ann_pca_project,
     "ann_jl_distortion": ann_jl_distortion,
@@ -1781,6 +1919,7 @@ ORACLES = {
     "ann_kcenter_scaled": _kcenter_oracle(
         n_shards=KC_SHARDS * ANN_REP, source=_KC_SCALED_SOURCE
     ),
+    "ann_nprobe_sweep": _nprobe_sweep_oracle(),
     "dedup_semantic": _semantic_oracle(),
     "ann_pca_project": _pca_oracle(),
     "ann_jl_distortion": _jl_oracle(),
