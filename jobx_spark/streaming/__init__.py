@@ -81,6 +81,64 @@ def _scratch(tag: str) -> str:
     return scratch_dir(tag)
 
 
+def write_replay_files(
+    df: DataFrame, order_cols: list[str], n_files: int, tag: str
+) -> str:
+    """Write ``df`` into ``n_files`` parquet files that a file-source
+    stream with ``maxFilesPerTrigger=1`` will replay as n_files
+    micro-batches in ``order_cols`` order — a deterministic
+    arriving-files harness for watermark-advance semantics (a
+    single-file AvailableNow run is ONE batch, so its watermark never
+    moves and nothing can ever be late).
+
+    File order is forced two ways (lexicographic names AND explicitly
+    spaced mtimes) because Spark's file index sorts by modification
+    time. Equal-range rank split keeps every batch the same size, the
+    layout a real arrival log has.
+    """
+    import shutil
+
+    from pyspark.sql import Window as W
+
+    out = _scratch(f"replay_{tag}_{next(_name_counter)}")
+    rn = F.row_number().over(W.partitionBy().orderBy(*order_cols)) - 1
+    total = df.count()
+    # integer rank split — float division could round across a file
+    # boundary and disagree with the oracle's `//`
+    staged = df.withColumn("_rn", rn).withColumn(
+        "_file", F.expr(f"(_rn * {n_files}) div {total}")
+    ).drop("_rn")
+    base_mtime = 1_600_000_000  # any fixed epoch; only spacing matters
+    for i in range(n_files):
+        tmp = os.path.join(out, f"_stage_{i}")
+        (
+            staged.filter(F.col("_file") == i).drop("_file")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        part = next(
+            p for p in sorted(os.listdir(tmp)) if p.endswith(".parquet")
+        )
+        dest = os.path.join(out, f"b{i:03d}.parquet")
+        shutil.move(os.path.join(tmp, part), dest)
+        shutil.rmtree(tmp)
+        os.utime(dest, (base_mtime + i, base_mtime + i))
+    return out
+
+
+def stream_replay(spark: SparkSession, replay_dir: str) -> DataFrame:
+    """Open a ``write_replay_files`` directory as a one-file-per-batch
+    stream (schema from a footer-only batch read)."""
+    schema = spark.read.parquet(replay_dir).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(replay_dir)
+    )
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Open the events table as a file-source stream.
 
