@@ -144,8 +144,9 @@ def _utc_pinned(fn: QueryFn) -> QueryFn:
 #      pipe_epochs_budget (data-constrained epoch audit, Muennighoff
 #      2023), text_ngram_novelty (val-split memorization/novelty
 #      census against the train gram set), pipe_padding_waste
-#      (bucketed-batching pad/truncation overhead audit) and
-#      ann_nprobe_sweep (trained-IVF recall-vs-nprobe tuning curve);
+#      (bucketed-batching pad/truncation overhead audit),
+#      ann_nprobe_sweep (trained-IVF recall-vs-nprobe tuning curve)
+#      and dedup_lsh_s_curve (banding-vs-true-Jaccard tuning table);
 #   3. changed-code re-attests: the three PQ queries (subspace
 #      projection materialized once — VERDICT #2, ~10 embeddings
 #      scans → 1), text_bigram_score + text_perplexity_buckets
@@ -170,6 +171,7 @@ GATE_FIRST_50 = [
     "ann_kcenter_select", "pipe_l_diversity", "pipe_watermark_lateness",
     "pipe_dp_release", "ann_kcenter_scaled", "pipe_epochs_budget",
     "text_ngram_novelty", "pipe_padding_waste", "ann_nprobe_sweep",
+    "dedup_lsh_s_curve",
     # -- 3. changed-code re-attests --
     "ann_pq_codes", "ann_pq_adc_topk", "ann_ivf_pq_topk",
     "text_bigram_score", "text_perplexity_buckets",
@@ -183,10 +185,10 @@ GATE_FIRST_50 = [
     "q53_select_scalar_subquery", "q54_session_conversion",
     # -- 4b. r2-banked rotation (alphabetical head) --
     "ann_bruteforce_topk", "ann_ivf_topk", "ann_lsh_topk",
-    "dedup_components", "dedup_containment", "dedup_decontaminate",
+    "dedup_components", "dedup_containment",
 ]
 # ROUND-7 GATE POOL: rotate the remaining r2-banked rows
-# (dedup_exact, dedup_jaccard_prefix, dedup_minhash_pairs, dedup_minhash_sig, dedup_ngram_jaccard, dedup_simhash, dedup_simhash_pairs, multimodal_features, multimodal_frames, multimodal_infer, multimodal_meta, multimodal_resize, pipe_bigram_counts, pipe_corpus_stats, pipe_sample_hash, pipe_sample_join, pipe_split_train_val_test, pipe_vocab_topk, stream_sink_rollup,
+# (dedup_decontaminate, dedup_exact, dedup_jaccard_prefix, dedup_minhash_pairs, dedup_minhash_sig, dedup_ngram_jaccard, dedup_simhash, dedup_simhash_pairs, multimodal_features, multimodal_frames, multimodal_infer, multimodal_meta, multimodal_resize, pipe_bigram_counts, pipe_corpus_stats, pipe_sample_hash, pipe_sample_join, pipe_split_train_val_test, pipe_vocab_topk, stream_sink_rollup,
 # text_cms_heavy_hitters, text_fingerprint, text_lang_id,
 # text_quality, text_repetition, …alphabetical continuation), plus
 # anything new in r7 and any changed-code re-attests.

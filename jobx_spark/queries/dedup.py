@@ -1799,8 +1799,167 @@ ORDER BY cluster_size
 """
 
 
+# --------------------------------------------------------------------------
+# dedup_lsh_s_curve — the LSH banding tuning table (the dedup twin of
+# ann_nprobe_sweep): for each (bands, rows-per-band) split of the SAME
+# 16 minhashes — (2,8) strict, (4,4) production, (8,2) loose — the
+# candidate-pair census by TRUE-Jaccard decile. This is the empirical
+# S-curve (collision probability 1-(1-J^r)^b) every MinHash-LSH
+# deployment reads before picking its banding: the (8,2) column shows
+# how much low-similarity junk loose banding admits, the (2,8) column
+# what high-similarity mass strict banding misses. Complements
+# dedup_lsh_recall (one config vs ground truth).
+# Scale shape: ONE corpus scan materializes the distinct (id,
+# shingle-hash) table (the dedup_minhash_est device); signatures, all
+# three bandings, candidate pairs, sizes and intersections derive from
+# it. Every pair stage is banded (never all-pairs); the Jaccard join
+# is candidate-bounded; output ≤ 33 rows. Decile is integer:
+# (10·|∩|) div |∪|.
+# --------------------------------------------------------------------------
+S_CURVE_CONFIGS = [2, 4, 8]  # bands over the 16 hashes
+
+
+def dedup_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.functions import md5_long
+    from jobx_spark.operators.dedup import (
+        banded_from_signature,
+        lsh_pairs_from_banded,
+        minhash_signature_from_hashes,
+    )
+    from jobx_spark.operators.text import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    hh = cut_lineage(
+        docs.select(
+            F.col("doc_id").alias("id"),
+            F.explode(F.array_distinct(shingles("text", SHINGLE_N))).alias("s"),
+        )
+        .select("id", md5_long("s").alias("h"))
+        .distinct(),
+        "scurve-hh",
+    )
+    sig = cut_lineage(
+        minhash_signature_from_hashes(hh, n_hashes=N_HASHES, seed=SEED),
+        "scurve-sig",
+    )
+    per_cfg = [
+        lsh_pairs_from_banded(banded_from_signature(sig, N_HASHES, b))
+        .select("id_a", "id_b")
+        .withColumn("bands", F.lit(b).cast("long"))
+        for b in S_CURVE_CONFIGS
+    ]
+    from functools import reduce
+
+    tagged = cut_lineage(
+        reduce(lambda a, b: a.unionByName(b), per_cfg), "scurve-pairs"
+    )
+    cand = tagged.select("id_a", "id_b").distinct()
+    sizes = hh.groupBy("id").agg(F.count("*").alias("sz"))
+    inter = (
+        cand.join(hh.select(F.col("id").alias("id_a"), "h"), "id_a")
+        .join(hh.select(F.col("id").alias("id_b"), "h"), ["id_b", "h"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    jac = (
+        cand.join(inter, ["id_a", "id_b"], "left")
+        .join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sza")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("szb")), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.expr(
+                "(coalesce(n_inter, 0) * 10)"
+                " div (sza + szb - coalesce(n_inter, 0))"
+            ).alias("j_decile"),
+        )
+    )
+    return (
+        tagged.join(jac, ["id_a", "id_b"])
+        .groupBy("bands", "j_decile")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("bands", "j_decile")
+    )
+
+
+def _lsh_s_curve_oracle() -> str:
+    sig_mins = ",\n       ".join(
+        f"min(((h % {MINHASH_P}) * {a} + {b}) % {MINHASH_P}) AS mh{j}"
+        for j, (a, b) in enumerate(_COEFFS)
+    )
+    cfg_parts, legs = [], []
+    for bands in S_CURVE_CONFIGS:
+        rpb = N_HASHES // bands
+        band_rows = "\nUNION ALL\n".join(
+            "SELECT id, {b} AS band, {bh} AS bh FROM sig".format(
+                b=b,
+                bh=_MD5.format(
+                    e="("
+                    + " || ',' || ".join(
+                        f"CAST(mh{b * rpb + r} AS VARCHAR)" for r in range(rpb)
+                    )
+                    + ")"
+                ),
+            )
+            for b in range(bands)
+        )
+        cfg_parts.append(
+            f"""banded{bands} AS (
+{band_rows}
+), pairs{bands} AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded{bands} a JOIN banded{bands} b
+    ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+)"""
+        )
+        legs.append(
+            f"SELECT CAST({bands} AS BIGINT) AS bands, j.j_decile,"
+            f" CAST(count(*) AS BIGINT) AS n_pairs"
+            f" FROM pairs{bands} p JOIN jac j"
+            f" ON j.id_a = p.id_a AND j.id_b = p.id_b"
+            f" GROUP BY 1, 2"
+        )
+    cfgs = ",\n".join(cfg_parts)
+    union = "\n  UNION ALL ".join(legs)
+    return f"""
+WITH hh AS MATERIALIZED (
+  SELECT DISTINCT doc_id AS id, {_MD5.format(e='s')} AS h
+  FROM (SELECT doc_id, unnest(list_distinct({_SHINGLES3})) AS s FROM documents)
+), sig AS MATERIALIZED (
+  SELECT id, {sig_mins}
+  FROM hh GROUP BY id
+),
+{cfgs},
+cand AS (
+  SELECT DISTINCT id_a, id_b FROM (
+    {" UNION ALL ".join(f"SELECT id_a, id_b FROM pairs{b}" for b in S_CURVE_CONFIGS)}
+  )
+), sizes AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS sz FROM hh GROUP BY id
+), inter AS (
+  SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM cand c
+  JOIN hh a ON a.id = c.id_a
+  JOIN hh b ON b.id = c.id_b AND b.h = a.h
+  GROUP BY 1, 2
+), jac AS (
+  SELECT c.id_a, c.id_b,
+         (coalesce(i.n_inter, 0) * 10)
+           // (sa.sz + sb.sz - coalesce(i.n_inter, 0)) AS j_decile
+  FROM cand c
+  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+  JOIN sizes sa ON sa.id = c.id_a
+  JOIN sizes sb ON sb.id = c.id_b
+)
+SELECT * FROM (
+  {union}
+)
+ORDER BY bands, j_decile
+"""
+
+
 QUERIES = {
     "dedup_entity_resolution": dedup_entity_resolution,
+    "dedup_lsh_s_curve": dedup_lsh_s_curve,
     "dedup_substring_spans": dedup_substring_spans,
     "dedup_substring_scaled": dedup_substring_scaled,
     "dedup_source_overlap": dedup_source_overlap,
@@ -1836,6 +1995,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_entity_resolution": _entity_resolution_oracle(),
+    "dedup_lsh_s_curve": _lsh_s_curve_oracle(),
     "dedup_substring_spans": ORACLE_DEDUP_SUBSTRING_SPANS,
     "dedup_substring_scaled": ORACLE_DEDUP_SUBSTRING_SCALED,
     "dedup_source_overlap": _source_overlap_oracle(),
