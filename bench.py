@@ -101,6 +101,50 @@ HEADLINE = [
 
 BENCH_REPS = 2  # per-query timing = min over this many runs
 
+# Round-over-round comparison anchor (VERDICT r6 #4): a FIXED set of
+# expensive representatives that gets the first slice of the pass-2
+# budget EVERY round, so their min-of-2 total (run_meta.
+# warm_subset_total) is a directly comparable warm-to-warm number —
+# no more prose reconstructing a common warm subset per round.
+WARM_ANCHOR = [
+    "pipe_dsir_sample",
+    "dedup_jaccard_prefix",
+    "dedup_lsh_s_curve",
+    "dedup_keep_canonical",
+    "dedup_containment",
+    "dedup_semantic",
+    "ann_pq_adc_topk",
+    "ann_ivf_pq_topk",
+    "ann_ivf_trained_topk",
+    "text_bigram_score",
+    "q01_pricing_summary",
+    "stream_stateful_user_stats",
+]
+
+# Non-anchor pass-2 rotation stride: the descending-cost list advances
+# by ~1/5 of its length per round, so every headline query holds a
+# warm min-of-2 within ~5 rounds (VERDICT r6 #4).
+ROTATION_PERIOD = 5
+
+
+def _round_number() -> int:
+    """Current build round, inferred from the BENCH_r{N}.json artifacts
+    the driver leaves beside the repo (max N + 1); JOBX_BENCH_ROUND
+    overrides for ad-hoc runs."""
+    import glob
+    import re
+
+    env = os.environ.get("JOBX_BENCH_ROUND")
+    if env:
+        return int(env)
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
 
 LINE_BUDGET = 1600  # driver tail window is 2000 chars; leave headroom
 
@@ -133,6 +177,7 @@ def budget_line(timings: dict[str, float], sf: float) -> tuple[str, dict]:
 def run_meta(
     load_start: float, load_end: float, timings: dict[str, float],
     reps_done: dict[str, int] | None = None,
+    rotation: dict | None = None,
 ) -> dict:
     """Run-environment stamp for BENCH_FULL.json. External load ≈
     loadavg beyond what this bench itself generates; the start sample
@@ -174,6 +219,26 @@ def run_meta(
         # per-query rep counts: lets a reader tell a warm min-of-2 row
         # from a cold single-rep row before comparing across rounds
         "reps_per_query": dict(sorted(reps_done.items())) if reps_done else {},
+        # the round-over-round comparison NUMBER (VERDICT r6 #4): sum
+        # of min-of-reps timings over the fixed WARM_ANCHOR queries
+        # that actually held ≥2 reps this run; warm_anchor_complete
+        # says whether all of them did (budget permitting, always).
+        "warm_subset_total": round(
+            sum(
+                timings[n]
+                for n in WARM_ANCHOR
+                if n in timings and (reps_done or {}).get(n, 0) >= 2
+            ),
+            3,
+        ),
+        "warm_anchor_complete": all(
+            (reps_done or {}).get(n, 0) >= 2
+            for n in WARM_ANCHOR
+            if n in timings
+        ),
+        # pass-2 rotation stamp: which round offset the non-anchor
+        # descending-cost list started at this run
+        "pass2_rotation": rotation or {},
     }
 
 
@@ -246,25 +311,44 @@ def main() -> None:
         timings[name] = round(t, 3)
         reps_done[name] = 1
         rows_seen[name] = n
-    # pass 2+: min-of-reps in DESCENDING pass-1-time order, only while
-    # inside the budget. Warm coverage of the full set cannot fit the
-    # driver timeout (pass 1 alone is ~400 s), so the budget goes to
-    # the most expensive queries first — cold plan-compile/codegen
-    # overhead (+1-3 s/query) distorts exactly those rows, and they
-    # dominate the headline total. Sub-second queries are never worth
-    # a re-run. run_meta.reps_per_query records who got a warm min, so
-    # cross-round comparisons can filter on equal treatment.
-    pass2 = sorted(
-        (n for n in names if timings[n] >= 1.0),
+    # pass 2+: min-of-reps only while inside the budget. Warm coverage
+    # of the full set cannot fit the driver timeout (pass 1 alone is
+    # ~400 s), so pass 2 is two-tier (VERDICT r6 #4):
+    #   1. WARM_ANCHOR first — fixed expensive representatives whose
+    #      min-of-2 total is the round-over-round number
+    #      (run_meta.warm_subset_total);
+    #   2. every other query ≥ 1 s in descending pass-1-time order,
+    #      ROTATED by a round-keyed offset (1/ROTATION_PERIOD of the
+    #      list per round) so warm coverage sweeps the whole set
+    #      within ~ROTATION_PERIOD rounds instead of the same top-23
+    #      hogging the budget forever. Sub-second non-anchors are
+    #      never worth a re-run. run_meta.reps_per_query records who
+    #      got a warm min, so cross-round comparisons can filter on
+    #      equal treatment.
+    rest = sorted(
+        (n for n in names if timings[n] >= 1.0 and n not in WARM_ANCHOR),
         key=lambda n: (-timings[n], n),
     )
+    rnd = _round_number()
+    offset = 0
+    if rest:
+        stride = (len(rest) + ROTATION_PERIOD - 1) // ROTATION_PERIOD
+        offset = (((rnd - 1) % ROTATION_PERIOD) * stride) % len(rest)
+        rest = rest[offset:] + rest[:offset]
+    pass2 = [n for n in WARM_ANCHOR if n in timings] + rest
+    # budget-exhausted exits BOTH loops (ADVICE r6): with BENCH_REPS
+    # > 2 the old inner-only break re-walked every remaining rep×query
+    budget_exhausted = False
     for rep in range(1, BENCH_REPS):
         for name in pass2:
             if time.monotonic() - _T0 > BENCH_BUDGET_S:
+                budget_exhausted = True
                 break
             t, _ = run_once(name)
             timings[name] = round(min(timings[name], t), 3)
             reps_done[name] += 1
+        if budget_exhausted:
+            break
     for name in names:
         print(
             f"# {name}: {timings[name]}s rows={rows_seen[name]}"
@@ -288,7 +372,15 @@ def main() -> None:
         # run-environment stamp (VERDICT r4 #5): lets a reader tell a
         # quiet-box close from a driver run taken under concurrent
         # verify load without cross-referencing BENCH_NOTES.md.
-        "run_meta": run_meta(load_start, os.getloadavg()[0], timings, reps_done),
+        "run_meta": run_meta(
+            load_start, os.getloadavg()[0], timings, reps_done,
+            rotation={
+                "round": rnd,
+                "offset": offset,
+                "n_rest": len(rest),
+                "period": ROTATION_PERIOD,
+            },
+        ),
     }
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
     with open(full_path, "w", encoding="utf-8") as f:

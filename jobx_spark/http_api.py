@@ -28,7 +28,7 @@ import json
 import socket
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from urllib.parse import parse_qs, urlparse
+from urllib.parse import parse_qs, unquote, urlparse
 
 from jobx_spark.engine import Engine
 
@@ -69,7 +69,9 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_GET(self):  # noqa: N802 - http.server API
         url = urlparse(self.path)
-        parts = [p for p in url.path.split("/") if p]
+        # split BEFORE unquoting so a %2F inside a name can't inject a
+        # path separator; each segment then decodes independently
+        parts = [unquote(p) for p in url.path.split("/") if p]
         if not parts:
             self._send_text(200, "Map me. Reduce me.\n")
             return
@@ -118,13 +120,20 @@ class _Handler(BaseHTTPRequestHandler):
 
     def _ui_job_browser(self):
         import html
+        from urllib.parse import quote
 
         rows = []
         for wf in self.engine.catalog.list_workflows():
             for job in self.engine.catalog.list_jobs(wf.name):
                 w, j = html.escape(wf.name), html.escape(job.name)
+                # hrefs need URL-encoding (quote, safe='') on top of the
+                # HTML-escaping used for display text: a name holding
+                # '/', '?', '#', '%' or a space would otherwise produce
+                # a broken link or route to the wrong path [ADVICE r6]
+                wq = html.escape(quote(wf.name, safe=""))
+                jq = html.escape(quote(job.name, safe=""))
                 rows.append(
-                    f'<li><a href="/ui/job/{w}/{j}">{w} / {j}</a>'
+                    f'<li><a href="/ui/job/{wq}/{jq}">{w} / {j}</a>'
                     f" — {html.escape(job.description or '')}</li>"
                 )
         self._send_text(
@@ -139,6 +148,7 @@ class _Handler(BaseHTTPRequestHandler):
 
     def _ui_job_submit(self, workflow_name: str, job_name: str):
         import html
+        from urllib.parse import quote
 
         try:
             job = self.engine.catalog.get_job(workflow_name, job_name)
@@ -152,6 +162,10 @@ class _Handler(BaseHTTPRequestHandler):
             self._send_json(404, {"error": str(e)})
             return
         w, j = html.escape(workflow_name), html.escape(job_name)
+        # form action is a URL: percent-encode the path segments so
+        # reserved characters in names can't re-route the POST
+        wq = html.escape(quote(workflow_name, safe=""))
+        jq = html.escape(quote(job_name, safe=""))
         fields = "".join(
             f'<label>{html.escape(name)} ({html.escape(typ)})</label>'
             f'<input name="{html.escape(name)}" data-type="{html.escape(typ)}">'
@@ -180,7 +194,7 @@ document.querySelector('form').addEventListener('submit', async (ev) => {
             f"<style>{self._UI_CSS}</style></head><body>"
             f"<h1>{w} / {j}</h1>"
             f"<p>{html.escape(job.description or '')}</p>"
-            f'<form action="/job/{w}/{j}?blocking=true" method="post">'
+            f'<form action="/job/{wq}/{jq}?blocking=true" method="post">'
             f"{fields}<p><button>Submit</button></p></form>"
             "<h2>Result</h2><pre>(none yet)</pre>"
             f"{script}</body></html>",
@@ -290,7 +304,9 @@ document.querySelector('form').addEventListener('submit', async (ev) => {
 
     def do_DELETE(self):  # noqa: N802 - http.server API
         url = urlparse(self.path)
-        parts = [p for p in url.path.split("/") if p]
+        # split BEFORE unquoting so a %2F inside a name can't inject a
+        # path separator; each segment then decodes independently
+        parts = [unquote(p) for p in url.path.split("/") if p]
         if parts and parts[0] == "request" and len(parts) == 3:
             self._delete_request(parts[1], parts[2])
             return
@@ -319,7 +335,9 @@ document.querySelector('form').addEventListener('submit', async (ev) => {
 
     def do_POST(self):  # noqa: N802 - http.server API
         url = urlparse(self.path)
-        parts = [p for p in url.path.split("/") if p]
+        # split BEFORE unquoting so a %2F inside a name can't inject a
+        # path separator; each segment then decodes independently
+        parts = [unquote(p) for p in url.path.split("/") if p]
         if parts and parts[0] == "job" and len(parts) == 3:
             qs = parse_qs(url.query)
             blocking = qs.get("blocking", ["true"])[0] == "true"

@@ -653,7 +653,10 @@ def hard_negative_topk(
             [], "query_id long, vec_id long, rank int, cosine double"
         )
     qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
-    qlabels = np.array([r["qlabel"] for r in qrows], dtype=np.int64)
+    # no int64 cast on labels: string/any-typed label columns compare
+    # fine via numpy object equality, and a hard cast raised inside
+    # the Arrow worker for non-integer labels [ADVICE r6]
+    qlabels = np.array([r["qlabel"] for r in qrows])
     qmat = np.array([r["qv"] for r in qrows], dtype=np.float64)
     qnorm_sqrt = np.sqrt(
         np.floor((qmat * qmat) * 1e12).astype(np.int64).sum(axis=1).astype(np.float64)
@@ -664,7 +667,7 @@ def hard_negative_topk(
             if len(pdf) == 0:
                 continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
-            labels = pdf[label_col].to_numpy(dtype=np.int64)
+            labels = pdf[label_col].to_numpy()
             mat = np.stack(pdf[vec_col].values).astype(np.float64)
             cnorm_sqrt = np.sqrt(
                 np.floor((mat * mat) * 1e12)
@@ -674,7 +677,14 @@ def hard_negative_topk(
             )
             out_q, out_id, out_cos = [], [], []
             for j in range(len(qids)):
-                keepmask = labels != qlabels[j]
+                if qnorm_sqrt[j] == 0.0:
+                    # zero-norm query: cosine is undefined for every
+                    # corpus row — emit nothing rather than NaN ranks
+                    continue
+                # zero-norm corpus rows masked like same-label rows:
+                # their cosine is undefined, so they can never be a
+                # valid hard negative [ADVICE r6]
+                keepmask = (labels != qlabels[j]) & (cnorm_sqrt != 0.0)
                 if not keepmask.any():
                     continue
                 mids = ids[keepmask]

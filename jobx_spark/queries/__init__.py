@@ -158,40 +158,49 @@ def _utc_pinned(fn: QueryFn) -> QueryFn:
 #      rounds stale), then the alphabetical head of the r2-banked
 #      rows (22 slots; the r2 cohort is uniformly 4 rounds stale, so
 #      alphabetical order within it is the deterministic tiebreak).
+# ROUND-7 GATE (VERDICT r6 #2):
+#   1. the full 27-row r2-stale cohort — these rows' most recent
+#      driver-gate green was round 2 (four rounds stale while the
+#      operators underneath them kept changing); VERDICT r6 names all
+#      27 and this gate carries every one, so after r7 no registry row
+#      is older than r3;
+#   2. changed-code re-attests: dedup_entity_resolution (composite
+#      block key + block purging — VERDICT r6 #1), pipe_dsir_sample
+#      (zero-gram docs now dropped identically to the oracle — ADVICE
+#      r6 medium), text_bigram_score + text_perplexity_buckets (count-
+#      table cache key now staleness-aware — ADVICE r6), and
+#      ann_hard_negatives (label-typing + zero-norm masking — ADVICE
+#      r6);
+#   3. new in round 7 (never driver-attested), added as built;
+#   4. filler: alphabetical head of the r3-banked cohort (the next-
+#      oldest attestations) — displaced one-for-one as round-7
+#      additions land (new queries outrank redundant re-attestation).
 GATE_FIRST_50 = [
-    # -- 1. the round-6 pool (never driver-attested) --
-    "ann_bruteforce_scaled", "dedup_rate_by_source", "dedup_winnow_pairs",
-    "pipe_tokenizer_fertility", "text_winnow_fingerprints",
-    "text_zipf_census",
-    # -- 2. new in round 6 --
-    "pipe_pack_sequences", "pipe_dsir_sample",
-    "stream_window_distinct_scaled", "ann_pca_project",
-    "ann_jl_distortion", "ann_ivf_balance", "pipe_snapshot_diff",
-    "ann_hard_negatives", "pipe_k_anonymity", "dedup_entity_resolution",
-    "ann_kcenter_select", "pipe_l_diversity", "pipe_watermark_lateness",
-    "pipe_dp_release", "ann_kcenter_scaled", "pipe_epochs_budget",
-    "text_ngram_novelty", "pipe_padding_waste", "ann_nprobe_sweep",
-    "dedup_lsh_s_curve",
-    # -- 3. changed-code re-attests --
-    "ann_pq_codes", "ann_pq_adc_topk", "ann_ivf_pq_topk",
-    "text_bigram_score", "text_perplexity_buckets",
-    "pipe_ewma_user_value",
-    # -- 4a. r1-banked rotation tail from r5's plan --
-    "q41_percentile_cont", "q42_important_parts",
-    "q43_small_qty_revenue", "q44_top_supplier", "q46_fuzzy_name_pairs",
-    "q47_cohort_retention", "q48_funnel_steps",
-    "q49_local_supplier_volume", "q50_returned_items",
-    "q51_window_navigation", "q52_revenue_share",
-    "q53_select_scalar_subquery", "q54_session_conversion",
-    # -- 4b. r2-banked rotation (alphabetical head) --
-    "ann_bruteforce_topk", "ann_ivf_topk", "ann_lsh_topk",
-    "dedup_components", "dedup_containment",
+    # -- 1. the 27 r2-stale rows (VERDICT r6 #2, complete) --
+    "dedup_decontaminate", "dedup_exact", "dedup_jaccard_prefix",
+    "dedup_minhash_pairs", "dedup_minhash_sig", "dedup_ngram_jaccard",
+    "dedup_simhash", "dedup_simhash_pairs", "multimodal_features",
+    "multimodal_frames", "multimodal_infer", "multimodal_meta",
+    "multimodal_resize", "pipe_bigram_counts", "pipe_corpus_stats",
+    "pipe_sample_hash", "pipe_sample_join", "pipe_split_train_val_test",
+    "pipe_vocab_topk", "stream_sink_rollup", "text_cms_heavy_hitters",
+    "text_fingerprint", "text_lang_id", "text_quality",
+    "text_repetition", "text_tfidf_terms", "text_token_histogram",
+    # -- 2. changed-code re-attests (r7 fixes) --
+    "dedup_entity_resolution", "pipe_dsir_sample", "text_bigram_score",
+    "text_perplexity_buckets", "ann_hard_negatives",
+    # -- 3. new in round 7 (inserted here as each one lands) --
+    "ann_ivf_pq_residual_topk", "dedup_paragraphs",
+    "multimodal_decode_scaled",
+    # -- 4. r3-banked filler (next-oldest, alphabetical; displaced
+    #       one-for-one by round-7 additions) --
+    "ann_knn_graph", "ann_quantize_int8", "ann_range_search",
+    "ann_recall_eval", "dedup_embedding_lsh", "dedup_incremental",
+    "dedup_label_prop", "dedup_ngram_overlap", "dedup_pagerank",
+    "dedup_triangle_count", "mr_engine_fanout_rekey",
+    "multimodal_audio_energy", "multimodal_decode",
+    "pipe_blocklist_scrub", "pipe_bpe_token_count",
 ]
-# ROUND-7 GATE POOL: rotate the remaining r2-banked rows
-# (dedup_decontaminate, dedup_exact, dedup_jaccard_prefix, dedup_minhash_pairs, dedup_minhash_sig, dedup_ngram_jaccard, dedup_simhash, dedup_simhash_pairs, multimodal_features, multimodal_frames, multimodal_infer, multimodal_meta, multimodal_resize, pipe_bigram_counts, pipe_corpus_stats, pipe_sample_hash, pipe_sample_join, pipe_split_train_val_test, pipe_vocab_topk, stream_sink_rollup,
-# text_cms_heavy_hitters, text_fingerprint, text_lang_id,
-# text_quality, text_repetition, …alphabetical continuation), plus
-# anything new in r7 and any changed-code re-attests.
 
 
 def all_queries() -> dict[str, QueryFn]:

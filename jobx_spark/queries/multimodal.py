@@ -465,7 +465,84 @@ ORDER BY asset_id
 """
 
 
+# --------------------------------------------------------------------------
+# multimodal_decode_scaled — the multimodal SCALE PROBE (VERDICT r6
+# #6): the probe family covered graph loops, span census, ANN scan,
+# k-center and streaming state, but not the decode path, whose cost
+# model (mapInPandas over binary payloads — Arrow ships the bytes,
+# Python inflates/defilters per batch) is unlike the others. 8×-
+# replicated assets (rep-offset ids, same digest pixels) run the
+# PRODUCTION encode→decode pipeline (_synthetic_png_assets →
+# decode_stats — real zlib, all five PNG filters), then collapse to a
+# per-rep census: count, pixel-sum, and an order-certified md5 digest
+# over every asset's pixel hash — one changed byte in any of the 8×N
+# decodes flips its rep's digest. Scale shape: replication is a
+# crossJoin against a broadcast 8-row range; the decode is
+# embarrassingly parallel per batch; the census is one rep-keyed
+# (8-row) aggregation.
+# --------------------------------------------------------------------------
+MM_REP = 8
+_MM_REP_BASE = 10**9
+
+
+def multimodal_decode_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.operators.multimodal import decode_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    reps = spark.range(MM_REP).select(F.col("id").alias("rep"))
+    big = (
+        docs.select("doc_id", "text")
+        .crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("doc_id") + F.col("rep") * _MM_REP_BASE).alias("doc_id"),
+            "text",
+        )
+    )
+    stats = decode_stats(_synthetic_png_assets(big))
+    return (
+        stats.withColumn("rep", F.expr(f"asset_id div {_MM_REP_BASE}"))
+        .groupBy("rep")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum("pix_sum").alias("sum_pix"),
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("asset_id", "pix_md5"))
+                        ),
+                        lambda st: st["pix_md5"],
+                    ),
+                )
+            ).alias("digest"),
+        )
+        .orderBy("rep")
+    )
+
+
+ORACLE_MULTIMODAL_DECODE_SCALED = f"""
+WITH big AS (
+  SELECT doc_id + r.rep * {_MM_REP_BASE} AS asset_id, text, r.rep
+  FROM documents CROSS JOIN range({MM_REP}) AS r(rep)
+),
+st AS (
+  SELECT asset_id, rep,
+         CAST(12 * list_sum(list_transform(generate_series(1, 16),
+              i -> ('0x' || substr(md5(text), 2*i-1, 2))::BIGINT)) AS BIGINT)
+           AS pix_sum,
+         md5(repeat(md5(text), 12)) AS pix_md5
+  FROM big
+)
+SELECT rep, CAST(count(*) AS BIGINT) AS n_assets,
+       CAST(SUM(pix_sum) AS BIGINT) AS sum_pix,
+       md5(string_agg(pix_md5, '' ORDER BY asset_id)) AS digest
+FROM st GROUP BY rep ORDER BY rep
+"""
+
+
 QUERIES = {
+    "multimodal_decode_scaled": multimodal_decode_scaled,
     "multimodal_audio_energy": multimodal_audio_energy,
     "multimodal_meta": multimodal_meta,
     "multimodal_decode": multimodal_decode,
@@ -479,6 +556,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "multimodal_decode_scaled": ORACLE_MULTIMODAL_DECODE_SCALED,
     "multimodal_audio_energy": ORACLE_MULTIMODAL_AUDIO,
     "multimodal_meta": ORACLE_MULTIMODAL_META,
     "multimodal_decode": ORACLE_MULTIMODAL_DECODE,

@@ -1621,8 +1621,14 @@ def pipe_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("b", "r_s")))
         ).alias("rmap")
     )
+    # Contract: zero-gram documents (empty/whitespace text) are DROPPED
+    # before scoring — the oracle derives its per-doc table from the
+    # exploded gram table, so a doc with no grams never appears there;
+    # filtering size(grams) > 0 here makes both engines drop them
+    # identically (and avoids the div-by-zero mean) [ADVICE r6].
     scored = (
         docs.select("doc_id", "source", _dsir_grams(F.col("text")).alias("grams"))
+        .filter(F.size("grams") > 0)
         .crossJoin(F.broadcast(rmap))
         .select(
             "doc_id",

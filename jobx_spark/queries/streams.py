@@ -353,6 +353,7 @@ def stream_sink_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_cols=["window_start", "event_type"],
         version_col="n",
         output_mode="update",
+        name="rollup_merge",
     )
     return (
         spark.read.parquet(state)
@@ -538,6 +539,7 @@ def stream_hll_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_cols=["event_type", "register"],
         version_col="max_rho",
         output_mode="update",
+        name="hll_merge",
     )
     snap = spark.read.parquet(state)
     types = snap.select("event_type").distinct()
@@ -645,6 +647,7 @@ def stream_cms_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_cols=["r", "bucket"],
         version_col="c",
         output_mode="update",
+        name="cms_merge",
     )
     sketch = spark.read.parquet(state)
     exact = (
@@ -723,6 +726,8 @@ ORDER BY exact_n DESC, user_id ASC
 # equals the batch as-of join the oracle states with a window.
 # --------------------------------------------------------------------------
 def stream_scd_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
@@ -764,6 +769,9 @@ def stream_scd_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = (
         ev.writeStream.foreachBatch(_enrich)
+        # contract label for the STREAM_PLANS audit: stateless per
+        # micro-batch — the SCD lookup state lives in the static dim
+        .queryName(f"scd_stateless_{os.getpid()}_{next(S._name_counter)}")
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
@@ -840,6 +848,7 @@ def stream_incremental_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
         S.stream_upsert_parquet(
             agg, state, ckpt,
             key_cols=["event_type"], version_col="n", output_mode="update",
+            name="restart_merge",
         )
 
     land_half(F.col("event_id") % 2 == 0, "a")
@@ -918,6 +927,7 @@ def stream_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             S.stateful_ewma(stream), state, ckpt,
             key_cols=["user_id"], version_col="n_events",
             output_mode="update",
+            name="ewma_merge",
         )
 
     land_half(F.col("ts") < F.lit(mid), "a")

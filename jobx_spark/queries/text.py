@@ -465,6 +465,32 @@ BSCORE_SCALE = 10**9
 # scratch root, same lifetime as the cache itself).
 _CDB_PATHS: dict[str, str] = {}
 
+# First-build guard: two threads racing the cold cache would both
+# materialize (write.mode('error') keeps them on distinct paths, but
+# the second build is wasted work) — serialize the build/lookup
+# critical section [ADVICE r6].
+import threading as _threading  # noqa: E402
+
+_CDB_LOCK = _threading.Lock()
+
+
+def _cdb_cache_key(files: list[str]) -> str:
+    """Cache key for the materialized count table: the source paths
+    PLUS each file's (size, mtime_ns) so an in-place rewrite of the
+    source parquet invalidates the entry instead of serving stale
+    counts [ADVICE r6]. Un-stat-able paths fall back to path-only."""
+    import os
+
+    parts = []
+    for f in sorted(files):
+        p = f.removeprefix("file:")
+        try:
+            st = os.stat(p)
+            parts.append(f"{f}#{st.st_size}#{st.st_mtime_ns}")
+        except OSError:
+            parts.append(f)
+    return "|".join(parts)
+
 # Below this source size the count-table parquet round-trip costs more
 # than re-scanning the corpus (measured crossover: sf0.1's 30 MB
 # documents table pays 1.5× for the write — VERDICT r5 "What's
@@ -519,7 +545,7 @@ def _bigram_doc_scores(docs: DataFrame) -> DataFrame:
     from jobx_spark.operators.text import shingles
 
     spark = docs.sparkSession
-    key = "|".join(sorted(docs.inputFiles() or []))
+    key = _cdb_cache_key(docs.inputFiles() or [])
     plan = (
         docs.select(
             "doc_id", F.explode(shingles(F.col("text"), 2)).alias("bigram")
@@ -532,16 +558,18 @@ def _bigram_doc_scores(docs: DataFrame) -> DataFrame:
         # below the crossover the round-trip costs more than the two
         # corpus re-scans it saves — reuse the lazy plan instead
         cdb = plan
-    elif key and key in _CDB_PATHS:
-        cdb = spark.read.parquet(_CDB_PATHS[key])
     else:
-        path = os.path.join(
-            checkpoint_root(), f"bscore-cdb-{uuid.uuid4().hex[:12]}"
-        )
-        plan.write.mode("error").parquet(path)
+        with _CDB_LOCK:
+            if not (key and key in _CDB_PATHS):
+                path = os.path.join(
+                    checkpoint_root(), f"bscore-cdb-{uuid.uuid4().hex[:12]}"
+                )
+                plan.write.mode("error").parquet(path)
+                if key:
+                    _CDB_PATHS[key] = path
+            else:
+                path = _CDB_PATHS[key]
         cdb = spark.read.parquet(path)
-        if key:
-            _CDB_PATHS[key] = path
     cb = cdb.groupBy("bigram").agg(F.sum("c_db").alias("cb"))
     cp = (
         cdb.select(F.split("bigram", " ")[0].alias("w1"), "c_db")

@@ -797,7 +797,7 @@ def zscore_anomaly(events: DataFrame) -> DataFrame:
 
 
 def stream_to_parquet(
-    df: DataFrame, path: str, checkpoint: str
+    df: DataFrame, path: str, checkpoint: str, name: str | None = None
 ) -> None:
     """Exactly-once-shaped streaming file sink via ``foreachBatch``.
 
@@ -823,6 +823,7 @@ def stream_to_parquet(
 
     query = (
         df.writeStream.foreachBatch(_write)
+        .queryName(f"{name or 'to_parquet'}_{os.getpid()}_{next(_name_counter)}")
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
@@ -838,6 +839,7 @@ def stream_upsert_parquet(
     key_cols: list[str],
     version_col: str,
     output_mode: str | None = None,
+    name: str | None = None,
 ) -> None:
     """Streaming MERGE: each micro-batch upserts into a keyed parquet
     dataset via ``foreachBatch`` + :func:`jobx_spark.sources.sinks.
@@ -881,7 +883,10 @@ def stream_upsert_parquet(
         # run over finite input never does for the tail windows.
         writer = writer.outputMode(output_mode)
     query = (
-        writer.option("checkpointLocation", checkpoint)
+        writer.queryName(
+            f"{name or 'upsert'}_{os.getpid()}_{next(_name_counter)}"
+        )
+        .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )
