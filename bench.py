@@ -97,6 +97,12 @@ HEADLINE = [
     "pipe_dp_release",
     "pipe_epochs_budget",
     "pipe_padding_waste",
+    # round-7 additions outside the auto-enrolled prefixes
+    # (multimodal_decode_scaled is excluded like the other 8×
+    # replication probes — see the exclusion note in main())
+    "pipe_quality_funnel",
+    "pipe_t_closeness",
+    "pipe_dataset_card",
 ]
 
 BENCH_REPS = 2  # per-query timing = min over this many runs

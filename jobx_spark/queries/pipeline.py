@@ -1826,6 +1826,102 @@ ORDER BY l
 
 
 # --------------------------------------------------------------------------
+# pipe_t_closeness — t-closeness audit (Li/Li/Venkatasubramanian 2007),
+# extending the k-anonymity / l-diversity pair: l-diversity only counts
+# DISTINCT sensitive values per equivalence class, so a class that is
+# 99% one segment still passes l=2 — t-closeness instead measures how
+# far each class's sensitive-value DISTRIBUTION sits from the global
+# one. Distance here is total variation (the categorical-attribute EMD
+# with unit ground distance): tvd_ppm = Σ_s |p_class(s) − p_global(s)|
+# div 2, with both shares pre-floored to integer ppm so every value is
+# exact int64 at ANY row count (the share-then-diff order avoids the
+# cnt·N cross-products that overflow at 10¹⁰ rows). The readout bands
+# classes by tvd — the t a release can claim is the max band's edge.
+# Scale shape: three map-side-combinable aggregations (class×segment,
+# class, global) over QI-bounded keys; the dense class×segment grid,
+# the diff and the banding are all |classes|·|segments| rows —
+# driver-tiny; the corpus is scanned once.
+# --------------------------------------------------------------------------
+TCL_BAND = 100_000  # ppm per band: 10 bands across [0, 1]
+
+
+def pipe_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    qi = cust.select(
+        F.col("c_nationkey").alias("nation"),
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long").alias("band"),
+        F.col("c_mktsegment").alias("sensitive"),
+    )
+    cs = qi.groupBy("nation", "band", "sensitive").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cls = qi.groupBy("nation", "band").agg(F.count(F.lit(1)).alias("k"))
+    g = qi.groupBy("sensitive").agg(F.count(F.lit(1)).alias("gc"))
+    n = qi.select(F.count(F.lit(1)).alias("n"))
+    gp = g.crossJoin(F.broadcast(n)).select(
+        "sensitive", F.expr("gc * 1000000 div n").alias("g_ppm")
+    )
+    dense = cls.crossJoin(F.broadcast(gp))
+    diff = (
+        dense.join(cs, ["nation", "band", "sensitive"], "left")
+        .select(
+            "nation", "band", "k", "g_ppm",
+            F.expr("coalesce(c, 0) * 1000000 div k").alias("p_ppm"),
+        )
+        .groupBy("nation", "band", "k")
+        .agg(
+            F.expr("sum(abs(p_ppm - g_ppm)) div 2").alias("tvd_ppm")
+        )
+    )
+    return (
+        diff.groupBy(F.expr(f"tvd_ppm div {TCL_BAND}").alias("tvd_band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum("k").alias("n_rows"),
+            F.min("tvd_ppm").alias("min_tvd_ppm"),
+            F.max("tvd_ppm").alias("max_tvd_ppm"),
+        )
+        .orderBy("tvd_band")
+    )
+
+
+ORACLE_PIPE_T_CLOSENESS = f"""
+WITH qi AS (
+  SELECT c_nationkey AS nation,
+         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band,
+         c_mktsegment AS sensitive
+  FROM customer
+),
+cs AS (SELECT nation, band, sensitive, CAST(count(*) AS BIGINT) AS c
+       FROM qi GROUP BY 1, 2, 3),
+cls AS (SELECT nation, band, CAST(count(*) AS BIGINT) AS k
+        FROM qi GROUP BY 1, 2),
+gp AS (
+  SELECT sensitive,
+         CAST(count(*) AS BIGINT) * 1000000
+           // (SELECT CAST(count(*) AS BIGINT) FROM qi) AS g_ppm
+  FROM qi GROUP BY sensitive
+),
+diff AS (
+  SELECT cls.nation, cls.band, cls.k,
+         CAST(SUM(abs(coalesce(cs.c, 0) * 1000000 // cls.k - gp.g_ppm))
+              // 2 AS BIGINT) AS tvd_ppm
+  FROM cls CROSS JOIN gp
+  LEFT JOIN cs ON cs.nation = cls.nation AND cs.band = cls.band
+              AND cs.sensitive = gp.sensitive
+  GROUP BY 1, 2, 3
+)
+SELECT tvd_ppm // {TCL_BAND} AS tvd_band,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(SUM(k) AS BIGINT) AS n_rows,
+       CAST(MIN(tvd_ppm) AS BIGINT) AS min_tvd_ppm,
+       CAST(MAX(tvd_ppm) AS BIGINT) AS max_tvd_ppm
+FROM diff GROUP BY 1
+ORDER BY tvd_band
+"""
+
+
+# --------------------------------------------------------------------------
 # pipe_dp_release — differentially-private count release, completing
 # the governance trio (k-anonymity, l-diversity, DP): per-cell counts
 # over (nation, segment) are released with additive noise from the
@@ -2201,6 +2297,234 @@ ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# pipe_dataset_card — the per-source release card a dataset ships
+# with: document count, token mass, EXACT token-length percentiles
+# (p50/p90/p99 — the distribution facts min/mean/max hide; a source
+# whose p99 is 100× its p50 needs length-aware packing), language
+# spread, and the dominant language. Percentiles are discrete
+# (percentile_disc: the value AT rank ⌈p·n⌉ under the deterministic
+# (length, doc_id) order — q24's device), so they hash-verify where
+# interpolating percentiles would be float-fragile.
+# Scale shape: one corpus scan feeds a per-source window rank (the
+# per-source sort IS the cost of exact percentiles — at 100 TB a
+# source is one range-partitioned sort, or you swap in a quantile
+# sketch and lose exactness) plus two map-side-combinable
+# aggregations (lang cells, source rollup); output is |sources| rows.
+# --------------------------------------------------------------------------
+def pipe_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_toks = F.size(tokens(F.col("text"))).cast("long")
+    ranked = docs.select(
+        "source", "lang", "doc_id", n_toks.alias("n_toks")
+    ).select(
+        "source", "lang", "n_toks",
+        F.row_number().over(
+            W.partitionBy("source").orderBy("n_toks", "doc_id")
+        ).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("source")).alias("n"),
+    )
+
+    def at(p: float):
+        pos = F.ceil(F.lit(p) * F.col("n")).cast("long")
+        return F.max(F.when(F.col("rn") == pos, F.col("n_toks")))
+
+    card = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("total_tokens"),
+        at(0.5).alias("p50_tokens"),
+        at(0.9).alias("p90_tokens"),
+        at(0.99).alias("p99_tokens"),
+        F.count_distinct("lang").alias("n_langs"),
+    )
+    langs = (
+        docs.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("lc"))
+        .groupBy("source")
+        .agg(F.max(F.struct("lc", "lang")).alias("top"))
+        .select("source", F.col("top.lang").alias("top_lang"))
+    )
+    return card.join(langs, "source").orderBy("source")
+
+
+ORACLE_PIPE_DATASET_CARD = f"""
+WITH t AS (
+  SELECT source, lang, doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_toks
+  FROM documents
+),
+r AS (
+  SELECT source, lang, n_toks,
+         row_number() OVER (PARTITION BY source ORDER BY n_toks, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM t
+),
+card AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+         CAST(MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                  THEN n_toks END) AS BIGINT) AS p50_tokens,
+         CAST(MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+                  THEN n_toks END) AS BIGINT) AS p90_tokens,
+         CAST(MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
+                  THEN n_toks END) AS BIGINT) AS p99_tokens,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+  FROM r GROUP BY source
+),
+tl AS (
+  SELECT source, (max(ROW(lc, lang)))[2] AS top_lang
+  FROM (SELECT source, lang, CAST(count(*) AS BIGINT) AS lc
+        FROM documents GROUP BY 1, 2)
+  GROUP BY source
+)
+SELECT card.*, tl.top_lang
+FROM card JOIN tl USING (source)
+ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# pipe_quality_funnel — the ORDERED filter funnel over the same five
+# Gopher-style rules as pipe_quality_rules: each document is charged
+# to the FIRST rule that rejects it (the attribution real pipeline
+# reports use — "rule 3 removed 2% OF WHAT SURVIVED rules 1-2", not
+# the parallel per-rule flags the rules query emits). One row per
+# stage: docs entering, docs removed, docs surviving, and the removal
+# rate in ppm of the stage's own input. The funnel is how a data team
+# decides which rule to re-tune: a rule that removes nothing after its
+# predecessors is dead weight; one that removes half its input is
+# either load-bearing or broken.
+# Scale shape: ONE corpus scan computes the first-fail stage id per
+# doc (pure scan-side arithmetic, no shuffle); the census is a ≤6-row
+# aggregation; the cumulative docs-in arithmetic runs as a window over
+# those ≤6 rows (driver-scale regardless of corpus size). The ppm is
+# integer: removed·10⁶ div docs_in.
+# --------------------------------------------------------------------------
+QF_RULES = ["wordcount", "wordlen", "symbol", "stopword", "repetition"]
+
+
+def pipe_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from jobx_spark.operators.text import punct_count, stopword_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_toks = F.size(toks).cast("long")
+    nospace = F.length(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", "")
+    ).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    r_wordcount = (n_toks >= QR_MIN_TOKENS) & (n_toks <= QR_MAX_TOKENS)
+    r_wordlen = (nospace >= QR_MIN_MWL * n_toks) & (nospace <= QR_MAX_MWL * n_toks)
+    r_symbol = (
+        punct_count(F.col("text")) * 100
+        <= F.length("text").cast("long") * QR_MAX_SYMBOL_PCT
+    )
+    r_stopword = stopword_count(F.col("text"), "en") >= 1
+    r_repetition = n_distinct * 100 >= n_toks * QR_MIN_TTR_PCT
+    first_fail = (
+        F.when(~r_wordcount, 1)
+        .when(~r_wordlen, 2)
+        .when(~r_symbol, 3)
+        .when(~r_stopword, 4)
+        .when(~r_repetition, 5)
+        .otherwise(0)
+        .cast("long")
+    )
+    removed = (
+        docs.select(first_fail.alias("ff"))
+        .groupBy("ff")
+        .agg(F.count(F.lit(1)).alias("removed"))
+    )
+    total = docs.select(F.count(F.lit(1)).alias("total"))
+    stages = spark.range(1, len(QF_RULES) + 1).select(
+        F.col("id").alias("stage")
+    )
+    dense = (
+        stages.join(removed, stages.stage == removed.ff, "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "stage",
+            F.coalesce("removed", F.lit(0)).alias("removed"),
+            "total",
+        )
+    )
+    cum_before = F.coalesce(
+        F.sum("removed").over(
+            W.orderBy("stage").rowsBetween(W.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    rules = F.array(*[F.lit(r) for r in QF_RULES])
+    return (
+        dense.withColumn("docs_in", F.col("total") - cum_before)
+        .select(
+            "stage",
+            F.element_at(rules, F.col("stage").cast("int")).alias("rule"),
+            "docs_in",
+            "removed",
+            (F.col("docs_in") - F.col("removed")).alias("docs_out"),
+            F.expr(
+                "CASE WHEN docs_in = 0 THEN 0"
+                "     ELSE (removed * 1000000) div docs_in END"
+            ).alias("removed_ppm"),
+        )
+        .orderBy("stage")
+    )
+
+
+def _quality_funnel_oracle() -> str:
+    from jobx_spark.operators.text import LANG_STOPWORDS, PUNCT_CLASS
+
+    en = LANG_STOPWORDS["en"]
+    rules_list = ", ".join(f"'{r}'" for r in QF_RULES)
+    return f"""
+WITH t AS (
+  SELECT CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_replace(lower(trim(text)), '\\s+', '', 'g')) AS BIGINT) AS nospace,
+         CAST(len(list_distinct({_TOKS})) AS BIGINT) AS n_distinct,
+         CAST(len(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')) AS BIGINT) AS n_punct,
+         CAST(len(text) AS BIGINT) AS n_chars,
+         CAST(len(list_intersect({_TOKS}, {en!r})) AS BIGINT) AS n_stop
+  FROM documents
+),
+ff AS (
+  SELECT CASE
+    WHEN NOT (n_tokens >= {QR_MIN_TOKENS} AND n_tokens <= {QR_MAX_TOKENS}) THEN 1
+    WHEN NOT (nospace >= {QR_MIN_MWL} * n_tokens
+              AND nospace <= {QR_MAX_MWL} * n_tokens) THEN 2
+    WHEN NOT (n_punct * 100 <= n_chars * {QR_MAX_SYMBOL_PCT}) THEN 3
+    WHEN NOT (n_stop >= 1) THEN 4
+    WHEN NOT (n_distinct * 100 >= n_tokens * {QR_MIN_TTR_PCT}) THEN 5
+    ELSE 0 END AS ff
+  FROM t
+),
+rm AS (SELECT ff, CAST(count(*) AS BIGINT) AS removed FROM ff GROUP BY ff),
+dense AS (
+  SELECT s.stage, coalesce(rm.removed, 0) AS removed,
+         (SELECT CAST(count(*) AS BIGINT) FROM documents) AS total
+  FROM (SELECT range AS stage FROM range(1, {len(QF_RULES) + 1})) s
+  LEFT JOIN rm ON rm.ff = s.stage
+),
+cum AS (
+  SELECT stage, removed, total,
+         total - coalesce(SUM(removed) OVER (ORDER BY stage
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS docs_in
+  FROM dense
+)
+SELECT stage, ([{rules_list}])[CAST(stage AS INT)] AS rule,
+       CAST(docs_in AS BIGINT) AS docs_in, removed,
+       CAST(docs_in - removed AS BIGINT) AS docs_out,
+       CAST(CASE WHEN docs_in = 0 THEN 0
+            ELSE (removed * 1000000) // docs_in END AS BIGINT) AS removed_ppm
+FROM cum
+ORDER BY stage
+"""
+
+
+# --------------------------------------------------------------------------
 # pipe_mix_temperature — temperature-scaled domain mixing (the
 # multilingual-LM data-balancing rule: sampling weight ∝ p_s^α with
 # α = 1/2): per-source counts → integer-scaled √n weights → per-mille
@@ -2479,6 +2803,9 @@ ORDER BY user_id
 
 
 QUERIES = {
+    "pipe_quality_funnel": pipe_quality_funnel,
+    "pipe_t_closeness": pipe_t_closeness,
+    "pipe_dataset_card": pipe_dataset_card,
     "pipe_pack_sequences": pipe_pack_sequences,
     "pipe_dsir_sample": pipe_dsir_sample,
     "pipe_snapshot_diff": pipe_snapshot_diff,
@@ -2521,6 +2848,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pipe_quality_funnel": _quality_funnel_oracle(),
+    "pipe_t_closeness": ORACLE_PIPE_T_CLOSENESS,
+    "pipe_dataset_card": ORACLE_PIPE_DATASET_CARD,
     "pipe_pack_sequences": ORACLE_PIPE_PACK_SEQUENCES,
     "pipe_dsir_sample": ORACLE_PIPE_DSIR_SAMPLE,
     "pipe_snapshot_diff": ORACLE_PIPE_SNAPSHOT_DIFF,
