@@ -103,6 +103,7 @@ HEADLINE = [
     "pipe_quality_funnel",
     "pipe_t_closeness",
     "pipe_dataset_card",
+    "pipe_shuffle_audit",
 ]
 
 BENCH_REPS = 2  # per-query timing = min over this many runs

@@ -192,14 +192,14 @@ GATE_FIRST_50 = [
     # -- 3. new in round 7 (inserted here as each one lands) --
     "ann_ivf_pq_residual_topk", "dedup_paragraphs",
     "multimodal_decode_scaled", "pipe_quality_funnel",
-    "pipe_t_closeness", "pipe_dataset_card",
+    "pipe_t_closeness", "pipe_dataset_card", "ann_centroid_outliers",
+    "pipe_shuffle_audit",
     # -- 4. r3-banked filler (next-oldest, alphabetical; displaced
     #       one-for-one by round-7 additions) --
     "ann_knn_graph", "ann_quantize_int8", "ann_range_search",
     "ann_recall_eval", "dedup_embedding_lsh", "dedup_incremental",
     "dedup_label_prop", "dedup_ngram_overlap", "dedup_pagerank",
-    "dedup_triangle_count", "mr_engine_fanout_rekey",
-    "multimodal_audio_energy",
+    "dedup_triangle_count",
 ]
 
 

@@ -2297,6 +2297,62 @@ ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# pipe_shuffle_audit — training-order mixing audit: assign every
+# document its position-decile in the global hash-shuffled training
+# order and census decile × source. A healthy shuffle shows every
+# source spread uniformly across deciles; clumping means the model
+# sees a de-facto curriculum (all of source X early, all of Y late)
+# that nobody chose. The training order IS the hash (md5_long of the
+# doc id, the repo-wide rand()-free device), so the decile is pure
+# scan-side arithmetic — h div (2⁶⁰/10) — and NO global sort is
+# needed to audit a corpus-sized ordering: the audit costs one
+# map-side-combinable (decile, source) aggregation at any scale.
+# share_ppm says what fraction of the decile each source holds; the
+# uniform expectation is that source's corpus share, so deviation is
+# readable per row.
+# --------------------------------------------------------------------------
+_SHUF_DECILE_DIV = (1 << 60) // 10
+
+
+def pipe_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = md5_long(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string")))
+    cells = (
+        docs.select(h.alias("h"), "source")
+        .select(F.expr(f"h div {_SHUF_DECILE_DIV}").alias("decile"), "source")
+        .groupBy("decile", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    dec_total = F.sum("n_docs").over(W.partitionBy("decile"))
+    return (
+        cells.withColumn("decile_docs", dec_total)
+        .select(
+            "decile", "source", "n_docs", "decile_docs",
+            F.expr("n_docs * 1000000 div decile_docs").alias("share_ppm"),
+        )
+        .orderBy("decile", "source")
+    )
+
+
+_SHUF_H = _MD5.format(e="'shuf:' || CAST(doc_id AS VARCHAR)")
+ORACLE_PIPE_SHUFFLE_AUDIT = f"""
+WITH cells AS (
+  SELECT ({_SHUF_H}) // {_SHUF_DECILE_DIV} AS decile, source,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1, 2
+)
+SELECT decile, source, n_docs,
+       CAST(SUM(n_docs) OVER (PARTITION BY decile) AS BIGINT) AS decile_docs,
+       CAST(n_docs * 1000000
+            // SUM(n_docs) OVER (PARTITION BY decile) AS BIGINT) AS share_ppm
+FROM cells
+ORDER BY decile, source
+"""
+
+
+# --------------------------------------------------------------------------
 # pipe_dataset_card — the per-source release card a dataset ships
 # with: document count, token mass, EXACT token-length percentiles
 # (p50/p90/p99 — the distribution facts min/mean/max hide; a source
@@ -2803,6 +2859,7 @@ ORDER BY user_id
 
 
 QUERIES = {
+    "pipe_shuffle_audit": pipe_shuffle_audit,
     "pipe_quality_funnel": pipe_quality_funnel,
     "pipe_t_closeness": pipe_t_closeness,
     "pipe_dataset_card": pipe_dataset_card,
@@ -2848,6 +2905,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pipe_shuffle_audit": ORACLE_PIPE_SHUFFLE_AUDIT,
     "pipe_quality_funnel": _quality_funnel_oracle(),
     "pipe_t_closeness": ORACLE_PIPE_T_CLOSENESS,
     "pipe_dataset_card": ORACLE_PIPE_DATASET_CARD,

@@ -467,6 +467,56 @@ ORDER BY query_id, rank
 
 
 # --------------------------------------------------------------------------
+# ann_centroid_outliers — embedding-space outlier audit: after coarse
+# k-means assignment, band every vector by its cosine to its OWN
+# centroid (floor(cos·10)) and census per (cell, band). The low bands
+# are the vectors no cell describes well — encoder glitches, off-
+# distribution inputs, or clusters that need a bigger k; the census is
+# the index-health readout that says WHERE the quantizer is weak
+# (complements ann_ivf_balance, which only counts cell sizes). Scale
+# shape: assignment is the k-row-broadcast argmax (corpus never
+# shuffles for it); the census is one map-side-combinable (cell, band)
+# aggregation — ≤ k·21 output rows; banding is floor on one
+# deterministic IEEE product, so rows hash-verify.
+# --------------------------------------------------------------------------
+def ann_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.operators.similarity import kmeans_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    asg = kmeans_train(
+        emb, k=KM_K, iters=KM_ITERS, cent_base=KM_BASE, scale=KM_SCALE,
+        output="assignments",
+    )
+    return (
+        asg.withColumn(
+            "band", F.floor(F.col("cosine") * F.lit(10.0)).cast("long")
+        )
+        .groupBy("cell", "band")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("cosine").alias("min_cos"),
+            F.max("cosine").alias("max_cos"),
+        )
+        .orderBy("cell", "band")
+    )
+
+
+def _centroid_outliers_oracle() -> str:
+    final = KM_ITERS + 1
+    parts, assign_cte = _kmeans_ctes()
+    body = ",\n".join(parts + [assign_cte(final)])
+    return f"""
+WITH {body}
+SELECT cell, CAST(floor(cosine * 10.0) AS BIGINT) AS band,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       MIN(cosine) AS min_cos, MAX(cosine) AS max_cos
+FROM a{final}
+GROUP BY cell, band
+ORDER BY cell, band
+"""
+
+
+# --------------------------------------------------------------------------
 # ann_nprobe_sweep — the IVF tuning curve: recall@K of the TRAINED
 # index at nprobe ∈ NPROBE_SWEEP against brute-force truth, one row
 # per setting — the readout every FAISS deployment produces before
@@ -2142,6 +2192,7 @@ QUERIES = {
     "ann_kcenter_select": ann_kcenter_select,
     "ann_kcenter_scaled": ann_kcenter_scaled,
     "ann_nprobe_sweep": ann_nprobe_sweep,
+    "ann_centroid_outliers": ann_centroid_outliers,
     "dedup_semantic": dedup_semantic,
     "ann_pca_project": ann_pca_project,
     "ann_jl_distortion": ann_jl_distortion,
@@ -2169,6 +2220,7 @@ ORACLES = {
         n_shards=KC_SHARDS * ANN_REP, source=_KC_SCALED_SOURCE
     ),
     "ann_nprobe_sweep": _nprobe_sweep_oracle(),
+    "ann_centroid_outliers": _centroid_outliers_oracle(),
     "dedup_semantic": _semantic_oracle(),
     "ann_pca_project": _pca_oracle(),
     "ann_jl_distortion": _jl_oracle(),
