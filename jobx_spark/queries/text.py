@@ -1308,6 +1308,106 @@ ORDER BY source, rk
 
 
 # --------------------------------------------------------------------------
+# text_source_divergence — the source×source vocabulary-distance
+# matrix: total-variation distance between every pair of sources'
+# unigram distributions, in integer ppm. text_domain_signature says
+# what makes each source DISTINCTIVE; this says which source pairs are
+# REDUNDANT (low TVD → near-identical term statistics → candidates for
+# merging or down-weighting in the mix) and which are far apart (the
+# diversity a mixing plan should preserve). The one-sided-mass
+# identity keeps it exact on an INNER join only:
+#   Σ_t |p_a − p_b| = Σ_shared |p_a − p_b|
+#                   + (Σ_all p_a − Σ_shared p_a) + (Σ_all p_b − Σ_shared p_b)
+# (terms absent from a source contribute their full share on the other
+# side), so the pair stage never needs per-pair full-outer term joins.
+# All shares pre-floored to ppm — exact int64 at any corpus size.
+# Scale shape: ONE corpus scan builds the (source, term) count table;
+# per-source totals re-aggregate it; the pair stage self-joins that
+# vocabulary-bounded table on term (per-term fan-out ≤ sources², never
+# corpus-sized) and the output is sources²/2 rows — driver-tiny.
+# --------------------------------------------------------------------------
+def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cst = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c_st"))
+    )
+    ts = cst.groupBy("source").agg(F.sum("c_st").alias("t_s"))
+    p = cst.join(F.broadcast(ts), "source").select(
+        "source", "term", F.expr("c_st * 1000000 div t_s").alias("p_ppm")
+    )
+    mass = p.groupBy("source").agg(F.sum("p_ppm").alias("mass_ppm"))
+    a, b = p.alias("a"), p.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("shared_terms"),
+            F.sum(F.abs(F.col("a.p_ppm") - F.col("b.p_ppm"))).alias("d_sh"),
+            F.sum("a.p_ppm").alias("pa_sh"),
+            F.sum("b.p_ppm").alias("pb_sh"),
+        )
+    )
+    ma = mass.select(
+        F.col("source").alias("src_a"), F.col("mass_ppm").alias("mass_a")
+    )
+    mb = mass.select(
+        F.col("source").alias("src_b"), F.col("mass_ppm").alias("mass_b")
+    )
+    return (
+        shared.join(F.broadcast(ma), "src_a")
+        .join(F.broadcast(mb), "src_b")
+        .select(
+            "src_a", "src_b", "shared_terms",
+            F.expr(
+                "(d_sh + (mass_a - pa_sh) + (mass_b - pb_sh)) div 2"
+            ).alias("tvd_ppm"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+ORACLE_TEXT_SOURCE_DIVERGENCE = f"""
+WITH tok AS (
+  SELECT source, unnest({_TOKS}) AS term FROM documents
+),
+cst AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS c_st
+  FROM tok GROUP BY 1, 2
+),
+ts AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS t_s FROM cst GROUP BY source),
+p AS (
+  SELECT cst.source, cst.term, cst.c_st * 1000000 // ts.t_s AS p_ppm
+  FROM cst JOIN ts ON ts.source = cst.source
+),
+mass AS (SELECT source, CAST(SUM(p_ppm) AS BIGINT) AS mass_ppm FROM p GROUP BY source),
+shared AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(count(*) AS BIGINT) AS shared_terms,
+         CAST(SUM(abs(a.p_ppm - b.p_ppm)) AS BIGINT) AS d_sh,
+         CAST(SUM(a.p_ppm) AS BIGINT) AS pa_sh,
+         CAST(SUM(b.p_ppm) AS BIGINT) AS pb_sh
+  FROM p a JOIN p b ON a.term = b.term AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT s.src_a, s.src_b, s.shared_terms,
+       CAST((s.d_sh + (ma.mass_ppm - s.pa_sh) + (mb.mass_ppm - s.pb_sh)) // 2
+            AS BIGINT) AS tvd_ppm
+FROM shared s
+JOIN mass ma ON ma.source = s.src_a
+JOIN mass mb ON mb.source = s.src_b
+ORDER BY src_a, src_b
+"""
+
+
+# --------------------------------------------------------------------------
 # text_winnow_fingerprints — winnowing document fingerprints
 # (Schleimer, Wilkerson & Aiken 2003 — the MOSS algorithm): every
 # WIN_K-gram is hashed and each WIN_W-window of consecutive hashes
@@ -1596,6 +1696,7 @@ QUERIES = {
     "text_ngram_novelty": text_ngram_novelty,
     "text_hll_merge": text_hll_merge,
     "text_domain_signature": text_domain_signature,
+    "text_source_divergence": text_source_divergence,
     "text_winnow_fingerprints": text_winnow_fingerprints,
     "text_zipf_census": text_zipf_census,
     "text_bm25_topk": text_bm25_topk,
@@ -1618,6 +1719,7 @@ ORACLES = {
     "text_ngram_novelty": ORACLE_TEXT_NGRAM_NOVELTY,
     "text_hll_merge": _hll_merge_oracle(),
     "text_domain_signature": ORACLE_TEXT_DOMAIN_SIGNATURE,
+    "text_source_divergence": ORACLE_TEXT_SOURCE_DIVERGENCE,
     "text_winnow_fingerprints": ORACLE_TEXT_WINNOW,
     "text_zipf_census": ORACLE_TEXT_ZIPF,
     "text_bm25_topk": _bm25_oracle(),
