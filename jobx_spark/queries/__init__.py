@@ -193,12 +193,12 @@ GATE_FIRST_50 = [
     "ann_ivf_pq_residual_topk", "dedup_paragraphs",
     "multimodal_decode_scaled", "pipe_quality_funnel",
     "pipe_t_closeness", "pipe_dataset_card", "ann_centroid_outliers",
-    "pipe_shuffle_audit", "text_source_divergence",
+    "pipe_shuffle_audit", "text_source_divergence", "ann_adc_rerank",
     # -- 4. r3-banked filler (next-oldest, alphabetical; displaced
     #       one-for-one by round-7 additions) --
     "ann_knn_graph", "ann_quantize_int8", "ann_range_search",
     "ann_recall_eval", "dedup_embedding_lsh", "dedup_incremental",
-    "dedup_label_prop", "dedup_ngram_overlap", "dedup_pagerank",
+    "dedup_label_prop", "dedup_ngram_overlap",
 ]
 
 

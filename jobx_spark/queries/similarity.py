@@ -1193,6 +1193,169 @@ ORDER BY query_id, rank
 
 
 # --------------------------------------------------------------------------
+# ann_adc_rerank — two-stage search (the FAISS "refine" pattern): the
+# PQ-ADC index produces a cheap RERANK_N shortlist per query, then the
+# shortlist ALONE is re-scored with exact cosine against raw vectors
+# and cut to top-k. This is how production ANN actually serves: the
+# compressed index bounds how much raw data is ever touched (|Q|·N'
+# rows, not the corpus), and the exact pass removes the quantization
+# error from the final ranking — the output carries each hit's
+# shortlist position (adc_rank) so the reordering the refine pass buys
+# is visible in the result itself.
+# Scale shape: identical to ann_pq_adc_topk through the shortlist
+# (broadcast LUT, code-addressed sums), then ONE join of the |Q|·N'
+# shortlist against the vector table — at 100 TB that's a point-lookup
+# join against the (vec_id-bucketed) index side, never a scan.
+# --------------------------------------------------------------------------
+RERANK_N = 30
+
+
+def ann_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from jobx_spark.operators.similarity import (
+        _sdot,
+        cosine_from_scaled,
+        ivf_assign,
+        kmeans_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    subs, full = _pq_subspaces(emb, with_full=True)
+    cents = _train_concurrent([
+        (lambda sub=sub: kmeans_train(
+            sub, k=KM_K, iters=KM_ITERS, cent_base=KM_BASE, scale=KM_SCALE,
+            output="centroids",
+        ))
+        for sub in subs
+    ])
+    luts, codes = [], []
+    for s in range(PQ_SUB):
+        sub = subs[s]
+        asg = ivf_assign(sub, cents[s]).select(
+            F.col("id").alias("vec_id"), "cell"
+        )
+        qsub = sub.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        )
+        luts.append(
+            qsub.crossJoin(F.broadcast(cents[s])).select(
+                "query_id", F.lit(s).alias("s"),
+                F.col("cent_id").alias("cell"),
+                _sdot(F.col("qv"), F.col("cv")).alias("part"),
+            )
+        )
+        codes.append(asg.select("vec_id", F.lit(s).alias("s"), "cell"))
+    lut = luts[0]
+    for x in luts[1:]:
+        lut = lut.unionByName(x)
+    code = codes[0]
+    for x in codes[1:]:
+        code = code.unionByName(x)
+    scored = (
+        code.join(F.broadcast(lut), ["s", "cell"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("part").alias("adc_s"))
+    )
+    short = (
+        scored.withColumn(
+            "adc_rank",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(
+                    F.desc("adc_s"), F.asc("vec_id")
+                )
+            ).cast("int"),
+        )
+        .filter(F.col("adc_rank") <= RERANK_N)
+        .select("query_id", "vec_id", "adc_rank")
+    )
+    ev = full.select(
+        "vec_id", F.col("embedding").alias("v")
+    ).withColumn("vnorm_s", _sdot(F.col("v"), F.col("v")))
+    qv = (
+        full.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+        .withColumn("qnorm_s", _sdot(F.col("qv"), F.col("qv")))
+    )
+    exact = (
+        short.join(ev, "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id", "vec_id", "adc_rank",
+            cosine_from_scaled(
+                _sdot(F.col("v"), F.col("qv")),
+                F.col("vnorm_s"), F.col("qnorm_s"),
+            ).alias("cosine"),
+        )
+    )
+    rk = F.row_number().over(
+        W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    )
+    return (
+        exact.withColumn("rank", rk.cast("int"))
+        .filter(F.col("rank") <= K)
+        .select("query_id", "vec_id", "rank", "adc_rank", "cosine")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _adc_rerank_oracle() -> str:
+    final = KM_ITERS + 1
+    parts: list[str] = []
+    score_branches = []
+    for s in range(PQ_SUB):
+        sl = f"list_slice(embedding, {s * PQ_DIM + 1}, {(s + 1) * PQ_DIM})"
+        sub_parts, assign_cte = _kmeans_ctes(pfx=f"s{s}", emb_expr=sl)
+        parts += sub_parts + [assign_cte(final)]
+        score_branches.append(f"""
+  SELECT q.vec_id AS query_id, a.vec_id AS vec_id,
+         {_SDOT.format(a=f'list_slice(q.embedding, {s * PQ_DIM + 1}, {(s + 1) * PQ_DIM})', b='d.cv')} AS part
+  FROM embeddings q, s{s}a{final} a
+  JOIN s{s}d{KM_ITERS} d ON d.cent_id = a.cell
+  WHERE q.vec_id < {N_QUERIES}""")
+    body = ",\n".join(parts)
+    union = "\nUNION ALL\n".join(score_branches)
+    return f"""
+WITH {body},
+psum AS ({union}),
+scored AS (
+  SELECT query_id, vec_id, CAST(SUM(part) AS BIGINT) AS adc_s
+  FROM psum GROUP BY query_id, vec_id
+),
+short AS (
+  SELECT query_id, vec_id, adc_rank FROM (
+    SELECT query_id, vec_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY adc_s DESC, vec_id ASC) AS INTEGER) AS adc_rank
+    FROM scored
+  ) WHERE adc_rank <= {RERANK_N}
+),
+ex AS (
+  SELECT vec_id, embedding,
+         {_SDOT.format(a='embedding', b='embedding')} AS vnorm_s
+  FROM embeddings
+),
+rr AS (
+  SELECT s.query_id, s.vec_id, s.adc_rank,
+         {_SDOT.format(a='c.embedding', b='q.embedding')}::DOUBLE
+           / (sqrt(c.vnorm_s::DOUBLE) * sqrt(q.vnorm_s::DOUBLE)) AS cosine
+  FROM short s
+  JOIN ex c ON c.vec_id = s.vec_id
+  JOIN ex q ON q.vec_id = s.query_id
+),
+rr2 AS (
+  SELECT query_id, vec_id, adc_rank, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM rr
+)
+SELECT query_id, vec_id, rank, adc_rank, cosine
+FROM rr2 WHERE rank <= {K}
+ORDER BY query_id, rank
+"""
+
+
+# --------------------------------------------------------------------------
 # ann_ivf_pq_topk — the full production ANN index composed: IVF coarse
 # quantization restricts each query to its nprobe trained cells, and
 # the survivors are scored by PQ asymmetric distance (code-addressed
@@ -2200,6 +2363,7 @@ QUERIES = {
     "ann_hard_negatives": ann_hard_negatives,
     "ann_ivf_pq_topk": ann_ivf_pq_topk,
     "ann_ivf_pq_residual_topk": ann_ivf_pq_residual_topk,
+    "ann_adc_rerank": ann_adc_rerank,
     "ann_pq_adc_topk": ann_pq_adc_topk,
     "ann_pq_codes": ann_pq_codes,
     "ann_range_search": ann_range_search,
@@ -2228,6 +2392,7 @@ ORACLES = {
     "ann_hard_negatives": ORACLE_ANN_HARD_NEGATIVES,
     "ann_ivf_pq_topk": _ivf_pq_oracle(),
     "ann_ivf_pq_residual_topk": _ivf_pq_residual_oracle(),
+    "ann_adc_rerank": _adc_rerank_oracle(),
     "ann_pq_adc_topk": _pq_adc_oracle(),
     "ann_pq_codes": _pq_oracle(),
     "ann_range_search": _range_search_oracle(),
