@@ -2297,6 +2297,83 @@ ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# pipe_skew_census — the join-key skew diagnostic you run BEFORE
+# choosing a salting factor (operators/skew.py implements the cure;
+# this measures the disease): for each candidate join/aggregation key
+# of the fact table, the SKEW_K heaviest values with row count, table
+# share in ppm, and rank. A key whose top value holds >1% of a 10¹¹-row
+# table is the one that stalls a 1000-executor shuffle on one task —
+# this census is what picks the salt factor (share·partitions ≈ tasks
+# per hot key). Shape: ONE fact scan explodes each row to its (key_col,
+# value) pairs, then a map-side-combinable count keyed by (col, value)
+# — key-cardinality bounded — and a top-k window over the aggregated
+# counts only. Output ≤ columns·SKEW_K rows.
+# --------------------------------------------------------------------------
+SKEW_K = 5
+SKEW_COLS = ["l_orderkey", "l_suppkey", "l_partkey"]
+
+
+def pipe_skew_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("key_col"),
+                    F.col(c).cast("long").alias("key"),
+                )
+                for c in SKEW_COLS
+            ])
+        ).alias("p")
+    ).select("p.key_col", "p.key")
+    counts = pairs.groupBy("key_col", "key").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    total = li.select(F.count(F.lit(1)).alias("n_table"))
+    rk = F.row_number().over(
+        W.partitionBy("key_col").orderBy(F.desc("n_rows"), F.asc("key"))
+    )
+    return (
+        counts.withColumn("rank", rk.cast("int"))
+        .filter(F.col("rank") <= SKEW_K)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "key_col", "rank", "key", "n_rows",
+            F.expr("n_rows * 1000000 div n_table").alias("share_ppm"),
+        )
+        .orderBy("key_col", "rank")
+    )
+
+
+ORACLE_PIPE_SKEW_CENSUS = f"""
+WITH pairs AS (
+  {" UNION ALL ".join(
+      f"SELECT '{c}' AS key_col, CAST({c} AS BIGINT) AS key FROM lineitem"
+      for c in SKEW_COLS
+  )}
+),
+counts AS (
+  SELECT key_col, key, CAST(count(*) AS BIGINT) AS n_rows
+  FROM pairs GROUP BY 1, 2
+),
+ranked AS (
+  SELECT key_col, key, n_rows,
+         CAST(row_number() OVER (PARTITION BY key_col
+              ORDER BY n_rows DESC, key ASC) AS INTEGER) AS rank
+  FROM counts
+)
+SELECT key_col, rank, key, n_rows,
+       CAST(n_rows * 1000000
+            // (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS BIGINT)
+         AS share_ppm
+FROM ranked WHERE rank <= {SKEW_K}
+ORDER BY key_col, rank
+"""
+
+
+# --------------------------------------------------------------------------
 # pipe_shuffle_audit — training-order mixing audit: assign every
 # document its position-decile in the global hash-shuffled training
 # order and census decile × source. A healthy shuffle shows every
@@ -2859,6 +2936,7 @@ ORDER BY user_id
 
 
 QUERIES = {
+    "pipe_skew_census": pipe_skew_census,
     "pipe_shuffle_audit": pipe_shuffle_audit,
     "pipe_quality_funnel": pipe_quality_funnel,
     "pipe_t_closeness": pipe_t_closeness,
@@ -2905,6 +2983,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pipe_skew_census": ORACLE_PIPE_SKEW_CENSUS,
     "pipe_shuffle_audit": ORACLE_PIPE_SHUFFLE_AUDIT,
     "pipe_quality_funnel": _quality_funnel_oracle(),
     "pipe_t_closeness": ORACLE_PIPE_T_CLOSENESS,
