@@ -2013,11 +2013,13 @@ ORDER BY bands, j_decile
 # rule); this synthetic corpus has none, so each blank-line block is
 # sub-split into fixed PARA_W-token lines as the paragraph proxy —
 # the split rule changes, the dedup semantics under the gate don't.
-# Scale shape: one corpus scan explodes to paragraph instances; the
-# winner table is ONE map-side-combinable min(struct) aggregation
-# keyed by paragraph hash (never a window over a hot hash's
-# partition); the kept mark is a hash-keyed join of instances against
-# winners; the census re-aggregates by source. No pair stage at all —
+# Scale shape: the instance table derives straight from the corpus
+# scan on both its consumers (two scans — cheaper than materializing
+# the exploded, source-larger instance table); the winner table is
+# ONE map-side-combinable min(struct) aggregation keyed by paragraph
+# hash (never a window over a hot hash's partition); the kept mark is
+# a hash-keyed join of instances against winners; the census
+# re-aggregates by source. No pair stage at all —
 # paragraph dedup is exact-hash dedup, so it is linear at any corpus
 # size; the hash-keyed shuffles are the only data movement.
 # --------------------------------------------------------------------------

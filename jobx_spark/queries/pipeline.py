@@ -1846,18 +1846,27 @@ TCL_BAND = 100_000  # ppm per band: 10 bands across [0, 1]
 
 
 def pipe_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.lineage import cut_lineage
+
     cust = load_table(spark, sf_dir, "customer")
     qi = cust.select(
         F.col("c_nationkey").alias("nation"),
         F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long").alias("band"),
         F.col("c_mktsegment").alias("sensitive"),
     )
-    cs = qi.groupBy("nation", "band", "sensitive").agg(
-        F.count(F.lit(1)).alias("c")
+    # ONE table scan: class totals, global distribution and N all
+    # re-aggregate the QI-bounded (nation, band, sensitive) count
+    # table rather than re-scanning the source (r7 PLANS.md caught the
+    # 4-scan shape of deriving each from `qi` directly)
+    cs = cut_lineage(
+        qi.groupBy("nation", "band", "sensitive").agg(
+            F.count(F.lit(1)).alias("c")
+        ),
+        "tclose-cs",
     )
-    cls = qi.groupBy("nation", "band").agg(F.count(F.lit(1)).alias("k"))
-    g = qi.groupBy("sensitive").agg(F.count(F.lit(1)).alias("gc"))
-    n = qi.select(F.count(F.lit(1)).alias("n"))
+    cls = cs.groupBy("nation", "band").agg(F.sum("c").alias("k"))
+    g = cs.groupBy("sensitive").agg(F.sum("c").alias("gc"))
+    n = cs.select(F.sum("c").alias("n"))
     gp = g.crossJoin(F.broadcast(n)).select(
         "sensitive", F.expr("gc * 1000000 div n").alias("g_ppm")
     )

@@ -1631,14 +1631,17 @@ def ann_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pr") <= KM_NPROBE)
         .select("query_id", "cell")
     )
-    # the query's residual is PER PROBED CELL (q − that cell's centroid)
-    qres = (
+    # the query's residual is PER PROBED CELL (q − that cell's
+    # centroid); |Q|·nprobe rows — materialized once so the 4 LUT
+    # branches read it instead of each re-deriving probes + qscore
+    qres = cut_lineage(
         probes.join(qs.select("query_id", "qv"), "query_id")
         .join(F.broadcast(coarse), probes["cell"] == coarse["cent_id"])
         .select(
             "query_id", "cell",
             F.zip_with("qv", "cv", lambda x, c: x - c).alias("qrv"),
-        )
+        ),
+        "pq-qres",
     )
     luts, codes = [], []
     for s in range(PQ_SUB):

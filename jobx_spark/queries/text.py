@@ -1327,11 +1327,19 @@ ORDER BY source, rk
 # corpus-sized) and the output is sources²/2 rows — driver-tiny.
 # --------------------------------------------------------------------------
 def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.lineage import cut_lineage
+
     docs = load_table(spark, sf_dir, "documents")
-    cst = (
+    # ONE corpus scan: the vocabulary-sized (source, term, c_st) table
+    # materializes once (the domsig device) — without it every
+    # downstream consumer (totals, shares, mass, both pair sides)
+    # re-derives it and the plan re-scans the corpus 8× (caught by the
+    # r7 PLANS.md audit: 16 shuffles → this shape)
+    cst = cut_lineage(
         docs.select("source", F.explode(tokens(F.col("text"))).alias("term"))
         .groupBy("source", "term")
-        .agg(F.count(F.lit(1)).alias("c_st"))
+        .agg(F.count(F.lit(1)).alias("c_st")),
+        "srcdiv-cst",
     )
     ts = cst.groupBy("source").agg(F.sum("c_st").alias("t_s"))
     p = cst.join(F.broadcast(ts), "source").select(
