@@ -1621,14 +1621,18 @@ def pipe_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("b", "r_s")))
         ).alias("rmap")
     )
-    # Contract: zero-gram documents (empty/whitespace text) are DROPPED
-    # before scoring — the oracle derives its per-doc table from the
-    # exploded gram table, so a doc with no grams never appears there;
-    # filtering size(grams) > 0 here makes both engines drop them
-    # identically (and avoids the div-by-zero mean) [ADVICE r6].
+    # Contract: documents that produce NO gram rows are DROPPED before
+    # scoring — the oracle derives its per-doc table from the exploded
+    # gram table, so such a doc never appears there [ADVICE r6]. For
+    # any NON-NULL text, split() yields ≥1 element (tokens('') is ['']
+    # in both engines, and unnest of [''] yields a row), so the only
+    # zero-gram case is NULL text: filter that directly — an IsNotNull
+    # the scan pushes down — instead of size(grams) > 0, which made
+    # Catalyst evaluate the token+shingle expression a second time
+    # just for the predicate (+~30% on the sf0.1 runtime).
     scored = (
-        docs.select("doc_id", "source", _dsir_grams(F.col("text")).alias("grams"))
-        .filter(F.size("grams") > 0)
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", "source", _dsir_grams(F.col("text")).alias("grams"))
         .crossJoin(F.broadcast(rmap))
         .select(
             "doc_id",
