@@ -30,7 +30,10 @@ _T0 = time.monotonic()
 # timings, never the artifact to `parsed: null`. An in-flight pass-2
 # query may overshoot the budget by its own runtime (≤ ~20 s), which
 # the 80 s budget→timeout gap absorbs.
-BENCH_BUDGET_S = float(os.environ.get("JOBX_BENCH_BUDGET_S", "500"))
+# 530 (was 500): at 133 headliners pass 1 alone is ~400 s and a 500 s
+# budget cut the warm anchor to 10/12 reps; 530 + worst in-flight
+# overshoot (~15 s) still clears the 580 s driver timeout with margin.
+BENCH_BUDGET_S = float(os.environ.get("JOBX_BENCH_BUDGET_S", "530"))
 
 # Headline set: the queries that exercise the heavy operators (big agg,
 # 3-way join, window, dedup/similarity once implemented).
@@ -104,6 +107,7 @@ HEADLINE = [
     "pipe_t_closeness",
     "pipe_dataset_card",
     "pipe_shuffle_audit",
+    "pipe_skew_census",
 ]
 
 BENCH_REPS = 2  # per-query timing = min over this many runs
