@@ -1896,6 +1896,7 @@ ORDER BY o_year
 # this transparently; this is the explicit, engine-independent form.)
 # --------------------------------------------------------------------------
 def q65_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.lineage import cut_lineage
     from jobx_spark.operators.sketches import bloom_positions, bloom_probe
 
     cust = _t(spark, sf_dir, "customer")
@@ -1903,14 +1904,19 @@ def q65_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = _t(spark, sf_dir, "region")
     orders = _t(spark, sf_dir, "orders")
 
-    members = (
+    # both intermediates feed several consumers; materialize once
+    # (r7 plan audit: re-derivation scanned the ORDERS fact ~4× and
+    # the dim chain ~5× — 22 raw scans in one query). members is
+    # dimension-sized; passed is one key column.
+    members = cut_lineage(
         cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .filter(F.col("r_name") == "ASIA")
-        .select("c_custkey")
+        .select("c_custkey"),
+        "q65-members",
     )
     filt = bloom_positions(members, "c_custkey")
-    passed = bloom_probe(orders, "o_custkey", filt)
+    passed = cut_lineage(bloom_probe(orders, "o_custkey", filt), "q65-passed")
     true_keys = passed.join(
         F.broadcast(members), passed.key == members.c_custkey, "left_semi"
     )
