@@ -1999,6 +1999,80 @@ ORDER BY bands, j_decile
 
 
 # --------------------------------------------------------------------------
+# dedup_effective_size — SOFT dedup readout: instead of dropping
+# near-duplicates, weight every document 1/|its dup cluster| (the
+# repetition-discounting alternative real pipelines use when hard
+# deletion is too aggressive — each duplicate SET contributes one
+# document-equivalent of training signal). The report is per-source:
+# raw docs, effective docs after weighting (Σ 10⁶/|cluster| in ppm),
+# and the keep ratio — "source X is 900k ppm effective" is the number
+# a data-mixing plan feeds back into its budgets. Clusters come from
+# the attested LSH → connected-components pipeline; singletons weigh
+# 10⁶. Weights are integer ppm (10⁶ div size), exact cross-engine.
+# Scale shape: banded pairs (never all-pairs) → one-shuffle-per-round
+# components → a cluster-keyed size join → per-source rollup; every
+# stage is a keyed shuffle, output |sources| rows.
+# --------------------------------------------------------------------------
+def dedup_effective_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, n_hashes=N_HASHES, bands=BANDS, shingle_n=SHINGLE_N, seed=SEED
+    )
+    cc = connected_components(pairs)
+    labeled = (
+        docs.select("doc_id", "source")
+        .join(cc, docs.doc_id == cc.node, "left")
+        .select(
+            "doc_id", "source",
+            F.coalesce("comp", F.col("doc_id")).alias("cluster"),
+        )
+    )
+    sizes = labeled.groupBy("cluster").agg(F.count(F.lit(1)).alias("csz"))
+    w = labeled.join(sizes, "cluster").select(
+        "source", F.expr("1000000 div csz").alias("w_ppm")
+    )
+    return (
+        w.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("w_ppm").alias("eff_ppm"),
+        )
+        .select(
+            "source", "n_docs", "eff_ppm",
+            F.expr("eff_ppm div n_docs").alias("keep_ratio_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+def _effective_size_oracle() -> str:
+    return f"""{_components_cte()},
+labeled AS (
+  SELECT d.doc_id, d.source, coalesce(c.comp, d.doc_id) AS cluster
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+),
+sizes AS (
+  SELECT cluster, CAST(count(*) AS BIGINT) AS csz
+  FROM labeled GROUP BY cluster
+),
+w AS (
+  SELECT l.source, 1000000 // s.csz AS w_ppm
+  FROM labeled l JOIN sizes s ON s.cluster = l.cluster
+),
+agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(SUM(w_ppm) AS BIGINT) AS eff_ppm
+  FROM w GROUP BY source
+)
+SELECT source, n_docs, eff_ppm,
+       CAST(eff_ppm // n_docs AS BIGINT) AS keep_ratio_ppm
+FROM agg ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
 # dedup_paragraphs — CCNet-style PARAGRAPH-granular dedup (Wenzek et
 # al. 2020): real pipelines dedup paragraphs BEFORE documents, because
 # boilerplate headers/footers repeat across otherwise-distinct pages
@@ -2135,6 +2209,7 @@ ORDER BY source
 
 
 QUERIES = {
+    "dedup_effective_size": dedup_effective_size,
     "dedup_paragraphs": dedup_paragraphs,
     "dedup_entity_resolution": dedup_entity_resolution,
     "dedup_lsh_s_curve": dedup_lsh_s_curve,
@@ -2172,6 +2247,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_effective_size": _effective_size_oracle(),
     "dedup_paragraphs": _paragraphs_oracle(),
     "dedup_entity_resolution": _entity_resolution_oracle(),
     "dedup_lsh_s_curve": _lsh_s_curve_oracle(),

@@ -517,6 +517,74 @@ ORDER BY cell, band
 
 
 # --------------------------------------------------------------------------
+# ann_cluster_purity — EXTERNAL cluster validation: per trained k-means
+# cell, the ground-truth-label distribution's purity (dominant label's
+# share in ppm) — the eval every embedding/clustering pipeline runs
+# when labels exist (purity is the external twin of ann_ivf_balance's
+# internal size-skew view and ann_centroid_outliers' internal cosine
+# view). Low purity = the embedding space doesn't separate the classes
+# the labels define (or k is wrong); the dominant label itself is in
+# the output so a confusion pattern is readable per cell. Ties on the
+# dominant count break to the higher label id via max(struct) — the
+# same lexicographic device both engines share.
+# Scale shape: assignment is the k-row-broadcast argmax; the label
+# join is vec_id-keyed; censuses are (cell,label)- then cell-keyed
+# map-side aggregations — ≤ k·|labels| intermediate rows, k output
+# rows.
+# --------------------------------------------------------------------------
+def ann_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.operators.similarity import kmeans_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    asg = kmeans_train(
+        emb, k=KM_K, iters=KM_ITERS, cent_base=KM_BASE, scale=KM_SCALE,
+        output="assignments",
+    )
+    cl = (
+        asg.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("cell", "label")
+        .agg(F.count(F.lit(1)).alias("n_lab"))
+    )
+    return (
+        cl.groupBy("cell")
+        .agg(
+            F.sum("n_lab").alias("n"),
+            F.count(F.lit(1)).alias("n_labels"),
+            F.max(F.struct("n_lab", "label")).alias("top"),
+        )
+        .select(
+            "cell", "n", "n_labels",
+            F.col("top.label").alias("top_label"),
+            F.expr("top.n_lab * 1000000 div n").alias("purity_ppm"),
+        )
+        .orderBy("cell")
+    )
+
+
+def _cluster_purity_oracle() -> str:
+    final = KM_ITERS + 1
+    parts, assign_cte = _kmeans_ctes()
+    body = ",\n".join(parts + [assign_cte(final)])
+    return f"""
+WITH {body},
+cl AS (
+  SELECT a.cell, emb.label, CAST(count(*) AS BIGINT) AS n_lab
+  FROM a{final} a JOIN embeddings emb ON emb.vec_id = a.vec_id
+  GROUP BY a.cell, emb.label
+),
+per AS (
+  SELECT cell, CAST(SUM(n_lab) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS n_labels,
+         max(ROW(n_lab, label)) AS top
+  FROM cl GROUP BY cell
+)
+SELECT cell, n, n_labels, top[2] AS top_label,
+       CAST(top[1] * 1000000 // n AS BIGINT) AS purity_ppm
+FROM per ORDER BY cell
+"""
+
+
+# --------------------------------------------------------------------------
 # ann_nprobe_sweep — the IVF tuning curve: recall@K of the TRAINED
 # index at nprobe ∈ NPROBE_SWEEP against brute-force truth, one row
 # per setting — the readout every FAISS deployment produces before
@@ -2359,6 +2427,7 @@ QUERIES = {
     "ann_kcenter_scaled": ann_kcenter_scaled,
     "ann_nprobe_sweep": ann_nprobe_sweep,
     "ann_centroid_outliers": ann_centroid_outliers,
+    "ann_cluster_purity": ann_cluster_purity,
     "dedup_semantic": dedup_semantic,
     "ann_pca_project": ann_pca_project,
     "ann_jl_distortion": ann_jl_distortion,
@@ -2388,6 +2457,7 @@ ORACLES = {
     ),
     "ann_nprobe_sweep": _nprobe_sweep_oracle(),
     "ann_centroid_outliers": _centroid_outliers_oracle(),
+    "ann_cluster_purity": _cluster_purity_oracle(),
     "dedup_semantic": _semantic_oracle(),
     "ann_pca_project": _pca_oracle(),
     "ann_jl_distortion": _jl_oracle(),
