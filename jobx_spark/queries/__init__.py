@@ -195,10 +195,11 @@ GATE_FIRST_50 = [
     "pipe_t_closeness", "pipe_dataset_card", "ann_centroid_outliers",
     "pipe_shuffle_audit", "text_source_divergence", "ann_adc_rerank",
     "pipe_skew_census", "dedup_effective_size", "ann_cluster_purity",
+    "dedup_funnel",
     # -- 4. r3-banked filler (next-oldest, alphabetical; displaced
     #       one-for-one by round-7 additions) --
     "ann_knn_graph", "ann_quantize_int8", "ann_range_search",
-    "ann_recall_eval", "dedup_embedding_lsh",
+    "ann_recall_eval",
 ]
 
 

@@ -1999,6 +1999,82 @@ ORDER BY bands, j_decile
 
 
 # --------------------------------------------------------------------------
+# dedup_funnel — the staged dedup chain census, mirroring
+# pipe_quality_funnel on the dedup side: real pipelines run EXACT
+# dedup first (cheap hash grouping removes byte-identical copies),
+# then NEAR-dup detection on the survivors (MinHash-LSH → components →
+# one canonical per cluster) — and report how many documents each
+# stage removed OF WHAT REACHED IT. Ordering matters: exact dup mass
+# claimed by stage 1 never inflates stage 2's numbers, so the report
+# says what the expensive near-dup stage actually buys on top of the
+# cheap one. Keep rules are the attested ones: min doc_id per text
+# hash (exact), component-label canonical (near).
+# Scale shape: exact stage is one map-side-combinable hash aggregation
+# + a keyed semi-join; the near stage is the banded-pair → components
+# pipeline over SURVIVORS only (already shrunk); the census rows are
+# three single-row aggregates crossed — no collect, 2 output rows.
+# --------------------------------------------------------------------------
+def dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.functions import md5_long
+    from jobx_spark.operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    keep1 = (
+        docs.select(md5_long(F.col("text")).alias("th"), "doc_id")
+        .groupBy("th")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    s1 = docs.join(keep1.select("doc_id"), "doc_id")
+    pairs = minhash_lsh_pairs(
+        s1, n_hashes=N_HASHES, bands=BANDS, shingle_n=SHINGLE_N, seed=SEED
+    )
+    cc = connected_components(pairs)
+    n0 = docs.agg(F.count(F.lit(1)).alias("n0"))
+    n1 = s1.agg(F.count(F.lit(1)).alias("n1"))
+    r2 = cc.filter(F.col("comp") < F.col("node")).agg(
+        F.count(F.lit(1)).alias("r2")
+    )
+    c = n0.crossJoin(n1).crossJoin(r2)
+    row1 = c.select(
+        F.lit(1).alias("stage"), F.lit("exact").alias("rule"),
+        F.col("n0").alias("docs_in"),
+        (F.col("n0") - F.col("n1")).alias("removed"),
+        F.col("n1").alias("docs_out"),
+    )
+    row2 = c.select(
+        F.lit(2).alias("stage"), F.lit("near_dup").alias("rule"),
+        F.col("n1").alias("docs_in"), F.col("r2").alias("removed"),
+        (F.col("n1") - F.col("r2")).alias("docs_out"),
+    )
+    return row1.unionByName(row2).orderBy("stage")
+
+
+def _dedup_funnel_oracle() -> str:
+    th = _MD5.format(e="text")
+    pre = f"""keep1 AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM (SELECT doc_id, {th} AS th FROM documents)
+  GROUP BY th
+),
+s1 AS (SELECT d.* FROM documents d JOIN keep1 USING (doc_id)),
+"""
+    return f"""{_components_cte(docs="s1", pre=pre)},
+counts AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n0,
+         (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n1,
+         (SELECT CAST(count(*) AS BIGINT) FROM comp WHERE comp < node) AS r2
+)
+SELECT CAST(1 AS INTEGER) AS stage, 'exact' AS rule,
+       n0 AS docs_in, CAST(n0 - n1 AS BIGINT) AS removed, n1 AS docs_out
+FROM counts
+UNION ALL
+SELECT CAST(2 AS INTEGER), 'near_dup', n1, r2, CAST(n1 - r2 AS BIGINT)
+FROM counts
+ORDER BY stage
+"""
+
+
+# --------------------------------------------------------------------------
 # dedup_effective_size — SOFT dedup readout: instead of dropping
 # near-duplicates, weight every document 1/|its dup cluster| (the
 # repetition-discounting alternative real pipelines use when hard
@@ -2209,6 +2285,7 @@ ORDER BY source
 
 
 QUERIES = {
+    "dedup_funnel": dedup_funnel,
     "dedup_effective_size": dedup_effective_size,
     "dedup_paragraphs": dedup_paragraphs,
     "dedup_entity_resolution": dedup_entity_resolution,
@@ -2247,6 +2324,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_funnel": _dedup_funnel_oracle(),
     "dedup_effective_size": _effective_size_oracle(),
     "dedup_paragraphs": _paragraphs_oracle(),
     "dedup_entity_resolution": _entity_resolution_oracle(),
