@@ -201,6 +201,27 @@ GATE_FIRST_50 = [
     "ann_knn_graph", "ann_quantize_int8", "ann_range_search",
     "ann_recall_eval",
 ]
+# ROUND-8 GATE POOL: after the r7 gate lands, 45 rows remain r3-banked
+# (the oldest cohort; zero r1/r2 rows remain) — rotate these in,
+# oldest-first, alphabetical within the cohort, minus slots taken by
+# r8 additions and changed-code re-attests:
+# dedup_embedding_lsh, dedup_incremental, dedup_label_prop,
+# dedup_ngram_overlap, dedup_pagerank, dedup_triangle_count,
+# mr_engine_fanout_rekey, multimodal_audio_energy, multimodal_decode,
+# pipe_blocklist_scrub, pipe_bpe_token_count, pipe_clean_corpus,
+# pipe_corpus_build, pipe_encode_ids, pipe_gapfill_hours,
+# pipe_length_buckets, pipe_manifest, pipe_minmax_scale,
+# pipe_mix_weighted, pipe_pii_scrub, pipe_rollup_reagg,
+# pipe_sample_fixed_k, pipe_stratified_k, pipe_table_diff,
+# pipe_text_chunks, q22_window_frames, q23_stats_moments,
+# q24_percentile_disc, q25_argmax_per_group, q29_array_map_functions,
+# q45_big_volume_orders, q55_bom_explosion, q56_salted_skew_join,
+# q57_range_bin_join, q58_disjunctive_join, q59_waiting_suppliers,
+# q60_lateral_topn, q61_promo_share, q62_supplier_census,
+# q63_dominant_supplier, q64_market_share, stream_pii_scrub,
+# stream_topk_trending, stream_zscore_anomaly, text_ttr
+# (recompute with the last-green scan in the r7 session log / memory:
+#  parse CORRECTNESS_r0*.json, hash_match rows, max round per query).
 
 
 def all_queries() -> dict[str, QueryFn]:
