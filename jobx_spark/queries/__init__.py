@@ -195,11 +195,10 @@ GATE_FIRST_50 = [
     "pipe_t_closeness", "pipe_dataset_card", "ann_centroid_outliers",
     "pipe_shuffle_audit", "text_source_divergence", "ann_adc_rerank",
     "pipe_skew_census", "dedup_effective_size", "ann_cluster_purity",
-    "dedup_funnel",
+    "dedup_funnel", "dedup_semantic_leakage",
     # -- 4. r3-banked filler (next-oldest, alphabetical; displaced
     #       one-for-one by round-7 additions) --
     "ann_knn_graph", "ann_quantize_int8", "ann_range_search",
-    "ann_recall_eval",
 ]
 # ROUND-8 GATE POOL: after the r7 gate lands, 45 rows remain r3-banked
 # (the oldest cohort; zero r1/r2 rows remain) — rotate these in,

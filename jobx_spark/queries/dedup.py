@@ -1999,6 +1999,120 @@ ORDER BY bands, j_decile
 
 
 # --------------------------------------------------------------------------
+# dedup_semantic_leakage — EMBEDDING-space cross-split contamination:
+# for every held-out (val) vector, the maximum cosine to any TRAIN
+# vector sharing its LSH bucket, censused by cosine decile band. This
+# is semantic decontamination — the leakage n-gram methods
+# (dedup_split_leakage, dedup_decontaminate, text_ngram_novelty) can't
+# see: a paraphrase shares no 8-gram with its source but sits at
+# cosine ≈ 0.95. A fat 0.9+ band means the eval split is semantically
+# inside the training set and its scores are inflated. The split is
+# the repo's deterministic hash split (5% val); band −10 collects val
+# vectors whose bucket holds no train vector (no candidate ≠ cosine 0).
+# Scale shape: the same deterministic hyperplane-LSH blocking as
+# dedup_embedding_lsh bounds the val×train join (never all-pairs;
+# planes grow with the corpus to keep buckets bounded); max-cosine per
+# val vector is a map-side-combinable aggregation; output ≤ ~22 rows.
+# --------------------------------------------------------------------------
+SEMLEAK_MOD = 20  # 1-in-20 hash split → 5% val
+
+
+def dedup_semantic_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.functions import md5_long
+    from jobx_spark.operators.similarity import (
+        _sdot,
+        cosine_from_scaled,
+        hyperplane_bucket_udf,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucket = hyperplane_bucket_udf(LSH_BLOCK_PLANES)
+    base = emb.select(
+        "vec_id", "embedding",
+        bucket(F.col("embedding")).alias("blk"),
+        _sdot(F.col("embedding"), F.col("embedding")).alias("norm_s"),
+        (
+            F.pmod(
+                md5_long(
+                    F.concat(F.lit("semleak:"), F.col("vec_id").cast("string"))
+                ),
+                F.lit(SEMLEAK_MOD),
+            )
+            == 0
+        ).alias("is_val"),
+    )
+    val = base.filter("is_val").select(
+        F.col("vec_id").alias("vid"), F.col("embedding").alias("vv"),
+        F.col("norm_s").alias("vn"), "blk",
+    )
+    train = base.filter(~F.col("is_val")).select(
+        F.col("embedding").alias("tv"), F.col("norm_s").alias("tn"), "blk",
+    )
+    best = (
+        val.join(train, "blk")
+        .select(
+            "vid",
+            cosine_from_scaled(
+                _sdot(F.col("vv"), F.col("tv")), F.col("vn"), F.col("tn")
+            ).alias("cos"),
+        )
+        .groupBy("vid")
+        .agg(F.max("cos").alias("cos"))
+    )
+    scored = val.select("vid").join(best, "vid", "left").select(
+        "vid",
+        F.coalesce(
+            F.floor(F.col("cos") * F.lit(10.0)).cast("long"), F.lit(-10)
+        ).alias("band"),
+    )
+    n_val = scored.agg(F.count(F.lit(1)).alias("nv"))
+    return (
+        scored.groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_val"))
+        .crossJoin(F.broadcast(n_val))
+        .select(
+            "band", "n_val",
+            F.expr("n_val * 1000000 div nv").alias("share_ppm"),
+        )
+        .orderBy("band")
+    )
+
+
+def _semantic_leakage_oracle() -> str:
+    from jobx_spark.queries.similarity import bucket_sql
+
+    h = _MD5.format(e="'semleak:' || CAST(vec_id AS VARCHAR)")
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         {_SDOT.format(a='embedding', b='embedding')} AS norm_s,
+         {bucket_sql(LSH_BLOCK_PLANES)} AS blk,
+         (({h}) % {SEMLEAK_MOD}) = 0 AS is_val
+  FROM embeddings
+),
+v AS (SELECT * FROM e WHERE is_val),
+t AS (SELECT * FROM e WHERE NOT is_val),
+best AS (
+  SELECT v.vec_id AS vid,
+         MAX({_SDOT.format(a='v.embedding', b='t.embedding')}::DOUBLE
+             / (sqrt(v.norm_s::DOUBLE) * sqrt(t.norm_s::DOUBLE))) AS cos
+  FROM v JOIN t ON v.blk = t.blk
+  GROUP BY v.vec_id
+),
+sc AS (
+  SELECT v.vec_id,
+         coalesce(CAST(floor(b.cos * 10.0) AS BIGINT), -10) AS band
+  FROM v LEFT JOIN best b ON b.vid = v.vec_id
+)
+SELECT band, CAST(count(*) AS BIGINT) AS n_val,
+       CAST(count(*) * 1000000
+            // (SELECT CAST(count(*) AS BIGINT) FROM v) AS BIGINT)
+         AS share_ppm
+FROM sc GROUP BY band ORDER BY band
+"""
+
+
+# --------------------------------------------------------------------------
 # dedup_funnel — the staged dedup chain census, mirroring
 # pipe_quality_funnel on the dedup side: real pipelines run EXACT
 # dedup first (cheap hash grouping removes byte-identical copies),
@@ -2285,6 +2399,7 @@ ORDER BY source
 
 
 QUERIES = {
+    "dedup_semantic_leakage": dedup_semantic_leakage,
     "dedup_funnel": dedup_funnel,
     "dedup_effective_size": dedup_effective_size,
     "dedup_paragraphs": dedup_paragraphs,
@@ -2324,6 +2439,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_semantic_leakage": _semantic_leakage_oracle(),
     "dedup_funnel": _dedup_funnel_oracle(),
     "dedup_effective_size": _effective_size_oracle(),
     "dedup_paragraphs": _paragraphs_oracle(),
