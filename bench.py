@@ -236,16 +236,18 @@ def run_meta(
         # says whether all of them did (budget permitting, always).
         "warm_subset_total": round(
             sum(
-                timings[n]
+                timings.get(n, 0.0)
                 for n in WARM_ANCHOR
-                if n in timings and (reps_done or {}).get(n, 0) >= 2
+                if (reps_done or {}).get(n, 0) >= 2
             ),
             3,
         ),
+        # NO `if n in timings` guard (ADVICE r7): an anchor query
+        # missing from timings entirely (renamed/removed from the
+        # registry) must read as INCOMPLETE, not silently shrink the
+        # comparable number while the flag still says complete.
         "warm_anchor_complete": all(
-            (reps_done or {}).get(n, 0) >= 2
-            for n in WARM_ANCHOR
-            if n in timings
+            (reps_done or {}).get(n, 0) >= 2 for n in WARM_ANCHOR
         ),
         # pass-2 rotation stamp: which round offset the non-anchor
         # descending-cost list started at this run
@@ -259,6 +261,12 @@ def main() -> None:
 
     spark = get_spark("jobx_spark_bench")
     qs = all_queries()
+    # fail LOUDLY if an anchor query fell out of the registry (ADVICE
+    # r7): the warm anchor is THE round-over-round number and must
+    # never quietly shrink via a rename
+    missing_anchor = [n for n in WARM_ANCHOR if n not in qs]
+    if missing_anchor:
+        raise KeyError(f"WARM_ANCHOR names not in registry: {missing_anchor}")
     names = [n for n in HEADLINE if n in qs]
     # extend with any llm-ops headliners present; exclusions:
     #   dedup_components_scaled / dedup_substring_scaled /

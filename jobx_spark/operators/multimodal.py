@@ -126,10 +126,17 @@ def decode_features(df: DataFrame, fake: bool = True) -> DataFrame:
     return df.mapInPandas(extract, schema=out_schema)
 
 
-def decode_stats(df: DataFrame) -> DataFrame:
+def decode_stats(df: DataFrame, passthrough: tuple[str, ...] = ()) -> DataFrame:
     """REAL decode over PNG payloads: mapInPandas → per-asset pixel
     statistics (width, height, channels, exact pixel-byte sum, md5 of
     the raw pixel bytes).
+
+    ``passthrough`` columns (must exist on ``df``, long-typed) are
+    carried through the Arrow batch verbatim — callers that stamp a
+    grouping column BEFORE the decode (e.g. the scale probe's ``rep``)
+    keep it without re-deriving it from the asset id, which would
+    silently mis-group if ids ever outgrew the rep-offset base
+    [ADVICE r7].
 
     This is the attestable form of "a real decoder ran": the payload
     goes through actual zlib inflation and scanline reconstruction
@@ -139,9 +146,10 @@ def decode_stats(df: DataFrame) -> DataFrame:
     round-trips bit-exactly. Batch shape identical to every other
     decode stage: payloads stay binary until the Arrow batch reaches
     the UDF."""
+    extra = "".join(f", {c} bigint" for c in passthrough)
     out_schema = (
         "asset_id bigint, width bigint, height bigint, channels bigint, "
-        "pix_sum bigint, pix_md5 string"
+        f"pix_sum bigint, pix_md5 string{extra}"
     )
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -151,17 +159,21 @@ def decode_stats(df: DataFrame) -> DataFrame:
             if len(pdf) == 0:
                 continue
             rows = []
-            for aid, payload in zip(pdf["asset_id"], pdf["data"]):
+            carried = [pdf[c] for c in passthrough]
+            for aid, payload, *rest in zip(pdf["asset_id"], pdf["data"], *carried):
                 w, h, c, pix = decode_image(bytes(payload))
                 # md5 over the lowercase-hex rendering (not the raw
                 # bytes): a bijection of the pixels that DuckDB can
                 # reproduce — its md5() only takes VARCHAR.
                 rows.append(
-                    (int(aid), w, h, c, sum(pix), hashlib.md5(pix.hex().encode()).hexdigest())
+                    (int(aid), w, h, c, sum(pix),
+                     hashlib.md5(pix.hex().encode()).hexdigest(),
+                     *[int(x) for x in rest])
                 )
             yield pd.DataFrame(
                 rows,
-                columns=["asset_id", "width", "height", "channels", "pix_sum", "pix_md5"],
+                columns=["asset_id", "width", "height", "channels",
+                         "pix_sum", "pix_md5", *passthrough],
             )
 
     return df.mapInPandas(stats, schema=out_schema)

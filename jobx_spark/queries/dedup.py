@@ -2007,8 +2007,10 @@ ORDER BY bands, j_decile
 # see: a paraphrase shares no 8-gram with its source but sits at
 # cosine ≈ 0.95. A fat 0.9+ band means the eval split is semantically
 # inside the training set and its scores are inflated. The split is
-# the repo's deterministic hash split (5% val); band −10 collects val
-# vectors whose bucket holds no train vector (no candidate ≠ cosine 0).
+# the repo's deterministic hash split (5% val); band −11 collects val
+# vectors whose bucket holds no train vector (no candidate ≠ cosine 0,
+# and −10 is a REAL band: floor(−1.0·10) — so the sentinel sits
+# outside the valid [−10, 10] band range entirely, ADVICE r7).
 # Scale shape: the same deterministic hyperplane-LSH blocking as
 # dedup_embedding_lsh bounds the val×train join (never all-pairs;
 # planes grow with the corpus to keep buckets bounded); max-cosine per
@@ -2062,7 +2064,11 @@ def dedup_semantic_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = val.select("vid").join(best, "vid", "left").select(
         "vid",
         F.coalesce(
-            F.floor(F.col("cos") * F.lit(10.0)).cast("long"), F.lit(-10)
+            # sentinel -11, NOT -10: floor(-1.0 * 10) = -10 is a VALID
+            # band (a genuine max cosine of exactly -1.0), so -10 would
+            # conflate "maximally dissimilar" with "no train candidate
+            # in bucket" [ADVICE r7]
+            F.floor(F.col("cos") * F.lit(10.0)).cast("long"), F.lit(-11)
         ).alias("band"),
     )
     n_val = scored.agg(F.count(F.lit(1)).alias("nv"))
@@ -2101,7 +2107,7 @@ best AS (
 ),
 sc AS (
   SELECT v.vec_id,
-         coalesce(CAST(floor(b.cos * 10.0) AS BIGINT), -10) AS band
+         coalesce(CAST(floor(b.cos * 10.0) AS BIGINT), -11) AS band
   FROM v LEFT JOIN best b ON b.vid = v.vec_id
 )
 SELECT band, CAST(count(*) AS BIGINT) AS n_val,

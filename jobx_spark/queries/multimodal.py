@@ -169,10 +169,13 @@ ORDER BY asset_id
 DEC_W, DEC_H = 8, 8  # 8*8*3 = 192 = 12 × 16 digest bytes
 
 
-def _synthetic_png_assets(docs: DataFrame) -> DataFrame:
+def _synthetic_png_assets(
+    docs: DataFrame, passthrough: tuple[str, ...] = ()
+) -> DataFrame:
     """(asset_id, data): every document rendered as a real 8×8 RGB PNG
     whose pixels are md5(text) digest bytes ×12 — derivable in SQL, so
-    real-decoder outputs stay oracle-able."""
+    real-decoder outputs stay oracle-able. ``passthrough`` long columns
+    ride through the Arrow batch (the scale probe's ``rep``)."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -186,13 +189,18 @@ def _synthetic_png_assets(docs: DataFrame) -> DataFrame:
             if len(pdf) == 0:
                 continue
             rows = []
-            for did, text in zip(pdf["doc_id"], pdf["text"]):
+            carried = [pdf[c] for c in passthrough]
+            for did, text, *rest in zip(pdf["doc_id"], pdf["text"], *carried):
                 pix = hashlib.md5(str(text).encode()).digest() * 12
-                rows.append((int(did), encode_png(DEC_W, DEC_H, pix, channels=3)))
-            yield pd.DataFrame(rows, columns=["asset_id", "data"])
+                rows.append(
+                    (int(did), encode_png(DEC_W, DEC_H, pix, channels=3),
+                     *[int(x) for x in rest])
+                )
+            yield pd.DataFrame(rows, columns=["asset_id", "data", *passthrough])
 
-    return docs.select("doc_id", "text").mapInPandas(
-        to_png, schema="asset_id bigint, data binary"
+    extra = "".join(f", {c} bigint" for c in passthrough)
+    return docs.select("doc_id", "text", *passthrough).mapInPandas(
+        to_png, schema=f"asset_id bigint, data binary{extra}"
     )
 
 
@@ -496,11 +504,18 @@ def multimodal_decode_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             (F.col("doc_id") + F.col("rep") * _MM_REP_BASE).alias("doc_id"),
             "text",
+            "rep",
         )
     )
-    stats = decode_stats(_synthetic_png_assets(big))
+    # rep CARRIES through the decode (like the oracle's r.rep) rather
+    # than being re-derived as asset_id div base — a doc_id at or above
+    # _MM_REP_BASE would otherwise collide replicated ids across reps
+    # and group the same asset differently on the two sides [ADVICE r7]
+    stats = decode_stats(
+        _synthetic_png_assets(big, passthrough=("rep",)), passthrough=("rep",)
+    )
     return (
-        stats.withColumn("rep", F.expr(f"asset_id div {_MM_REP_BASE}"))
+        stats
         .groupBy("rep")
         .agg(
             F.count(F.lit(1)).alias("n_assets"),

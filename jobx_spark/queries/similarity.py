@@ -295,10 +295,16 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_ANN_HARD_NEGATIVES = f"""
-WITH e AS (
+WITH e0 AS (
   SELECT vec_id, label, embedding,
          {_SDOT.format(a='embedding', b='embedding')} AS norm_s
   FROM embeddings
+), e AS (
+  -- zero-norm mask mirrored from hard_negative_topk (ADVICE r7): the
+  -- Spark side skips zero-norm queries and masks zero-norm corpus rows
+  -- (cosine undefined); without this filter the oracle divides by zero
+  -- the moment the dataset contains a zero vector
+  SELECT * FROM e0 WHERE norm_s > 0
 ), q AS (
   SELECT vec_id AS query_id, label AS qlabel, embedding AS qv,
          norm_s AS qnorm_s

@@ -1320,6 +1320,10 @@ ORDER BY source, rk
 #                   + (Σ_all p_a − Σ_shared p_a) + (Σ_all p_b − Σ_shared p_b)
 # (terms absent from a source contribute their full share on the other
 # side), so the pair stage never needs per-pair full-outer term joins.
+# The matrix itself is DENSE over the src_a < src_b grid (ADVICE r7):
+# a pair sharing zero vocabulary still gets its row — shared aggregates
+# default to 0, TVD degenerates to (mass_a + mass_b) div 2, the
+# maximal-divergence case the matrix exists to surface.
 # All shares pre-floored to ppm — exact int64 at any corpus size.
 # Scale shape: ONE corpus scan builds the (source, term) count table;
 # per-source totals re-aggregate it; the pair stage self-joins that
@@ -1369,13 +1373,22 @@ def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     mb = mass.select(
         F.col("source").alias("src_b"), F.col("mass_ppm").alias("mass_b")
     )
+    # DENSE src_a < src_b grid (ADVICE r7): the shared stage is an
+    # INNER term join, so a pair sharing ZERO vocabulary would vanish
+    # from the matrix entirely — yet that pair's TVD is well-defined
+    # ((mass_a + mass_b) div 2, the maximal-divergence case the matrix
+    # most needs to show). Build every pair from the |sources|-row mass
+    # table (broadcast inequality join, driver-tiny) and left-join the
+    # shared aggregates, defaulting them to 0.
+    grid = ma.join(F.broadcast(mb), F.col("src_a") < F.col("src_b"))
     return (
-        shared.join(F.broadcast(ma), "src_a")
-        .join(F.broadcast(mb), "src_b")
+        grid.join(F.broadcast(shared), ["src_a", "src_b"], "left")
         .select(
-            "src_a", "src_b", "shared_terms",
+            "src_a", "src_b",
+            F.coalesce("shared_terms", F.lit(0)).alias("shared_terms"),
             F.expr(
-                "(d_sh + (mass_a - pa_sh) + (mass_b - pb_sh)) div 2"
+                "(coalesce(d_sh, 0) + (mass_a - coalesce(pa_sh, 0))"
+                " + (mass_b - coalesce(pb_sh, 0))) div 2"
             ).alias("tvd_ppm"),
         )
         .orderBy("src_a", "src_b")
@@ -1405,13 +1418,17 @@ shared AS (
   FROM p a JOIN p b ON a.term = b.term AND a.source < b.source
   GROUP BY 1, 2
 )
-SELECT s.src_a, s.src_b, s.shared_terms,
-       CAST((s.d_sh + (ma.mass_ppm - s.pa_sh) + (mb.mass_ppm - s.pb_sh)) // 2
+SELECT g.src_a, g.src_b,
+       CAST(coalesce(s.shared_terms, 0) AS BIGINT) AS shared_terms,
+       CAST((coalesce(s.d_sh, 0)
+             + (g.mass_a - coalesce(s.pa_sh, 0))
+             + (g.mass_b - coalesce(s.pb_sh, 0))) // 2
             AS BIGINT) AS tvd_ppm
-FROM shared s
-JOIN mass ma ON ma.source = s.src_a
-JOIN mass mb ON mb.source = s.src_b
-ORDER BY src_a, src_b
+FROM (SELECT ma.source AS src_a, mb.source AS src_b,
+             ma.mass_ppm AS mass_a, mb.mass_ppm AS mass_b
+      FROM mass ma JOIN mass mb ON ma.source < mb.source) g
+LEFT JOIN shared s ON s.src_a = g.src_a AND s.src_b = g.src_b
+ORDER BY g.src_a, g.src_b
 """
 
 

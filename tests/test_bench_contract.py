@@ -71,3 +71,41 @@ def test_run_meta_stamps_environment(monkeypatch):
     assert other["headline_set_version"] != quiet["headline_set_version"]
     # meta must serialize (it lands in BENCH_FULL.json)
     json.dumps(quiet)
+
+
+def test_bench_notes_anchor_matches_committed_artifact():
+    """VERDICT r7 'What's wrong' #2: BENCH_NOTES quoted a hand-stamped
+    anchor (56.0) that drifted from the committed BENCH_FULL.json
+    (55.45). The notes' LAST `warm_subset_total = N` quote must be
+    copy-exact from the artifact — the anchor is THE round-over-round
+    number."""
+    import os
+    import re
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "BENCH_FULL.json"), encoding="utf-8") as f:
+        committed = json.load(f)["run_meta"]["warm_subset_total"]
+    with open(os.path.join(here, "BENCH_NOTES.md"), encoding="utf-8") as f:
+        quotes = re.findall(r"warm_subset_total = ([\d.]+)", f.read())
+    assert quotes, "BENCH_NOTES.md must quote `warm_subset_total = N`"
+    assert float(quotes[-1]) == committed, (
+        f"BENCH_NOTES.md quotes anchor {quotes[-1]} but the committed "
+        f"BENCH_FULL.json says {committed} — restate from the artifact"
+    )
+
+
+def test_warm_anchor_missing_query_reads_incomplete():
+    """ADVICE r7: an anchor query absent from timings entirely must
+    flip warm_anchor_complete to False (not be silently excluded while
+    warm_subset_total quietly shrinks)."""
+    from bench import WARM_ANCHOR, run_meta
+
+    present = {n: 1.0 for n in WARM_ANCHOR[:-1]}  # one anchor missing
+    reps = {n: 2 for n in present}
+    meta = run_meta(0.1, 0.1, present, reps_done=reps)
+    assert meta["warm_anchor_complete"] is False
+
+    full = {n: 1.0 for n in WARM_ANCHOR}
+    meta2 = run_meta(0.1, 0.1, full, reps_done={n: 2 for n in full})
+    assert meta2["warm_anchor_complete"] is True
+    assert meta2["warm_subset_total"] == round(float(len(WARM_ANCHOR)), 3)
