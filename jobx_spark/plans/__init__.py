@@ -117,3 +117,92 @@ def plan_report(df: DataFrame) -> dict:
             for s in scans(plan)
         ],
     }
+
+
+# ---- window-partition audit (VERDICT r7 #2) -------------------------------
+#
+# WindowExec co-locates ALL rows of one partition key in a single task;
+# a window keyed on a low-cardinality column (source, lang) therefore
+# serializes a corpus-sized group through one task at scale — the one
+# plan-shape family the scan/join/shuffle/UDF audits cannot see (it
+# survived seven rounds of them). These helpers extract every Window's
+# partition key so tools/plan_audit.py can tabulate them and
+# tests/test_plan_audit.py can refuse any window whose partition key
+# is neither rank-limit-bounded in the plan itself (WindowGroupLimit)
+# nor carrying a declared bound rationale (plans/window_contract.py).
+
+@dataclass
+class WindowInfo:
+    """One physical Window node: partition/order key column names
+    (plan-id suffixes stripped) and, when a WindowGroupLimit with the
+    same (partition, order) spec guards it, that limit — Spark then
+    truncates every key's run to ``rank_limited`` rows before the sort
+    buffer, so the window is bounded BY THE PLAN regardless of data."""
+
+    partition_keys: tuple[str, ...]
+    order_keys: tuple[str, ...]
+    rank_limited: int | None = None
+
+
+_COL_ID_RE = re.compile(r"([A-Za-z_][A-Za-z0-9_]*)#\d+")
+
+
+def _bracket_groups(s: str) -> list[str]:
+    """Top-level ``[...]`` groups of a formatted-plan Arguments line."""
+    out, depth, start = [], 0, -1
+    for i, ch in enumerate(s):
+        if ch == "[":
+            if depth == 0:
+                start = i + 1
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                out.append(s[start:i])
+    return out
+
+
+def _key_sig(group: str) -> tuple[str, ...]:
+    return tuple(_COL_ID_RE.findall(group))
+
+
+def windows(plan: str) -> list[WindowInfo]:
+    """Every Window node's partition signature in a FORMATTED plan."""
+    lines = plan.splitlines()
+    wins: list[WindowInfo] = []
+    limits: list[tuple[tuple[str, ...], tuple[str, ...], int]] = []
+    for i, ln in enumerate(lines):
+        m = re.match(r"^\(\d+\) (Window|WindowGroupLimit)\b", ln.strip())
+        if not m:
+            continue
+        args = None
+        for j in range(i + 1, min(i + 8, len(lines))):
+            s = lines[j].strip()
+            if s.startswith("Arguments:"):
+                args = s.split(":", 1)[1]
+                break
+        if args is None:
+            continue
+        groups = _bracket_groups(args)
+        if m.group(1) == "Window" and len(groups) >= 3:
+            wins.append(WindowInfo(_key_sig(groups[-2]), _key_sig(groups[-1])))
+        elif m.group(1) == "Window" and len(groups) == 2:
+            # Two-group renderings drop the empty spec: either an
+            # ORDER-less window ([exprs], [partition]) or a GLOBAL
+            # ordered window ([exprs], [order]) — order entries carry
+            # sort-direction tokens, partition entries never do
+            if re.search(r"\b(ASC|DESC)\b", groups[-1]):
+                wins.append(WindowInfo((), _key_sig(groups[-1])))
+            else:
+                wins.append(WindowInfo(_key_sig(groups[-1]), ()))
+        elif m.group(1) == "WindowGroupLimit" and len(groups) >= 2:
+            lim = re.search(r",\s*(\d+),\s*(?:Partial|Final)\s*$", args)
+            if lim:
+                limits.append(
+                    (_key_sig(groups[0]), _key_sig(groups[1]), int(lim.group(1)))
+                )
+    for w in wins:
+        for psig, osig, lim in limits:
+            if psig == w.partition_keys and osig == w.order_keys:
+                w.rank_limited = lim
+    return wins

@@ -1469,11 +1469,19 @@ ORDER BY rank
 # a shard (hash-bucket) and a deterministic pseudo-random position
 # within its shard (rank of an independent content hash). Together
 # they define the epoch-stable global visit order SGD training wants —
-# reproducible across clusters/retries, no RNG, no driver state. One
-# shard-keyed shuffle; at 100 TB each shard is written as its own
-# partition and the position is the within-file sort key.
+# reproducible across clusters/retries, no RNG, no driver state.
+# Scale shape (VERDICT r7 #1-family — N_SHARDS is fixed, so a naive
+# per-shard row_number puts corpus/shards rows in ONE window task): the
+# within-shard rank decomposes over the position hash's top bits —
+# bucket = pos_h div 2⁵⁰ (1024 buckets, disjoint ordered hash ranges),
+# rank = Σ counts of earlier buckets (a carry cumsum along the
+# ≤ shards·1024-row census) + rank WITHIN the (shard, bucket) window
+# (corpus/(shards·1024) rows — the same 1024× compression as the
+# stratified sampler's pre-filter). At 100 TB each shard is written as
+# its own partition and pos is the within-file sort key.
 # --------------------------------------------------------------------------
 N_SHARDS = 8
+_SHARD_POS_BDIV = (1 << 60) // 1024
 
 
 def pipe_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1485,10 +1493,29 @@ def pipe_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(N_SHARDS),
     )
     pos_h = md5_long(F.concat(F.lit("pos:"), F.col("doc_id").cast("string")))
-    w = W.partitionBy("shard").orderBy(F.col("pos_h"), F.col("doc_id"))
+    base = docs.select(
+        "doc_id", shard.alias("shard"), pos_h.alias("pos_h")
+    ).withColumn("b", F.expr(f"pos_h div {_SHARD_POS_BDIV}"))
+    carry = (
+        base.groupBy("shard", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "shard", "b",
+            (
+                F.sum("c").over(
+                    W.partitionBy("shard").orderBy("b")
+                    .rowsBetween(W.unboundedPreceding, W.currentRow)
+                )
+                - F.col("c")
+            ).alias("before"),
+        )
+    )
+    rn_in = F.row_number().over(
+        W.partitionBy("shard", "b").orderBy(F.col("pos_h"), F.col("doc_id"))
+    )
     return (
-        docs.select("doc_id", shard.alias("shard"), pos_h.alias("pos_h"))
-        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        base.join(F.broadcast(carry), ["shard", "b"])
+        .withColumn("pos", (F.col("before") + rn_in).cast("bigint"))
         .select("doc_id", "shard", "pos")
         .orderBy("shard", "pos")
     )

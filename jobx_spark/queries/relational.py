@@ -725,20 +725,61 @@ ORDER BY p_partkey, pos
 # q33: distribution window functions — ntile / percent_rank / cume_dist
 # per nation over account balance. The ORDER BY carries c_custkey as a
 # unique tiebreak so ntile's row-order-dependent bucketing is
-# deterministic. One shuffle on the partition key; each partition sorts
-# locally (25 nations → add more keys or range-partition at 100 TB).
+# deterministic.
+# Scale shape (VERDICT r7 #1-family — nation is a FIXED 25-value key,
+# so the naive per-nation window serializes customers/25 rows through
+# one task): every distribution function here is pure arithmetic over
+# the row's RANK and the partition SIZE, and the rank decomposes as
+#   rn = (rows with a strictly smaller balance)  ← cumulative of the
+#        (nation, balance) COUNT table, |distinct balances| per window
+#        partition — domain-bounded
+#      + (rank among ties by custkey)            ← window keyed
+#        (nation, balance), bounded by ties per balance value.
+# From (rn, n): cume_dist = rn/n (the order key is unique → no peers),
+# percent_rank = (rn−1)/(n−1), and ntile(4)'s first n%4 buckets take
+# ⌈n/4⌉ rows — the closed form below. The oracle keeps DuckDB's NATIVE
+# window functions, so the arithmetic is attested against the standard
+# semantics, bit-for-bit, at every gate run.
 # --------------------------------------------------------------------------
 def q33_balance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
-    w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    cnt = cust.groupBy("c_nationkey", "c_acctbal").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cum = cnt.select(
+        "c_nationkey", "c_acctbal",
+        (
+            F.sum("c").over(
+                W.partitionBy("c_nationkey").orderBy("c_acctbal")
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
+            )
+            - F.col("c")
+        ).alias("before"),
+        F.sum("c").over(W.partitionBy("c_nationkey")).alias("n"),
+    )
+    tie_rn = F.row_number().over(
+        W.partitionBy("c_nationkey", "c_acctbal").orderBy("c_custkey")
+    )
+    rn = (F.col("before") + tie_rn).alias("rn")
+    base = cust.join(cum, ["c_nationkey", "c_acctbal"]).select(
+        "c_custkey", "c_nationkey", "c_acctbal", "n", rn
+    )
+    q, r = F.expr("n div 4"), F.expr("n % 4")
+    quartile = F.when(
+        F.col("rn") <= r * (q + 1), F.expr("(rn + (n div 4)) div ((n div 4) + 1)")
+    ).otherwise(
+        r + F.expr("(rn - (n % 4) * ((n div 4) + 1) + (n div 4) - 1) div (n div 4)")
+    )
     return (
-        cust.select(
+        base.select(
             "c_custkey",
             "c_nationkey",
             "c_acctbal",
-            F.ntile(4).over(w).alias("quartile"),
-            F.percent_rank().over(w).alias("pct_rank"),
-            F.cume_dist().over(w).alias("cume"),
+            quartile.cast("int").alias("quartile"),
+            F.when(F.col("n") == 1, F.lit(0.0))
+            .otherwise((F.col("rn") - 1).cast("double") / (F.col("n") - 1))
+            .alias("pct_rank"),
+            (F.col("rn").cast("double") / F.col("n")).alias("cume"),
         )
         .orderBy("c_custkey")
     )
@@ -1998,8 +2039,9 @@ ORDER BY o_custkey
 # mergeable across shards/days, one map-side-combinable shuffle of at
 # most HIST_BINS rows per task), read off as the first bin whose
 # cumulative count crosses q·N, error bounded by one bin width. The
-# exact side (a full sort) exists as the demonstration baseline the
-# sketch is compared against. Every arithmetic step — (x-lo)/(hi-lo)
+# exact side (the comparison baseline) reads the value at rank k off
+# the |distinct prices| value-count table — domain-bounded, no corpus
+# sort (r8). Every arithmetic step — (x-lo)/(hi-lo)
 # scaling, floor, cumulative window, ceil(q·N) — is identical IEEE or
 # integer math in both engines, so estimates AND errors hash-verify.
 # --------------------------------------------------------------------------
@@ -2047,15 +2089,25 @@ def q66_binned_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.ceil(F.col("q") * F.col("n")).cast("long").alias("k"),
         )
     )
-    ranked = li.select(
-        "x", F.row_number().over(W.orderBy("x")).alias("rk")
+    # exact side via the (value, count) table — the value at rank k is
+    # the smallest x whose cumulative count reaches k, so the global
+    # window runs over |distinct prices| rows (domain-bounded), never a
+    # corpus-sized row_number sort (VERDICT r7 #1-family, r8 rewrite)
+    cumv = (
+        li.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("cx"))
+        .select(
+            "x",
+            F.sum("cx").over(
+                W.orderBy("x").rowsBetween(W.unboundedPreceding, 0)
+            ).alias("cumx"),
+        )
     )
     return (
-        crossed.join(ranked, crossed.k == ranked.rk)
-        .select(
-            "q", "est", F.col("x").alias("exact"),
-            (F.col("est") - F.col("x")).alias("err"),
-        )
+        F.broadcast(crossed).join(cumv, F.col("cumx") >= F.col("k"))
+        .groupBy("q", "est")
+        .agg(F.min("x").alias("exact"))
+        .select("q", "est", "exact", (F.col("est") - F.col("exact")).alias("err"))
         .orderBy("q")
     )
 
@@ -2090,11 +2142,13 @@ est AS (
          CAST(ceil(q * n) AS BIGINT) AS k
   FROM crossed
 ),
-ranked AS (
-  SELECT x, CAST(row_number() OVER (ORDER BY x) AS BIGINT) AS rk FROM li
+cumv AS (
+  SELECT x, SUM(cx) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cumx
+  FROM (SELECT x, CAST(count(*) AS BIGINT) AS cx FROM li GROUP BY x)
 )
-SELECT q, est, x AS exact, est - x AS err
-FROM est JOIN ranked ON k = rk
+SELECT q, est, min(x) AS exact, est - min(x) AS err
+FROM est JOIN cumv ON cumx >= k
+GROUP BY q, est
 ORDER BY q
 """
 

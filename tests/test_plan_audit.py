@@ -34,3 +34,47 @@ def test_no_cartesian_no_rowwise_python(name, spark, sf_dir):
     assert "BatchEvalPython" not in plan, (
         f"{name}: row-at-a-time Python UDF in plan"
     )
+
+
+@pytest.mark.parametrize("name", BATCH_QUERIES)
+def test_window_partitions_bounded_or_declared(name, spark, sf_dir):
+    """VERDICT r7 #2: WindowExec puts one partition-key value's rows in
+    ONE task, so an unbounded partition key serializes a corpus-sized
+    group at scale — the family the other plan audits can't see. Every
+    batch window must be plan-bounded (WindowGroupLimit rank-limit
+    pushdown) or carry a declared bound rationale in
+    jobx_spark/plans/window_contract.py."""
+    from jobx_spark.plans.window_contract import WINDOW_BOUNDS
+
+    df = all_queries()[name](spark, sf_dir)
+    for w in P.windows(P.plan_str(df)):
+        if w.rank_limited is not None:
+            continue
+        assert w.partition_keys in WINDOW_BOUNDS.get(name, {}), (
+            f"{name}: window partitioned by {w.partition_keys or '(global)'} "
+            f"(order {w.order_keys}) is neither WindowGroupLimit-bounded "
+            f"nor declared in plans/window_contract.py — add a bound "
+            f"rationale or fix the plan"
+        )
+
+
+def test_window_contract_has_no_stale_entries(spark, sf_dir):
+    """The contract can't rot: every declared (query, partition) must
+    still correspond to a live un-limited window in that query's plan,
+    and every declared query must still exist."""
+    from jobx_spark.plans.window_contract import WINDOW_BOUNDS
+
+    qs = all_queries()
+    unknown = sorted(set(WINDOW_BOUNDS) - set(qs))
+    assert not unknown, f"window contract names unknown queries: {unknown}"
+    stale = []
+    for name, sigs in sorted(WINDOW_BOUNDS.items()):
+        live = {
+            w.partition_keys
+            for w in P.windows(P.plan_str(qs[name](spark, sf_dir)))
+            if w.rank_limited is None
+        }
+        for sig in sigs:
+            if sig not in live:
+                stale.append((name, sig))
+    assert not stale, f"declared windows no longer in plans: {stale}"
