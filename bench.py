@@ -108,6 +108,10 @@ HEADLINE = [
     "pipe_dataset_card",
     "pipe_shuffle_audit",
     "pipe_skew_census",
+    # round-8 additions outside the auto-enrolled prefixes
+    # (ann_knn_refine auto-enrolls via the ann_ prefix)
+    "pipe_bpe_encode",
+    "pipe_quantile_sketch",
 ]
 
 BENCH_REPS = 2  # per-query timing = min over this many runs

@@ -49,6 +49,19 @@ WINDOW_BOUNDS: dict[str, dict[tuple[str, ...], str]] = {
     "pipe_bigram_counts": {
         (): _VOCAB_GLOBAL + " (bigram vocabulary)",
     },
+    "pipe_bpe_encode": {
+        ("doc_id",): "per-document token sequence: the offset prefix sum "
+                     "runs over one doc's tokens, bounded by document "
+                     "length",
+    },
+    "pipe_quantile_sketch": {
+        ("source",): "(source, bin) histogram and (source, n_chars) "
+                     "value-count tables — domain-bounded (bins = "
+                     "domain/QSK_BINW; values collapse ties)",
+        (): "global read-off over the corpus-level bin / value-count "
+            "tables for the __merged__/__direct__ certificate rows — "
+            "same domain bounds",
+    },
     "pipe_dataset_card": {
         ("source",): "(source, n_toks) count table: partition = |distinct "
                      "token lengths| per source — domain-bounded, ties "

@@ -175,52 +175,59 @@ def _utc_pinned(fn: QueryFn) -> QueryFn:
 #   4. filler: alphabetical head of the r3-banked cohort (the next-
 #      oldest attestations) — displaced one-for-one as round-7
 #      additions land (new queries outrank redundant re-attestation).
+# ROUND-8 GATE (VERDICT r7 #3):
+#   1. changed-code re-attests — every query whose Spark plan OR oracle
+#      changed this round: the four corpus-window fixes
+#      (pipe_skew_census, pipe_dataset_card, pipe_pack_offsets,
+#      pipe_stratified_k — VERDICT r7 #1), the five window-audit
+#      de-serializations the new WINDOWS gate surfaced
+#      (dedup_keep_canonical, q24_percentile_disc,
+#      q33_balance_distribution, q66_binned_quantiles,
+#      pipe_shard_assign), and the five ADVICE r7 fixes
+#      (ann_hard_negatives oracle mask, dedup_semantic_leakage
+#      sentinel, multimodal_decode_scaled rep carry,
+#      text_source_divergence dense grid; the bench.py fix has no
+#      gate row);
+#   2. new in round 8: pipe_bpe_encode (learned-merge BPE encoding,
+#      VERDICT #4), ann_knn_refine (NN-descent round, VERDICT #5),
+#      pipe_quantile_sketch (mergeable quantile sketch, VERDICT #6);
+#   3. the r3-banked pool (45 rows, the oldest cohort), alphabetical,
+#      first 36 — pipe_stratified_k / pipe_shard_assign / q24 are
+#      changed-code members of it and appear in section 1/3 once each.
 GATE_FIRST_50 = [
-    # -- 1. the 27 r2-stale rows (VERDICT r6 #2, complete) --
-    "dedup_decontaminate", "dedup_exact", "dedup_jaccard_prefix",
-    "dedup_minhash_pairs", "dedup_minhash_sig", "dedup_ngram_jaccard",
-    "dedup_simhash", "dedup_simhash_pairs", "multimodal_features",
-    "multimodal_frames", "multimodal_infer", "multimodal_meta",
-    "multimodal_resize", "pipe_bigram_counts", "pipe_corpus_stats",
-    "pipe_sample_hash", "pipe_sample_join", "pipe_split_train_val_test",
-    "pipe_vocab_topk", "stream_sink_rollup", "text_cms_heavy_hitters",
-    "text_fingerprint", "text_lang_id", "text_quality",
-    "text_repetition", "text_tfidf_terms", "text_token_histogram",
-    # -- 2. changed-code re-attests (r7 fixes) --
-    "dedup_entity_resolution", "pipe_dsir_sample", "text_bigram_score",
-    "text_perplexity_buckets", "ann_hard_negatives",
-    # -- 3. new in round 7 (inserted here as each one lands) --
-    "ann_ivf_pq_residual_topk", "dedup_paragraphs",
-    "multimodal_decode_scaled", "pipe_quality_funnel",
-    "pipe_t_closeness", "pipe_dataset_card", "ann_centroid_outliers",
-    "pipe_shuffle_audit", "text_source_divergence", "ann_adc_rerank",
-    "pipe_skew_census", "dedup_effective_size", "ann_cluster_purity",
-    "dedup_funnel", "dedup_semantic_leakage",
-    # -- 4. r3-banked filler (next-oldest, alphabetical; displaced
-    #       one-for-one by round-7 additions) --
-    "ann_knn_graph", "ann_quantize_int8", "ann_range_search",
+    # -- 1. changed-code re-attests (r8 fixes; 11 rows) --
+    "pipe_skew_census", "pipe_dataset_card", "pipe_pack_offsets",
+    "dedup_keep_canonical", "q33_balance_distribution",
+    "q66_binned_quantiles", "ann_hard_negatives",
+    "dedup_semantic_leakage", "multimodal_decode_scaled",
+    "text_source_divergence", "pipe_shard_assign",
+    # -- 2. new in round 8 (3 rows) --
+    "pipe_bpe_encode", "ann_knn_refine", "pipe_quantile_sketch",
+    # -- 3. r3-banked rotation, oldest cohort, alphabetical head
+    #       (36 rows; pipe_stratified_k and q24_percentile_disc are
+    #       also changed-code) --
+    "dedup_embedding_lsh", "dedup_incremental", "dedup_label_prop",
+    "dedup_ngram_overlap", "dedup_pagerank", "dedup_triangle_count",
+    "mr_engine_fanout_rekey", "multimodal_audio_energy",
+    "multimodal_decode", "pipe_blocklist_scrub", "pipe_bpe_token_count",
+    "pipe_clean_corpus", "pipe_corpus_build", "pipe_encode_ids",
+    "pipe_gapfill_hours", "pipe_length_buckets", "pipe_manifest",
+    "pipe_minmax_scale", "pipe_mix_weighted", "pipe_pii_scrub",
+    "pipe_rollup_reagg", "pipe_sample_fixed_k", "pipe_stratified_k",
+    "pipe_table_diff", "pipe_text_chunks", "q22_window_frames",
+    "q23_stats_moments", "q24_percentile_disc", "q25_argmax_per_group",
+    "q29_array_map_functions", "q45_big_volume_orders",
+    "q55_bom_explosion", "q56_salted_skew_join", "q57_range_bin_join",
+    "q58_disjunctive_join", "q59_waiting_suppliers",
 ]
-# ROUND-8 GATE POOL: after the r7 gate lands, 45 rows remain r3-banked
-# (the oldest cohort; zero r1/r2 rows remain) — rotate these in,
-# oldest-first, alphabetical within the cohort, minus slots taken by
-# r8 additions and changed-code re-attests:
-# dedup_embedding_lsh, dedup_incremental, dedup_label_prop,
-# dedup_ngram_overlap, dedup_pagerank, dedup_triangle_count,
-# mr_engine_fanout_rekey, multimodal_audio_energy, multimodal_decode,
-# pipe_blocklist_scrub, pipe_bpe_token_count, pipe_clean_corpus,
-# pipe_corpus_build, pipe_encode_ids, pipe_gapfill_hours,
-# pipe_length_buckets, pipe_manifest, pipe_minmax_scale,
-# pipe_mix_weighted, pipe_pii_scrub, pipe_rollup_reagg,
-# pipe_sample_fixed_k, pipe_stratified_k, pipe_table_diff,
-# pipe_text_chunks, q22_window_frames, q23_stats_moments,
-# q24_percentile_disc, q25_argmax_per_group, q29_array_map_functions,
-# q45_big_volume_orders, q55_bom_explosion, q56_salted_skew_join,
-# q57_range_bin_join, q58_disjunctive_join, q59_waiting_suppliers,
+# ROUND-9 GATE POOL: after the r8 gate lands, the r3-banked tail that
+# did not fit this gate is the oldest cohort — lead the r9 rotation
+# with it, then the r7-banked rows become the next-oldest:
 # q60_lateral_topn, q61_promo_share, q62_supplier_census,
 # q63_dominant_supplier, q64_market_share, stream_pii_scrub,
 # stream_topk_trending, stream_zscore_anomaly, text_ttr
-# (recompute with the last-green scan in the r7 session log / memory:
-#  parse CORRECTNESS_r0*.json, hash_match rows, max round per query).
+# (9 rows; recompute as always by parsing CORRECTNESS_r0*.json for
+#  hash_match rows, max round per query).
 
 
 def all_queries() -> dict[str, QueryFn]:

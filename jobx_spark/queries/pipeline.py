@@ -1465,6 +1465,216 @@ ORDER BY rank
 
 
 # --------------------------------------------------------------------------
+# pipe_bpe_encode — BPE tokenizer APPLICATION with the LEARNED merges
+# (VERDICT r7 #4): pipe_encode_ids maps whole tokens through a vocab,
+# so the merges pipe_bpe_learn produces never reached encoding and the
+# tokenizer pipeline didn't round-trip. This closes the loop: the
+# learn chain re-runs (vocabulary-sized, the attested shape), each
+# merge is applied to the DISTINCT-WORD table with the exact replace
+# device the learn loop itself uses (left-to-right non-overlapping
+# replace on the separator-joined symbol string — encode(word) is BY
+# CONSTRUCTION the word's state in the learner), and the final symbol
+# vocabulary (|chars| + merge count rows — driver-tiny, the one
+# legitimate collect, like the learner's per-round argmax) maps
+# symbols to ids (weighted frequency desc, symbol asc).
+# Per document: id count, merged-symbol count, and the positional
+# checksum Σ (offset+i)·id over the concatenated id stream (the
+# pipe_encode_ids certification device) — any id, order, or merge slip
+# flips the hash.
+# Scale shape: merges + vocab live on the distinct-word table; docs
+# encode via ONE word-keyed join (AQE broadcasts the word table when
+# small); the offset prefix runs per document (window partition =
+# one doc's tokens, bounded by document length — declared).
+# --------------------------------------------------------------------------
+def pipe_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from jobx_spark.lineage import cut_lineage
+
+    docs = load_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    words = cut_lineage(
+        wf.select(
+            "w",
+            F.expr(
+                f"trim(TRAILING '{_BPE_SEP}' FROM"
+                f" regexp_replace(w, '(.)', '$1{_BPE_SEP}'))"
+            ).alias("sym"),
+            "n",
+        ),
+        "bpee-w",
+    )
+    for _t in range(1, BPE_MERGES + 1):
+        pairs = (
+            words.select("n", F.split("sym", _BPE_SEP).alias("a"))
+            .filter(F.size("a") >= 2)
+            .select(
+                "n",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(a)-2),"
+                        " i -> struct(a[i] AS x, a[i+1] AS y))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+            .agg(F.sum("n").alias("cnt"))
+        )
+        best = pairs.orderBy(
+            F.desc("cnt"), F.asc("x"), F.asc("y")
+        ).limit(1).collect()[0]
+        words = cut_lineage(
+            words.select(
+                "w",
+                F.replace(
+                    F.col("sym"),
+                    F.lit(best.x + _BPE_SEP + best.y),
+                    F.lit(best.x + best.y),
+                ).alias("sym"),
+                "n",
+            ),
+            "bpee-w",
+        )
+    # symbol vocabulary: weighted frequency desc, symbol asc → id
+    # (1-based). |chars| + BPE_MERGES rows at most — collect + literal
+    # map keeps the encode join-free per symbol.
+    sym_rows = (
+        words.select(F.explode(F.split("sym", _BPE_SEP)).alias("s"), "n")
+        .groupBy("s")
+        .agg(F.sum("n").alias("cnt"))
+        .collect()
+    )
+    sym_id = {
+        r["s"]: i + 1
+        for i, r in enumerate(
+            sorted(sym_rows, key=lambda r: (-r["cnt"], r["s"]))
+        )
+    }
+    id_entries = [x for s, i in sorted(sym_id.items()) for x in (F.lit(s), F.lit(i))]
+    idmap = F.create_map(*id_entries)
+    word_ids = words.select(
+        "w",
+        F.transform(F.split("sym", _BPE_SEP), lambda s: idmap[s]).alias("ids"),
+        F.transform(
+            F.split("sym", _BPE_SEP), lambda s: F.length(s).cast("long")
+        ).alias("lens"),
+    ).select(
+        "w",
+        F.size("ids").cast("long").alias("L"),
+        F.aggregate(
+            "ids", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("id_sum"),
+        # Σ i·id over 1-based local positions
+        F.aggregate(
+            F.zip_with(
+                F.sequence(F.lit(1), F.size("ids")).cast("array<long>"),
+                F.col("ids"),
+                lambda i, x: i * x,
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("id_wsum"),
+        F.size(F.filter("lens", lambda l: l > 1)).cast("long").alias("n_merged"),
+    )
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("tpos", "w")
+    )
+    enc = toks.join(word_ids, "w")
+    off_w = (
+        W.partitionBy("doc_id").orderBy("tpos")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    stamped = enc.withColumn(
+        "off", F.sum("L").over(off_w) - F.col("L")
+    )
+    return (
+        stamped.groupBy("doc_id")
+        .agg(
+            F.sum("L").alias("n_ids"),
+            F.sum("n_merged").alias("n_merged_ids"),
+            F.sum(
+                F.col("off") * F.col("id_sum") + F.col("id_wsum")
+            ).alias("pos_checksum"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bpe_encode_oracle() -> str:
+    parts = [
+        f"""tok AS (SELECT unnest({_TOKS}) AS w FROM documents),
+wf AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY w),
+e0 AS MATERIALIZED (
+  SELECT w,
+         rtrim(regexp_replace(w, '(.)', '\\1' || chr(31), 'g'), chr(31)) AS sym,
+         n
+  FROM wf
+)"""
+    ]
+    for t in range(1, BPE_MERGES + 1):
+        parts.append(f"""ep{t} AS (
+  SELECT arr[i] AS x, arr[i + 1] AS y, CAST(SUM(n) AS BIGINT) AS cnt
+  FROM (SELECT string_split(sym, chr(31)) AS arr, n FROM e{t - 1}) t,
+       unnest(generate_series(1, len(arr) - 1)) AS g(i)
+  GROUP BY 1, 2
+), eb{t} AS (
+  SELECT x, y FROM ep{t} ORDER BY cnt DESC, x ASC, y ASC LIMIT 1
+), e{t} AS MATERIALIZED (
+  SELECT w, replace(sym, x || chr(31) || y, x || y) AS sym, n
+  FROM e{t - 1}, eb{t}
+)""")
+    n = BPE_MERGES
+    body = ",\n".join(parts)
+    return f"""
+WITH {body},
+symv AS (
+  SELECT s, CAST(SUM(n) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split(sym, chr(31))) AS s, n FROM e{n})
+  GROUP BY s
+),
+ids AS MATERIALIZED (
+  SELECT s, CAST(row_number() OVER (ORDER BY cnt DESC, s ASC) AS BIGINT) AS id
+  FROM symv
+),
+wid AS MATERIALIZED (
+  SELECT w,
+         CAST(count(*) AS BIGINT) AS L,
+         CAST(SUM(id) AS BIGINT) AS id_sum,
+         CAST(SUM(i * id) AS BIGINT) AS id_wsum,
+         CAST(SUM(CASE WHEN length(js.s) > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_merged
+  FROM (
+    SELECT w, g.i AS i, syms[g.i] AS s
+    FROM (SELECT w, string_split(sym, chr(31)) AS syms FROM e{n}) t,
+         unnest(generate_series(1, len(syms))) AS g(i)
+  ) js JOIN ids ON ids.s = js.s
+  GROUP BY w
+),
+dt AS (
+  SELECT doc_id, g.i AS tpos, toks[g.i] AS w
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) d,
+       unnest(generate_series(1, len(toks))) AS g(i)
+),
+st AS (
+  SELECT doc_id, wid.L, wid.id_sum, wid.id_wsum, wid.n_merged,
+         SUM(wid.L) OVER (PARTITION BY doc_id ORDER BY tpos
+                          ROWS UNBOUNDED PRECEDING) - wid.L AS off
+  FROM dt JOIN wid ON wid.w = dt.w
+)
+SELECT doc_id,
+       CAST(SUM(L) AS BIGINT) AS n_ids,
+       CAST(SUM(n_merged) AS BIGINT) AS n_merged_ids,
+       CAST(SUM(off * id_sum + id_wsum) AS BIGINT) AS pos_checksum
+FROM st GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # pipe_shard_assign — the training-data "shuffle": every document gets
 # a shard (hash-bucket) and a deterministic pseudo-random position
 # within its shard (rank of an independent content hash). Together
@@ -3057,7 +3267,205 @@ ORDER BY user_id
 """
 
 
+# --------------------------------------------------------------------------
+# pipe_quantile_sketch — the MERGEABLE quantile path (VERDICT r7 #6),
+# pipe_dataset_card's documented companion: the card's percentiles are
+# exact because token length is a small-domain integer; for a
+# continuous/wide-domain metric (here: document CHAR length) the 100 TB
+# pattern is a fixed-rule histogram sketch — bin = value div BINW, a
+# DATA-INDEPENDENT rule (unlike q66's corpus min/max scaling), which is
+# exactly what makes per-source sketches mergeable by plain count
+# addition across shards/days/sources without touching raw data.
+# Mergeability is ATTESTED, not claimed, with text_hll_merge's twin-row
+# device: the __merged__ row (per-source bin tables summed) must equal
+# the __direct__ row (corpus sketch computed from scratch) bit-for-bit
+# under the hash gate. Exact percentiles ride along per row (read off
+# the (source, n_chars) count table — the dataset-card device) so the
+# sketch's ≤ BINW error is inspectable per source.
+# Scale shape: ONE corpus scan → map-side-combinable (source, bin)
+# counts; every window runs over bin tables or value-count tables
+# (domain-bounded, declared in plans/window_contract.py); output is
+# |sources| + 2 rows, all-integer.
+# --------------------------------------------------------------------------
+QSK_BINW = 64
+QSK_QS = [(50, 0.5), (90, 0.9), (99, 0.99)]
+
+
+def pipe_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from jobx_spark.lineage import cut_lineage
+
+    docs = load_table(spark, sf_dir, "documents")
+    # ONE corpus scan: the (source, n_chars) count table feeds the
+    # per-source sketch, the exact read-off, AND (summed) both corpus
+    # rows — the domsig/hll device
+    vc = cut_lineage(
+        docs.select("source", F.col("n_chars").cast("long").alias("v"))
+        .groupBy("source", "v")
+        .agg(F.count(F.lit(1)).alias("c")),
+        "qsk-vc",
+    )
+
+    def readoff(table: DataFrame, keys: list[str]) -> DataFrame:
+        """Quantile read-off over a (keys..., v, c) count table: sketch
+        estimate from the binned histogram + exact value, per key."""
+        part = W.partitionBy(*keys) if keys else W.partitionBy()
+        binned = (
+            table.withColumn("bin", F.expr(f"v div {QSK_BINW}"))
+            .groupBy(*keys, "bin")
+            .agg(F.sum("c").alias("bc"))
+        )
+        bcum = binned.select(
+            *keys, "bin", "bc",
+            F.sum("bc").over(
+                (W.partitionBy(*keys) if keys else W.partitionBy())
+                .orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+            ).alias("cum"),
+            F.sum("bc").over(part).alias("n"),
+        )
+        vcum = table.select(
+            *keys, "v",
+            F.sum("c").over(
+                (W.partitionBy(*keys) if keys else W.partitionBy())
+                .orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+            ).alias("cum"),
+            F.sum("c").over(part).alias("n"),
+        )
+        est_aggs, ex_aggs = [], []
+        for tag, q in QSK_QS:
+            pos = F.ceil(F.lit(q) * F.col("n")).cast("long")
+            est_aggs.append(
+                ((F.min(F.when(F.col("cum") >= pos, F.col("bin"))) + 1)
+                 * QSK_BINW).cast("long").alias(f"p{tag}_est")
+            )
+            ex_aggs.append(
+                F.min(F.when(F.col("cum") >= pos, F.col("v")))
+                .cast("long").alias(f"p{tag}_exact")
+            )
+        est = bcum.groupBy(*keys).agg(F.max("n").alias("n_docs"), *est_aggs)
+        exact = vcum.groupBy(*keys).agg(*ex_aggs)
+        return est.join(exact, keys) if keys else est.crossJoin(
+            F.broadcast(exact)
+        )
+
+    cols = [
+        "source", "n_docs",
+        "p50_est", "p90_est", "p99_est",
+        "p50_exact", "p90_exact", "p99_exact",
+    ]
+    per_src = readoff(vc, ["source"]).select(*cols)
+    # __merged__: per-source sketches merged by COUNT ADDITION — the
+    # mergeability claim itself; __direct__: same table re-derived as
+    # one corpus sketch. The two rows must hash-equal.
+    corpus = cut_lineage(
+        vc.groupBy("v").agg(F.sum("c").alias("c")), "qsk-corpus"
+    )
+    merged = readoff(corpus, []).select(
+        F.lit("__merged__").alias("source"), *cols[1:]
+    )
+    direct = readoff(
+        docs.select(F.col("n_chars").cast("long").alias("v"))
+        .groupBy("v").agg(F.count(F.lit(1)).alias("c")),
+        [],
+    ).select(F.lit("__direct__").alias("source"), *cols[1:])
+    return (
+        per_src.unionByName(merged).unionByName(direct).orderBy("source")
+    )
+
+
+def _quantile_sketch_oracle() -> str:
+    def ests(cum_tbl: str, grp: str) -> tuple[str, str]:
+        """(est agg cols, exact agg cols) over a cum table."""
+        e, x = [], []
+        for tag, q in QSK_QS:
+            pos = f"CAST(ceil({q} * n) AS BIGINT)"
+            e.append(
+                f"CAST((MIN(CASE WHEN cum >= {pos} THEN bin END) + 1)"
+                f" * {QSK_BINW} AS BIGINT) AS p{tag}_est"
+            )
+            x.append(
+                f"CAST(MIN(CASE WHEN cum >= {pos} THEN v END) AS BIGINT)"
+                f" AS p{tag}_exact"
+            )
+        return ", ".join(e), ", ".join(x)
+
+    se_cols, sx_cols = ests("sb", "source")
+    est_names = ", ".join(f"p{t}_est" for t, _ in QSK_QS)
+    ex_names = ", ".join(f"p{t}_exact" for t, _ in QSK_QS)
+    return f"""
+WITH vc AS MATERIALIZED (
+  SELECT source, CAST(n_chars AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+),
+corpus AS MATERIALIZED (
+  SELECT v, CAST(SUM(c) AS BIGINT) AS c FROM vc GROUP BY v
+),
+direct AS MATERIALIZED (
+  SELECT CAST(n_chars AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1
+),
+sb AS (
+  SELECT source, bin, bc,
+         SUM(bc) OVER (PARTITION BY source ORDER BY bin
+                       ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(bc) OVER (PARTITION BY source) AS n
+  FROM (SELECT source, v // {QSK_BINW} AS bin, CAST(SUM(c) AS BIGINT) AS bc
+        FROM vc GROUP BY 1, 2)
+),
+se AS (SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs, {se_cols}
+       FROM sb GROUP BY source),
+sv AS (
+  SELECT source, v,
+         SUM(c) OVER (PARTITION BY source ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER (PARTITION BY source) AS n
+  FROM vc
+),
+sx AS (SELECT source, {sx_cols} FROM sv GROUP BY source),
+cb AS (
+  SELECT bin, bc,
+         SUM(bc) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(bc) OVER () AS n
+  FROM (SELECT v // {QSK_BINW} AS bin, CAST(SUM(c) AS BIGINT) AS bc
+        FROM corpus GROUP BY 1)
+),
+ce AS (SELECT CAST(MAX(n) AS BIGINT) AS n_docs, {se_cols} FROM cb),
+cv AS (
+  SELECT v, SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER () AS n
+  FROM corpus
+),
+cx AS (SELECT {sx_cols} FROM cv),
+db AS (
+  SELECT bin, bc,
+         SUM(bc) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(bc) OVER () AS n
+  FROM (SELECT v // {QSK_BINW} AS bin, CAST(SUM(c) AS BIGINT) AS bc
+        FROM direct GROUP BY 1)
+),
+de AS (SELECT CAST(MAX(n) AS BIGINT) AS n_docs, {se_cols} FROM db),
+dv AS (
+  SELECT v, SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER () AS n
+  FROM direct
+),
+dx AS (SELECT {sx_cols} FROM dv)
+SELECT se.source, se.n_docs, {est_names}, {ex_names}
+FROM se JOIN sx USING (source)
+UNION ALL
+SELECT '__merged__' AS source, ce.n_docs, {est_names}, {ex_names}
+FROM ce CROSS JOIN cx
+UNION ALL
+SELECT '__direct__' AS source, de.n_docs, {est_names}, {ex_names}
+FROM de CROSS JOIN dx
+ORDER BY source
+"""
+
+
 QUERIES = {
+    "pipe_bpe_encode": pipe_bpe_encode,
+    "pipe_quantile_sketch": pipe_quantile_sketch,
     "pipe_skew_census": pipe_skew_census,
     "pipe_shuffle_audit": pipe_shuffle_audit,
     "pipe_quality_funnel": pipe_quality_funnel,
@@ -3105,6 +3513,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pipe_bpe_encode": _bpe_encode_oracle(),
+    "pipe_quantile_sketch": _quantile_sketch_oracle(),
     "pipe_skew_census": ORACLE_PIPE_SKEW_CENSUS,
     "pipe_shuffle_audit": ORACLE_PIPE_SHUFFLE_AUDIT,
     "pipe_quality_funnel": _quality_funnel_oracle(),

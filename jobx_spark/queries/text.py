@@ -790,6 +790,13 @@ ORDER BY doc_id
 # build is a vocabulary-bounded shuffle, classification a broadcast
 # join against ≤ 50·n_langs profile rows. Ties in the argmax break to
 # the lexicographically smallest language, a total order.
+# Plan note (r8 A/B, BENCH_NOTES): the distinct-FIRST shape below beat
+# both scan-side array_distinct (8.1 s vs 5.4 s warm min, sf0.1) and
+# join-first count_distinct / join-then-distinct (9.8 / 10.4 s) —
+# per-doc dedup shrinks rows ~4× before any join, its exchange gets
+# map-side partial dedup, and the top-50 profile grams are Zipf-heavy
+# so a join-first "filter" barely filters occurrence mass. The distinct
+# exchange carries per-doc DISTINCT grams only.
 # --------------------------------------------------------------------------
 TRIGRAM_TOP = 50
 
