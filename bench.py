@@ -112,6 +112,7 @@ HEADLINE = [
     # (ann_knn_refine auto-enrolls via the ann_ prefix)
     "pipe_bpe_encode",
     "pipe_quantile_sketch",
+    "stream_quantile_sketch",
 ]
 
 BENCH_REPS = 2  # per-query timing = min over this many runs

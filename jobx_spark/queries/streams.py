@@ -682,6 +682,152 @@ def stream_cms_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# stream_quantile_sketch — the STREAMING twin of pipe_quantile_sketch
+# (same fixed-rule histogram: bin = floor(value/8), data-independent):
+# per-event-type bin counts maintained incrementally through the keyed
+# MERGE sink. A streaming aggregation in update mode emits MONOTONE
+# cumulative counts per key, so max-precedence MERGE converges to the
+# final histogram exactly (the stream_cms device) — the
+# incrementally-maintained sketch EQUALS the one-shot batch histogram,
+# which is what the oracle computes. Quantiles read off the snapshot
+# (≤ |value domain|/8 bins per type); exact percentiles from the batch
+# table ride along so the ≤ bin-width error is inspectable per type —
+# the production shape: a continuously-updated latency/size-percentile
+# dashboard that never rescans history and merges across shards by
+# count addition.
+# --------------------------------------------------------------------------
+SQSK_BINW = 8.0
+SQSK_QS = [(50, 0.5), (90, 0.9), (99, 0.99)]
+
+
+def stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from jobx_spark.lineage import scratch_dir
+    from jobx_spark.sources import load_table
+
+    ev = S.stream_events(spark, sf_dir)
+    counters = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("value") / F.lit(SQSK_BINW)).cast("long").alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count("*").alias("bc"))
+    )
+    root = scratch_dir("stream_qsk")
+    state, ckpt = f"{root}/state", f"{root}/ckpt"
+    S.stream_upsert_parquet(
+        counters, state, ckpt,
+        key_cols=["event_type", "bin"],
+        version_col="bc",
+        output_mode="update",
+        name="qsk_merge",
+    )
+    snap = spark.read.parquet(state)
+    bcum = snap.select(
+        "event_type", "bin", "bc",
+        F.sum("bc").over(
+            W.partitionBy("event_type").orderBy("bin")
+            .rowsBetween(W.unboundedPreceding, 0)
+        ).alias("cum"),
+        F.sum("bc").over(W.partitionBy("event_type")).alias("n"),
+    )
+    est_aggs = [F.max("n").alias("n_events")]
+    for tag, q in SQSK_QS:
+        pos = F.ceil(F.lit(q) * F.col("n")).cast("long")
+        est_aggs.append(
+            (
+                (F.min(F.when(F.col("cum") >= pos, F.col("bin"))) + 1)
+                * SQSK_BINW
+            ).alias(f"p{tag}_est")
+        )
+    est = bcum.groupBy("event_type").agg(*est_aggs)
+    vc = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", "value")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vcum = vc.select(
+        "event_type", "value",
+        F.sum("c").over(
+            W.partitionBy("event_type").orderBy("value")
+            .rowsBetween(W.unboundedPreceding, 0)
+        ).alias("cum"),
+        F.sum("c").over(W.partitionBy("event_type")).alias("n"),
+    )
+    ex_aggs = []
+    for tag, q in SQSK_QS:
+        pos = F.ceil(F.lit(q) * F.col("n")).cast("long")
+        ex_aggs.append(
+            F.min(F.when(F.col("cum") >= pos, F.col("value")))
+            .alias(f"p{tag}_exact")
+        )
+    exact = vcum.groupBy("event_type").agg(*ex_aggs)
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type", "n_events",
+            "p50_est", "p50_exact", "p90_est", "p90_exact",
+            "p99_est", "p99_exact",
+        )
+        .orderBy("event_type")
+    )
+
+
+def _stream_qsk_oracle() -> str:
+    est_cols, ex_cols = [], []
+    for tag, q in SQSK_QS:
+        pos = f"CAST(ceil({q} * n) AS BIGINT)"
+        est_cols.append(
+            f"(MIN(CASE WHEN cum >= {pos} THEN bin END) + 1) * {SQSK_BINW}"
+            f" AS p{tag}_est"
+        )
+        ex_cols.append(
+            f"MIN(CASE WHEN cum >= {pos} THEN value END) AS p{tag}_exact"
+        )
+    return f"""
+WITH bins AS (
+  SELECT event_type, CAST(floor(value / {SQSK_BINW}) AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS bc
+  FROM events GROUP BY 1, 2
+),
+bcum AS (
+  SELECT event_type, bin, bc,
+         SUM(bc) OVER (PARTITION BY event_type ORDER BY bin
+                       ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(bc) OVER (PARTITION BY event_type) AS n
+  FROM bins
+),
+est AS (
+  SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
+         {", ".join(est_cols)}
+  FROM bcum GROUP BY event_type
+),
+vc AS (
+  SELECT event_type, value, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+vcum AS (
+  SELECT event_type, value,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY value
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM vc
+),
+ex AS (
+  SELECT event_type, {", ".join(ex_cols)}
+  FROM vcum GROUP BY event_type
+)
+SELECT est.event_type, n_events,
+       p50_est, p50_exact, p90_est, p90_exact, p99_est, p99_exact
+FROM est JOIN ex ON ex.event_type = est.event_type
+ORDER BY est.event_type
+"""
+
+
 def _stream_cms_oracle() -> str:
     from jobx_spark.operators.text import CMS_DEPTH, CMS_WIDTH
 
@@ -1029,6 +1175,7 @@ QUERIES = {
     "stream_scd_enrich": stream_scd_enrich,
     "stream_cms_users": stream_cms_users,
     "stream_hll_cards": stream_hll_cards,
+    "stream_quantile_sketch": stream_quantile_sketch,
     "stream_window_distinct": stream_window_distinct,
     "stream_window_distinct_scaled": stream_window_distinct_scaled,
     "stream_zscore_anomaly": stream_zscore_anomaly,
@@ -1054,6 +1201,7 @@ ORACLES = {
     "stream_scd_enrich": ORACLE_STREAM_SCD,
     "stream_cms_users": _stream_cms_oracle(),
     "stream_hll_cards": _stream_hll_oracle(),
+    "stream_quantile_sketch": _stream_qsk_oracle(),
     "stream_window_distinct": ORACLE_STREAM_WINDOW_DISTINCT,
     "stream_window_distinct_scaled": ORACLE_STREAM_WINDOW_DISTINCT_SCALED,
     "stream_zscore_anomaly": ORACLE_STREAM_ZSCORE,

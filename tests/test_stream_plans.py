@@ -52,6 +52,9 @@ EXPECT = {
     # sketch-register state: ≤ m rows by construction, watermark-free
     "stream_hll_cards": (["stateStoreSave"], False, set()),
     "stream_cms_users": (["stateStoreSave"], False, set()),
+    # fixed-rule histogram bins: state ≤ |value domain|/binw per type,
+    # watermark-free like the other mergeable-sketch twins (r8)
+    "stream_quantile_sketch": (["stateStoreSave"], False, set()),
     # two phases (pre/post restart), each a bounded-key rollup
     "stream_incremental_restart": (
         ["stateStoreSave", "stateStoreSave"], False, set()),
