@@ -201,11 +201,11 @@ GATE_FIRST_50 = [
     "q66_binned_quantiles", "ann_hard_negatives",
     "dedup_semantic_leakage", "multimodal_decode_scaled",
     "text_source_divergence", "pipe_shard_assign",
-    # -- 2. new in round 8 (4 rows) --
+    # -- 2. new in round 8 (5 rows) --
     "pipe_bpe_encode", "ann_knn_refine", "pipe_quantile_sketch",
-    "stream_quantile_sketch",
+    "stream_quantile_sketch", "dedup_bloom_decontaminate",
     # -- 3. r3-banked rotation, oldest cohort, alphabetical head
-    #       (35 rows; pipe_stratified_k and q24_percentile_disc are
+    #       (34 rows; pipe_stratified_k and q24_percentile_disc are
     #       also changed-code) --
     "dedup_embedding_lsh", "dedup_incremental", "dedup_label_prop",
     "dedup_ngram_overlap", "dedup_pagerank", "dedup_triangle_count",
@@ -219,13 +219,13 @@ GATE_FIRST_50 = [
     "q23_stats_moments", "q24_percentile_disc", "q25_argmax_per_group",
     "q29_array_map_functions", "q45_big_volume_orders",
     "q55_bom_explosion", "q56_salted_skew_join", "q57_range_bin_join",
-    "q58_disjunctive_join",
 ]
 # ROUND-9 GATE POOL: after the r8 gate lands, the r3-banked tail that
 # did not fit this gate is the oldest cohort — lead the r9 rotation
-# with it (plus q59_waiting_suppliers, displaced by the late-r8
-# stream_quantile_sketch addition), then the r7-banked rows become
-# the next-oldest:
+# with it (plus q58_disjunctive_join and q59_waiting_suppliers,
+# displaced by the late-r8 stream_quantile_sketch and
+# dedup_bloom_decontaminate additions), then the r7-banked rows
+# become the next-oldest:
 # q60_lateral_topn, q61_promo_share, q62_supplier_census,
 # q63_dominant_supplier, q64_market_share, stream_pii_scrub,
 # stream_topk_trending, stream_zscore_anomaly, text_ttr

@@ -253,6 +253,143 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.select("doc_id").orderBy("doc_id")
 
 
+# --------------------------------------------------------------------------
+# dedup_bloom_decontaminate — benchmark decontamination at the 100 TB
+# shape: the eval set's distinct shingles become a Bloom filter
+# (set-bit positions, the q65 device — operators/sketches.py), every
+# train document's shingles probe it SCAN-SIDE against the broadcast
+# position table, and ONLY flagged documents (≥ 1 bloom hit) reach the
+# exact gram join. Bloom never false-negatives, so an unflagged
+# document is PROVABLY clean without ever joining it — the keep
+# decision stays exact (keep = zero EXACT hits) while the expensive
+# residual join shrinks to the flagged sliver. This is the practical
+# variant of dedup_decontaminate's LSH anti-join: eval/benchmark sets
+# are small, so the filter ships as kilobytes of positions where the
+# gram set itself would be a shuffle.
+# Per-train-doc output: gram count, bloom hits, exact hits, the
+# false-positive gram count (bloom − exact; the filter's measured FP
+# behavior, attested not assumed), and keep. Docs whose text yields no
+# shingles drop from both engines identically.
+# --------------------------------------------------------------------------
+DECON_BF_BITS = 1 << 23
+DECON_BF_K = 3
+
+
+def dedup_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.operators.sketches import bloom_positions, bloom_probe
+    from jobx_spark.operators.text import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    # distinct-per-doc shingles, materialized once: feeds the probe,
+    # the per-doc hit counts, the exact residual AND the base census
+    tg = cut_lineage(
+        docs.filter(F.col("doc_id") % 10 != 0).select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(shingles(F.col("text"), SHINGLE_N))
+            ).alias("s"),
+        ),
+        "bdecon-tg",
+    )
+    eg = cut_lineage(
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            F.explode(
+                F.array_distinct(shingles(F.col("text"), SHINGLE_N))
+            ).alias("s")
+        )
+        .distinct(),
+        "bdecon-eg",
+    )
+    filt = bloom_positions(eg, "s", bits=DECON_BF_BITS, k=DECON_BF_K)
+    passed = bloom_probe(tg, "s", filt, bits=DECON_BF_BITS, k=DECON_BF_K)
+    bh = (
+        tg.join(passed, tg.s == passed.key, "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("bloom_hits"))
+    )
+    # exact residual: only flagged docs' grams meet the eval gram set
+    eh = (
+        tg.join(bh.select("doc_id"), "doc_id", "left_semi")
+        .join(eg, "s", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("exact_hits"))
+    )
+    base = tg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    return (
+        base.join(bh, "doc_id", "left")
+        .join(eh, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("bloom_hits", F.lit(0)).alias("bloom_hits"),
+            F.coalesce("exact_hits", F.lit(0)).alias("exact_hits"),
+            (
+                F.coalesce("bloom_hits", F.lit(0))
+                - F.coalesce("exact_hits", F.lit(0))
+            ).alias("fp_grams"),
+            (F.coalesce("exact_hits", F.lit(0)) == 0).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bloom_decon_oracle() -> str:
+    md5 = "('0x'||substr(md5({e}),1,15))::BIGINT"
+    fpos = " UNION ".join(
+        "SELECT "
+        + md5.format(e=f"('bf{i}:' || s)")
+        + f" % {DECON_BF_BITS} AS pos FROM eg"
+        for i in range(DECON_BF_K)
+    )
+    kpos = " UNION ".join(
+        "SELECT s, "
+        + md5.format(e=f"('bf{i}:' || s)")
+        + f" % {DECON_BF_BITS} AS pos FROM pk"
+        for i in range(DECON_BF_K)
+    )
+    return f"""
+WITH tg AS MATERIALIZED (
+  SELECT doc_id, unnest(list_distinct({_SHINGLES3})) AS s
+  FROM documents WHERE doc_id % 10 != 0
+),
+eg AS MATERIALIZED (
+  SELECT DISTINCT unnest(list_distinct({_SHINGLES3})) AS s
+  FROM documents WHERE doc_id % 10 = 0
+),
+filt AS ({fpos}),
+pk AS (SELECT DISTINCT s FROM tg),
+key_pos AS ({kpos}),
+passed AS (
+  SELECT s FROM key_pos GROUP BY s
+  HAVING count(*) = count(*) FILTER (WHERE pos IN (SELECT pos FROM filt))
+),
+bh AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS bloom_hits
+  FROM tg WHERE s IN (SELECT s FROM passed) GROUP BY doc_id
+),
+eh AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS exact_hits
+  FROM tg
+  WHERE doc_id IN (SELECT doc_id FROM bh) AND s IN (SELECT s FROM eg)
+  GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM tg GROUP BY doc_id
+)
+SELECT base.doc_id, n_grams,
+       CAST(coalesce(bloom_hits, 0) AS BIGINT) AS bloom_hits,
+       CAST(coalesce(exact_hits, 0) AS BIGINT) AS exact_hits,
+       CAST(coalesce(bloom_hits, 0) - coalesce(exact_hits, 0) AS BIGINT)
+           AS fp_grams,
+       coalesce(exact_hits, 0) = 0 AS keep
+FROM base
+LEFT JOIN bh ON bh.doc_id = base.doc_id
+LEFT JOIN eh ON eh.doc_id = base.doc_id
+ORDER BY base.doc_id
+"""
+
+
 def _banded_sql(suffix: str, pred: str) -> str:
     """CTE chain producing ``banded_{suffix}`` (doc_id, band, bh) for
     the documents subset matching ``pred`` — the same constants as the
@@ -2446,6 +2583,7 @@ QUERIES = {
     "dedup_containment": dedup_containment,
     "dedup_two_hop_reach": dedup_two_hop_reach,
     "dedup_decontaminate": dedup_decontaminate,
+    "dedup_bloom_decontaminate": dedup_bloom_decontaminate,
     "dedup_pagerank": dedup_pagerank,
 }
 
@@ -2486,5 +2624,6 @@ ORACLES = {
     "dedup_containment": ORACLE_DEDUP_CONTAINMENT,
     "dedup_two_hop_reach": _two_hop_oracle(),
     "dedup_decontaminate": _decontaminate_oracle(),
+    "dedup_bloom_decontaminate": _bloom_decon_oracle(),
     "dedup_pagerank": _pagerank_oracle(),
 }

@@ -37,3 +37,29 @@ def test_all_pairs_requires_opt_in_and_row_limit(spark, monkeypatch):
         df, block_col=None, allow_all_pairs=True, min_cosine=-2.0
     )
     assert out.count() == 30 * 29 // 2
+
+
+def test_bloom_decontaminate_never_false_negative(spark):
+    """dedup_bloom_decontaminate's load-bearing claim, executed: the
+    Bloom prefilter may false-positive (fp_grams >= 0) but can NEVER
+    miss a truly contaminated gram — every doc with exact hits must be
+    bloom-flagged at least as often, and keep must be exactly
+    (exact_hits == 0). A filter bug that dropped a contaminated doc
+    would pass a hash gate built on a matching-but-wrong oracle; this
+    pins the semantic invariant independently."""
+    from jobx_spark.queries import all_queries
+
+    rows = all_queries()["dedup_bloom_decontaminate"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    assert any(r["exact_hits"] > 0 for r in rows), (
+        "fixture must contain at least one contaminated train doc"
+    )
+    for r in rows:
+        assert r["bloom_hits"] >= r["exact_hits"], (
+            f"doc {r['doc_id']}: bloom missed a true hit "
+            f"({r['bloom_hits']} < {r['exact_hits']})"
+        )
+        assert r["fp_grams"] == r["bloom_hits"] - r["exact_hits"]
+        assert r["keep"] == (r["exact_hits"] == 0)
