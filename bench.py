@@ -247,12 +247,15 @@ def run_meta(
             ),
             3,
         ),
-        # NO `if n in timings` guard (ADVICE r7): an anchor query
-        # missing from timings entirely (renamed/removed from the
-        # registry) must read as INCOMPLETE, not silently shrink the
-        # comparable number while the flag still says complete.
+        # An anchor query missing from timings entirely (renamed/
+        # removed from the registry) must read as INCOMPLETE, not
+        # silently shrink the comparable number while the flag still
+        # says complete — and (ADVICE r8) a reps_done entry WITHOUT a
+        # timing (inconsistent driver state) is the same lie: require
+        # both the ≥2 reps AND the timing row.
         "warm_anchor_complete": all(
-            (reps_done or {}).get(n, 0) >= 2 for n in WARM_ANCHOR
+            (reps_done or {}).get(n, 0) >= 2 and n in timings
+            for n in WARM_ANCHOR
         ),
         # pass-2 rotation stamp: which round offset the non-anchor
         # descending-cost list started at this run

@@ -326,7 +326,14 @@ def brute_force_topk(
     ``dot / (sqrt(qnorm)·sqrt(cnorm))`` in IEEE doubles — the partial
     selection changes which rows survive, never their values, and its
     comparator (cosine desc, vec_id asc) matches the final ranking, so
-    the global result is exactly the full-scored answer."""
+    the global result is exactly the full-scored answer.
+
+    Zero-norm vectors (cosine undefined) are masked like
+    :func:`hard_negative_topk` does (ADVICE r7/r8): zero-norm queries
+    produce no rows, zero-norm corpus vectors never rank — otherwise a
+    single zero vector yields NaN cosines with engine-dependent
+    ordering against the SQL oracles, whose base CTEs carry the
+    matching ``WHERE norm_s > 0`` mask."""
     qrows = queries.select(
         F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv")
     ).collect()
@@ -352,8 +359,17 @@ def brute_force_topk(
                 .sum(axis=1)
                 .astype(np.float64)
             )
+            # zero-norm corpus rows masked (cosine undefined)
+            valid = cnorm_sqrt != 0.0
+            if not valid.all():
+                ids, mat, cnorm_sqrt = ids[valid], mat[valid], cnorm_sqrt[valid]
+            if len(ids) == 0:
+                continue
             out_q, out_id, out_cos = [], [], []
             for j in range(len(qids)):
+                if qnorm_sqrt[j] == 0.0:
+                    # zero-norm query: cosine undefined for every row
+                    continue
                 dot = (
                     np.floor((mat * qmat[j]) * 1e12)
                     .astype(np.int64)
@@ -366,6 +382,8 @@ def brute_force_topk(
                 out_q.append(np.full(len(keep), qids[j], dtype=np.int64))
                 out_id.append(ids[keep])
                 out_cos.append(cos[keep])
+            if not out_q:
+                continue
             yield pd.DataFrame(
                 {
                     "qid": np.concatenate(out_q),

@@ -134,14 +134,21 @@ def plan_report(df: DataFrame) -> dict:
 @dataclass
 class WindowInfo:
     """One physical Window node: partition/order key column names
-    (plan-id suffixes stripped) and, when a WindowGroupLimit with the
-    same (partition, order) spec guards it, that limit — Spark then
+    (plan-id suffixes stripped) and, when a WindowGroupLimit is the
+    window's DIRECT child in the plan tree, that limit — Spark then
     truncates every key's run to ``rank_limited`` rows before the sort
-    buffer, so the window is bounded BY THE PLAN regardless of data."""
+    buffer, so the window is bounded BY THE PLAN regardless of data.
+    Attribution is by tree adjacency, never by (partition, order)
+    signature equality across the plan (ADVICE r8: a coincidentally
+    same-keyed unbounded window elsewhere must NOT inherit the bound).
+    A Window whose Arguments line is missing or unparseable surfaces as
+    ``unparsed=True`` with a sentinel partition key so the audit fails
+    loudly instead of silently skipping it."""
 
     partition_keys: tuple[str, ...]
     order_keys: tuple[str, ...]
     rank_limited: int | None = None
+    unparsed: bool = False
 
 
 _COL_ID_RE = re.compile(r"([A-Za-z_][A-Za-z0-9_]*)#\d+")
@@ -166,13 +173,43 @@ def _key_sig(group: str) -> tuple[str, ...]:
     return tuple(_COL_ID_RE.findall(group))
 
 
-def windows(plan: str) -> list[WindowInfo]:
-    """Every Window node's partition signature in a FORMATTED plan."""
+# Tree-header node line: optional indent/connector prefix, optional
+# codegen star, node name, trailing "(id)". Detail lines ("(7) Window")
+# start with "(" and never match; Arguments lines contain ":" inside
+# the would-be name and never match.
+_TREE_LINE_RE = re.compile(r"^([ :|+\-]*)(?:\*\s*)?([A-Za-z][A-Za-z0-9_ ]*?)\s*\((\d+)\)\s*$")
+
+
+def _tree_nodes(plan: str) -> list[tuple[int, str, int]]:
+    """(depth, name, node_id) for every node line in the tree header,
+    in print order. Depth derives from the 3-char indent unit of the
+    connector prefix (the codegen ``* `` marker is excluded from the
+    prefix so it cannot shift depth)."""
+    out: list[tuple[int, str, int]] = []
+    in_tree = False
+    for ln in plan.splitlines():
+        if ln.startswith("== Physical Plan =="):
+            in_tree = True
+            continue
+        if not in_tree:
+            continue
+        if re.match(r"^\(\d+\)", ln.strip()):
+            break  # detail section reached
+        m = _TREE_LINE_RE.match(ln)
+        if m:
+            prefix, name, nid = m.groups()
+            out.append((len(prefix) // 3, name.strip(), int(nid)))
+    return out
+
+
+def _detail_args(plan: str, kinds: tuple[str, ...]) -> dict[int, tuple[str, str | None]]:
+    """node_id -> (kind, Arguments string or None) for detail-section
+    entries whose operator name is in ``kinds``."""
     lines = plan.splitlines()
-    wins: list[WindowInfo] = []
-    limits: list[tuple[tuple[str, ...], tuple[str, ...], int]] = []
+    out: dict[int, tuple[str, str | None]] = {}
+    pat = re.compile(r"^\((\d+)\) (%s)\b" % "|".join(kinds))
     for i, ln in enumerate(lines):
-        m = re.match(r"^\(\d+\) (Window|WindowGroupLimit)\b", ln.strip())
+        m = pat.match(ln.strip())
         if not m:
             continue
         args = None
@@ -181,28 +218,64 @@ def windows(plan: str) -> list[WindowInfo]:
             if s.startswith("Arguments:"):
                 args = s.split(":", 1)[1]
                 break
-        if args is None:
+        out[int(m.group(1))] = (m.group(2), args)
+    return out
+
+
+_UNPARSED_SENTINEL = ("<unparsed-window-arguments>",)
+
+
+def windows(plan: str) -> list[WindowInfo]:
+    """Every Window node's partition signature in a FORMATTED plan.
+
+    A ``rank_limited`` bound is attributed ONLY when a WindowGroupLimit
+    is the Window's direct child in the plan tree — that is where
+    ``InsertWindowGroupLimit`` places the Final-mode limit it guards
+    the window with. Windows whose Arguments cannot be parsed are
+    returned as ``unparsed`` rows with a sentinel partition key (they
+    must fail the audit, not vanish from it)."""
+    detail = _detail_args(plan, ("Window", "WindowGroupLimit"))
+    tree = _tree_nodes(plan)
+    wins: list[WindowInfo] = []
+    for idx, (depth, name, nid) in enumerate(tree):
+        if name != "Window":
             continue
-        groups = _bracket_groups(args)
-        if m.group(1) == "Window" and len(groups) >= 3:
-            wins.append(WindowInfo(_key_sig(groups[-2]), _key_sig(groups[-1])))
-        elif m.group(1) == "Window" and len(groups) == 2:
+        kind_args = detail.get(nid)
+        args = kind_args[1] if kind_args else None
+        groups = _bracket_groups(args) if args is not None else []
+        if len(groups) >= 3:
+            w = WindowInfo(_key_sig(groups[-2]), _key_sig(groups[-1]))
+        elif len(groups) == 2:
             # Two-group renderings drop the empty spec: either an
             # ORDER-less window ([exprs], [partition]) or a GLOBAL
             # ordered window ([exprs], [order]) — order entries carry
             # sort-direction tokens, partition entries never do
             if re.search(r"\b(ASC|DESC)\b", groups[-1]):
-                wins.append(WindowInfo((), _key_sig(groups[-1])))
+                w = WindowInfo((), _key_sig(groups[-1]))
             else:
-                wins.append(WindowInfo(_key_sig(groups[-1]), ()))
-        elif m.group(1) == "WindowGroupLimit" and len(groups) >= 2:
-            lim = re.search(r",\s*(\d+),\s*(?:Partial|Final)\s*$", args)
-            if lim:
-                limits.append(
-                    (_key_sig(groups[0]), _key_sig(groups[1]), int(lim.group(1)))
+                w = WindowInfo(_key_sig(groups[-1]), ())
+        elif len(groups) == 1:
+            # One-group rendering = [window exprs] alone: a GLOBAL
+            # window with neither partition nor order (frame-only
+            # windowspecdefinition, e.g. an unpartitioned whole-table
+            # sum). The pre-r9 parser silently skipped these (ADVICE
+            # r8) — they audit as partition () like any global window.
+            w = WindowInfo((), ())
+        else:
+            w = WindowInfo(_UNPARSED_SENTINEL, (), unparsed=True)
+        # Direct child = next tree line one level deeper (Window is
+        # unary, so its subtree prints immediately after it).
+        if idx + 1 < len(tree):
+            cdepth, cname, cid = tree[idx + 1]
+            if cdepth == depth + 1 and cname == "WindowGroupLimit":
+                ckind_args = detail.get(cid)
+                cargs = ckind_args[1] if ckind_args else None
+                lim = (
+                    re.search(r",\s*(\d+),\s*(?:Partial|Final)\s*$", cargs)
+                    if cargs
+                    else None
                 )
-    for w in wins:
-        for psig, osig, lim in limits:
-            if psig == w.partition_keys and osig == w.order_keys:
-                w.rank_limited = lim
+                if lim:
+                    w.rank_limited = int(lim.group(1))
+        wins.append(w)
     return wins

@@ -84,6 +84,28 @@ WINDOW_BOUNDS: dict[str, dict[tuple[str, ...], str]] = {
                      "4096× smaller than the corpus (recurrence-device "
                      "bound; a 10⁹-doc source is ~250k summary rows)",
     },
+    "ann_ivf_balance": {
+        (): "global share/balance arithmetic over the KM_K(=8)-row "
+            "cell-population census",
+    },
+    "pipe_epochs_budget": {
+        (): "global sum windows over the per-source token census "
+            "(~|sources|=20 rows; the corpus scans once into the "
+            "census)",
+    },
+    "pipe_mix_temperature": {
+        (): "global sum over the per-source count table (~|sources|=20 "
+            "rows at any corpus size; the corpus scans once into the "
+            "count agg)",
+    },
+    "q52_revenue_share": {
+        (): "global sum over the per-nation aggregate (~25 rows; "
+            "agg-then-window by construction, never the base table)",
+    },
+    "text_perplexity_buckets": {
+        (): "global sum over the perplexity-bucket census (≤64 "
+            "quarter-octave buckets at any corpus size)",
+    },
     "pipe_quality_funnel": {
         (): "global cumulative over the ≤ |rules|+1 (=6) stage census rows",
     },

@@ -1402,7 +1402,14 @@ def pipe_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
             .agg(F.sum("n").alias("cnt"))
         )
-        best = pairs.orderBy(F.desc("cnt"), F.asc("x"), F.asc("y")).limit(1).collect()[0]
+        rows = pairs.orderBy(F.desc("cnt"), F.asc("x"), F.asc("y")).limit(1).collect()
+        if not rows:
+            # fully-merged degenerate corpus: no multi-symbol word
+            # remains, so no pair exists — stop learning (ADVICE r8;
+            # the oracle's LEFT JOIN fallback yields the same truncated
+            # merge list)
+            break
+        best = rows[0]
         merges.append((t, best.x, best.y, int(best.cnt)))
         words = cut_lineage(
             words.select(
@@ -1442,8 +1449,10 @@ w0 AS (
 ), best{t} AS (
   SELECT x, y, cnt FROM p{t} ORDER BY cnt DESC, x ASC, y ASC LIMIT 1
 ), w{t} AS (
-  SELECT replace(sym, x || chr(31) || y, x || y) AS sym, n
-  FROM w{t - 1}, best{t}
+  -- LEFT JOIN ON TRUE: an empty best{t} (fully-merged corpus) keeps
+  -- w{t-1} unchanged instead of emptying the chain (ADVICE r8)
+  SELECT COALESCE(replace(sym, x || chr(31) || y, x || y), sym) AS sym, n
+  FROM w{t - 1} LEFT JOIN best{t} ON TRUE
 )""")
     body = ",\n".join(parts)
     union = "\nUNION ALL\n".join(
@@ -1524,9 +1533,15 @@ def pipe_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
             .agg(F.sum("n").alias("cnt"))
         )
-        best = pairs.orderBy(
+        rows = pairs.orderBy(
             F.desc("cnt"), F.asc("x"), F.asc("y")
-        ).limit(1).collect()[0]
+        ).limit(1).collect()
+        if not rows:
+            # fully-merged degenerate corpus: keep words unchanged and
+            # stop — mirrors the learner and the oracle's LEFT JOIN
+            # fallback (ADVICE r8)
+            break
+        best = rows[0]
         words = cut_lineage(
             words.select(
                 "w",
@@ -1624,8 +1639,10 @@ e0 AS MATERIALIZED (
 ), eb{t} AS (
   SELECT x, y FROM ep{t} ORDER BY cnt DESC, x ASC, y ASC LIMIT 1
 ), e{t} AS MATERIALIZED (
-  SELECT w, replace(sym, x || chr(31) || y, x || y) AS sym, n
-  FROM e{t - 1}, eb{t}
+  -- LEFT JOIN ON TRUE: an empty eb{t} (fully-merged corpus) keeps
+  -- e{t-1} unchanged instead of emptying the chain (ADVICE r8)
+  SELECT w, COALESCE(replace(sym, x || chr(31) || y, x || y), sym) AS sym, n
+  FROM e{t - 1} LEFT JOIN eb{t} ON TRUE
 )""")
     n = BPE_MERGES
     body = ",\n".join(parts)

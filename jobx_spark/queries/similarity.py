@@ -61,9 +61,13 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_ANN_BRUTEFORCE = f"""
-WITH e AS (
+WITH e0 AS (
   SELECT vec_id, embedding, {_SDOT.format(a='embedding', b='embedding')} AS norm_s
   FROM embeddings
+), e AS (
+  -- zero-norm mask mirrored from brute_force_topk (ADVICE r8): cosine
+  -- is undefined for zero vectors; the kernel skips them, so must we
+  SELECT * FROM e0 WHERE norm_s > 0
 ), q AS (
   SELECT vec_id AS query_id, embedding AS qv, norm_s AS qnorm_s
   FROM e WHERE vec_id < {N_QUERIES}
@@ -122,9 +126,12 @@ ORACLE_ANN_BRUTEFORCE_SCALED = f"""
 WITH es AS (
   SELECT b.vec_id + r.rep * {_ANN_REP_BASE} AS vec_id, b.embedding
   FROM embeddings b CROSS JOIN range({ANN_REP}) AS r(rep)
-), e AS (
+), e0 AS (
   SELECT vec_id, embedding, {_SDOT.format(a='embedding', b='embedding')} AS norm_s
   FROM es
+), e AS (
+  -- zero-norm mask mirrored from brute_force_topk (ADVICE r8)
+  SELECT * FROM e0 WHERE norm_s > 0
 ), q AS (
   SELECT vec_id AS query_id, embedding AS qv, norm_s AS qnorm_s
   FROM e WHERE vec_id < {N_QUERIES}
@@ -1032,6 +1039,13 @@ def ann_knn_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jobx_spark.lineage import cut_lineage
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # zero-norm mask (ADVICE r8): every cosine below divides by this
+    # norm — mask once at the source so the graph, the rescore, the
+    # probe set, and the brute-force truth all see the same corpus the
+    # oracle's `WHERE norm_s > 0` base CTE sees
+    emb = emb.filter(
+        _sdot(F.col("embedding"), F.col("embedding")) > 0
+    )
     # the LSH-blocked construction is THE expensive stage and has four
     # consumers (probe edges, both hop sides, the raw-graph hits) —
     # materialize the |V|·k edge list once (the domsig device; without
@@ -1130,11 +1144,16 @@ def _knn_refine_oracle() -> str:
         " / (sqrt(a.norm_s::DOUBLE) * sqrt(b.norm_s::DOUBLE))"
     )
     return f"""
-WITH e AS MATERIALIZED (
+WITH e1 AS (
   SELECT vec_id, embedding,
          {_SDOT.format(a='embedding', b='embedding')} AS norm_s,
          {bucket_sql(N_PLANES)} AS bucket
   FROM embeddings
+), e AS MATERIALIZED (
+  -- zero-norm mask (ADVICE r8, the hard_negatives device): every
+  -- downstream cosine — edges, rescore, ground truth — divides by
+  -- sqrt(norm_s); the Spark side masks the corpus identically
+  SELECT * FROM e1 WHERE norm_s > 0
 ), edges AS MATERIALIZED (
   SELECT src_id, nbr_id FROM (
     SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,

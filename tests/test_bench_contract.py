@@ -109,3 +109,8 @@ def test_warm_anchor_missing_query_reads_incomplete():
     meta2 = run_meta(0.1, 0.1, full, reps_done={n: 2 for n in full})
     assert meta2["warm_anchor_complete"] is True
     assert meta2["warm_subset_total"] == round(float(len(WARM_ANCHOR)), 3)
+
+    # ADVICE r8: reps_done claiming ≥2 while the timing row is ABSENT
+    # (inconsistent driver state) must read incomplete, not sum 0.0
+    meta3 = run_meta(0.1, 0.1, present, reps_done={n: 2 for n in WARM_ANCHOR})
+    assert meta3["warm_anchor_complete"] is False

@@ -58,6 +58,52 @@ def test_window_partitions_bounded_or_declared(name, spark, sf_dir):
         )
 
 
+def test_grouplimit_attributed_by_adjacency_not_signature(spark):
+    """ADVICE r8 (medium): a Window whose (partition, order) signature
+    coincidentally equals a guarded window's elsewhere in the SAME plan
+    must NOT inherit that bound — attribution is by direct tree
+    adjacency only."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, 2.0), (1, 3.0), (2, 4.0)], "k int, v double")
+    spec = W.partitionBy("k").orderBy("v")
+    both = (
+        df.withColumn("rn", F.row_number().over(spec))
+        .filter("rn <= 2")
+        .withColumn("sm", F.sum("v").over(spec))
+    )
+    ws = P.windows(P.plan_str(both))
+    assert sum(1 for w in ws if w.rank_limited is not None) == 1
+    assert sum(1 for w in ws if w.rank_limited is None) == 1
+
+
+def test_unparseable_window_arguments_surface_not_skip():
+    """ADVICE r8 (medium): a Window node whose Arguments line is
+    missing or renders <2 bracket groups must emit an UNPARSED row
+    (sentinel partition key, unparsed=True) so the bounded-or-declared
+    gate fails loudly instead of silently exempting it."""
+    synthetic = """== Physical Plan ==
+* Project (3)
++- Window (2)
+   +- Scan parquet  (1)
+
+
+(1) Scan parquet
+Output [2]: [k#0, v#1]
+
+(2) Window
+Input [2]: [k#0, v#1]
+
+(3) Project
+Output [3]: [k#0, v#1, rn#2]
+"""
+    ws = P.windows(synthetic)
+    assert len(ws) == 1 and ws[0].unparsed
+    assert ws[0].rank_limited is None
+    assert ws[0].partition_keys == ("<unparsed-window-arguments>",)
+
+
 def test_window_contract_has_no_stale_entries(spark, sf_dir):
     """The contract can't rot: every declared (query, partition) must
     still correspond to a live un-limited window in that query's plan,
