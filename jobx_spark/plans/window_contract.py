@@ -36,9 +36,12 @@ _GROWING_SUPP = (
     "data-growing key: l_suppkey cardinality grows with SF (TPC-H keeps "
     "per-supplier lineitems roughly constant as the table scales)"
 )
-_VOCAB_GLOBAL = (
-    "global rank over the already-aggregated vocabulary count table "
-    "(|distinct tokens| rows, ~ corpus-independent; one JVM spilling sort)"
+_TOPK_RERANK = (
+    "global rank over the ≤K-row TakeOrderedAndProject result: the "
+    "top-K cut happens in the preceding distributed orderBy().limit(K) "
+    "(r9 rewrite — InferWindowGroupLimit never fires for empty-"
+    "partition windows, so the old rank-window form sorted the whole "
+    "vocabulary in one task)"
 )
 
 WINDOW_BOUNDS: dict[str, dict[tuple[str, ...], str]] = {
@@ -47,7 +50,7 @@ WINDOW_BOUNDS: dict[str, dict[tuple[str, ...], str]] = {
                  "shingles, bounded by document length",
     },
     "pipe_bigram_counts": {
-        (): _VOCAB_GLOBAL + " (bigram vocabulary)",
+        (): _TOPK_RERANK + " (bigram vocabulary)",
     },
     "pipe_bpe_encode": {
         ("doc_id",): "per-document token sequence: the offset prefix sum "
@@ -68,7 +71,7 @@ WINDOW_BOUNDS: dict[str, dict[tuple[str, ...], str]] = {
                      "collapse (r8 rewrite of the per-document rank)",
     },
     "pipe_encode_ids": {
-        (): _VOCAB_GLOBAL,
+        (): _TOPK_RERANK,
     },
     "pipe_ewma_user_value": {
         ("k",): "chunking row_number of operators/recurrence.py: the JVM "
@@ -168,9 +171,13 @@ WINDOW_BOUNDS: dict[str, dict[tuple[str, ...], str]] = {
                      "length (ROWS frame sorts per doc JVM-side, spills)",
     },
     "text_zipf_census": {
-        (): _VOCAB_GLOBAL,
+        (): "global rank over the FULL aggregated vocabulary count "
+            "table — honestly: ONE spilling single-task sort of "
+            "|distinct tokens| rows (Heaps' law: sublinear but "
+            "unbounded). Acceptable for a diagnostic census run "
+            "off-path; not a production-pipeline shape",
     },
     "pipe_vocab_topk": {
-        (): _VOCAB_GLOBAL,
+        (): _TOPK_RERANK,
     },
 }

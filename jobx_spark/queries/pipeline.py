@@ -731,11 +731,16 @@ ORDER BY lang, source
 # top-K corpus tokens by frequency, ranked. explode → groupBy(token)
 # does partial aggregation before the exchange, so the shuffle carries
 # one (token, partial_count) row per distinct token per input partition
-# — bounded by vocabulary size, not corpus size. The ranking window has
-# no PARTITION BY, which is only safe because it runs over the already-
-# aggregated vocabulary (≤ distinct-token rows); at 100 TB the input to
-# the window is still just the vocabulary. Ties break on the token
-# itself so the cut at K is deterministic cross-engine.
+# — bounded by vocabulary size, not corpus size. The top-K cut is a
+# global orderBy().limit(K) — TakeOrderedAndProject, a distributed
+# partial top-K (each task keeps its local K, the driver merges) — NOT
+# a global rank window: Spark's InferWindowGroupLimit never fires for
+# empty-partition windows (verified r9), so the window form would
+# funnel the ENTIRE vocabulary (10⁹ distinct tokens at web scale,
+# Heaps' law) through one task's sort. The rank is then recomputed
+# over the ≤K-row result, where the same total order (n desc, token)
+# reproduces it exactly. Ties break on the token itself so the cut at
+# K is deterministic cross-engine.
 # --------------------------------------------------------------------------
 VOCAB_K = 200
 
@@ -749,10 +754,10 @@ def pipe_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count("*").alias("n"))
     )
-    w = W.orderBy(F.col("n").desc(), F.col("token"))
+    order = [F.col("n").desc(), F.col("token")]
+    topk = counts.orderBy(*order).limit(VOCAB_K)
     return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= VOCAB_K)
+        topk.withColumn("rank", F.row_number().over(W.orderBy(*order)))
         .orderBy("rank")
     )
 
@@ -794,10 +799,14 @@ def pipe_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.count_distinct("doc_id").alias("n_docs"),
     )
-    w = W.orderBy(F.col("n").desc(), F.col("bigram"))
+    # TakeOrderedAndProject top-K, rank recomputed over ≤K rows (the
+    # pipe_vocab_topk device — InferWindowGroupLimit never fires for
+    # empty-partition windows, so the rank-window form would sort the
+    # whole bigram vocabulary in one task)
+    order = [F.col("n").desc(), F.col("bigram")]
+    topk = counts.orderBy(*order).limit(BIGRAM_K)
     return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= BIGRAM_K)
+        topk.withColumn("rank", F.row_number().over(W.orderBy(*order)))
         .orderBy("rank")
     )
 
@@ -1257,10 +1266,13 @@ def pipe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = W.orderBy(F.col("n").desc(), F.col("token"))
+    # TakeOrderedAndProject top-K, id recomputed over ≤K rows (the
+    # pipe_vocab_topk device): the vocabulary cut never funnels the
+    # full distinct-token table through one empty-partition window task
+    order = [F.col("n").desc(), F.col("token")]
     vocab = (
-        counts.withColumn("id", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("id") <= ENCODE_VOCAB_K)
+        counts.orderBy(*order).limit(ENCODE_VOCAB_K)
+        .withColumn("id", F.row_number().over(W.orderBy(*order)).cast("bigint"))
         .select("token", "id")
     )
     exploded = docs.select(
@@ -1495,9 +1507,11 @@ ORDER BY rank
 # small); the offset prefix runs per document (window partition =
 # one doc's tokens, bounded by document length — declared).
 # --------------------------------------------------------------------------
-def pipe_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
+def _bpe_learned_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learn-chain distinct-word table (w, sym, n) after BPE_MERGES
+    rounds — shared by pipe_bpe_encode and pipe_bpe_decode. The
+    per-round best-pair argmax is a 1-row limit(1) collect (bounded,
+    same contract as pipe_bpe_learn; declared in collect_contract)."""
     from jobx_spark.lineage import cut_lineage
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1554,21 +1568,34 @@ def pipe_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "bpee-w",
         )
-    # symbol vocabulary: weighted frequency desc, symbol asc → id
-    # (1-based). |chars| + BPE_MERGES rows at most — collect + literal
-    # map keeps the encode join-free per symbol.
+    return words
+
+
+def _bpe_symbol_idmap(words: DataFrame) -> dict[str, int]:
+    """Symbol vocabulary: weighted frequency desc, symbol asc → id
+    (1-based). |chars| + BPE_MERGES rows at most — collect + literal
+    map keeps encode/decode join-free per symbol (declared in
+    collect_contract)."""
     sym_rows = (
         words.select(F.explode(F.split("sym", _BPE_SEP)).alias("s"), "n")
         .groupBy("s")
         .agg(F.sum("n").alias("cnt"))
         .collect()
     )
-    sym_id = {
+    return {
         r["s"]: i + 1
         for i, r in enumerate(
             sorted(sym_rows, key=lambda r: (-r["cnt"], r["s"]))
         )
     }
+
+
+def pipe_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = _bpe_learned_words(spark, sf_dir)
+    sym_id = _bpe_symbol_idmap(words)
     id_entries = [x for s, i in sorted(sym_id.items()) for x in (F.lit(s), F.lit(i))]
     idmap = F.create_map(*id_entries)
     word_ids = words.select(
@@ -1619,7 +1646,9 @@ def pipe_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_encode_oracle() -> str:
+def _bpe_chain_parts() -> list[str]:
+    """The shared encode-side learn-chain CTEs (tok → wf → e0 → … →
+    e{BPE_MERGES}) used by both the encode and decode oracles."""
     parts = [
         f"""tok AS (SELECT unnest({_TOKS}) AS w FROM documents),
 wf AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY w),
@@ -1644,8 +1673,12 @@ e0 AS MATERIALIZED (
   SELECT w, COALESCE(replace(sym, x || chr(31) || y, x || y), sym) AS sym, n
   FROM e{t - 1} LEFT JOIN eb{t} ON TRUE
 )""")
+    return parts
+
+
+def _bpe_encode_oracle() -> str:
     n = BPE_MERGES
-    body = ",\n".join(parts)
+    body = ",\n".join(_bpe_chain_parts())
     return f"""
 WITH {body},
 symv AS (
@@ -1687,6 +1720,119 @@ SELECT doc_id,
        CAST(SUM(n_merged) AS BIGINT) AS n_merged_ids,
        CAST(SUM(off * id_sum + id_wsum) AS BIGINT) AS pos_checksum
 FROM st GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# pipe_bpe_decode — BPE DECODE round-trip certificate (VERDICT r8
+# headroom #1): pipe_bpe_encode proves encode(word) equals the
+# learner's state; nothing yet certified that the ID STREAM decodes
+# back to the original text. This closes the tokenizer loop: each
+# word's symbols map to ids (the encode direction) and IMMEDIATELY
+# back through the broadcast inverse id→symbol map; the decoded
+# concatenation is string-compared to the source word. Per document:
+# token count, id count, count of round-tripping tokens, a 0/1
+# round_trip flag (all tokens decoded exactly), and the decoded
+# character total — all integers, oracle-recomputed, so any id
+# collision, inversion slip, or order scramble flips the hash. The
+# oracle goes through ITS ids table twice (ids.s = js.s, then
+# inv.id = ids.id) — the same two hops the Spark literal maps take.
+# Scale shape: identical to pipe_bpe_encode — the chain lives on the
+# distinct-word table, the id/inverse maps are |chars|+merges-row
+# literals, docs certify via ONE word-keyed join; no window at all
+# (per-token equality at every position certifies the whole
+# reconstruction, so no offset prefix sum is needed).
+# --------------------------------------------------------------------------
+def pipe_bpe_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = _bpe_learned_words(spark, sf_dir)
+    sym_id = _bpe_symbol_idmap(words)
+    id_entries = [x for s, i in sorted(sym_id.items()) for x in (F.lit(s), F.lit(i))]
+    idmap = F.create_map(*id_entries)
+    inv_entries = [x for s, i in sorted(sym_id.items()) for x in (F.lit(i), F.lit(s))]
+    invmap = F.create_map(*inv_entries)
+    word_dec = words.select(
+        "w", F.split("sym", _BPE_SEP).alias("syms")
+    ).select(
+        "w",
+        F.size("syms").cast("long").alias("L"),
+        # the round trip: symbol → id → symbol, concatenated in order
+        F.concat_ws(
+            "",
+            F.transform(
+                F.transform("syms", lambda s: idmap[s]),
+                lambda i: invmap[i],
+            ),
+        ).alias("decoded"),
+    )
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    joined = toks.join(word_dec, "w")
+    agg = joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("L").alias("n_ids"),
+        F.sum((F.col("decoded") == F.col("w")).cast("long")).alias(
+            "n_match_tokens"
+        ),
+        F.sum(F.length("decoded").cast("long")).alias("decoded_chars"),
+    )
+    return (
+        agg.select(
+            "doc_id",
+            "n_tokens",
+            "n_ids",
+            "n_match_tokens",
+            (F.col("n_match_tokens") == F.col("n_tokens"))
+            .cast("long")
+            .alias("round_trip"),
+            "decoded_chars",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bpe_decode_oracle() -> str:
+    n = BPE_MERGES
+    body = ",\n".join(_bpe_chain_parts())
+    return f"""
+WITH {body},
+symv AS (
+  SELECT s, CAST(SUM(n) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split(sym, chr(31))) AS s, n FROM e{n})
+  GROUP BY s
+),
+ids AS MATERIALIZED (
+  SELECT s, CAST(row_number() OVER (ORDER BY cnt DESC, s ASC) AS BIGINT) AS id
+  FROM symv
+),
+wdec AS MATERIALIZED (
+  SELECT w,
+         CAST(count(*) AS BIGINT) AS L,
+         string_agg(inv.s, '' ORDER BY js.i) AS decoded
+  FROM (
+    SELECT w, g.i AS i, syms[g.i] AS s
+    FROM (SELECT w, string_split(sym, chr(31)) AS syms FROM e{n}) t,
+         unnest(generate_series(1, len(syms))) AS g(i)
+  ) js JOIN ids ON ids.s = js.s
+       JOIN ids inv ON inv.id = ids.id
+  GROUP BY w
+),
+dt AS (
+  SELECT doc_id, g.i AS tpos, toks[g.i] AS w
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) d,
+       unnest(generate_series(1, len(toks))) AS g(i)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(wdec.L) AS BIGINT) AS n_ids,
+       CAST(SUM(CASE WHEN wdec.decoded = dt.w THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_match_tokens,
+       CAST(CASE WHEN SUM(CASE WHEN wdec.decoded = dt.w THEN 1 ELSE 0 END)
+                      = count(*)
+                 THEN 1 ELSE 0 END AS BIGINT) AS round_trip,
+       CAST(SUM(length(wdec.decoded)) AS BIGINT) AS decoded_chars
+FROM dt JOIN wdec ON wdec.w = dt.w
+GROUP BY doc_id
 ORDER BY doc_id
 """
 
@@ -3481,6 +3627,7 @@ ORDER BY source
 
 
 QUERIES = {
+    "pipe_bpe_decode": pipe_bpe_decode,
     "pipe_bpe_encode": pipe_bpe_encode,
     "pipe_quantile_sketch": pipe_quantile_sketch,
     "pipe_skew_census": pipe_skew_census,
@@ -3530,6 +3677,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pipe_bpe_decode": _bpe_decode_oracle(),
     "pipe_bpe_encode": _bpe_encode_oracle(),
     "pipe_quantile_sketch": _quantile_sketch_oracle(),
     "pipe_skew_census": ORACLE_PIPE_SKEW_CENSUS,

@@ -124,3 +124,41 @@ def test_window_contract_has_no_stale_entries(spark, sf_dir):
             if sig not in live:
                 stale.append((name, sig))
     assert not stale, f"declared windows no longer in plans: {stale}"
+
+
+def test_collect_sites_bounded_or_declared():
+    """VERDICT r8 #3: every driver-side action call site (.collect /
+    .toPandas / ...) in the package must carry a declared bound
+    rationale in plans/collect_contract.py, keyed with its site count —
+    adding a collect to a declared function re-opens the audit."""
+    from jobx_spark.plans import collect_sites
+    from jobx_spark.plans.collect_contract import COLLECT_BOUNDS
+
+    live = collect_sites()
+    declared = {k: v[0] for k, v in COLLECT_BOUNDS.items()}
+    undeclared = {
+        k: n for k, n in sorted(live.items()) if declared.get(k) != n
+    }
+    assert not undeclared, (
+        f"driver-action sites undeclared or count-drifted vs "
+        f"plans/collect_contract.py: {undeclared} — declare a bound "
+        f"rationale or make the site plan-bounded"
+    )
+
+
+def test_collect_contract_has_no_stale_entries():
+    """The collect contract can't rot: every declared (file, function,
+    action, count) must still exist in the source exactly as declared,
+    and every rationale must be non-empty."""
+    from jobx_spark.plans import collect_sites
+    from jobx_spark.plans.collect_contract import COLLECT_BOUNDS
+
+    live = collect_sites()
+    stale = {
+        k: (v[0], live.get(k))
+        for k, v in sorted(COLLECT_BOUNDS.items())
+        if live.get(k) != v[0]
+    }
+    assert not stale, f"collect contract stale (declared, live): {stale}"
+    empty = [k for k, v in COLLECT_BOUNDS.items() if not v[1].strip()]
+    assert not empty, f"collect contract entries without rationale: {empty}"
