@@ -113,6 +113,10 @@ HEADLINE = [
     "pipe_bpe_encode",
     "pipe_quantile_sketch",
     "stream_quantile_sketch",
+    # round-9 additions outside the auto-enrolled prefixes
+    # (ann_ivf_append auto-enrolls via the ann_ prefix)
+    "pipe_bpe_decode",
+    "stream_bloom_decontaminate",
 ]
 
 BENCH_REPS = 2  # per-query timing = min over this many runs

@@ -194,43 +194,61 @@ def _utc_pinned(fn: QueryFn) -> QueryFn:
 #   3. the r3-banked pool (45 rows, the oldest cohort), alphabetical,
 #      first 36 — pipe_stratified_k / pipe_shard_assign / q24 are
 #      changed-code members of it and appear in section 1/3 once each.
+# ROUND-9 GATE (VERDICT r8 #2):
+#   1. new in round 9 (never driver-attested): pipe_bpe_decode (id
+#      stream round-trip certificate, VERDICT #5), ann_ivf_append
+#      (incremental IVF maintenance, VERDICT #6),
+#      stream_bloom_decontaminate (streaming decontamination, #7);
+#   2. changed-code re-attests — every query whose Spark plan OR
+#      oracle changed this round: the brute-force zero-norm-mask
+#      family (ann_knn_refine, ann_bruteforce_topk,
+#      ann_bruteforce_scaled, ann_recall_eval, ann_nprobe_sweep —
+#      ADVICE r8), the BPE degenerate-corpus fix + refactor
+#      (pipe_bpe_learn, pipe_bpe_encode — ADVICE r8), and the three
+#      vocabulary top-K TakeOrderedAndProject rewrites
+#      (pipe_vocab_topk, pipe_bigram_counts, pipe_encode_ids —
+#      VERDICT #4); ann_recall_eval is also the last r3 row;
+#   3. the 11 remaining r3-attested rows (VERDICT r8 "What's wrong"
+#      #2 names all 12; recall_eval sits in section 2) — after this
+#      gate NO registry row is older than r4;
+#   4. filler: alphabetical head of the r4-banked cohort (the
+#      next-oldest, 39 rows; pipe_bpe_learn is a changed-code member
+#      and appears in section 2 once), first 26.
 GATE_FIRST_50 = [
-    # -- 1. changed-code re-attests (r8 fixes; 11 rows) --
-    "pipe_skew_census", "pipe_dataset_card", "pipe_pack_offsets",
-    "dedup_keep_canonical", "q33_balance_distribution",
-    "q66_binned_quantiles", "ann_hard_negatives",
-    "dedup_semantic_leakage", "multimodal_decode_scaled",
-    "text_source_divergence", "pipe_shard_assign",
-    # -- 2. new in round 8 (5 rows) --
-    "pipe_bpe_encode", "ann_knn_refine", "pipe_quantile_sketch",
-    "stream_quantile_sketch", "dedup_bloom_decontaminate",
-    # -- 3. r3-banked rotation, oldest cohort, alphabetical head
-    #       (34 rows; pipe_stratified_k and q24_percentile_disc are
-    #       also changed-code) --
-    "dedup_embedding_lsh", "dedup_incremental", "dedup_label_prop",
-    "dedup_ngram_overlap", "dedup_pagerank", "dedup_triangle_count",
-    "mr_engine_fanout_rekey", "multimodal_audio_energy",
-    "multimodal_decode", "pipe_blocklist_scrub", "pipe_bpe_token_count",
-    "pipe_clean_corpus", "pipe_corpus_build", "pipe_encode_ids",
-    "pipe_gapfill_hours", "pipe_length_buckets", "pipe_manifest",
-    "pipe_minmax_scale", "pipe_mix_weighted", "pipe_pii_scrub",
-    "pipe_rollup_reagg", "pipe_sample_fixed_k", "pipe_stratified_k",
-    "pipe_table_diff", "pipe_text_chunks", "q22_window_frames",
-    "q23_stats_moments", "q24_percentile_disc", "q25_argmax_per_group",
-    "q29_array_map_functions", "q45_big_volume_orders",
-    "q55_bom_explosion", "q56_salted_skew_join", "q57_range_bin_join",
+    # -- 1. new in round 9 (3 rows) --
+    "pipe_bpe_decode", "ann_ivf_append", "stream_bloom_decontaminate",
+    # -- 2. changed-code re-attests (10 rows) --
+    "ann_knn_refine", "ann_bruteforce_topk", "ann_bruteforce_scaled",
+    "ann_recall_eval", "ann_nprobe_sweep", "pipe_bpe_learn",
+    "pipe_bpe_encode", "pipe_vocab_topk", "pipe_bigram_counts",
+    "pipe_encode_ids",
+    # -- 3. the r3-banked tail (11 rows) --
+    "q58_disjunctive_join", "q59_waiting_suppliers", "q60_lateral_topn",
+    "q61_promo_share", "q62_supplier_census", "q63_dominant_supplier",
+    "q64_market_share", "stream_pii_scrub", "stream_topk_trending",
+    "stream_zscore_anomaly", "text_ttr",
+    # -- 4. r4-banked rotation, oldest cohort, alphabetical head
+    #       (26 rows) --
+    "ann_ivf_trained_topk", "ann_kmeans_train", "dedup_cluster_profile",
+    "dedup_components_scaled", "dedup_embedding", "dedup_kcore",
+    "dedup_lsh_recall", "dedup_minhash_est", "dedup_semantic",
+    "dedup_substring_spans", "dedup_two_hop_reach",
+    "mr_engine_combined_stats", "mr_engine_event_counts",
+    "mr_engine_user_value", "multimodal_phash", "multimodal_phash_pairs",
+    "multimodal_resize_real", "pipe_mix_temperature",
+    "pipe_quality_rules", "pipe_sample_weighted",
+    "q65_bloom_prefilter_join", "q67_market_basket", "stream_cms_users",
+    "stream_dedup_activity", "stream_hll_cards",
+    "stream_incremental_restart",
 ]
-# ROUND-9 GATE POOL: after the r8 gate lands, the r3-banked tail that
-# did not fit this gate is the oldest cohort — lead the r9 rotation
-# with it (plus q58_disjunctive_join and q59_waiting_suppliers,
-# displaced by the late-r8 stream_quantile_sketch and
-# dedup_bloom_decontaminate additions), then the r7-banked rows
-# become the next-oldest:
-# q60_lateral_topn, q61_promo_share, q62_supplier_census,
-# q63_dominant_supplier, q64_market_share, stream_pii_scrub,
-# stream_topk_trending, stream_zscore_anomaly, text_ttr
-# (9 rows; recompute as always by parsing CORRECTNESS_r0*.json for
-#  hash_match rows, max round per query).
+# ROUND-10 GATE POOL: after the r9 gate lands the oldest cohort is the
+# r4-banked tail that did not fit this gate (12 rows):
+# stream_interval_join, stream_left_outer_join, stream_replay_dedup,
+# stream_session_window, stream_sliding_agg, stream_static_enrich,
+# stream_timeout_sessions, stream_window_distinct, text_bm25_topk,
+# text_hll_distinct, text_readability, text_trigram_lang_eval
+# (recompute as always by parsing CORRECTNESS_r0*.json for hash_match
+#  rows, max round per query).
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -598,6 +598,147 @@ FROM per ORDER BY cell
 
 
 # --------------------------------------------------------------------------
+# ann_ivf_append — incremental IVF index maintenance (VERDICT r8
+# headroom #2; the vector-side twin of dedup_incremental): a NEW
+# embedding batch (vec_id ≡ APPEND_RES mod APPEND_MOD — the
+# scale-proportional "today's ingest" slice) is assigned to the
+# ALREADY-TRAINED coarse quantizer via the broadcast centroids and
+# appended to the (cell)-bucketed index. This is the operation a
+# production 100 TB vector store runs daily: the quantizer is frozen,
+# the base index is already materialized (modeled by the lineage cut —
+# at scale it is the persisted bucketed table), and the update touches
+# ONLY the batch: one batch scan, broadcast-centroid argmax, zero
+# corpus rescans, zero shuffles on the serving path.
+# Output per cell (range(KM_K) left join keeps dead cells visible):
+# population before / appended / after, plus the attestation leg — a
+# from-scratch re-assignment of the full union under the SAME frozen
+# centroids, whose per-cell count AND vec_id-XOR membership checksum
+# must equal the appended index exactly (append_matches_rebuild = 1:
+# appending is provably identical to rebuilding with the same
+# quantizer, the invariant that lets the store skip the rebuild). The
+# rebuild leg exists ONLY as the attestation; a deployment runs the
+# batch leg alone. Centroids train on the BASE slice only (seeds
+# KM_BASE..KM_BASE+K-1 all sit in base: their residues mod 10 are
+# 0..7), so the batch is genuinely unseen at training time.
+# --------------------------------------------------------------------------
+APPEND_MOD, APPEND_RES = 10, 9
+
+
+def ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.operators.similarity import ivf_assign, kmeans_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % APPEND_MOD != APPEND_RES)
+    batch = emb.filter(F.col("vec_id") % APPEND_MOD == APPEND_RES)
+    centroids = kmeans_train(
+        base, k=KM_K, iters=KM_ITERS, cent_base=KM_BASE, scale=KM_SCALE,
+        output="centroids",
+    )
+    # the persisted index: base assignments materialize ONCE (at scale
+    # this is the stored (cell)-bucketed table, not a computation)
+    base_idx = cut_lineage(
+        ivf_assign(base, centroids).select(
+            F.col("id").alias("vec_id"), "cell"
+        ),
+        "ivfa-index",
+    )
+    batch_idx = ivf_assign(batch, centroids).select(
+        F.col("id").alias("vec_id"), "cell"
+    )
+    appended = base_idx.unionByName(batch_idx)
+    # attestation leg: full re-assignment under the same frozen
+    # centroids — never run in production, here it certifies
+    # append == rebuild
+    rebuilt = ivf_assign(emb, centroids).select(
+        F.col("id").alias("vec_id"), "cell"
+    )
+
+    def census(df: DataFrame, n_col: str, x_col: str | None) -> DataFrame:
+        aggs = [F.count(F.lit(1)).alias(n_col)]
+        if x_col is not None:
+            aggs.append(
+                F.coalesce(F.bit_xor("vec_id"), F.lit(0).cast("long"))
+                .alias(x_col)
+            )
+        return df.groupBy("cell").agg(*aggs)
+
+    dom = spark.range(KM_K).select(F.col("id").cast("int").alias("cell"))
+    out = (
+        dom.join(census(base_idx, "n_base", None), "cell", "left")
+        .join(census(batch_idx, "n_batch", None), "cell", "left")
+        .join(census(appended, "n_after", "xor_after"), "cell", "left")
+        .join(census(rebuilt, "n_rebuild", "xor_rebuild"), "cell", "left")
+    )
+    z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("long")  # noqa: E731
+    return (
+        out.select(
+            "cell",
+            z("n_base").alias("n_base"),
+            z("n_batch").alias("n_batch"),
+            z("n_after").alias("n_after"),
+            z("n_rebuild").alias("n_rebuild"),
+            (
+                (z("n_after") == z("n_rebuild"))
+                & (z("xor_after") == z("xor_rebuild"))
+            )
+            .cast("long")
+            .alias("append_matches_rebuild"),
+        )
+        .orderBy("cell")
+    )
+
+
+def _ivf_append_oracle() -> str:
+    parts, assign_cte = _kmeans_ctes(pfx="ia", source="iabase")
+    parts = [
+        f"""iabase AS (
+  SELECT * FROM embeddings WHERE vec_id % {APPEND_MOD} <> {APPEND_RES}
+)"""
+    ] + parts
+    body = ",\n".join(parts)
+    S = KM_SCALE
+    return f"""
+WITH {body},
+cent AS (
+  SELECT cent_id, list_transform(cv_s, c -> c::DOUBLE / {S}) AS cv
+  FROM iac{KM_ITERS}
+), centn AS (
+  SELECT cent_id, cv, {_SDOT.format(a='cv', b='cv')} AS cnorm_s FROM cent
+), alle AS (
+  SELECT vec_id, embedding,
+         {_SDOT.format(a='embedding', b='embedding')} AS vnorm_s
+  FROM embeddings
+), cells AS MATERIALIZED (
+  SELECT vec_id, cent_id AS cell FROM (
+    SELECT a.vec_id, n.cent_id,
+           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+             {_SDOT.format(a='a.embedding', b='n.cv')}::DOUBLE
+               / (sqrt(a.vnorm_s::DOUBLE) * sqrt(n.cnorm_s::DOUBLE)) DESC,
+             n.cent_id ASC) AS rn
+    FROM alle a, centn n
+  ) WHERE rn = 1
+), per AS (
+  SELECT cell,
+         CAST(SUM(CASE WHEN vec_id % {APPEND_MOD} <> {APPEND_RES}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+         CAST(SUM(CASE WHEN vec_id % {APPEND_MOD} = {APPEND_RES}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_batch,
+         CAST(count(*) AS BIGINT) AS n_total,
+         CAST(bit_xor(vec_id) AS BIGINT) AS xr
+  FROM cells GROUP BY cell
+)
+SELECT CAST(r.range AS INTEGER) AS cell,
+       CAST(COALESCE(per.n_base, 0) AS BIGINT) AS n_base,
+       CAST(COALESCE(per.n_batch, 0) AS BIGINT) AS n_batch,
+       CAST(COALESCE(per.n_total, 0) AS BIGINT) AS n_after,
+       CAST(COALESCE(per.n_total, 0) AS BIGINT) AS n_rebuild,
+       CAST(1 AS BIGINT) AS append_matches_rebuild
+FROM range({KM_K}) r LEFT JOIN per ON per.cell = r.range
+ORDER BY cell
+"""
+
+
+# --------------------------------------------------------------------------
 # ann_nprobe_sweep — the IVF tuning curve: recall@K of the TRAINED
 # index at nprobe ∈ NPROBE_SWEEP against brute-force truth, one row
 # per setting — the readout every FAISS deployment produces before
@@ -2651,6 +2792,7 @@ QUERIES = {
     "dedup_semantic": dedup_semantic,
     "ann_pca_project": ann_pca_project,
     "ann_jl_distortion": ann_jl_distortion,
+    "ann_ivf_append": ann_ivf_append,
     "ann_ivf_balance": ann_ivf_balance,
     "ann_hard_negatives": ann_hard_negatives,
     "ann_ivf_pq_topk": ann_ivf_pq_topk,
@@ -2682,6 +2824,7 @@ ORACLES = {
     "dedup_semantic": _semantic_oracle(),
     "ann_pca_project": _pca_oracle(),
     "ann_jl_distortion": _jl_oracle(),
+    "ann_ivf_append": _ivf_append_oracle(),
     "ann_ivf_balance": _ivf_balance_oracle(),
     "ann_hard_negatives": ORACLE_ANN_HARD_NEGATIVES,
     "ann_ivf_pq_topk": _ivf_pq_oracle(),

@@ -65,6 +65,9 @@ EXPECT = {
     "stream_sink_rollup": (["stateStoreSave"], True, set()),
     # foreachBatch MERGE — stateless per batch, state lives in the sink
     "stream_scd_enrich": ([], False, set()),
+    # stateless-foreachBatch Bloom prefilter: the filter is a static
+    # broadcast side; per-doc censuses are batch-local, zero state (r9)
+    "stream_bloom_decontaminate": ([], False, set()),
 }
 
 FORBIDDEN_NODES = ("CartesianProduct", "BroadcastNestedLoopJoin")
