@@ -117,6 +117,7 @@ HEADLINE = [
     # (ann_ivf_append auto-enrolls via the ann_ prefix)
     "pipe_bpe_decode",
     "stream_bloom_decontaminate",
+    "stream_ivf_append",
 ]
 
 BENCH_REPS = 2  # per-query timing = min over this many runs

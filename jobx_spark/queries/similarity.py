@@ -652,6 +652,19 @@ def ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     rebuilt = ivf_assign(emb, centroids).select(
         F.col("id").alias("vec_id"), "cell"
     )
+    return _ivf_append_census(spark, base_idx, batch_idx, appended, rebuilt)
+
+
+def _ivf_append_census(
+    spark: SparkSession,
+    base_idx: DataFrame,
+    batch_idx: DataFrame,
+    appended: DataFrame,
+    rebuilt: DataFrame,
+) -> DataFrame:
+    """Per-cell before/after/rebuild census with the membership-XOR
+    append≡rebuild certificate — shared by ann_ivf_append and its
+    streaming twin stream_ivf_append."""
 
     def census(df: DataFrame, n_col: str, x_col: str | None) -> DataFrame:
         aggs = [F.count(F.lit(1)).alias(n_col)]

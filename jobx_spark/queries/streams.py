@@ -1077,6 +1077,99 @@ def stream_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# stream_ivf_append — ann_ivf_append's streaming twin (and the first
+# streaming query over the EMBEDDINGS table): the vector-ingest path of
+# a production ANN store. The coarse quantizer is trained batch-side on
+# the base slice and FROZEN; the base index is already materialized;
+# new embeddings arrive as micro-batches and each batch is assigned to
+# its cells via the broadcast centroids inside stateless foreachBatch,
+# appended to the (cell)-keyed store through the idempotent
+# batch-partition parquet sink. Zero cross-batch state — assignment is
+# per-row arithmetic against a frozen broadcast, the streaming shape
+# that ingests vectors at any rate without touching the base corpus.
+# The attestation is the batch twin's: a full re-assignment under the
+# same centroids whose per-cell counts AND vec_id-XOR membership
+# checksums must equal the streamed-in index exactly
+# (append_matches_rebuild = 1) — so batch-boundary independence is
+# hash-certified, not assumed. Oracle shared verbatim with
+# ann_ivf_append (identical output contract).
+# --------------------------------------------------------------------------
+def stream_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql import functions as F
+
+    from jobx_spark.lineage import cut_lineage, scratch_dir
+    from jobx_spark.operators.similarity import ivf_assign, kmeans_train
+    from jobx_spark.queries.similarity import (
+        APPEND_MOD,
+        APPEND_RES,
+        KM_BASE,
+        KM_ITERS,
+        KM_K,
+        KM_SCALE,
+        _ivf_append_census,
+    )
+    from jobx_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % APPEND_MOD != APPEND_RES)
+    batch = emb.filter(F.col("vec_id") % APPEND_MOD == APPEND_RES).select(
+        "vec_id", "embedding"
+    )
+    centroids = kmeans_train(
+        base, k=KM_K, iters=KM_ITERS, cent_base=KM_BASE, scale=KM_SCALE,
+        output="centroids",
+    )
+    base_idx = cut_lineage(
+        ivf_assign(base, centroids).select(
+            F.col("id").alias("vec_id"), "cell"
+        ),
+        "sivfa-index",
+    )
+    rdir = S.write_replay_files(batch, ["vec_id"], 3, "sivfa")
+    st = S.stream_replay(spark, rdir)
+    root = scratch_dir("stream_ivfa")
+    out, ckpt = f"{root}/out", f"{root}/ckpt"
+
+    def _assign(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            ivf_assign(batch_df, centroids)
+            .select(F.col("id").alias("vec_id"), "cell")
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out)
+        )
+
+    q = (
+        st.writeStream.foreachBatch(_assign)
+        # contract label for the STREAM_PLANS audit: stateless per
+        # micro-batch — the quantizer is a frozen broadcast side
+        .queryName(f"sivfa_stateless_{os.getpid()}_{next(S._name_counter)}")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    S._capture_run(q)
+    batch_idx = spark.read.parquet(out).select("vec_id", "cell")
+    appended = base_idx.unionByName(batch_idx)
+    rebuilt = ivf_assign(emb, centroids).select(
+        F.col("id").alias("vec_id"), "cell"
+    )
+    return _ivf_append_census(spark, base_idx, batch_idx, appended, rebuilt)
+
+
+def _sivfa_oracle() -> str:
+    """ann_ivf_append's oracle verbatim — identical output contract."""
+    from jobx_spark.queries.similarity import _ivf_append_oracle
+
+    return _ivf_append_oracle()
+
+
+# --------------------------------------------------------------------------
 # stream_incremental_restart — checkpoint-resume incrementality under
 # the gate: the event stream arrives in TWO batches of files through
 # the SAME checkpoint (run to completion, stop, more files land, run
@@ -1299,6 +1392,7 @@ QUERIES = {
     "stream_incremental_restart": stream_incremental_restart,
     "stream_ewma_user_value": stream_ewma_user_value,
     "stream_bloom_decontaminate": stream_bloom_decontaminate,
+    "stream_ivf_append": stream_ivf_append,
     "stream_scd_enrich": stream_scd_enrich,
     "stream_cms_users": stream_cms_users,
     "stream_hll_cards": stream_hll_cards,
@@ -1326,6 +1420,7 @@ ORACLES = {
     "stream_incremental_restart": ORACLE_STREAM_RESTART,
     "stream_ewma_user_value": _stream_ewma_oracle(),
     "stream_bloom_decontaminate": _sbdecon_oracle(),
+    "stream_ivf_append": _sivfa_oracle(),
     "stream_scd_enrich": ORACLE_STREAM_SCD,
     "stream_cms_users": _stream_cms_oracle(),
     "stream_hll_cards": _stream_hll_oracle(),

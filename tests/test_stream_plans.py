@@ -68,6 +68,9 @@ EXPECT = {
     # stateless-foreachBatch Bloom prefilter: the filter is a static
     # broadcast side; per-doc censuses are batch-local, zero state (r9)
     "stream_bloom_decontaminate": ([], False, set()),
+    # stateless-foreachBatch vector ingest: assignment is per-row
+    # arithmetic against the frozen broadcast quantizer (r9)
+    "stream_ivf_append": ([], False, set()),
 }
 
 FORBIDDEN_NODES = ("CartesianProduct", "BroadcastNestedLoopJoin")
