@@ -1033,6 +1033,129 @@ ORDER BY q.query_id
 
 
 # --------------------------------------------------------------------------
+# ann_rank_eval — rank-QUALITY evaluation of the approximate index:
+# MRR and NDCG@K of the LSH ranking against brute-force truth, per
+# probe query. ann_recall_eval counts how many true neighbors the
+# index returns; this says WHERE it puts them — the two numbers every
+# retrieval eval reports (a recall-0.8 index that buries its hits at
+# ranks 7-10 serves a worse product than one that leads with them).
+# Exactness devices: reciprocal rank is cleared of fractions by
+# multiplying through by lcm(1..K)=2520 (rr_x2520 = 2520/first_hit_rank
+# is an EXACT integer for every rank ≤ 10); the NDCG log2 discounts are
+# precomputed ONCE in Python as floor(2^20 / log2(r+1)) and embedded as
+# literals in BOTH engines (a map lookup here, a VALUES table there),
+# so DCG is an integer sum and NDCG an integer ppm — no libm call in
+# either plan. Binary relevance with exactly K relevant docs makes
+# IDCG the constant Σ disc[1..K].
+# Scale shape: both rankings are the attested operators (corpus-scan-
+# once brute force; bucket-pruned LSH); the eval itself is a K-row-per-
+# query join + one |Q|-row aggregation — negligible on top of the two
+# searches, exactly like ann_recall_eval.
+# --------------------------------------------------------------------------
+import math as _math
+
+RANK_DISC = {
+    r: _math.floor((1 << 20) / _math.log2(r + 1)) for r in range(1, K + 1)
+}
+RANK_IDCG = sum(RANK_DISC.values())
+RR_LCM = 2520  # lcm(1..10): every rank ≤ K divides it exactly
+
+
+def ann_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _probe_queries(emb)
+    gt = brute_force_topk(emb, q, k=K).select("query_id", "vec_id")
+    ap = lsh_topk(emb, q, k=K, n_planes=N_PLANES).select(
+        "query_id", "vec_id", "rank"
+    )
+    hits = ap.join(gt, ["query_id", "vec_id"])
+    disc_map = F.create_map(
+        *[
+            x
+            for r, d in sorted(RANK_DISC.items())
+            for x in (F.lit(r), F.lit(d))
+        ]
+    )
+    per = hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.min("rank").alias("fhr"),
+        F.sum(disc_map[F.col("rank")]).alias("dcg_x"),
+    )
+    return (
+        q.select("query_id")
+        .join(per, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.coalesce("fhr", F.lit(0)).cast("long").alias("first_hit_rank"),
+            F.when(F.col("fhr").isNull(), F.lit(0).cast("long"))
+            .otherwise(F.expr(f"{RR_LCM} div fhr").cast("long"))
+            .alias("rr_x2520"),
+            F.coalesce("dcg_x", F.lit(0)).cast("long").alias("dcg_x"),
+            F.expr(f"(coalesce(dcg_x, 0) * 1000000) div {RANK_IDCG}")
+            .cast("long")
+            .alias("ndcg_ppm"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _rank_eval_oracle() -> str:
+    disc_rows = ", ".join(f"({r}, {d})" for r, d in sorted(RANK_DISC.items()))
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         {_SDOT.format(a='embedding', b='embedding')} AS norm_s,
+         {bucket_sql(N_PLANES)} AS bucket
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv, norm_s AS qnorm_s, bucket
+  FROM e WHERE vec_id < {N_QUERIES}
+), bf AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             {_SDOT.format(a='q.qv', b='e.embedding')}::DOUBLE
+               / (sqrt(q.qnorm_s::DOUBLE) * sqrt(e.norm_s::DOUBLE)) DESC,
+             e.vec_id ASC) AS rk
+    FROM e, q
+  ) WHERE rk <= {K}
+), lsh AS (
+  SELECT query_id, vec_id, rk FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             {_SDOT.format(a='q.qv', b='e.embedding')}::DOUBLE
+               / (sqrt(q.qnorm_s::DOUBLE) * sqrt(e.norm_s::DOUBLE)) DESC,
+             e.vec_id ASC) AS rk
+    FROM e JOIN q ON e.bucket = q.bucket
+  ) WHERE rk <= {K}
+), disc(drk, dv) AS (VALUES {disc_rows}),
+hits AS (
+  SELECT l.query_id, l.rk, CAST(disc.dv AS BIGINT) AS dv
+  FROM lsh l
+  JOIN bf ON bf.query_id = l.query_id AND bf.vec_id = l.vec_id
+  JOIN disc ON disc.drk = l.rk
+), per AS (
+  SELECT query_id,
+         CAST(count(*) AS BIGINT) AS n_hits,
+         CAST(min(rk) AS BIGINT) AS fhr,
+         CAST(SUM(dv) AS BIGINT) AS dcg_x
+  FROM hits GROUP BY query_id
+)
+SELECT q.query_id,
+       CAST(COALESCE(per.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(per.fhr, 0) AS BIGINT) AS first_hit_rank,
+       CAST(CASE WHEN per.fhr IS NULL THEN 0
+                 ELSE {RR_LCM} // per.fhr END AS BIGINT) AS rr_x2520,
+       CAST(COALESCE(per.dcg_x, 0) AS BIGINT) AS dcg_x,
+       CAST((COALESCE(per.dcg_x, 0) * CAST(1000000 AS BIGINT))
+            // {RANK_IDCG} AS BIGINT) AS ndcg_ppm
+FROM q LEFT JOIN per ON per.query_id = q.query_id
+ORDER BY q.query_id
+"""
+
+
+# --------------------------------------------------------------------------
 # ann_quantize_int8 — symmetric per-vector int8 quantization, the
 # standard memory diet for ANN indexes: a 100 TB float32 corpus becomes
 # ~25 TB of int8 codes (+1 double scale per vector), which is the
@@ -2814,6 +2937,7 @@ QUERIES = {
     "ann_pq_adc_topk": ann_pq_adc_topk,
     "ann_pq_codes": ann_pq_codes,
     "ann_range_search": ann_range_search,
+    "ann_rank_eval": ann_rank_eval,
     "ann_knn_graph": ann_knn_graph,
     "ann_knn_refine": ann_knn_refine,
     "ann_bruteforce_topk": ann_bruteforce_topk,
@@ -2846,6 +2970,7 @@ ORACLES = {
     "ann_pq_adc_topk": _pq_adc_oracle(),
     "ann_pq_codes": _pq_oracle(),
     "ann_range_search": _range_search_oracle(),
+    "ann_rank_eval": _rank_eval_oracle(),
     "ann_knn_graph": _knn_graph_oracle(),
     "ann_knn_refine": _knn_refine_oracle(),
     "ann_quantize_int8": ORACLE_ANN_QUANTIZE,
