@@ -214,13 +214,14 @@ def _utc_pinned(fn: QueryFn) -> QueryFn:
 #   4. filler: alphabetical head of the r4-banked cohort (the
 #      next-oldest, 39 rows; pipe_bpe_learn is a changed-code member
 #      and appears in section 2 once), first 25
-#      (stream_incremental_restart and stream_hll_cards were displaced
-#       back to the pool by the late stream_ivf_append / ann_rank_eval
+#      (stream_incremental_restart, stream_hll_cards and
+#       stream_dedup_activity were displaced back to the pool by the
+#       late stream_ivf_append / ann_rank_eval / ann_drift_census
 #       additions — new outranks refill).
 GATE_FIRST_50 = [
-    # -- 1. new in round 9 (5 rows) --
+    # -- 1. new in round 9 (6 rows) --
     "pipe_bpe_decode", "ann_ivf_append", "stream_bloom_decontaminate",
-    "stream_ivf_append", "ann_rank_eval",
+    "stream_ivf_append", "ann_rank_eval", "ann_drift_census",
     # -- 2. changed-code re-attests (10 rows) --
     "ann_knn_refine", "ann_bruteforce_topk", "ann_bruteforce_scaled",
     "ann_recall_eval", "ann_nprobe_sweep", "pipe_bpe_learn",
@@ -242,11 +243,11 @@ GATE_FIRST_50 = [
     "multimodal_resize_real", "pipe_mix_temperature",
     "pipe_quality_rules", "pipe_sample_weighted",
     "q65_bloom_prefilter_join", "q67_market_basket", "stream_cms_users",
-    "stream_dedup_activity",
 ]
 # ROUND-10 GATE POOL: after the r9 gate lands the oldest cohort is the
-# r4-banked tail that did not fit this gate (14 rows):
-# stream_hll_cards, stream_incremental_restart, stream_interval_join, stream_left_outer_join, stream_replay_dedup,
+# r4-banked tail that did not fit this gate (15 rows):
+# stream_dedup_activity, stream_hll_cards, stream_incremental_restart,
+# stream_interval_join, stream_left_outer_join, stream_replay_dedup,
 # stream_session_window, stream_sliding_agg, stream_static_enrich,
 # stream_timeout_sessions, stream_window_distinct, text_bm25_topk,
 # text_hll_distinct, text_readability, text_trigram_lang_eval

@@ -752,6 +752,125 @@ ORDER BY cell
 
 
 # --------------------------------------------------------------------------
+# ann_drift_census — embedding distribution drift between two corpus
+# snapshots: per-dimension mean shift of the new-ingest slice (the
+# ann_ivf_append batch split) vs the base corpus, in scaled integers
+# with drift ppm relative to the base mean. This is the data-drift
+# monitor a production vector store runs beside its ingest: a frozen
+# quantizer (ann_ivf_append's whole premise) silently degrades when
+# the embedding distribution moves — e.g. an upstream encoder
+# redeploy — and per-dimension mean shift is the cheap first detector
+# that says WHETHER and WHERE to look before anyone pays for a
+# retrain.
+# Exactness devices: x_s = floor(x·10⁶) scaled ints; means are
+# computed on OFFSET-shifted sums ((Σ(x_s+2·10⁶)) div n − 2·10⁶) so
+# the integer division always sees a non-negative numerator — Spark's
+# `div` truncates toward zero while DuckDB's `//` floors, and the
+# shift makes both identical for every sign of the mean.
+# Scale shape: ONE corpus scan with 2·dim conditional integer sums
+# (no explode — per-element sums are 64 agg columns in one pass, so
+# rows never inflate 64×); the unpivot to the 64-row census happens on
+# a SINGLE aggregated row. No shuffle beyond the 1-row final agg.
+# --------------------------------------------------------------------------
+DRIFT_DIM = 64
+DRIFT_S = 10**6
+DRIFT_OFF = 2 * 10**6
+
+
+def ann_drift_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    isnew = (F.col("vec_id") % APPEND_MOD) == APPEND_RES
+
+    def xs(i: int):
+        return (
+            F.floor(
+                F.element_at("embedding", i + 1).cast("double")
+                * F.lit(DRIFT_S)
+            ).cast("long")
+            + F.lit(DRIFT_OFF).cast("long")
+        )
+
+    aggs = [
+        F.sum(F.when(~isnew, 1).otherwise(0)).cast("long").alias("n_old"),
+        F.sum(F.when(isnew, 1).otherwise(0)).cast("long").alias("n_new"),
+    ]
+    aggs += [
+        F.sum(F.when(~isnew, xs(i)).otherwise(F.lit(0).cast("long")))
+        .alias(f"o{i}")
+        for i in range(DRIFT_DIM)
+    ]
+    aggs += [
+        F.sum(F.when(isnew, xs(i)).otherwise(F.lit(0).cast("long")))
+        .alias(f"s{i}")
+        for i in range(DRIFT_DIM)
+    ]
+    row = emb.agg(*aggs)
+    wide = row.select(
+        "n_old",
+        "n_new",
+        F.posexplode(
+            F.arrays_zip(
+                F.array(*[F.col(f"o{i}") for i in range(DRIFT_DIM)]).alias(
+                    "so"
+                ),
+                F.array(*[F.col(f"s{i}") for i in range(DRIFT_DIM)]).alias(
+                    "sn"
+                ),
+            )
+        ).alias("pos", "z"),
+    )
+    mo = F.expr("(z.so div n_old)") - F.lit(DRIFT_OFF)
+    mn = F.expr("(z.sn div n_new)") - F.lit(DRIFT_OFF)
+    return (
+        wide.select(
+            (F.col("pos") + 1).cast("long").alias("dim"),
+            "n_old",
+            "n_new",
+            mo.cast("long").alias("mean_old_s"),
+            mn.cast("long").alias("mean_new_s"),
+            (mn - mo).cast("long").alias("delta_s"),
+        )
+        .withColumn(
+            "drift_ppm",
+            F.expr(
+                "(abs(delta_s) * 1000000) div greatest(abs(mean_old_s), 1)"
+            ).cast("long"),
+        )
+        .orderBy("dim")
+    )
+
+
+def _drift_census_oracle() -> str:
+    return f"""
+WITH xs AS (
+  SELECT (vec_id % {APPEND_MOD}) = {APPEND_RES} AS isnew, g.i AS dim,
+         CAST(floor(embedding[g.i]::DOUBLE * {DRIFT_S}) AS BIGINT)
+           + {DRIFT_OFF} AS x_s
+  FROM embeddings,
+       unnest(generate_series(1, len(embedding))) AS g(i)
+), per AS (
+  SELECT dim,
+         CAST(SUM(CASE WHEN NOT isnew THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+         CAST(SUM(CASE WHEN isnew THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+         CAST(SUM(CASE WHEN NOT isnew THEN x_s ELSE 0 END) AS BIGINT) AS so,
+         CAST(SUM(CASE WHEN isnew THEN x_s ELSE 0 END) AS BIGINT) AS sn
+  FROM xs GROUP BY dim
+), m AS (
+  SELECT CAST(dim AS BIGINT) AS dim, n_old, n_new,
+         CAST((so // n_old) - {DRIFT_OFF} AS BIGINT) AS mean_old_s,
+         CAST((sn // n_new) - {DRIFT_OFF} AS BIGINT) AS mean_new_s
+  FROM per
+)
+SELECT dim, n_old, n_new, mean_old_s, mean_new_s,
+       CAST(mean_new_s - mean_old_s AS BIGINT) AS delta_s,
+       CAST((abs(mean_new_s - mean_old_s) * CAST(1000000 AS BIGINT))
+            // greatest(abs(mean_old_s), 1) AS BIGINT) AS drift_ppm
+FROM m
+ORDER BY dim
+"""
+
+
+# --------------------------------------------------------------------------
 # ann_nprobe_sweep — the IVF tuning curve: recall@K of the TRAINED
 # index at nprobe ∈ NPROBE_SWEEP against brute-force truth, one row
 # per setting — the readout every FAISS deployment produces before
@@ -2938,6 +3057,7 @@ QUERIES = {
     "ann_pq_codes": ann_pq_codes,
     "ann_range_search": ann_range_search,
     "ann_rank_eval": ann_rank_eval,
+    "ann_drift_census": ann_drift_census,
     "ann_knn_graph": ann_knn_graph,
     "ann_knn_refine": ann_knn_refine,
     "ann_bruteforce_topk": ann_bruteforce_topk,
@@ -2971,6 +3091,7 @@ ORACLES = {
     "ann_pq_codes": _pq_oracle(),
     "ann_range_search": _range_search_oracle(),
     "ann_rank_eval": _rank_eval_oracle(),
+    "ann_drift_census": _drift_census_oracle(),
     "ann_knn_graph": _knn_graph_oracle(),
     "ann_knn_refine": _knn_refine_oracle(),
     "ann_quantize_int8": ORACLE_ANN_QUANTIZE,
