@@ -118,6 +118,7 @@ HEADLINE = [
     "pipe_bpe_decode",
     "stream_bloom_decontaminate",
     "stream_ivf_append",
+    "pipe_unimax_mixing",
 ]
 
 BENCH_REPS = 2  # per-query timing = min over this many runs

@@ -96,6 +96,12 @@ WINDOW_BOUNDS: dict[str, dict[tuple[str, ...], str]] = {
             "(~|sources|=20 rows; the corpus scans once into the "
             "census)",
     },
+    "pipe_unimax_mixing": {
+        (): "the UniMax water-filling closed form: sort/cumsum/census "
+            "windows over the per-source token census (~|sources|=20 "
+            "rows at any corpus size; the corpus scans once into the "
+            "census)",
+    },
     "pipe_mix_temperature": {
         (): "global sum over the per-source count table (~|sources|=20 "
             "rows at any corpus size; the corpus scans once into the "

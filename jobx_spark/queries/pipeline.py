@@ -3292,6 +3292,141 @@ ORDER BY source
 
 
 # --------------------------------------------------------------------------
+# pipe_unimax_mixing — UniMax budget allocation (Chung et al., "UniMax:
+# Fairer and More Effective Language Sampling for Large-Scale
+# Multilingual Pretraining", ICLR 2023): spread a total training-token
+# budget B as UNIFORMLY as possible across sources, but cap every
+# source at UNIMAX_EPOCHS passes over its own data — the published
+# alternative to temperature sampling (pipe_mix_temperature) that
+# never over-epochs a small source to feed the uniform share.
+# The water-filling solution is CLOSED-FORM over the sorted source
+# census, so the whole algorithm is three windows over a ~|sources|-row
+# table — no iteration: sort sources by cap ascending; source i is
+# saturated (gets its full cap) iff cap_i·(n−i+1) ≤ B−P_{i−1} (its cap
+# fits the per-remaining-source share of what's left after everything
+# smaller saturates; P = cumulative cap); the saturated set is a prefix
+# of that order, every unsaturated source gets the integer water level
+# ℓ = (B−P_k) div (n−k). All arithmetic is int64 — div/mod on token
+# counts — so both engines agree bit-for-bit, and the div remainder is
+# REPORTED (leftover_tokens) instead of silently vanishing.
+# Scale shape: one corpus scan into a map-side-combinable per-source
+# token census; every window runs over the |sources|-row census
+# (declared in window_contract.py like pipe_epochs_budget). At 100 TB
+# the census is a few hundred rows regardless of corpus size.
+# --------------------------------------------------------------------------
+UNIMAX_EPOCHS = 2  # per-source cap: at most 2 passes over its data
+# budget = 1.9× corpus tokens: close enough to the 2× cap ceiling that
+# the smallest sources saturate — both water-filling branches execute
+# under the hash gate at every SF (uniform-ish sources put the level
+# just above the smallest caps)
+UNIMAX_B_NUM, UNIMAX_B_DEN = 19, 10
+
+
+def pipe_unimax_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(
+        F.sum(F.size(tokens(F.col("text"))).cast("long")).alias("src_tokens")
+    )
+    s = c.select(
+        "source",
+        "src_tokens",
+        (F.col("src_tokens") * F.lit(UNIMAX_EPOCHS)).alias("cap"),
+    )
+    wsort = W.partitionBy().orderBy(F.col("cap").asc(), F.col("source").asc())
+    wall = W.partitionBy()
+    s = s.select(
+        "source",
+        "src_tokens",
+        "cap",
+        F.row_number().over(wsort).cast("long").alias("i"),
+        F.sum("cap").over(wsort).alias("pfx"),  # P_i, cumulative cap
+        F.count(F.lit(1)).over(wall).cast("long").alias("n"),
+        F.expr(
+            f"(sum(src_tokens) over () * {UNIMAX_B_NUM})"
+            f" div {UNIMAX_B_DEN}"
+        ).alias("b"),
+    )
+    # saturation test against the budget left after all smaller caps
+    # saturate: cap_i·(n−i+1) ≤ B − P_{i−1}
+    s = s.withColumn(
+        "saturated", F.expr("cap * (n - i + 1) <= b - (pfx - cap)")
+    )
+    s = s.select(
+        "*",
+        F.sum(F.col("saturated").cast("long")).over(wall).alias("k"),
+        F.sum(
+            F.when(F.col("saturated"), F.col("cap")).otherwise(F.lit(0))
+        ).over(wall).alias("pk"),
+        F.sum("cap").over(wall).alias("pfx_n"),
+    )
+    lvl = "case when k < n then (b - pk) div (n - k) else 0 end"
+    return s.select(
+        "source",
+        "src_tokens",
+        F.col("cap").alias("cap_tokens"),
+        F.col("i").alias("rank_by_cap"),
+        "saturated",
+        F.expr(lvl).cast("long").alias("level_tokens"),
+        F.expr(f"case when saturated then cap else {lvl} end")
+        .cast("long")
+        .alias("alloc_tokens"),
+        F.expr(
+            f"(case when saturated then cap else {lvl} end) * 1000000 div b"
+        ).cast("long").alias("alloc_ppm"),
+        F.expr(
+            "case when k < n then (b - pk) % (n - k) else b - pfx_n end"
+        ).cast("long").alias("leftover_tokens"),
+    ).orderBy("source")
+
+
+def _unimax_oracle() -> str:
+    return f"""
+WITH c AS (
+  SELECT source, CAST(SUM(len({_TOKS})) AS BIGINT) AS src_tokens
+  FROM documents GROUP BY source
+), s AS (
+  SELECT source, src_tokens,
+         CAST(src_tokens * {UNIMAX_EPOCHS} AS BIGINT) AS cap
+  FROM c
+), r AS (
+  SELECT source, src_tokens, cap,
+         CAST(row_number() OVER (ORDER BY cap ASC, source ASC) AS BIGINT) AS i,
+         CAST(SUM(cap) OVER (ORDER BY cap ASC, source ASC
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pfx,
+         CAST(count(*) OVER () AS BIGINT) AS n,
+         CAST((SUM(src_tokens) OVER () * {UNIMAX_B_NUM})
+              // {UNIMAX_B_DEN} AS BIGINT) AS b
+  FROM s
+), sat AS (
+  SELECT *, cap * (n - i + 1) <= b - (pfx - cap) AS saturated FROM r
+), agg AS (
+  SELECT *,
+         CAST(SUM(CASE WHEN saturated THEN 1 ELSE 0 END) OVER ()
+              AS BIGINT) AS k,
+         CAST(SUM(CASE WHEN saturated THEN cap ELSE 0 END) OVER ()
+              AS BIGINT) AS pk,
+         CAST(SUM(cap) OVER () AS BIGINT) AS pfx_n
+  FROM sat
+)
+SELECT source, src_tokens, cap AS cap_tokens, i AS rank_by_cap, saturated,
+       CAST(CASE WHEN k < n THEN (b - pk) // (n - k) ELSE 0 END
+            AS BIGINT) AS level_tokens,
+       CAST(CASE WHEN saturated THEN cap
+                 WHEN k < n THEN (b - pk) // (n - k) ELSE 0 END
+            AS BIGINT) AS alloc_tokens,
+       CAST((CASE WHEN saturated THEN cap
+                  WHEN k < n THEN (b - pk) // (n - k) ELSE 0 END)
+            * 1000000 // b AS BIGINT) AS alloc_ppm,
+       CAST(CASE WHEN k < n THEN (b - pk) % (n - k)
+                 ELSE b - pfx_n END AS BIGINT) AS leftover_tokens
+FROM agg
+ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
 # pipe_padding_waste — bucketed-batching overhead audit: assign every
 # document to the smallest sequence-length boundary ≥ its token count
 # (docs past the largest boundary truncate into it) and census, per
@@ -3643,6 +3778,7 @@ QUERIES = {
     "pipe_dp_release": pipe_dp_release,
     "pipe_watermark_lateness": pipe_watermark_lateness,
     "pipe_epochs_budget": pipe_epochs_budget,
+    "pipe_unimax_mixing": pipe_unimax_mixing,
     "pipe_padding_waste": pipe_padding_waste,
     "pipe_ewma_user_value": pipe_ewma_user_value,
     "pipe_quality_rules": pipe_quality_rules,
@@ -3693,6 +3829,7 @@ ORACLES = {
     "pipe_dp_release": _dp_release_oracle(),
     "pipe_watermark_lateness": _watermark_lateness_oracle(),
     "pipe_epochs_budget": ORACLE_PIPE_EPOCHS_BUDGET,
+    "pipe_unimax_mixing": _unimax_oracle(),
     "pipe_padding_waste": _padding_waste_oracle(),
     "pipe_ewma_user_value": ORACLE_PIPE_EWMA,
     "pipe_quality_rules": _quality_rules_oracle(),

@@ -1275,6 +1275,422 @@ ORDER BY q.query_id
 
 
 # --------------------------------------------------------------------------
+# ann_hybrid_rrf — hybrid retrieval: reciprocal-rank fusion (Cormack,
+# Clarke & Buettcher, SIGIR 2009) of the lexical BM25 top-k and the
+# dense cosine top-k for the shared probe set. This is the operator a
+# production retrieval stack actually serves — lexical catches exact
+# terms dense misses, dense catches paraphrase lexical misses, and RRF
+# combines them with no score calibration (rank-only, so the two
+# incomparable score scales never meet).
+# Exactness device: the textbook score Σ 1/(60+rank) is cleared of
+# fractions by multiplying through by RRF_L = lcm(61..60+K), so each
+# contribution RRF_L div (60+rank) is an EXACT integer (every rank ≤ K
+# divides RRF_L) — the rr_x2520 device at the fusion constant. Ties
+# break by doc_id asc in both engines.
+# Shape: both inputs are the attested rankings (BM25's scan-side
+# term-prefiltered scorer; the corpus-scan-once brute-force kernel);
+# fusion itself joins two ≤|Q|·K-row tables and re-ranks ≤2K rows per
+# query — negligible at any corpus size, and the re-rank window is
+# rank-filtered so InferWindowGroupLimit bounds it per task. At 100 TB
+# the two candidate lists come from the served indexes (inverted +
+# IVF); the fusion stage is unchanged — it never touches the corpus.
+# --------------------------------------------------------------------------
+import math as _m
+
+RRF_RC = 60  # the standard RRF damping constant
+RRF_L = _m.lcm(*[RRF_RC + r for r in range(1, K + 1)])  # lcm(61..70)
+
+
+def ann_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from jobx_spark.queries.text import text_bm25_topk
+
+    lex = text_bm25_topk(spark, sf_dir).select(
+        "query_id",
+        F.col("doc_id").alias("vec_id"),
+        F.col("rank").alias("lex_rank"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    dense = brute_force_topk(emb, _probe_queries(emb), k=K).select(
+        "query_id", "vec_id", F.col("rank").alias("dense_rank")
+    )
+    # USING-style full outer coalesces the keys; a doc ranked by only
+    # one retriever still scores (the whole point of the fusion)
+    fused = lex.join(dense, ["query_id", "vec_id"], "full_outer").select(
+        "query_id",
+        "vec_id",
+        F.coalesce("lex_rank", F.lit(0)).cast("int").alias("lex_rank"),
+        F.coalesce("dense_rank", F.lit(0)).cast("int").alias("dense_rank"),
+    )
+    rrf = fused.withColumn(
+        "rrf_x",
+        (
+            F.when(
+                F.col("lex_rank") > 0,
+                F.expr(f"{RRF_L} div ({RRF_RC} + lex_rank)"),
+            ).otherwise(F.lit(0))
+            + F.when(
+                F.col("dense_rank") > 0,
+                F.expr(f"{RRF_L} div ({RRF_RC} + dense_rank)"),
+            ).otherwise(F.lit(0))
+        ).cast("long"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("rrf_x").desc(), F.col("vec_id").asc()
+    )
+    return (
+        rrf.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= K)
+        .select(
+            "query_id",
+            "rank",
+            F.col("vec_id").alias("doc_id"),
+            "rrf_x",
+            "lex_rank",
+            "dense_rank",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _hybrid_rrf_oracle() -> str:
+    from jobx_spark.queries.text import (
+        BM25_K,
+        BM25_QUERIES,
+        BM25_S_IDF,
+        BM25_S_TF,
+        _TOKS,
+    )
+
+    qvals = ",\n    ".join(
+        f"({qid}, '{t}')"
+        for qid, q in sorted(BM25_QUERIES.items())
+        for t in q.split()
+    )
+    all_terms = sorted({t for q in BM25_QUERIES.values() for t in q.split()})
+    terms_sql = ", ".join(f"'{t}'" for t in all_terms)
+    return f"""
+WITH q(query_id, term) AS (VALUES
+    {qvals}
+),
+tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+doclen AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS dl FROM documents),
+scalars AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS t_toks
+  FROM doclen
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok
+  WHERE term IN ({terms_sql})
+  GROUP BY doc_id, term
+),
+dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+lexscored AS (
+  SELECT query_id, t.doc_id,
+         CAST(SUM(
+           ( ((s.n_docs - d.df) * {BM25_S_IDF} // d.df)
+             * ( (22 * s.t_toks * t.tf * {BM25_S_TF})
+                 // (10 * s.t_toks * t.tf + 3 * s.t_toks + 9 * l.dl * s.n_docs) ) )
+           // {BM25_S_TF}
+         ) AS BIGINT) AS score_s
+  FROM tf t
+  JOIN dft d ON d.term = t.term
+  JOIN q ON q.term = t.term
+  JOIN doclen l ON l.doc_id = t.doc_id
+  CROSS JOIN scalars s
+  GROUP BY query_id, t.doc_id
+),
+lex AS (
+  SELECT query_id, doc_id AS vec_id, lex_rank FROM (
+    SELECT query_id, doc_id, CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY score_s DESC, doc_id ASC) AS INTEGER) AS lex_rank
+    FROM lexscored
+  ) WHERE lex_rank <= {BM25_K}
+),
+e0 AS (
+  SELECT vec_id, embedding, {_SDOT.format(a='embedding', b='embedding')} AS norm_s
+  FROM embeddings
+),
+e AS (SELECT * FROM e0 WHERE norm_s > 0),
+qe AS (
+  SELECT vec_id AS query_id, embedding AS qv, norm_s AS qnorm_s
+  FROM e WHERE vec_id < {N_QUERIES}
+),
+dense AS (
+  SELECT query_id, vec_id, dense_rank FROM (
+    SELECT qe.query_id, e.vec_id,
+           CAST(row_number() OVER (PARTITION BY qe.query_id ORDER BY
+             {_SDOT.format(a='qe.qv', b='e.embedding')}::DOUBLE
+               / (sqrt(qe.qnorm_s::DOUBLE) * sqrt(e.norm_s::DOUBLE)) DESC,
+             e.vec_id ASC) AS INTEGER) AS dense_rank
+    FROM e, qe
+  ) WHERE dense_rank <= {K}
+),
+fused AS (
+  SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+         COALESCE(l.vec_id, d.vec_id) AS vec_id,
+         CAST(COALESCE(l.lex_rank, 0) AS INTEGER) AS lex_rank,
+         CAST(COALESCE(d.dense_rank, 0) AS INTEGER) AS dense_rank
+  FROM lex l FULL OUTER JOIN dense d
+    ON l.query_id = d.query_id AND l.vec_id = d.vec_id
+),
+rrf AS (
+  SELECT query_id, vec_id, lex_rank, dense_rank,
+         CAST(
+           (CASE WHEN lex_rank > 0
+                 THEN {RRF_L} // ({RRF_RC} + lex_rank) ELSE 0 END)
+           + (CASE WHEN dense_rank > 0
+                   THEN {RRF_L} // ({RRF_RC} + dense_rank) ELSE 0 END)
+         AS BIGINT) AS rrf_x
+  FROM fused
+)
+SELECT query_id, rank, vec_id AS doc_id, rrf_x, lex_rank, dense_rank FROM (
+  SELECT query_id, vec_id, rrf_x, lex_rank, dense_rank,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY rrf_x DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM rrf
+) WHERE rank <= {K}
+ORDER BY query_id, rank
+"""
+
+
+# --------------------------------------------------------------------------
+# ann_mmr_diversify — maximal-marginal-relevance reranking (Carbonell &
+# Goldstein, SIGIR 1998): greedily re-pick MMR_M results from the exact
+# top-MMR_POOL shortlist so each next pick trades relevance against
+# redundancy with what's already picked — the standard de-duplication
+# of a retrieval page (and of RAG context windows, where near-identical
+# passages waste the token budget). score = λ·rel − (1−λ)·max_{s∈sel}
+# sim(cand, s), λ = 0.7.
+# Exactness devices: relevance and pairwise similarity are the attested
+# scaled-integer cosines TRUNCATED to ppm ints (Spark double→long CAST
+# and DuckDB trunc() both go toward zero — the cross-engine rule from
+# the verify gotchas), and λ is cleared of fractions by scoring
+# 7·rel_ppm − 3·sim_ppm (λ×10) — every comparison is int64, ties break
+# by vec_id asc, so the greedy argmax agrees bit-for-bit. The greedy
+# loop is UNROLLED (MMR_M−1 rounds on both sides — DataFrame stages
+# here, CTE stages there): each round is an anti-join + a keyed max +
+# a max(struct) argmax over the ≤|Q|·MMR_POOL-row pool.
+# Scale shape: the corpus appears ONLY in the attested corpus-scan-once
+# shortlist kernel; everything after runs on |Q|·MMR_POOL rows (pool)
+# and |Q|·MMR_POOL² rows (pairwise sims, materialized once) — both
+# corpus-independent, so the rerank costs the same at 100 TB as here.
+# --------------------------------------------------------------------------
+MMR_POOL = 20  # shortlist per query fed to the reranker
+MMR_M = 5      # diversified picks per query
+MMR_LAM10 = 7  # λ = 0.7, scaled by 10: score_x = 7·rel − 3·max_sim
+
+
+def ann_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.operators.dedup import scaled_dot_udf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # k = POOL+1 then drop the query's own vector (self-cosine 1.0 holds
+    # rank 1, so the filtered shortlist is the top POOL non-self docs);
+    # the oracle mirrors the same construct — MMR diversifies RESULTS,
+    # and the query itself is not a result
+    bf = brute_force_topk(emb, _probe_queries(emb), k=MMR_POOL + 1).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    pool = cut_lineage(
+        bf.join(emb.select("vec_id", "embedding"), "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            (F.col("cosine") * F.lit(1000000.0)).cast("long").alias("rel_ppm"),
+            "embedding",
+        ),
+        "mmr-pool",
+    )
+    sdot = scaled_dot_udf()
+    a = pool.select(
+        "query_id",
+        F.col("vec_id").alias("a"),
+        F.col("embedding").alias("va"),
+    ).withColumn("na", sdot("va", "va"))
+    b = pool.select(
+        "query_id",
+        F.col("vec_id").alias("b"),
+        F.col("embedding").alias("vb"),
+    ).withColumn("nb", sdot("vb", "vb"))
+    sims = cut_lineage(
+        a.join(b, "query_id")
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "query_id",
+            "a",
+            "b",
+            (
+                sdot("va", "vb").cast("double")
+                / (
+                    F.sqrt(F.col("na").cast("double"))
+                    * F.sqrt(F.col("nb").cast("double"))
+                )
+                * F.lit(1000000.0)
+            ).cast("long").alias("sim_ppm"),
+        ),
+        "mmr-sims",
+    )
+    cand_pool = pool.select("query_id", "vec_id", "rel_ppm")
+
+    def _argmax(cand: DataFrame, order: int) -> DataFrame:
+        # deterministic argmax: max(struct(score, -vec_id)) ties to the
+        # LOWEST vec_id — the ivf_assign device
+        best = cand.groupBy("query_id").agg(
+            F.max(
+                F.struct(
+                    F.col("score_x"),
+                    (-F.col("vec_id")).alias("nv"),
+                    F.col("rel_ppm"),
+                    F.col("max_sim_ppm"),
+                )
+            ).alias("s")
+        )
+        return best.select(
+            "query_id",
+            F.lit(order).cast("int").alias("pick_order"),
+            (-F.col("s.nv")).cast("long").alias("vec_id"),
+            F.col("s.rel_ppm").alias("rel_ppm"),
+            F.col("s.max_sim_ppm").alias("max_sim_ppm"),
+            F.col("s.score_x").alias("score_x"),
+        )
+
+    # each round's pick is MATERIALIZED (≤|Q| rows) before the next
+    # round references it: the greedy recurrence would otherwise replay
+    # every earlier round inside each later one — the unrolled plan hit
+    # 117 shuffles before this cut, ~30 after, same results
+    first = cut_lineage(
+        _argmax(
+            cand_pool.withColumn(
+                "max_sim_ppm", F.lit(0).cast("long")
+            ).withColumn(
+                "score_x", (F.lit(MMR_LAM10) * F.col("rel_ppm")).cast("long")
+            ),
+            1,
+        ),
+        "mmr-pick1",
+    )
+    picked = first
+    for t in range(2, MMR_M + 1):
+        sel = picked.select("query_id", "vec_id")
+        ms = (
+            sims.join(sel.withColumnRenamed("vec_id", "b"), ["query_id", "b"])
+            .groupBy("query_id", "a")
+            .agg(F.max("sim_ppm").alias("max_sim_ppm"))
+            .withColumnRenamed("a", "vec_id")
+        )
+        cand = (
+            cand_pool.join(sel, ["query_id", "vec_id"], "left_anti")
+            .join(ms, ["query_id", "vec_id"])
+            .withColumn(
+                "score_x",
+                (
+                    F.lit(MMR_LAM10) * F.col("rel_ppm")
+                    - F.lit(10 - MMR_LAM10) * F.col("max_sim_ppm")
+                ).cast("long"),
+            )
+        )
+        picked = picked.unionByName(
+            cut_lineage(_argmax(cand, t), f"mmr-pick{t}")
+        )
+    return picked.orderBy("query_id", "pick_order")
+
+
+def _mmr_oracle() -> str:
+    sdot_pp = _SDOT.format(a="p1.embedding", b="p2.embedding")
+    ctes = [
+        f"""e0 AS (
+  SELECT vec_id, embedding,
+         {_SDOT.format(a='embedding', b='embedding')} AS norm_s
+  FROM embeddings
+)""",
+        "e AS (SELECT * FROM e0 WHERE norm_s > 0)",
+        f"""q AS (
+  SELECT vec_id AS query_id, embedding AS qv, norm_s AS qnorm_s
+  FROM e WHERE vec_id < {N_QUERIES}
+)""",
+        f"""pool AS (
+  SELECT query_id, vec_id,
+         CAST(trunc(cosine * 1000000.0) AS BIGINT) AS rel_ppm,
+         embedding, norm_s
+  FROM (
+    SELECT q.query_id, e.vec_id, e.embedding, e.norm_s,
+           {_SDOT.format(a='q.qv', b='e.embedding')}::DOUBLE
+             / (sqrt(q.qnorm_s::DOUBLE) * sqrt(e.norm_s::DOUBLE)) AS cosine,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             {_SDOT.format(a='q.qv', b='e.embedding')}::DOUBLE
+               / (sqrt(q.qnorm_s::DOUBLE) * sqrt(e.norm_s::DOUBLE)) DESC,
+             e.vec_id ASC) AS rk
+    FROM e, q
+  ) WHERE rk <= {MMR_POOL + 1} AND vec_id <> query_id
+)""",
+        f"""sims AS MATERIALIZED (
+  SELECT p1.query_id, p1.vec_id AS a, p2.vec_id AS b,
+         CAST(trunc(({sdot_pp}::DOUBLE
+           / (sqrt(p1.norm_s::DOUBLE) * sqrt(p2.norm_s::DOUBLE)))
+           * 1000000.0) AS BIGINT) AS sim_ppm
+  FROM pool p1 JOIN pool p2
+    ON p1.query_id = p2.query_id AND p1.vec_id <> p2.vec_id
+)""",
+        f"""pick1 AS (
+  SELECT query_id, CAST(1 AS INTEGER) AS pick_order, vec_id, rel_ppm,
+         CAST(0 AS BIGINT) AS max_sim_ppm,
+         CAST({MMR_LAM10} * rel_ppm AS BIGINT) AS score_x
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+           ORDER BY {MMR_LAM10} * rel_ppm DESC, vec_id ASC) AS rn
+    FROM pool
+  ) WHERE rn = 1
+)""",
+        "sel1 AS (SELECT query_id, vec_id FROM pick1)",
+    ]
+    for t in range(2, MMR_M + 1):
+        ctes.append(
+            f"""cand{t} AS (
+  SELECT p.query_id, p.vec_id, p.rel_ppm,
+         CAST(max(s.sim_ppm) AS BIGINT) AS max_sim_ppm
+  FROM pool p
+  JOIN sims s ON s.query_id = p.query_id AND s.a = p.vec_id
+  JOIN sel{t - 1} x ON x.query_id = s.query_id AND x.vec_id = s.b
+  LEFT JOIN sel{t - 1} y
+    ON y.query_id = p.query_id AND y.vec_id = p.vec_id
+  WHERE y.vec_id IS NULL
+  GROUP BY p.query_id, p.vec_id, p.rel_ppm
+)""",
+        )
+        ctes.append(
+            f"""pick{t} AS (
+  SELECT query_id, CAST({t} AS INTEGER) AS pick_order, vec_id, rel_ppm,
+         max_sim_ppm,
+         CAST({MMR_LAM10} * rel_ppm
+              - {10 - MMR_LAM10} * max_sim_ppm AS BIGINT) AS score_x
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+           ORDER BY {MMR_LAM10} * rel_ppm
+                    - {10 - MMR_LAM10} * max_sim_ppm DESC,
+                    vec_id ASC) AS rn
+    FROM cand{t}
+  ) WHERE rn = 1
+)""",
+        )
+        ctes.append(
+            f"sel{t} AS (SELECT query_id, vec_id FROM sel{t - 1}"
+            f" UNION ALL SELECT query_id, vec_id FROM pick{t})"
+        )
+    picks = "\n  UNION ALL ".join(
+        f"SELECT * FROM pick{t}" for t in range(1, MMR_M + 1)
+    )
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT query_id, pick_order, vec_id, rel_ppm, max_sim_ppm, score_x
+FROM ({picks})
+ORDER BY query_id, pick_order
+"""
+
+
+# --------------------------------------------------------------------------
 # ann_quantize_int8 — symmetric per-vector int8 quantization, the
 # standard memory diet for ANN indexes: a 100 TB float32 corpus becomes
 # ~25 TB of int8 codes (+1 double scale per vector), which is the
@@ -3057,6 +3473,8 @@ QUERIES = {
     "ann_pq_codes": ann_pq_codes,
     "ann_range_search": ann_range_search,
     "ann_rank_eval": ann_rank_eval,
+    "ann_hybrid_rrf": ann_hybrid_rrf,
+    "ann_mmr_diversify": ann_mmr_diversify,
     "ann_drift_census": ann_drift_census,
     "ann_knn_graph": ann_knn_graph,
     "ann_knn_refine": ann_knn_refine,
@@ -3091,6 +3509,8 @@ ORACLES = {
     "ann_pq_codes": _pq_oracle(),
     "ann_range_search": _range_search_oracle(),
     "ann_rank_eval": _rank_eval_oracle(),
+    "ann_hybrid_rrf": _hybrid_rrf_oracle(),
+    "ann_mmr_diversify": _mmr_oracle(),
     "ann_drift_census": _drift_census_oracle(),
     "ann_knn_graph": _knn_graph_oracle(),
     "ann_knn_refine": _knn_refine_oracle(),
