@@ -104,6 +104,13 @@ COLLECT_BOUNDS: dict[tuple[str, str, str], tuple[int, str]] = {
         "Gram matrix rows: dim²+1 rows (dim=64) — bounded by embedding "
         "dimension, never corpus size",
     ),
+    ("jobx_spark/queries/similarity.py", "ann_mmr_diversify", "collect"): (
+        1,
+        "the reranker's shortlist: ≤ |Q|·(MMR_POOL+1) = 105 rows by "
+        "construction (probe set × top-k cut) — the corpus-scale work "
+        "is the distributed shortlist kernel; the greedy rerank is "
+        "corpus-independent, like a serving layer's",
+    ),
     ("jobx_spark/queries/streams.py", "stream_ewma_user_value", "collect"): (
         1,
         "1-row min/max(ts) aggregate that sizes the replay split point",

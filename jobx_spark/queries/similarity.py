@@ -1464,18 +1464,25 @@ ORDER BY query_id, rank
 # passages waste the token budget). score = λ·rel − (1−λ)·max_{s∈sel}
 # sim(cand, s), λ = 0.7.
 # Exactness devices: relevance and pairwise similarity are the attested
-# scaled-integer cosines TRUNCATED to ppm ints (Spark double→long CAST
-# and DuckDB trunc() both go toward zero — the cross-engine rule from
-# the verify gotchas), and λ is cleared of fractions by scoring
-# 7·rel_ppm − 3·sim_ppm (λ×10) — every comparison is int64, ties break
-# by vec_id asc, so the greedy argmax agrees bit-for-bit. The greedy
-# loop is UNROLLED (MMR_M−1 rounds on both sides — DataFrame stages
-# here, CTE stages there): each round is an anti-join + a keyed max +
-# a max(struct) argmax over the ≤|Q|·MMR_POOL-row pool.
+# scaled-integer cosines TRUNCATED to ppm ints (toward-zero truncation
+# in every engine — the cross-engine rule from the verify gotchas), and
+# λ is cleared of fractions by scoring 7·rel_ppm − 3·sim_ppm (λ×10) —
+# every comparison is int64, ties break by vec_id asc, so the greedy
+# argmax agrees bit-for-bit. The pairwise sims use the same numpy
+# arithmetic as scaled_dot_udf (floor(x·y·1e12) int64 terms, exact
+# sum), so driver-side and oracle values are bit-equal.
 # Scale shape: the corpus appears ONLY in the attested corpus-scan-once
-# shortlist kernel; everything after runs on |Q|·MMR_POOL rows (pool)
-# and |Q|·MMR_POOL² rows (pairwise sims, materialized once) — both
-# corpus-independent, so the rerank costs the same at 100 TB as here.
+# shortlist kernel (distributed); the greedy rerank then runs DRIVER-
+# side over the collected pool — ≤|Q|·(MMR_POOL+1) rows BY CONSTRUCTION
+# (corpus-independent; declared in collect_contract.py), the same
+# bounded-collect contract as pipe_bpe_learn's per-round argmax. This
+# mirrors production systems, where MMR runs in the serving layer over
+# the index's shortlist, never on the corpus. A first cut kept the
+# greedy distributed as MMR_M−1 unrolled DataFrame rounds; per-round
+# pick materialization still cost ~30 shuffles and ~9 tiny Spark jobs
+# for a 100-row problem — the A/B is in BENCH_NOTES §r9. The DuckDB
+# oracle keeps the unrolled-CTE form, so the greedy recurrence itself
+# is attested engine-independently.
 # --------------------------------------------------------------------------
 MMR_POOL = 20  # shortlist per query fed to the reranker
 MMR_M = 5      # diversified picks per query
@@ -1483,7 +1490,7 @@ MMR_LAM10 = 7  # λ = 0.7, scaled by 10: score_x = 7·rel − 3·max_sim
 
 
 def ann_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from jobx_spark.operators.dedup import scaled_dot_udf
+    import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings")
     # k = POOL+1 then drop the query's own vector (self-cosine 1.0 holds
@@ -1493,108 +1500,74 @@ def ann_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     bf = brute_force_topk(emb, _probe_queries(emb), k=MMR_POOL + 1).filter(
         F.col("vec_id") != F.col("query_id")
     )
-    pool = cut_lineage(
+    # the ONLY driver-side pull: ≤ |Q|·(MMR_POOL+1) rows by construction
+    # (declared in collect_contract.py)
+    rows = (
         bf.join(emb.select("vec_id", "embedding"), "vec_id")
         .select(
             "query_id",
             "vec_id",
             (F.col("cosine") * F.lit(1000000.0)).cast("long").alias("rel_ppm"),
             "embedding",
-        ),
-        "mmr-pool",
-    )
-    sdot = scaled_dot_udf()
-    a = pool.select(
-        "query_id",
-        F.col("vec_id").alias("a"),
-        F.col("embedding").alias("va"),
-    ).withColumn("na", sdot("va", "va"))
-    b = pool.select(
-        "query_id",
-        F.col("vec_id").alias("b"),
-        F.col("embedding").alias("vb"),
-    ).withColumn("nb", sdot("vb", "vb"))
-    sims = cut_lineage(
-        a.join(b, "query_id")
-        .filter(F.col("a") != F.col("b"))
-        .select(
-            "query_id",
-            "a",
-            "b",
-            (
-                sdot("va", "vb").cast("double")
-                / (
-                    F.sqrt(F.col("na").cast("double"))
-                    * F.sqrt(F.col("nb").cast("double"))
-                )
-                * F.lit(1000000.0)
-            ).cast("long").alias("sim_ppm"),
-        ),
-        "mmr-sims",
-    )
-    cand_pool = pool.select("query_id", "vec_id", "rel_ppm")
-
-    def _argmax(cand: DataFrame, order: int) -> DataFrame:
-        # deterministic argmax: max(struct(score, -vec_id)) ties to the
-        # LOWEST vec_id — the ivf_assign device
-        best = cand.groupBy("query_id").agg(
-            F.max(
-                F.struct(
-                    F.col("score_x"),
-                    (-F.col("vec_id")).alias("nv"),
-                    F.col("rel_ppm"),
-                    F.col("max_sim_ppm"),
-                )
-            ).alias("s")
         )
-        return best.select(
-            "query_id",
-            F.lit(order).cast("int").alias("pick_order"),
-            (-F.col("s.nv")).cast("long").alias("vec_id"),
-            F.col("s.rel_ppm").alias("rel_ppm"),
-            F.col("s.max_sim_ppm").alias("max_sim_ppm"),
-            F.col("s.score_x").alias("score_x"),
-        )
-
-    # each round's pick is MATERIALIZED (≤|Q| rows) before the next
-    # round references it: the greedy recurrence would otherwise replay
-    # every earlier round inside each later one — the unrolled plan hit
-    # 117 shuffles before this cut, ~30 after, same results
-    first = cut_lineage(
-        _argmax(
-            cand_pool.withColumn(
-                "max_sim_ppm", F.lit(0).cast("long")
-            ).withColumn(
-                "score_x", (F.lit(MMR_LAM10) * F.col("rel_ppm")).cast("long")
-            ),
-            1,
-        ),
-        "mmr-pick1",
+        .collect()
     )
-    picked = first
-    for t in range(2, MMR_M + 1):
-        sel = picked.select("query_id", "vec_id")
-        ms = (
-            sims.join(sel.withColumnRenamed("vec_id", "b"), ["query_id", "b"])
-            .groupBy("query_id", "a")
-            .agg(F.max("sim_ppm").alias("max_sim_ppm"))
-            .withColumnRenamed("a", "vec_id")
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(int(r["query_id"]), []).append(r)
+    out = []
+    for qid in sorted(by_q):
+        cands = sorted(by_q[qid], key=lambda r: int(r["vec_id"]))
+        ids = np.array([int(r["vec_id"]) for r in cands], dtype=np.int64)
+        rel = np.array([int(r["rel_ppm"]) for r in cands], dtype=np.int64)
+        mat = np.array([r["embedding"] for r in cands], dtype=np.float64)
+        # bit-equal to scaled_dot_udf: floor(x·y·1e12) int64 terms,
+        # exact integer sum; then the same double cosine → trunc-ppm
+        norms = np.floor(mat * mat * 1e12).astype(np.int64).sum(axis=1)
+        dots = np.array(
+            [
+                np.floor(mat[i] * mat * 1e12).astype(np.int64).sum(axis=1)
+                for i in range(len(cands))
+            ],
+            dtype=np.int64,
         )
-        cand = (
-            cand_pool.join(sel, ["query_id", "vec_id"], "left_anti")
-            .join(ms, ["query_id", "vec_id"])
-            .withColumn(
-                "score_x",
-                (
-                    F.lit(MMR_LAM10) * F.col("rel_ppm")
-                    - F.lit(10 - MMR_LAM10) * F.col("max_sim_ppm")
-                ).cast("long"),
+        sim = np.trunc(
+            dots.astype(np.float64)
+            / (
+                np.sqrt(norms.astype(np.float64))[:, None]
+                * np.sqrt(norms.astype(np.float64))[None, :]
             )
-        )
-        picked = picked.unionByName(
-            cut_lineage(_argmax(cand, t), f"mmr-pick{t}")
-        )
-    return picked.orderBy("query_id", "pick_order")
+            * 1e6
+        ).astype(np.int64)
+        picked: list[int] = []  # positional indexes into cands
+        for order in range(1, MMR_M + 1):
+            best_pos, best_key = -1, None
+            for p in range(len(cands)):
+                if p in picked:
+                    continue
+                ms = int(max(sim[p][s] for s in picked)) if picked else 0
+                score = MMR_LAM10 * int(rel[p]) - (10 - MMR_LAM10) * ms
+                key = (score, -int(ids[p]))  # ties → lowest vec_id
+                if best_key is None or key > best_key:
+                    best_pos, best_key = p, key
+                    best_ms = ms
+            picked.append(best_pos)
+            out.append(
+                (
+                    qid,
+                    order,
+                    int(ids[best_pos]),
+                    int(rel[best_pos]),
+                    best_ms,
+                    MMR_LAM10 * int(rel[best_pos])
+                    - (10 - MMR_LAM10) * best_ms,
+                )
+            )
+    return spark.createDataFrame(
+        out,
+        "query_id long, pick_order int, vec_id long, rel_ppm long,"
+        " max_sim_ppm long, score_x long",
+    ).orderBy("query_id", "pick_order")
 
 
 def _mmr_oracle() -> str:
