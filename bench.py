@@ -119,6 +119,7 @@ HEADLINE = [
     "stream_bloom_decontaminate",
     "stream_ivf_append",
     "pipe_unimax_mixing",
+    "stream_drift_census",
 ]
 
 BENCH_REPS = 2  # per-query timing = min over this many runs

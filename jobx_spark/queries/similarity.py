@@ -777,34 +777,24 @@ DRIFT_S = 10**6
 DRIFT_OFF = 2 * 10**6
 
 
-def ann_drift_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    isnew = (F.col("vec_id") % APPEND_MOD) == APPEND_RES
+def _drift_xs(i: int):
+    """Offset-shifted scaled element: floor(e[i]·10⁶) + 2·10⁶ — shared
+    by the batch census and its streaming twin so the partial sums are
+    the same integers everywhere."""
+    return (
+        F.floor(
+            F.element_at("embedding", i + 1).cast("double")
+            * F.lit(DRIFT_S)
+        ).cast("long")
+        + F.lit(DRIFT_OFF).cast("long")
+    )
 
-    def xs(i: int):
-        return (
-            F.floor(
-                F.element_at("embedding", i + 1).cast("double")
-                * F.lit(DRIFT_S)
-            ).cast("long")
-            + F.lit(DRIFT_OFF).cast("long")
-        )
 
-    aggs = [
-        F.sum(F.when(~isnew, 1).otherwise(0)).cast("long").alias("n_old"),
-        F.sum(F.when(isnew, 1).otherwise(0)).cast("long").alias("n_new"),
-    ]
-    aggs += [
-        F.sum(F.when(~isnew, xs(i)).otherwise(F.lit(0).cast("long")))
-        .alias(f"o{i}")
-        for i in range(DRIFT_DIM)
-    ]
-    aggs += [
-        F.sum(F.when(isnew, xs(i)).otherwise(F.lit(0).cast("long")))
-        .alias(f"s{i}")
-        for i in range(DRIFT_DIM)
-    ]
-    row = emb.agg(*aggs)
+def _drift_census_from_sums(row: DataFrame) -> DataFrame:
+    """Final census from a 1-row sums table (n_old, n_new, o{i}, s{i}):
+    the mean/delta/ppm arithmetic of ann_drift_census, factored so
+    stream_drift_census's merged per-batch partials feed the identical
+    tail."""
     wide = row.select(
         "n_old",
         "n_new",
@@ -838,6 +828,26 @@ def ann_drift_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+def ann_drift_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    isnew = (F.col("vec_id") % APPEND_MOD) == APPEND_RES
+    aggs = [
+        F.sum(F.when(~isnew, 1).otherwise(0)).cast("long").alias("n_old"),
+        F.sum(F.when(isnew, 1).otherwise(0)).cast("long").alias("n_new"),
+    ]
+    aggs += [
+        F.sum(F.when(~isnew, _drift_xs(i)).otherwise(F.lit(0).cast("long")))
+        .alias(f"o{i}")
+        for i in range(DRIFT_DIM)
+    ]
+    aggs += [
+        F.sum(F.when(isnew, _drift_xs(i)).otherwise(F.lit(0).cast("long")))
+        .alias(f"s{i}")
+        for i in range(DRIFT_DIM)
+    ]
+    return _drift_census_from_sums(emb.agg(*aggs))
 
 
 def _drift_census_oracle() -> str:

@@ -1170,6 +1170,101 @@ def _sivfa_oracle() -> str:
 
 
 # --------------------------------------------------------------------------
+# stream_drift_census — ann_drift_census's streaming twin: the drift
+# monitor as it actually runs in production, riding the INGEST stream
+# instead of re-scanning the corpus. Each micro-batch of new vectors
+# reduces to ONE partial-sums row (count + 64 offset-shifted scaled-
+# integer element sums — the same integers as the batch census, via the
+# shared _drift_xs), written keyed by batch id (idempotent dynamic-
+# partition overwrite, so a replayed batch overwrites itself). Partials
+# MERGE by plain integer addition — the mergeable-sketch device
+# (text_hll_merge, stream_quantile_sketch): order- and batching-
+# independent, so the merged row equals the direct aggregate BIT-FOR-
+# BIT and the final census must hash-equal the batch operator, which
+# is exactly what the oracle (ann_drift_census's, verbatim) checks.
+# State: ZERO rows in the state store — the partial is batch-local,
+# the merge lives in the sink (stateless-foreachBatch, like
+# stream_ivf_append). At 100 TB/day the sink holds one 66-column row
+# per micro-batch and the monitor never touches the base corpus after
+# its one-time baseline aggregate.
+# --------------------------------------------------------------------------
+def stream_drift_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql import functions as F
+
+    from jobx_spark.lineage import scratch_dir
+    from jobx_spark.queries.similarity import (
+        APPEND_MOD,
+        APPEND_RES,
+        DRIFT_DIM,
+        _drift_census_from_sums,
+        _drift_xs,
+    )
+    from jobx_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    isnew = (F.col("vec_id") % APPEND_MOD) == APPEND_RES
+    base = emb.filter(~isnew)
+    batch = emb.filter(isnew).select("vec_id", "embedding")
+    rdir = S.write_replay_files(batch, ["vec_id"], 3, "sdrift")
+    st = S.stream_replay(spark, rdir)
+    root = scratch_dir("stream_drift")
+    out, ckpt = f"{root}/out", f"{root}/ckpt"
+
+    def _partial(batch_df: DataFrame, batch_id: int) -> None:
+        aggs = [F.count(F.lit(1)).cast("long").alias("n_new")]
+        aggs += [
+            F.sum(_drift_xs(i)).cast("long").alias(f"s{i}")
+            for i in range(DRIFT_DIM)
+        ]
+        (
+            batch_df.agg(*aggs)
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out)
+        )
+
+    q = (
+        st.writeStream.foreachBatch(_partial)
+        # contract label for the STREAM_PLANS audit: stateless per
+        # micro-batch — one partial-sums row per batch, merged in the
+        # sink by exact integer addition
+        .queryName(f"sdrift_stateless_{os.getpid()}_{next(S._name_counter)}")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    S._capture_run(q)
+    merged_new = spark.read.parquet(out).agg(
+        F.sum("n_new").cast("long").alias("n_new"),
+        *[
+            F.sum(f"s{i}").cast("long").alias(f"s{i}")
+            for i in range(DRIFT_DIM)
+        ],
+    )
+    base_row = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_old"),
+        *[
+            F.sum(_drift_xs(i)).cast("long").alias(f"o{i}")
+            for i in range(DRIFT_DIM)
+        ],
+    )
+    return _drift_census_from_sums(base_row.crossJoin(merged_new))
+
+
+def _sdrift_oracle() -> str:
+    """ann_drift_census's oracle verbatim — the merged per-batch
+    partials must reproduce the batch census exactly."""
+    from jobx_spark.queries.similarity import _drift_census_oracle
+
+    return _drift_census_oracle()
+
+
+# --------------------------------------------------------------------------
 # stream_incremental_restart — checkpoint-resume incrementality under
 # the gate: the event stream arrives in TWO batches of files through
 # the SAME checkpoint (run to completion, stop, more files land, run
@@ -1393,6 +1488,7 @@ QUERIES = {
     "stream_ewma_user_value": stream_ewma_user_value,
     "stream_bloom_decontaminate": stream_bloom_decontaminate,
     "stream_ivf_append": stream_ivf_append,
+    "stream_drift_census": stream_drift_census,
     "stream_scd_enrich": stream_scd_enrich,
     "stream_cms_users": stream_cms_users,
     "stream_hll_cards": stream_hll_cards,
@@ -1421,6 +1517,7 @@ ORACLES = {
     "stream_ewma_user_value": _stream_ewma_oracle(),
     "stream_bloom_decontaminate": _sbdecon_oracle(),
     "stream_ivf_append": _sivfa_oracle(),
+    "stream_drift_census": _sdrift_oracle(),
     "stream_scd_enrich": ORACLE_STREAM_SCD,
     "stream_cms_users": _stream_cms_oracle(),
     "stream_hll_cards": _stream_hll_oracle(),

@@ -71,6 +71,9 @@ EXPECT = {
     # stateless-foreachBatch vector ingest: assignment is per-row
     # arithmetic against the frozen broadcast quantizer (r9)
     "stream_ivf_append": ([], False, set()),
+    # stateless-foreachBatch drift partials: one integer partial-sums
+    # row per micro-batch, merged in the sink by exact addition (r9)
+    "stream_drift_census": ([], False, set()),
 }
 
 FORBIDDEN_NODES = ("CartesianProduct", "BroadcastNestedLoopJoin")
