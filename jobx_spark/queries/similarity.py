@@ -1285,6 +1285,117 @@ ORDER BY q.query_id
 
 
 # --------------------------------------------------------------------------
+# ann_dim_truncation_sweep — Matryoshka-style dimension-truncation
+# recall curve (Kusupati et al., NeurIPS 2022): recall@K of cosine
+# search over the FIRST d dims against full-dim truth, one row per
+# (d, probe query). This is the readout behind the "shortening
+# embeddings" serving trick modern vector stores expose: a 64-dim
+# index truncated to 16 dims costs 4× less memory and bandwidth, and
+# this table says what that buys back in recall — the dimension axis
+# of the tuning space whose nprobe axis ann_nprobe_sweep already
+# sweeps.
+# Exactness: each point is the attested corpus-scan-once brute-force
+# kernel over slice(embedding, 1, d) — scaled-int dots, zero-norm
+# masks ON THE TRUNCATED vectors (a prefix can be zero-norm when the
+# full vector isn't; both engines mask identically). Recall is integer
+# permille; d = 64 rides along as the recall-1000 control row.
+# Scale shape: one corpus scan per sweep point (|TRUNC_DIMS| scans,
+# the full-dim scan shared with truth via cut_lineage), each the
+# map-side-k-selection shape that makes exact search viable as the
+# verification pass; the eval joins are K·|Q|-row tables.
+# --------------------------------------------------------------------------
+TRUNC_DIMS = [8, 16, 32, 64]
+
+
+def ann_dim_truncation_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def topk_at(d: int) -> DataFrame:
+        corp = emb.select(
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        return brute_force_topk(corp, _probe_queries(corp), k=K).select(
+            "query_id", "vec_id"
+        )
+
+    truth = cut_lineage(topk_at(max(TRUNC_DIMS)), "dimsweep-truth")
+    probes = _probe_queries(emb).select("query_id")
+    parts = []
+    for d in TRUNC_DIMS:
+        ap = truth if d == max(TRUNC_DIMS) else topk_at(d)
+        hits = ap.join(truth, ["query_id", "vec_id"]).groupBy(
+            "query_id"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        parts.append(
+            probes.join(hits, "query_id", "left").select(
+                F.lit(d).cast("int").alias("trunc_dim"),
+                "query_id",
+                F.coalesce("n", F.lit(0)).cast("long").alias("n_hits"),
+                F.expr(f"(coalesce(n, 0) * 1000) div {K}")
+                .cast("long")
+                .alias("recall_permille"),
+            )
+        )
+    return reduce(DataFrame.unionByName, parts).orderBy(
+        "trunc_dim", "query_id"
+    )
+
+
+def _dim_sweep_oracle() -> str:
+    def ranked(d: int) -> str:
+        sl = f"embedding[1:{d}]"
+        return f"""e{d} AS (
+  SELECT vec_id, {sl} AS emb,
+         {_SDOT.format(a=sl, b=sl)} AS norm_s
+  FROM embeddings
+  WHERE {_SDOT.format(a=sl, b=sl)} > 0
+), q{d} AS (
+  SELECT vec_id AS query_id, emb AS qv, norm_s AS qnorm_s
+  FROM e{d} WHERE vec_id < {N_QUERIES}
+), a{d} AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             {_SDOT.format(a='q.qv', b='e.emb')}::DOUBLE
+               / (sqrt(q.qnorm_s::DOUBLE) * sqrt(e.norm_s::DOUBLE)) DESC,
+             e.vec_id ASC) AS rk
+    FROM e{d} e, q{d} q
+  ) WHERE rk <= {K}
+)"""
+
+    dmax = max(TRUNC_DIMS)
+    ctes = [ranked(d) for d in TRUNC_DIMS]
+    ctes.append(
+        "probes AS (SELECT vec_id AS query_id FROM embeddings"
+        f" WHERE vec_id < {N_QUERIES})"
+    )
+    for d in TRUNC_DIMS:
+        ctes.append(
+            f"""h{d} AS (
+  SELECT a.query_id, CAST(count(*) AS BIGINT) AS n
+  FROM a{d} a JOIN a{dmax} t
+    ON t.query_id = a.query_id AND t.vec_id = a.vec_id
+  GROUP BY a.query_id
+)"""
+        )
+    selects = "\n  UNION ALL ".join(
+        f"""SELECT CAST({d} AS INTEGER) AS trunc_dim, p.query_id,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(h.n, 0) * 1000 // {K} AS BIGINT) AS recall_permille
+  FROM probes p LEFT JOIN h{d} h ON h.query_id = p.query_id"""
+        for d in TRUNC_DIMS
+    )
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT * FROM ({selects})
+ORDER BY trunc_dim, query_id
+"""
+
+
+# --------------------------------------------------------------------------
 # ann_hybrid_rrf — hybrid retrieval: reciprocal-rank fusion (Cormack,
 # Clarke & Buettcher, SIGIR 2009) of the lexical BM25 top-k and the
 # dense cosine top-k for the shared probe set. This is the operator a
@@ -3458,6 +3569,7 @@ QUERIES = {
     "ann_rank_eval": ann_rank_eval,
     "ann_hybrid_rrf": ann_hybrid_rrf,
     "ann_mmr_diversify": ann_mmr_diversify,
+    "ann_dim_truncation_sweep": ann_dim_truncation_sweep,
     "ann_drift_census": ann_drift_census,
     "ann_knn_graph": ann_knn_graph,
     "ann_knn_refine": ann_knn_refine,
@@ -3494,6 +3606,7 @@ ORACLES = {
     "ann_rank_eval": _rank_eval_oracle(),
     "ann_hybrid_rrf": _hybrid_rrf_oracle(),
     "ann_mmr_diversify": _mmr_oracle(),
+    "ann_dim_truncation_sweep": _dim_sweep_oracle(),
     "ann_drift_census": _drift_census_oracle(),
     "ann_knn_graph": _knn_graph_oracle(),
     "ann_knn_refine": _knn_refine_oracle(),
