@@ -120,6 +120,7 @@ HEADLINE = [
     "stream_ivf_append",
     "pipe_unimax_mixing",
     "stream_drift_census",
+    "pipe_curriculum_order",
 ]
 
 BENCH_REPS = 2  # per-query timing = min over this many runs

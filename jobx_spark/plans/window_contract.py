@@ -102,6 +102,13 @@ WINDOW_BOUNDS: dict[str, dict[tuple[str, ...], str]] = {
             "rows at any corpus size; the corpus scans once into the "
             "census)",
     },
+    "pipe_curriculum_order": {
+        (): "exact-quartile cumulative over the global (n_toks, count) "
+            "table — |distinct doc lengths| rows, value-domain-bounded "
+            "(the pipe_dataset_card device, global instead of "
+            "per-source); phase assignment is scan-side against the "
+            "broadcast 1-row threshold table",
+    },
     "pipe_mix_temperature": {
         (): "global sum over the per-source count table (~|sources|=20 "
             "rows at any corpus size; the corpus scans once into the "

@@ -3013,6 +3013,125 @@ ORDER BY source
 
 
 # --------------------------------------------------------------------------
+# pipe_curriculum_order — length-curriculum schedule census (Bengio et
+# al. 2009's curriculum learning, with document length as the standard
+# cheap difficulty proxy — short-to-long is the schedule sequence-
+# model curricula actually use): split the corpus into CURR_PHASES
+# quartile phases by token count and report, per (phase, source), the
+# doc count, token mass, and length range, with the exact thresholds
+# riding along. This is the table a training job consumes to build its
+# phase manifests — and the per-source breakdown says whether the
+# curriculum starves a source early (a source whose docs are all long
+# contributes nothing to phase 1).
+# Scale shape: the pipe_dataset_card device — exact quartile thresholds
+# come from a cumulative window over the (n_toks, count) table
+# (value-domain-bounded, declared), NEVER an ntile over the corpus
+# (which would serialize every row through one task); phase assignment
+# is then scan-side comparison against the broadcast 1-row threshold
+# table, and the census is a ≤ CURR_PHASES·|sources|-row rollup. All
+# integer.
+# --------------------------------------------------------------------------
+CURR_PHASES = 4  # quartile curriculum: shortest docs first
+
+
+def pipe_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "source", F.size(tokens(F.col("text"))).cast("long").alias("n_toks")
+    )
+    lens = base.groupBy("n_toks").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = lens.select(
+        "n_toks",
+        "cnt",
+        F.sum("cnt")
+        .over(
+            W.partitionBy().orderBy("n_toks")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        .alias("cum"),
+        F.sum("cnt").over(W.partitionBy()).alias("n"),
+    )
+
+    def at(p: float):
+        pos = F.ceil(F.lit(p) * F.col("n")).cast("long")
+        return F.min(F.when(F.col("cum") >= pos, F.col("n_toks")))
+
+    thr = cum.agg(
+        at(0.25).alias("t25"), at(0.5).alias("t50"), at(0.75).alias("t75")
+    )
+    gt = lambda t: (F.col("n_toks") > F.col(t)).cast("long")  # noqa: E731
+    phased = base.crossJoin(F.broadcast(thr)).select(
+        "source",
+        "n_toks",
+        "t25",
+        "t50",
+        "t75",
+        (F.lit(1) + gt("t25") + gt("t50") + gt("t75")).cast("int").alias(
+            "phase"
+        ),
+    )
+    return (
+        phased.groupBy("phase", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("phase_tokens"),
+            F.min("n_toks").cast("long").alias("min_toks"),
+            F.max("n_toks").cast("long").alias("max_toks"),
+            F.min("t25").cast("long").alias("t25"),
+            F.min("t50").cast("long").alias("t50"),
+            F.min("t75").cast("long").alias("t75"),
+        )
+        .orderBy("phase", "source")
+    )
+
+
+ORACLE_PIPE_CURRICULUM = f"""
+WITH t AS (
+  SELECT source, CAST(len({_TOKS}) AS BIGINT) AS n_toks FROM documents
+),
+l AS (SELECT n_toks, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY n_toks),
+c AS (
+  SELECT n_toks, cnt,
+         CAST(SUM(cnt) OVER (ORDER BY n_toks
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(SUM(cnt) OVER () AS BIGINT) AS n
+  FROM l
+),
+thr AS (
+  SELECT
+    MIN(CASE WHEN cum >= CAST(ceil(0.25 * n) AS BIGINT)
+             THEN n_toks END) AS t25,
+    MIN(CASE WHEN cum >= CAST(ceil(0.5 * n) AS BIGINT)
+             THEN n_toks END) AS t50,
+    MIN(CASE WHEN cum >= CAST(ceil(0.75 * n) AS BIGINT)
+             THEN n_toks END) AS t75
+  FROM c
+),
+phased AS (
+  SELECT t.source, t.n_toks, thr.t25, thr.t50, thr.t75,
+         CAST(1 + (CASE WHEN t.n_toks > thr.t25 THEN 1 ELSE 0 END)
+                + (CASE WHEN t.n_toks > thr.t50 THEN 1 ELSE 0 END)
+                + (CASE WHEN t.n_toks > thr.t75 THEN 1 ELSE 0 END)
+          AS INTEGER) AS phase
+  FROM t, thr
+)
+SELECT phase, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS phase_tokens,
+       CAST(MIN(n_toks) AS BIGINT) AS min_toks,
+       CAST(MAX(n_toks) AS BIGINT) AS max_toks,
+       CAST(MIN(t25) AS BIGINT) AS t25,
+       CAST(MIN(t50) AS BIGINT) AS t50,
+       CAST(MIN(t75) AS BIGINT) AS t75
+FROM phased
+GROUP BY phase, source
+ORDER BY phase, source
+"""
+
+
+# --------------------------------------------------------------------------
 # pipe_quality_funnel — the ORDERED filter funnel over the same five
 # Gopher-style rules as pipe_quality_rules: each document is charged
 # to the FIRST rule that rejects it (the attribution real pipeline
@@ -3779,6 +3898,7 @@ QUERIES = {
     "pipe_watermark_lateness": pipe_watermark_lateness,
     "pipe_epochs_budget": pipe_epochs_budget,
     "pipe_unimax_mixing": pipe_unimax_mixing,
+    "pipe_curriculum_order": pipe_curriculum_order,
     "pipe_padding_waste": pipe_padding_waste,
     "pipe_ewma_user_value": pipe_ewma_user_value,
     "pipe_quality_rules": pipe_quality_rules,
@@ -3830,6 +3950,7 @@ ORACLES = {
     "pipe_watermark_lateness": _watermark_lateness_oracle(),
     "pipe_epochs_budget": ORACLE_PIPE_EPOCHS_BUDGET,
     "pipe_unimax_mixing": _unimax_oracle(),
+    "pipe_curriculum_order": ORACLE_PIPE_CURRICULUM,
     "pipe_padding_waste": _padding_waste_oracle(),
     "pipe_ewma_user_value": ORACLE_PIPE_EWMA,
     "pipe_quality_rules": _quality_rules_oracle(),
