@@ -102,6 +102,12 @@ WINDOW_BOUNDS: dict[str, dict[tuple[str, ...], str]] = {
             "rows at any corpus size; the corpus scans once into the "
             "census)",
     },
+    "text_rake_keywords": {
+        ("doc_id",): "gaps-and-islands run id over one document's "
+                     "non-stopword tokens — partition bounded by "
+                     "document length (the pipe_bpe_encode bound)",
+        (): _TOPK_RERANK + " (RAKE phrase table)",
+    },
     "pipe_curriculum_order": {
         (): "exact-quartile cumulative over the global (n_toks, count) "
             "table — |distinct doc lengths| rows, value-domain-bounded "

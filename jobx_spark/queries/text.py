@@ -1724,6 +1724,163 @@ ORDER BY source, novelty_decile
 """
 
 
+# --------------------------------------------------------------------------
+# text_rake_keywords — RAKE keyword extraction (Rose, Engel, Cramer &
+# Cowley 2010): candidate phrases are maximal runs of non-stopword
+# tokens (stopwords act as delimiters — the UNION of the per-language
+# lists, the label-robust choice: a mislabeled document still splits
+# on any language's function words, where per-label lists left 3/4 of
+# this corpus as whole-document "phrases"), each word scores
+# deg(w)/freq(w) — degree = Σ length of the
+# phrases its occurrences sit in, frequency = occurrence count — and a
+# phrase scores the sum of its words' scores; runs longer than
+# RAKE_MAX_WORDS are dropped (the standard max-length knob — a
+# 90-token run is a failed split, not a keyword). Output: the global
+# top RAKE_K phrases with score, occurrence count, and length. The
+# unsupervised keyword table a corpus curator reads before naming a
+# domain cluster or building a blocklist.
+# Exactness: scores are integer ppm (deg·10⁶ div freq; phrase score =
+# Σ ppm), phrase runs come from the gaps-and-islands identity
+# grp = pos − row_number() (pure integer), ties break on phrase text.
+# Scale shape: one tokenize scan; the islands window partitions by
+# doc_id (doc-length-bounded, declared); freq/deg are map-side-
+# combinable aggregations over the phrase-token table; the word-score
+# join is keyed by term (vocabulary-sized build side); phrase assembly
+# is one (doc, run) groupBy; the final cut is a distributed
+# orderBy().limit(K) — TakeOrderedAndProject, never a global sort —
+# with rank recomputed over the K-row result (the pipe_vocab_topk
+# device).
+# --------------------------------------------------------------------------
+RAKE_K = 25
+RAKE_MAX_WORDS = 8
+
+
+def _rake_stopwords() -> list[str]:
+    from jobx_spark.operators.text import LANG_STOPWORDS
+
+    return sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
+
+
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(tokens(F.col("text"))).alias("pos0", "term"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+    # scan-side literal filter — the delimiter set is a few dozen words
+    ns = tok.filter(~F.col("term").isin(_rake_stopwords()))
+    ph = ns.withColumn(
+        "grp",
+        F.col("pos")
+        - F.row_number().over(W.partitionBy("doc_id").orderBy("pos")),
+    )
+    plen = (
+        ph.groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).alias("plen"))
+        .filter(F.col("plen") <= RAKE_MAX_WORDS)
+    )
+    phk = ph.join(plen, ["doc_id", "grp"])
+    wstat = (
+        phk.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("plen").cast("long").alias("deg"),
+        )
+        .withColumn(
+            "wscore_ppm", F.expr("(deg * 1000000) div freq").cast("long")
+        )
+    )
+    pscore = (
+        phk.join(wstat.select("term", "wscore_ppm"), "term")
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "term"))
+                    ),
+                    lambda x: x["term"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.sum("wscore_ppm").cast("long").alias("score_ppm"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+        )
+    )
+    phrases = pscore.groupBy("phrase").agg(
+        F.min("score_ppm").cast("long").alias("score_ppm"),
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.min("n_words").cast("long").alias("n_words"),
+    )
+    top = phrases.orderBy(
+        F.col("score_ppm").desc(), F.col("phrase").asc()
+    ).limit(RAKE_K)
+    wr = W.partitionBy().orderBy(F.col("score_ppm").desc(), F.col("phrase"))
+    return top.select(
+        F.row_number().over(wr).cast("int").alias("rank"),
+        "phrase",
+        "score_ppm",
+        "n_occurrences",
+        "n_words",
+    ).orderBy("rank")
+
+
+def _rake_oracle() -> str:
+    terms_sql = ", ".join(f"'{w}'" for w in _rake_stopwords())
+    return f"""
+WITH tok AS (
+  SELECT doc_id, g.i AS pos, t[g.i] AS term
+  FROM (SELECT doc_id, {_TOKS} AS t FROM documents),
+       unnest(generate_series(1, len(t))) AS g(i)
+),
+ns AS (
+  SELECT doc_id, pos, term FROM tok WHERE term NOT IN ({terms_sql})
+),
+ph AS (
+  SELECT doc_id, pos, term,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM ns
+),
+plen AS (
+  SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS plen
+  FROM ph GROUP BY doc_id, grp
+  HAVING count(*) <= {RAKE_MAX_WORDS}
+),
+phk AS (SELECT ph.*, plen.plen FROM ph JOIN plen USING (doc_id, grp)),
+wstat AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS freq,
+         CAST(SUM(plen) AS BIGINT) AS deg
+  FROM phk GROUP BY term
+),
+ws AS (SELECT term, CAST(deg * 1000000 // freq AS BIGINT) AS wscore_ppm
+       FROM wstat),
+pscore AS (
+  SELECT phk.doc_id, phk.grp,
+         string_agg(phk.term, ' ' ORDER BY phk.pos) AS phrase,
+         CAST(SUM(ws.wscore_ppm) AS BIGINT) AS score_ppm,
+         CAST(count(*) AS BIGINT) AS n_words
+  FROM phk JOIN ws ON ws.term = phk.term
+  GROUP BY phk.doc_id, phk.grp
+),
+phrases AS (
+  SELECT phrase, CAST(MIN(score_ppm) AS BIGINT) AS score_ppm,
+         CAST(count(*) AS BIGINT) AS n_occurrences,
+         CAST(MIN(n_words) AS BIGINT) AS n_words
+  FROM pscore GROUP BY phrase
+),
+top AS (
+  SELECT * FROM phrases ORDER BY score_ppm DESC, phrase ASC LIMIT {RAKE_K}
+)
+SELECT CAST(row_number() OVER (ORDER BY score_ppm DESC, phrase ASC)
+            AS INTEGER) AS rank,
+       phrase, score_ppm, n_occurrences, n_words
+FROM top
+ORDER BY rank
+"""
+
+
 QUERIES = {
     "text_ngram_novelty": text_ngram_novelty,
     "text_hll_merge": text_hll_merge,
@@ -1732,6 +1889,7 @@ QUERIES = {
     "text_winnow_fingerprints": text_winnow_fingerprints,
     "text_zipf_census": text_zipf_census,
     "text_bm25_topk": text_bm25_topk,
+    "text_rake_keywords": text_rake_keywords,
     "text_ttr": text_ttr,
     "text_trigram_lang_eval": text_trigram_lang_eval,
     "text_readability": text_readability,
@@ -1755,6 +1913,7 @@ ORACLES = {
     "text_winnow_fingerprints": ORACLE_TEXT_WINNOW,
     "text_zipf_census": ORACLE_TEXT_ZIPF,
     "text_bm25_topk": _bm25_oracle(),
+    "text_rake_keywords": _rake_oracle(),
     "text_ttr": ORACLE_TEXT_TTR,
     "text_trigram_lang_eval": ORACLE_TEXT_TRIGRAM_EVAL,
     "text_readability": ORACLE_TEXT_READABILITY,
