@@ -1662,7 +1662,7 @@ def ann_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).astype(np.int64)
         picked: list[int] = []  # positional indexes into cands
         for order in range(1, MMR_M + 1):
-            best_pos, best_key = -1, None
+            best_pos, best_key, best_ms = -1, None, 0
             for p in range(len(cands)):
                 if p in picked:
                     continue
@@ -1670,8 +1670,12 @@ def ann_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
                 score = MMR_LAM10 * int(rel[p]) - (10 - MMR_LAM10) * ms
                 key = (score, -int(ids[p]))  # ties → lowest vec_id
                 if best_key is None or key > best_key:
-                    best_pos, best_key = p, key
-                    best_ms = ms
+                    best_pos, best_key, best_ms = p, key, ms
+            if best_pos < 0:
+                # pool smaller than MMR_M (tiny corpus): emit what
+                # exists rather than repeating the last candidate —
+                # the oracle's cand{t} CTE goes empty the same way
+                break
             picked.append(best_pos)
             out.append(
                 (
