@@ -1764,6 +1764,8 @@ def _rake_stopwords() -> list[str]:
 def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
+    from jobx_spark.lineage import cut_lineage
+
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id",
@@ -1771,10 +1773,16 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
     # scan-side literal filter — the delimiter set is a few dozen words
     ns = tok.filter(~F.col("term").isin(_rake_stopwords()))
-    ph = ns.withColumn(
-        "grp",
-        F.col("pos")
-        - F.row_number().over(W.partitionBy("doc_id").orderBy("pos")),
+    # ONE corpus scan: the islands table feeds three consumers (run
+    # lengths, word stats, phrase assembly) — uncut, each re-tokenized
+    # documents and the audited plan showed 4 corpus scans
+    ph = cut_lineage(
+        ns.withColumn(
+            "grp",
+            F.col("pos")
+            - F.row_number().over(W.partitionBy("doc_id").orderBy("pos")),
+        ),
+        "rake-ph",
     )
     plen = (
         ph.groupBy("doc_id", "grp")
