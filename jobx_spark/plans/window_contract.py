@@ -102,10 +102,11 @@ WINDOW_BOUNDS: dict[str, dict[tuple[str, ...], str]] = {
             "rows at any corpus size; the corpus scans once into the "
             "census)",
     },
+    # text_rake_keywords' gaps-and-islands window (doc_id partition,
+    # doc-length-bounded) runs inside the rake-ph cut_lineage
+    # materialization, so only the top-K rerank window remains in the
+    # returned plan
     "text_rake_keywords": {
-        ("doc_id",): "gaps-and-islands run id over one document's "
-                     "non-stopword tokens — partition bounded by "
-                     "document length (the pipe_bpe_encode bound)",
         (): _TOPK_RERANK + " (RAKE phrase table)",
     },
     "pipe_curriculum_order": {
