@@ -104,6 +104,13 @@ COLLECT_BOUNDS: dict[tuple[str, str, str], tuple[int, str]] = {
         "Gram matrix rows: dim²+1 rows (dim=64) — bounded by embedding "
         "dimension, never corpus size",
     ),
+    ("jobx_spark/queries/similarity.py", "ann_multiprobe_lsh", "collect"): (
+        1,
+        "the probe set: ≤ N_QUERIES(=5) rows by construction — probe "
+        "expansion (margin ranking + bit flips) is per-query integer "
+        "arithmetic on the bounded query side; the corpus is only ever "
+        "touched by the broadcast bucket join",
+    ),
     ("jobx_spark/queries/similarity.py", "ann_mmr_diversify", "collect"): (
         1,
         "the reranker's shortlist: ≤ |Q|·(MMR_POOL+1) = 105 rows by "

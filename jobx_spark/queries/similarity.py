@@ -1285,6 +1285,258 @@ ORDER BY q.query_id
 
 
 # --------------------------------------------------------------------------
+# ann_multiprobe_lsh — multi-probe LSH (Lv, Josephson, Wang, Charikar
+# & Li, VLDB 2007): probe the query's own bucket PLUS the buckets
+# reached by flipping its MP_FLIPS lowest-|margin| hyperplane bits —
+# the planes the query sits closest to, where its true neighbors most
+# likely fell on the other side. This is the standard recall lever for
+# a bucketed index: more recall WITHOUT more hash tables or a bigger
+# index, at the cost of probing n_probes partitions instead of one.
+# The output quantifies exactly that trade per probe query: candidate
+# rows scanned and truth hits for single-probe vs multi-probe, same K.
+# Correctness-by-construction: the multi-probe candidate set is a
+# SUPERSET of the single-probe set (the base bucket is always probed),
+# scored by the same exact cosine with the same tiebreak — so
+# mp_hits ≥ sp_hits for every query, the ann_knn_refine monotonicity
+# argument (pinned as an executed property in tests).
+# Exactness: margins are the scaled-integer plane projections
+# (floor(e·w·1e12) sums — the hyperplane_bucket arithmetic with the
+# sign kept as a magnitude), flip selection ranks (|proj|, plane) asc,
+# probe buckets are integer XORs; both engines derive them from the
+# same integers. The probe-set expansion runs driver-side over the
+# ≤ N_QUERIES collected probe rows (declared in collect_contract).
+# Scale shape: ONE masked corpus scan with the bucket UDF feeds a
+# broadcast join against the (query, bucket) probe pairs — at 100 TB
+# the bucket is the partition key, so this reads n_probes partitions
+# per query instead of one; both rankings are WindowGroupLimit-bounded
+# over the candidate sliver.
+# --------------------------------------------------------------------------
+MP_FLIPS = 2  # probe the base bucket + the 2 lowest-margin bit flips
+
+
+def ann_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    from pyspark.sql import Window as W
+
+    from jobx_spark.operators.similarity import (
+        _WMOD,
+        _WP1,
+        _WP2,
+        hyperplane_bucket_udf,
+    )
+    from jobx_spark.operators.dedup import scaled_dot_udf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    gt = brute_force_topk(emb, _probe_queries(emb), k=K).select(
+        "query_id", "vec_id"
+    )
+    # driver-side probe expansion over the bounded probe set
+    qrows = _probe_queries(emb).collect()
+    pairs = []
+    for r in qrows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        idx = np.arange(v.shape[0])
+        projs, base = [], 0
+        for j in range(N_PLANES):
+            w = np.where(
+                ((j * _WP1 + idx * _WP2) % _WMOD) % 2 == 0, 1.0, -1.0
+            )
+            pj = int(np.floor(v * w * 1e12).astype(np.int64).sum())
+            projs.append(pj)
+            base |= (1 if pj >= 0 else 0) << j
+        flips = sorted(
+            range(N_PLANES), key=lambda j: (abs(projs[j]), j)
+        )[:MP_FLIPS]
+        pairs.append((int(r["query_id"]), base, base))
+        for j in flips:
+            pairs.append((int(r["query_id"]), base ^ (1 << j), base))
+    probes = spark.createDataFrame(
+        pairs, "query_id long, bucket long, base_bucket long"
+    )
+    sdot = scaled_dot_udf()
+    bucket_fn = hyperplane_bucket_udf(N_PLANES)
+    e = (
+        emb.select("vec_id", "embedding")
+        .withColumn("norm_s", sdot("embedding", "embedding"))
+        .filter(F.col("norm_s") > 0)
+        .withColumn("bucket", bucket_fn(F.col("embedding")))
+    )
+    qv = spark.createDataFrame(
+        [
+            (int(r["query_id"]), list(map(float, r["embedding"])))
+            for r in qrows
+        ],
+        "query_id long, qv array<double>",
+    ).withColumn("qnorm_s", sdot("qv", "qv"))
+    cand = (
+        e.join(F.broadcast(probes), "bucket")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "bucket",
+            "base_bucket",
+            (
+                sdot("qv", "embedding").cast("double")
+                / (
+                    F.sqrt(F.col("qnorm_s").cast("double"))
+                    * F.sqrt(F.col("norm_s").cast("double"))
+                )
+            ).alias("cosine"),
+        )
+    )
+    cand = cut_lineage(cand, "mplsh-cand")
+    wmp = W.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    mp = (
+        cand.withColumn("rank", F.row_number().over(wmp))
+        .filter(F.col("rank") <= K)
+        .select("query_id", "vec_id")
+    )
+    sp = (
+        cand.filter(F.col("bucket") == F.col("base_bucket"))
+        .withColumn("rank", F.row_number().over(wmp))
+        .filter(F.col("rank") <= K)
+        .select("query_id", "vec_id")
+    )
+    counts = cand.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("mp_cands"),
+        F.sum(
+            (F.col("bucket") == F.col("base_bucket")).cast("long")
+        ).cast("long").alias("sp_cands"),
+        F.min("base_bucket").cast("long").alias("base_bucket"),
+    )
+    mp_h = mp.join(gt, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("mh")
+    )
+    sp_h = sp.join(gt, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("sh")
+    )
+    return (
+        counts.join(sp_h, "query_id", "left")
+        .join(mp_h, "query_id", "left")
+        .select(
+            "query_id",
+            "base_bucket",
+            F.lit(MP_FLIPS + 1).cast("long").alias("n_probes"),
+            "sp_cands",
+            "mp_cands",
+            F.coalesce("sh", F.lit(0)).cast("long").alias("sp_hits"),
+            F.coalesce("mh", F.lit(0)).cast("long").alias("mp_hits"),
+            F.lit(K).cast("long").alias("k"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _multiprobe_oracle() -> str:
+    def proj(j: int, col: str = "qv") -> str:
+        return f"""CAST(list_sum(list_transform(generate_series(1, len({col})),
+            i -> CAST(floor({col}[i]::DOUBLE *
+                 (CASE WHEN (({j} * {_WP1} + (i - 1) * {_WP2}) % {_WMOD}) % 2 = 0
+                       THEN 1.0 ELSE -1.0 END) * 1e12) AS BIGINT))) AS BIGINT)"""
+
+    margin_rows = "\n  UNION ALL ".join(
+        f"SELECT query_id, {j} AS plane, {proj(j)} AS proj FROM q"
+        for j in range(N_PLANES)
+    )
+    return f"""
+WITH e0 AS (
+  SELECT vec_id, embedding,
+         {_SDOT.format(a='embedding', b='embedding')} AS norm_s,
+         {bucket_sql(N_PLANES)} AS bucket
+  FROM embeddings
+), e AS (SELECT * FROM e0 WHERE norm_s > 0),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv, norm_s AS qnorm_s,
+         bucket AS base_bucket
+  FROM e WHERE vec_id < {N_QUERIES}
+),
+bf AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             {_SDOT.format(a='q.qv', b='e.embedding')}::DOUBLE
+               / (sqrt(q.qnorm_s::DOUBLE) * sqrt(e.norm_s::DOUBLE)) DESC,
+             e.vec_id ASC) AS rk
+    FROM e, q
+  ) WHERE rk <= {K}
+),
+margins AS (
+  {margin_rows}
+),
+flips AS (
+  SELECT query_id, plane FROM (
+    SELECT query_id, plane,
+           row_number() OVER (PARTITION BY query_id
+                ORDER BY abs(proj) ASC, plane ASC) AS rn
+    FROM margins
+  ) WHERE rn <= {MP_FLIPS}
+),
+probes AS (
+  SELECT query_id, base_bucket AS bucket, base_bucket FROM q
+  UNION ALL
+  SELECT f.query_id, xor(q.base_bucket, CAST(1 AS BIGINT) << f.plane),
+         q.base_bucket
+  FROM flips f JOIN q ON q.query_id = f.query_id
+),
+cand AS (
+  SELECT p.query_id, e.vec_id, p.bucket, p.base_bucket,
+         {_SDOT.format(a='q.qv', b='e.embedding')}::DOUBLE
+           / (sqrt(q.qnorm_s::DOUBLE) * sqrt(e.norm_s::DOUBLE)) AS cosine
+  FROM probes p
+  JOIN e ON e.bucket = p.bucket
+  JOIN q ON q.query_id = p.query_id
+),
+mp AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, vec_id ASC) AS rk
+    FROM cand
+  ) WHERE rk <= {K}
+),
+sp AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, vec_id ASC) AS rk
+    FROM cand WHERE bucket = base_bucket
+  ) WHERE rk <= {K}
+),
+counts AS (
+  SELECT query_id,
+         CAST(count(*) AS BIGINT) AS mp_cands,
+         CAST(SUM(CASE WHEN bucket = base_bucket THEN 1 ELSE 0 END)
+              AS BIGINT) AS sp_cands,
+         CAST(MIN(base_bucket) AS BIGINT) AS base_bucket
+  FROM cand GROUP BY query_id
+),
+mph AS (
+  SELECT m.query_id, CAST(count(*) AS BIGINT) AS mh
+  FROM mp m JOIN bf ON bf.query_id = m.query_id AND bf.vec_id = m.vec_id
+  GROUP BY m.query_id
+),
+sph AS (
+  SELECT s.query_id, CAST(count(*) AS BIGINT) AS sh
+  FROM sp s JOIN bf ON bf.query_id = s.query_id AND bf.vec_id = s.vec_id
+  GROUP BY s.query_id
+)
+SELECT c.query_id, c.base_bucket,
+       CAST({MP_FLIPS + 1} AS BIGINT) AS n_probes,
+       c.sp_cands, c.mp_cands,
+       CAST(COALESCE(sph.sh, 0) AS BIGINT) AS sp_hits,
+       CAST(COALESCE(mph.mh, 0) AS BIGINT) AS mp_hits,
+       CAST({K} AS BIGINT) AS k
+FROM counts c
+LEFT JOIN sph ON sph.query_id = c.query_id
+LEFT JOIN mph ON mph.query_id = c.query_id
+ORDER BY c.query_id
+"""
+
+
+# --------------------------------------------------------------------------
 # ann_dim_truncation_sweep — Matryoshka-style dimension-truncation
 # recall curve (Kusupati et al., NeurIPS 2022): recall@K of cosine
 # search over the FIRST d dims against full-dim truth, one row per
@@ -3574,6 +3826,7 @@ QUERIES = {
     "ann_hybrid_rrf": ann_hybrid_rrf,
     "ann_mmr_diversify": ann_mmr_diversify,
     "ann_dim_truncation_sweep": ann_dim_truncation_sweep,
+    "ann_multiprobe_lsh": ann_multiprobe_lsh,
     "ann_drift_census": ann_drift_census,
     "ann_knn_graph": ann_knn_graph,
     "ann_knn_refine": ann_knn_refine,
@@ -3611,6 +3864,7 @@ ORACLES = {
     "ann_hybrid_rrf": _hybrid_rrf_oracle(),
     "ann_mmr_diversify": _mmr_oracle(),
     "ann_dim_truncation_sweep": _dim_sweep_oracle(),
+    "ann_multiprobe_lsh": _multiprobe_oracle(),
     "ann_drift_census": _drift_census_oracle(),
     "ann_knn_graph": _knn_graph_oracle(),
     "ann_knn_refine": _knn_refine_oracle(),

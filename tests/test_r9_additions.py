@@ -132,6 +132,25 @@ def test_mmr_each_pick_maximizes_the_objective(spark):
         assert len(set(chosen)) == MMR_M  # picks are distinct
 
 
+# -- ann_multiprobe_lsh ------------------------------------------------------
+def test_multiprobe_recall_never_below_single_probe(spark):
+    """Superset candidates + exact rescore + same tiebreak ⇒ per-query
+    mp_hits ≥ sp_hits (the ann_knn_refine monotonicity argument),
+    executed; the probe count and candidate superset ride along."""
+    from jobx_spark.queries.similarity import MP_FLIPS
+
+    rows = _rows(spark, "ann_multiprobe_lsh")
+    assert rows
+    for r in rows:
+        assert r["mp_hits"] >= r["sp_hits"], (
+            f"query {r['query_id']}: multi-probe dropped recall "
+            f"{r['sp_hits']} -> {r['mp_hits']}"
+        )
+        assert r["mp_cands"] >= r["sp_cands"]
+        assert r["n_probes"] == MP_FLIPS + 1
+        assert 0 <= r["mp_hits"] <= r["k"]
+
+
 # -- pipe_unimax_mixing ------------------------------------------------------
 def test_unimax_allocation_is_a_feasible_water_fill(spark):
     from jobx_spark.queries.pipeline import UNIMAX_B_DEN, UNIMAX_B_NUM
