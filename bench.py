@@ -121,6 +121,8 @@ HEADLINE = [
     "pipe_unimax_mixing",
     "stream_drift_census",
     "pipe_curriculum_order",
+    "q69_sequence_funnel",
+    "q70_retention_cohorts",
 ]
 
 BENCH_REPS = 2  # per-query timing = min over this many runs

@@ -220,7 +220,7 @@ def _utc_pinned(fn: QueryFn) -> QueryFn:
 #       ann_rank_eval / ann_drift_census / ann_hybrid_rrf additions —
 #       new outranks refill).
 GATE_FIRST_50 = [
-    # -- 1. new in round 9 (14 rows; each late addition displaces the
+    # -- 1. new in round 9 (16 rows; each late addition displaces the
     #       tail of section 4 back to the r10 pool — new outranks
     #       refill; ann_drift_census doubles as the changed-code
     #       re-attest for the r9 _drift_census_from_sums refactor) --
@@ -229,6 +229,7 @@ GATE_FIRST_50 = [
     "ann_hybrid_rrf", "pipe_unimax_mixing", "ann_mmr_diversify",
     "stream_drift_census", "ann_dim_truncation_sweep",
     "pipe_curriculum_order", "text_rake_keywords", "ann_multiprobe_lsh",
+    "q69_sequence_funnel", "q70_retention_cohorts",
     # -- 2. changed-code re-attests (10 rows) --
     "ann_knn_refine", "ann_bruteforce_topk", "ann_bruteforce_scaled",
     "ann_recall_eval", "ann_nprobe_sweep", "pipe_bpe_learn",
@@ -240,17 +241,16 @@ GATE_FIRST_50 = [
     "q64_market_share", "stream_pii_scrub", "stream_topk_trending",
     "stream_zscore_anomaly", "text_ttr",
     # -- 4. r4-banked rotation, oldest cohort, alphabetical head
-    #       (15 rows) --
+    #       (13 rows) --
     "ann_ivf_trained_topk", "ann_kmeans_train", "dedup_cluster_profile",
     "dedup_components_scaled", "dedup_embedding", "dedup_kcore",
     "dedup_lsh_recall", "dedup_minhash_est", "dedup_semantic",
     "dedup_substring_spans", "dedup_two_hop_reach",
     "mr_engine_combined_stats", "mr_engine_event_counts",
-    "mr_engine_user_value", "multimodal_phash",
 ]
 # ROUND-10 GATE POOL: after the r9 gate lands the oldest cohort is the
-# r4-banked tail that did not fit this gate (23 rows):
-# multimodal_phash_pairs,
+# r4-banked tail that did not fit this gate (25 rows):
+# mr_engine_user_value, multimodal_phash, multimodal_phash_pairs,
 # multimodal_resize_real, pipe_mix_temperature, pipe_quality_rules,
 # pipe_sample_weighted, q65_bloom_prefilter_join, q67_market_basket,
 # stream_cms_users, stream_dedup_activity, stream_hll_cards,

@@ -2244,8 +2244,186 @@ ORDER BY nation, o_year DESC
 """
 
 
+# --------------------------------------------------------------------------
+# q69_sequence_funnel — ordered-sequence funnel over the event stream
+# (ClickHouse's windowFunnel / every product-analytics suite's core
+# query): how many users did view, THEN click strictly after their
+# first view, THEN purchase strictly after that first qualifying
+# click. Not the same thing as set-intersection counts — the ORDER is
+# the semantics (a purchase before the first view does not convert).
+# Implementation is the sharded-funnel shape: stage k is one filtered
+# scan of the events table joined to the (user → stage-(k−1) anchor
+# timestamp) table on user_id and reduced by a map-side-combinable
+# MIN — no per-user event sorting, no window over a user's whole
+# history, so a 100 TB event log funnels in |stages| keyed passes.
+# Conversion ratios are integer ppm of the stage-1 population.
+# --------------------------------------------------------------------------
+FUNNEL_STAGES = ["view", "click", "purchase"]
+
+
+def q69_sequence_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    anchors = []  # per-stage (user_id, anchor ts) frames
+    for i, stage in enumerate(FUNNEL_STAGES):
+        cur = ev.filter(F.col("event_type") == stage)
+        if i > 0:
+            prev = anchors[i - 1].select(
+                "user_id", F.col("t").alias("prev_t")
+            )
+            cur = cur.join(prev, "user_id").filter(F.col("ts") > F.col("prev_t"))
+        anchors.append(
+            cur.groupBy("user_id").agg(F.min("ts").alias("t"))
+        )
+    counts = [a.count() for a in anchors]  # 1-row actions, |stages| of them
+    n1 = max(counts[0], 1)
+    rows = []
+    for i, stage in enumerate(FUNNEL_STAGES):
+        prev = counts[i - 1] if i > 0 else counts[0]
+        rows.append(
+            (
+                i + 1,
+                stage,
+                counts[i],
+                counts[i] * 1000000 // n1,
+                (prev - counts[i]) * 1000000 // max(prev, 1),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "stage int, event_type string, n_users long,"
+        " conv_ppm long, drop_ppm long",
+    ).orderBy("stage")
+
+
+def _funnel_oracle() -> str:
+    stages = FUNNEL_STAGES
+    ctes = [
+        f"""s1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = '{stages[0]}' GROUP BY user_id
+)"""
+    ]
+    for i in range(1, len(stages)):
+        ctes.append(
+            f"""s{i + 1} AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN s{i} ON s{i}.user_id = e.user_id
+  WHERE e.event_type = '{stages[i]}' AND e.ts > s{i}.t
+  GROUP BY e.user_id
+)"""
+        )
+    ctes.append(
+        "n AS (\n  "
+        + "\n  UNION ALL ".join(
+            f"SELECT {i + 1} AS stage, '{s}' AS event_type,"
+            f" CAST(count(*) AS BIGINT) AS n_users FROM s{i + 1}"
+            for i, s in enumerate(stages)
+        )
+        + "\n)"
+    )
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined},
+base AS (SELECT GREATEST(MAX(CASE WHEN stage = 1 THEN n_users END), 1)
+                AS n1 FROM n),
+prevs AS (
+  SELECT n.*, COALESCE(LAG(n_users) OVER (ORDER BY stage), n_users) AS prev
+  FROM n
+)
+SELECT CAST(stage AS INTEGER) AS stage, event_type, n_users,
+       CAST(n_users * 1000000 // base.n1 AS BIGINT) AS conv_ppm,
+       CAST((prev - n_users) * 1000000 // GREATEST(prev, 1) AS BIGINT)
+         AS drop_ppm
+FROM prevs, base
+ORDER BY stage
+"""
+
+
+# --------------------------------------------------------------------------
+# q70_retention_cohorts — cohort retention over the event stream (the
+# other half of every product-analytics suite): users cohort by their
+# FIRST-ever activity day, and each (cohort, day-offset) cell counts
+# how many of them were active exactly that many days later. Output
+# carries the cohort size and integer-ppm retention so the triangle
+# reads directly.
+# Scale shape: first-activity is one map-side-combinable MIN per user;
+# the activity set collapses to DISTINCT (user, day) — also map-side —
+# before the user-keyed join against the cohort table; the final
+# census is ≤ |days|² rows at any event volume. Days derive from
+# date_trunc on the session-UTC-pinned timestamps (the
+# stream_tumbling convention) and render as yyyy-MM-dd STRINGS so the
+# hash compare never mixes date/timestamp encodings.
+# --------------------------------------------------------------------------
+def q70_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = ev.distinct()
+    cells = (
+        activity.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+    sizes = first.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    return (
+        cells.join(sizes, "cohort_day")
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.col("day_offset").cast("long").alias("day_offset"),
+            "n_users",
+            "cohort_size",
+            F.expr("(n_users * 1000000) div cohort_size")
+            .cast("long")
+            .alias("retention_ppm"),
+        )
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+ORACLE_Q70 = """
+WITH act AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+),
+first AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY user_id
+),
+cells AS (
+  SELECT f.cohort_day, a.day - f.cohort_day AS day_offset,
+         CAST(count(*) AS BIGINT) AS n_users
+  FROM act a JOIN first f ON f.user_id = a.user_id
+  GROUP BY f.cohort_day, a.day - f.cohort_day
+),
+sizes AS (
+  SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
+  FROM first GROUP BY cohort_day
+)
+SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(c.day_offset AS BIGINT) AS day_offset,
+       c.n_users, s.cohort_size,
+       CAST(c.n_users * 1000000 // s.cohort_size AS BIGINT)
+         AS retention_ppm
+FROM cells c JOIN sizes s ON s.cohort_day = c.cohort_day
+ORDER BY cohort_day, day_offset
+"""
+
+
 QUERIES = {
     "q68_product_profit": q68_product_profit,
+    "q69_sequence_funnel": q69_sequence_funnel,
+    "q70_retention_cohorts": q70_retention_cohorts,
     "q67_market_basket": q67_market_basket,
     "q66_binned_quantiles": q66_binned_quantiles,
     "q65_bloom_prefilter_join": q65_bloom_prefilter_join,
@@ -2300,6 +2478,8 @@ QUERIES = {
 
 ORACLES = {
     "q68_product_profit": ORACLE_Q68,
+    "q69_sequence_funnel": _funnel_oracle(),
+    "q70_retention_cohorts": ORACLE_Q70,
     "q67_market_basket": ORACLE_Q67,
     "q66_binned_quantiles": ORACLE_Q66,
     "q65_bloom_prefilter_join": _q65_oracle(),
