@@ -130,3 +130,49 @@ def test_warm_anchor_missing_query_reads_incomplete():
     # (inconsistent driver state) must read incomplete, not sum 0.0
     meta3 = run_meta(0.1, 0.1, present, reps_done={n: 2 for n in WARM_ANCHOR})
     assert meta3["warm_anchor_complete"] is False
+
+
+def test_bench_core_contains_anchor_and_no_excluded():
+    """VERDICT r9 #1b: the benched set is a frozen core + rotating
+    pool. The core must contain every WARM_ANCHOR member (their warm
+    reps are hoisted into pass 1a) and no excluded scale probe."""
+    from bench import BENCH_CORE, BENCH_EXCLUDE, WARM_ANCHOR
+
+    assert set(WARM_ANCHOR) <= set(BENCH_CORE)
+    assert not set(BENCH_CORE) & set(BENCH_EXCLUDE)
+    assert len(BENCH_CORE) == len(set(BENCH_CORE)), "duplicate core rows"
+    # the cap that makes pass 1 + anchor reps fit the driver timeout
+    assert len(BENCH_CORE) <= 135
+
+
+def test_bench_core_names_resolve_in_registry():
+    """A core name falling out of the registry (rename) must be caught
+    by review, not discovered as a KeyError inside the driver's timed
+    bench run."""
+    from bench import BENCH_CORE
+    from jobx_spark.queries import all_queries
+
+    qs = all_queries()
+    missing = [n for n in BENCH_CORE if n not in qs]
+    assert not missing, f"BENCH_CORE names not in registry: {missing}"
+
+
+def test_run_meta_core_total_and_completeness():
+    """core_total sums exactly the frozen core; a core query missing
+    from timings flips core_complete instead of silently shrinking the
+    secondary comparable."""
+    from bench import BENCH_CORE, run_meta
+
+    full = {n: 1.0 for n in BENCH_CORE}
+    meta = run_meta(0.1, 0.1, full, reps_done={n: 1 for n in full})
+    assert meta["core_total"] == round(float(len(BENCH_CORE)), 3)
+    assert meta["core_complete"] is True
+    # extra non-core timings don't inflate core_total
+    extra = dict(full, some_pool_query=50.0)
+    meta2 = run_meta(0.1, 0.1, extra, reps_done={n: 1 for n in extra})
+    assert meta2["core_total"] == meta["core_total"]
+    # a missing core row reads incomplete
+    part = dict(full)
+    part.pop(BENCH_CORE[0])
+    meta3 = run_meta(0.1, 0.1, part, reps_done={n: 1 for n in part})
+    assert meta3["core_complete"] is False
