@@ -2262,10 +2262,23 @@ FUNNEL_STAGES = ["view", "click", "purchase"]
 
 
 def q69_sequence_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Each stage anchor is MATERIALIZED (cut_lineage) before the next
+    # stage plans against it: the first-landed shape chained the stage
+    # frames lazily and took counts off each, so anchors[k]'s action
+    # re-executed stages 0..k−1 — the events table was scanned
+    # S(S+1)/2 times instead of S and each count was its own Spark job
+    # (VERDICT r9 #5). Now stage k is one filtered events scan joined
+    # to the stage-(k−1) anchor PARQUET (tiny: one row per surviving
+    # user), and the per-stage counts fold into a single 3-row
+    # DataFrame plan — no driver-side action at all; conv/drop ppm
+    # come from a self-join on the stage chain and a broadcast 1-row
+    # base, mirroring the oracle's LAG-over-stages CTE.
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts"
     )
-    anchors = []  # per-stage (user_id, anchor ts) frames
+    from jobx_spark.lineage import cut_lineage
+
+    anchors = []  # per-stage (user_id, anchor ts) frames, materialized
     for i, stage in enumerate(FUNNEL_STAGES):
         cur = ev.filter(F.col("event_type") == stage)
         if i > 0:
@@ -2274,27 +2287,47 @@ def q69_sequence_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             cur = cur.join(prev, "user_id").filter(F.col("ts") > F.col("prev_t"))
         anchors.append(
-            cur.groupBy("user_id").agg(F.min("ts").alias("t"))
-        )
-    counts = [a.count() for a in anchors]  # 1-row actions, |stages| of them
-    n1 = max(counts[0], 1)
-    rows = []
-    for i, stage in enumerate(FUNNEL_STAGES):
-        prev = counts[i - 1] if i > 0 else counts[0]
-        rows.append(
-            (
-                i + 1,
-                stage,
-                counts[i],
-                counts[i] * 1000000 // n1,
-                (prev - counts[i]) * 1000000 // max(prev, 1),
+            cut_lineage(
+                cur.groupBy("user_id").agg(F.min("ts").alias("t")),
+                tag=f"funnel-s{i + 1}",
             )
         )
-    return spark.createDataFrame(
-        rows,
-        "stage int, event_type string, n_users long,"
-        " conv_ppm long, drop_ppm long",
-    ).orderBy("stage")
+    counts = None  # (stage, event_type, n_users) — one row per stage
+    for i, stage in enumerate(FUNNEL_STAGES):
+        one = anchors[i].agg(
+            F.count(F.lit(1)).cast("long").alias("n_users")
+        ).select(
+            F.lit(i + 1).alias("stage"),
+            F.lit(stage).alias("event_type"),
+            "n_users",
+        )
+        counts = one if counts is None else counts.unionByName(one)
+    base = counts.filter(F.col("stage") == 1).select(
+        F.greatest(F.col("n_users"), F.lit(1)).alias("n1")
+    )
+    prev = counts.select(
+        (F.col("stage") + 1).alias("stage"),
+        F.col("n_users").alias("prev_n"),
+    )
+    return (
+        counts.join(prev, "stage", "left")
+        .withColumn("prev_n", F.coalesce("prev_n", "n_users"))
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.col("stage").cast("int").alias("stage"),
+            "event_type",
+            "n_users",
+            F.expr("(n_users * 1000000) div n1")
+            .cast("long")
+            .alias("conv_ppm"),
+            F.expr(
+                "((prev_n - n_users) * 1000000) div greatest(prev_n, 1)"
+            )
+            .cast("long")
+            .alias("drop_ppm"),
+        )
+        .orderBy("stage")
+    )
 
 
 def _funnel_oracle() -> str:
