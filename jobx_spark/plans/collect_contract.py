@@ -82,6 +82,12 @@ COLLECT_BOUNDS: dict[tuple[str, str, str], tuple[int, str]] = {
         "pandas-fetch canonicalization on gate-sized results by design "
         "(never in a registered query's plan)",
     ),
+    ("jobx_spark/oracle.py", "result_hash", "toPandas"): (
+        1,
+        "the determinism-attestation harness: same pandas-fetch "
+        "canonicalization as compare, on gate-sized results (never in "
+        "a registered query's plan)",
+    ),
     ("jobx_spark/queries/pipeline.py", "_bpe_learned_words", "collect"): (
         1,
         "per-round best-pair argmax through limit(1): ≤1 row × "
@@ -103,6 +109,19 @@ COLLECT_BOUNDS: dict[tuple[str, str, str], tuple[int, str]] = {
         1,
         "Gram matrix rows: dim²+1 rows (dim=64) — bounded by embedding "
         "dimension, never corpus size",
+    ),
+    ("jobx_spark/queries/similarity.py", "ann_filtered_topk", "collect"): (
+        1,
+        "the router's shard list: distinct probed cell ids, ≤ "
+        "min(N_QUERIES·KM_NPROBE, KM_K) = 8 integers by construction — "
+        "same literal-isin partition-pruning device as ann_index_serve",
+    ),
+    ("jobx_spark/queries/similarity.py", "ann_index_serve", "collect"): (
+        1,
+        "the router's shard list: distinct probed cell ids, ≤ "
+        "min(N_QUERIES·KM_NPROBE, KM_K) = 8 integers by construction — "
+        "collected into the literal isin() that statically partition-"
+        "prunes the persisted index scan to the probed cells",
     ),
     ("jobx_spark/queries/similarity.py", "ann_multiprobe_lsh", "collect"): (
         1,

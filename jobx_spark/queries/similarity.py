@@ -1330,8 +1330,24 @@ def ann_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     gt = brute_force_topk(emb, _probe_queries(emb), k=K).select(
         "query_id", "vec_id"
     )
-    # driver-side probe expansion over the bounded probe set
-    qrows = _probe_queries(emb).collect()
+    # driver-side probe expansion over the bounded probe set. Zero-norm
+    # probes are masked with the SAME scaled-integer norm the corpus
+    # side uses (ADVICE r9: the corpus filter norm_s > 0 alone left a
+    # zero-norm QUERY emitting a divide-by-zero counts row in Spark
+    # while the oracle's q CTE — derived from e — dropped it).
+    qrows = [
+        r
+        for r in _probe_queries(emb).collect()
+        if int(
+            np.floor(
+                np.square(np.asarray(r["embedding"], dtype=np.float64))
+                * 1e12
+            )
+            .astype(np.int64)
+            .sum()
+        )
+        > 0
+    ]
     pairs = []
     for r in qrows:
         v = np.asarray(r["embedding"], dtype=np.float64)
@@ -3804,7 +3820,505 @@ _KC_SCALED_SOURCE = (
     f" FROM embeddings b CROSS JOIN range({ANN_REP}) AS r(rep))"
 )
 
+# --------------------------------------------------------------------------
+# ann_index_build / ann_index_serve — the persisted-index contract
+# (VERDICT r9 headroom #1 / Next-round #4): every other ann_ivf* query
+# retrains the coarse quantizer inside its own run, which is correct
+# for a gated one-statement oracle but is NOT how a 100 TB vector
+# store operates — there, k-means trains ONCE, the centroids and the
+# cell-bucketed index persist as named tables, and the serving path
+# only loads and probes them. ann_ivf_append froze an index for one
+# query; this pair generalizes that device into an explicit contract:
+#
+#   * ann_index_build trains the shared deterministic quantizer
+#     (KM_K/KM_ITERS/KM_BASE/KM_SCALE — identical constants to
+#     ann_ivf_trained_topk, so one oracle CTE family attests both),
+#     writes `centroids` and the cell-PARTITIONED `index` table
+#     (vec_id, embedding, norm_s, partition column cell) under the
+#     checkpoint root, and returns a per-cell census PLANNED OVER THE
+#     PERSISTED TABLE — the gate hash attests what is on disk, not
+#     what was about to be written.
+#   * ann_index_serve loads the persisted tables (building them first
+#     if this session hasn't yet), routes each probe query to its
+#     KM_NPROBE nearest cells via the broadcast centroid table,
+#     collects the probed CELL IDS (≤ min(N_QUERIES·KM_NPROBE, KM_K)
+#     integers — the router's shard list, declared in
+#     collect_contract) into a literal isin() filter so the index scan
+#     is STATICALLY PARTITION-PRUNED to the probed cells, and ranks
+#     exactly within them. The serve plan contains zero k-means
+#     iterations and touches the corpus ONLY through the pruned index
+#     scan; the embeddings table appears once, filter-pushed to the
+#     N_QUERIES probe rows (the query batch is the serving input, not
+#     the corpus). tests/test_r10_additions.py pins both properties
+#     from the executed plan.
+#
+# 100 TB story: build cost is the one-off training + one bucketed
+# write; serve cost is nprobe partitions of the index + a k-row
+# broadcast — latency no longer scales with corpus size, and the 5–15 s
+# of per-run retraining the r7–r9 plan audits kept attributing to the
+# ann_ivf* family disappears from the serving path entirely.
+# --------------------------------------------------------------------------
+def _ann_index_paths(sf_dir: str) -> tuple[str, str]:
+    import hashlib
+    import os
+
+    from jobx_spark.lineage import checkpoint_root
+
+    key = hashlib.sha256(sf_dir.rstrip("/").encode()).hexdigest()[:12]
+    root = os.path.join(checkpoint_root(), f"ann-index-{key}")
+    return os.path.join(root, "centroids"), os.path.join(root, "index")
+
+
+def _ann_index_write(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Train once, persist the serving tables. Overwrite-idempotent:
+    re-running build replaces the index with a bit-identical one (the
+    quantizer is deterministic), so double-run sessions stay stable."""
+    from jobx_spark.operators.similarity import ivf_assign, kmeans_train
+
+    cpath, ipath = _ann_index_paths(sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = kmeans_train(
+        emb, k=KM_K, iters=KM_ITERS, cent_base=KM_BASE, scale=KM_SCALE,
+        output="centroids",
+    )
+    centroids.write.mode("overwrite").parquet(cpath)
+    cells = ivf_assign(emb, spark.read.parquet(cpath))
+    # the index row carries the vector's METADATA (label) beside the
+    # vector + its precomputed norm: filtered vector search
+    # (ann_filtered_topk) pushes metadata predicates into the pruned
+    # index scan instead of joining back to the corpus
+    (
+        cells.join(emb.select(F.col("vec_id").alias("id"), "label"), "id")
+        .select(
+            F.col("id").alias("vec_id"),
+            F.col("v").alias("embedding"),
+            "norm_s",
+            "label",
+            "cell",
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(ipath)
+    )
+    return cpath, ipath
+
+
+def _ann_index_ensure(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    import os
+
+    cpath, ipath = _ann_index_paths(sf_dir)
+    if not (
+        os.path.exists(os.path.join(cpath, "_SUCCESS"))
+        and os.path.exists(os.path.join(ipath, "_SUCCESS"))
+    ):
+        _ann_index_write(spark, sf_dir)
+    return cpath, ipath
+
+
+def ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cpath, ipath = _ann_index_write(spark, sf_dir)
+    idx = spark.read.parquet(ipath)
+    dom = spark.range(KM_K).select(F.col("id").cast("int").alias("cell"))
+    census = idx.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.coalesce(F.bit_xor("vec_id"), F.lit(0).cast("long")).alias(
+            "xor_vec_ids"
+        ),
+    )
+    return (
+        dom.join(census, "cell", "left")
+        .select(
+            "cell",
+            F.coalesce("n_vecs", F.lit(0)).cast("long").alias("n_vecs"),
+            F.coalesce("xor_vec_ids", F.lit(0).cast("long")).alias(
+                "xor_vec_ids"
+            ),
+        )
+        .orderBy("cell")
+    )
+
+
+def _index_build_oracle() -> str:
+    parts, assign_cte = _kmeans_ctes()
+    parts = parts + [assign_cte(KM_ITERS + 1)]
+    body = ",\n".join(parts)
+    return f"""
+WITH {body},
+census AS (
+  SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+         CAST(bit_xor(vec_id) AS BIGINT) AS xor_vec_ids
+  FROM a{KM_ITERS + 1} GROUP BY cell
+)
+SELECT CAST(d.c AS INTEGER) AS cell,
+       COALESCE(s.n_vecs, 0) AS n_vecs,
+       COALESCE(s.xor_vec_ids, 0) AS xor_vec_ids
+FROM range({KM_K}) AS d(c) LEFT JOIN census s ON s.cell = d.c
+ORDER BY cell
+"""
+
+
+def ann_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from jobx_spark.operators.dedup import cosine_from_scaled, scaled_dot
+
+    cpath, ipath = _ann_index_ensure(spark, sf_dir)
+    cent = spark.read.parquet(cpath).withColumn(
+        "cnorm_s", scaled_dot(F.col("cv"), F.col("cv"))
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _probe_queries(emb).select(
+        F.col("query_id"), F.col("embedding").alias("qv")
+    ).withColumn("qnorm_s", scaled_dot(F.col("qv"), F.col("qv")))
+    qcells = q.join(F.broadcast(cent)).select(
+        "query_id",
+        "qv",
+        "qnorm_s",
+        F.col("cent_id").alias("cell"),
+        cosine_from_scaled(
+            scaled_dot(F.col("qv"), F.col("cv")),
+            F.col("qnorm_s"),
+            F.col("cnorm_s"),
+        ).alias("ccos"),
+    )
+    wprobe = W.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cell"))
+    probes = (
+        qcells.withColumn("pr", F.row_number().over(wprobe))
+        .filter(F.col("pr") <= KM_NPROBE)
+        .select("query_id", "qv", "qnorm_s", "cell")
+    )
+    # the router's shard list: ≤ min(N_QUERIES·KM_NPROBE, KM_K) ints
+    # (declared in collect_contract) — a LITERAL isin() so the index
+    # scan below is statically partition-pruned to the probed cells
+    probed_cells = sorted(
+        int(r["cell"])
+        for r in probes.select("cell").distinct().collect()
+    )
+    idx = spark.read.parquet(ipath).filter(
+        F.col("cell").isin(probed_cells)
+    )
+    scored = idx.join(F.broadcast(probes), "cell").select(
+        "query_id",
+        "vec_id",
+        F.col("cell").cast("int").alias("cell"),
+        cosine_from_scaled(
+            scaled_dot(F.col("qv"), F.col("embedding")),
+            F.col("qnorm_s"),
+            F.col("norm_s"),
+        ).alias("cosine"),
+    )
+    wrank = W.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wrank))
+        .filter(F.col("rank") <= K)
+        .select(
+            "query_id",
+            "vec_id",
+            F.col("rank").cast("int").alias("rank"),
+            "cosine",
+            "cell",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _index_serve_oracle() -> str:
+    parts, _assign = _kmeans_ctes()
+    body = ",\n".join(parts)
+    return f"""
+WITH {body},
+cent AS (
+  SELECT cent_id, list_transform(cv_s, c -> c::DOUBLE / {KM_SCALE}) AS cv
+  FROM c{KM_ITERS}
+), centn AS (
+  SELECT cent_id, cv, {_SDOT.format(a='cv', b='cv')} AS cnorm_s FROM cent
+), ascore AS (
+  SELECT e.vec_id, e.embedding, e.vnorm_s, n.cent_id,
+         {_SDOT.format(a='e.embedding', b='n.cv')}::DOUBLE
+           / (sqrt(e.vnorm_s::DOUBLE) * sqrt(n.cnorm_s::DOUBLE)) AS cos
+  FROM e, centn n
+), cells AS (
+  SELECT vec_id, embedding, vnorm_s, cent_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+           ORDER BY cos DESC, cent_id ASC) AS rn
+    FROM ascore
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv, vnorm_s AS qnorm_s
+  FROM e WHERE vec_id < {N_QUERIES}
+), qscore AS (
+  SELECT q.query_id, q.qv, q.qnorm_s, n.cent_id AS cell,
+         {_SDOT.format(a='q.qv', b='n.cv')}::DOUBLE
+           / (sqrt(q.qnorm_s::DOUBLE) * sqrt(n.cnorm_s::DOUBLE)) AS ccos
+  FROM q, centn n
+), probes AS (
+  SELECT query_id, qv, qnorm_s, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+           ORDER BY ccos DESC, cell ASC) AS pr
+    FROM qscore
+  ) WHERE pr <= {KM_NPROBE}
+), scored AS (
+  SELECT p.query_id, c.vec_id, c.cell,
+         {_SDOT.format(a='p.qv', b='c.embedding')}::DOUBLE
+           / (sqrt(p.qnorm_s::DOUBLE) * sqrt(c.vnorm_s::DOUBLE)) AS cosine
+  FROM cells c JOIN probes p ON c.cell = p.cell
+), ranked AS (
+  SELECT query_id, vec_id, cosine, cell,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, rank, cosine, CAST(cell AS INTEGER) AS cell
+FROM ranked WHERE rank <= {K}
+ORDER BY query_id, rank
+"""
+
+
+# --------------------------------------------------------------------------
+# ann_filtered_topk — metadata-filtered vector search on the persisted
+# index (the other defining serving-path feature beside plain top-k:
+# every production vector store takes a predicate — tenant id, language,
+# license class — WITH the query vector). Semantics are PRE-FILTER
+# (exact within the probed cells): candidates are masked to the query's
+# own label BEFORE ranking, so k slots never go to rows the predicate
+# would discard. The index row carries the label column precisely so
+# the predicate applies inside the pruned index scan — no join back to
+# the corpus. Each result row also carries in_unfiltered_topk: whether
+# that row would have survived POST-filtering (rank-then-filter) — the
+# column that quantifies the classic pre/post-filter recall gap (a 0
+# means post-filtering would have dropped this hit and under-filled k).
+# Scale shape: identical to ann_index_serve (pruned scan + broadcast
+# probes + WindowGroupLimit) with one extra scan-side equality mask and
+# a second bounded window over the same candidate sliver.
+# --------------------------------------------------------------------------
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from jobx_spark.operators.dedup import cosine_from_scaled, scaled_dot
+
+    cpath, ipath = _ann_index_ensure(spark, sf_dir)
+    cent = spark.read.parquet(cpath).withColumn(
+        "cnorm_s", scaled_dot(F.col("cv"), F.col("cv"))
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    ).withColumn("qnorm_s", scaled_dot(F.col("qv"), F.col("qv")))
+    qcells = q.join(F.broadcast(cent)).select(
+        "query_id",
+        "qv",
+        "qnorm_s",
+        "qlabel",
+        F.col("cent_id").alias("cell"),
+        cosine_from_scaled(
+            scaled_dot(F.col("qv"), F.col("cv")),
+            F.col("qnorm_s"),
+            F.col("cnorm_s"),
+        ).alias("ccos"),
+    )
+    wprobe = W.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cell"))
+    probes = (
+        qcells.withColumn("pr", F.row_number().over(wprobe))
+        .filter(F.col("pr") <= KM_NPROBE)
+        .select("query_id", "qv", "qnorm_s", "qlabel", "cell")
+    )
+    probed_cells = sorted(
+        int(r["cell"])
+        for r in probes.select("cell").distinct().collect()
+    )
+    idx = spark.read.parquet(ipath).filter(
+        F.col("cell").isin(probed_cells)
+    )
+    scored = cut_lineage(
+        idx.join(F.broadcast(probes), "cell").select(
+            "query_id",
+            "vec_id",
+            "qlabel",
+            "label",
+            cosine_from_scaled(
+                scaled_dot(F.col("qv"), F.col("embedding")),
+                F.col("qnorm_s"),
+                F.col("norm_s"),
+            ).alias("cosine"),
+        ),
+        "annft-scored",
+    )
+    wrank = W.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    unfiltered = (
+        scored.withColumn("rank", F.row_number().over(wrank))
+        .filter(F.col("rank") <= K)
+        .select("query_id", "vec_id", F.lit(1).cast("long").alias("u"))
+    )
+    return (
+        scored.filter(F.col("label") == F.col("qlabel"))
+        .withColumn("rank", F.row_number().over(wrank))
+        .filter(F.col("rank") <= K)
+        .join(unfiltered, ["query_id", "vec_id"], "left")
+        .select(
+            "query_id",
+            F.col("qlabel").cast("int").alias("qlabel"),
+            "vec_id",
+            F.col("rank").cast("int").alias("rank"),
+            "cosine",
+            F.coalesce("u", F.lit(0).cast("long")).alias(
+                "in_unfiltered_topk"
+            ),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _filtered_topk_oracle() -> str:
+    parts, _assign = _kmeans_ctes()
+    body = ",\n".join(parts)
+    return f"""
+WITH {body},
+cent AS (
+  SELECT cent_id, list_transform(cv_s, c -> c::DOUBLE / {KM_SCALE}) AS cv
+  FROM c{KM_ITERS}
+), centn AS (
+  SELECT cent_id, cv, {_SDOT.format(a='cv', b='cv')} AS cnorm_s FROM cent
+), ascore AS (
+  SELECT e.vec_id, e.embedding, e.vnorm_s, n.cent_id,
+         {_SDOT.format(a='e.embedding', b='n.cv')}::DOUBLE
+           / (sqrt(e.vnorm_s::DOUBLE) * sqrt(n.cnorm_s::DOUBLE)) AS cos
+  FROM e, centn n
+), cells AS (
+  SELECT a.vec_id, a.embedding, a.vnorm_s, a.cent_id AS cell, b.label
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+           ORDER BY cos DESC, cent_id ASC) AS rn
+    FROM ascore
+  ) a JOIN embeddings b ON b.vec_id = a.vec_id
+  WHERE a.rn = 1
+), q AS (
+  SELECT e.vec_id AS query_id, e.embedding AS qv, e.vnorm_s AS qnorm_s,
+         b.label AS qlabel
+  FROM e JOIN embeddings b ON b.vec_id = e.vec_id
+  WHERE e.vec_id < {N_QUERIES}
+), qscore AS (
+  SELECT q.query_id, q.qv, q.qnorm_s, q.qlabel, n.cent_id AS cell,
+         {_SDOT.format(a='q.qv', b='n.cv')}::DOUBLE
+           / (sqrt(q.qnorm_s::DOUBLE) * sqrt(n.cnorm_s::DOUBLE)) AS ccos
+  FROM q, centn n
+), probes AS (
+  SELECT query_id, qv, qnorm_s, qlabel, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+           ORDER BY ccos DESC, cell ASC) AS pr
+    FROM qscore
+  ) WHERE pr <= {KM_NPROBE}
+), scored AS (
+  SELECT p.query_id, c.vec_id, p.qlabel, c.label,
+         {_SDOT.format(a='p.qv', b='c.embedding')}::DOUBLE
+           / (sqrt(p.qnorm_s::DOUBLE) * sqrt(c.vnorm_s::DOUBLE)) AS cosine
+  FROM cells c JOIN probes p ON c.cell = p.cell
+), unfiltered AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, vec_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= {K}
+), fr AS (
+  SELECT query_id, qlabel, vec_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM scored WHERE label = qlabel
+)
+SELECT fr.query_id, CAST(fr.qlabel AS INTEGER) AS qlabel, fr.vec_id,
+       fr.rank, fr.cosine,
+       CAST(CASE WHEN u.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS in_unfiltered_topk
+FROM fr LEFT JOIN unfiltered u
+  ON u.query_id = fr.query_id AND u.vec_id = fr.vec_id
+WHERE fr.rank <= {K}
+ORDER BY fr.query_id, fr.rank
+"""
+
+
+# --------------------------------------------------------------------------
+# ann_index_append — the persisted-index LIFECYCLE append: where
+# ann_ivf_append models incremental maintenance in-plan (the base index
+# is a lineage cut), this operates on the ON-DISK contract tables the
+# way a production ingest job does. The quantizer trains ONCE on the
+# base slice and persists; the base assignments persist under
+# seg=base/cell=*; the daily batch (vec_id ≡ APPEND_RES mod APPEND_MOD)
+# is assigned via the PERSISTED centroids and written as NEW FILES
+# under seg=batch/cell=* — dynamic partition overwrite, so the base
+# files are never touched and a re-run replaces only the batch segment
+# (idempotent: the double-run determinism attestation holds). The
+# census is planned over the on-disk table AFTER the append — the gate
+# hash attests the persisted layout — with the same append≡rebuild
+# XOR certificate as ann_ivf_append (identical output contract, so the
+# oracle is that query's oracle verbatim).
+# --------------------------------------------------------------------------
+def _ann_index_append_paths(sf_dir: str) -> tuple[str, str]:
+    import hashlib
+    import os
+
+    from jobx_spark.lineage import checkpoint_root
+
+    key = hashlib.sha256(sf_dir.rstrip("/").encode()).hexdigest()[:12]
+    root = os.path.join(checkpoint_root(), f"ann-index-append-{key}")
+    return os.path.join(root, "centroids"), os.path.join(root, "index")
+
+
+def ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from jobx_spark.operators.similarity import ivf_assign, kmeans_train
+
+    cpath, ipath = _ann_index_append_paths(sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % APPEND_MOD != APPEND_RES)
+    batch = emb.filter(F.col("vec_id") % APPEND_MOD == APPEND_RES)
+    if not os.path.exists(os.path.join(cpath, "_SUCCESS")):
+        kmeans_train(
+            base, k=KM_K, iters=KM_ITERS, cent_base=KM_BASE,
+            scale=KM_SCALE, output="centroids",
+        ).write.mode("overwrite").parquet(cpath)
+        (
+            ivf_assign(base, spark.read.parquet(cpath))
+            .select(F.col("id").alias("vec_id"), "cell")
+            .withColumn("seg", F.lit("base"))
+            .write.mode("overwrite")
+            .partitionBy("seg", "cell")
+            .parquet(ipath)
+        )
+    # THE APPEND: batch-side-only work against the persisted quantizer;
+    # new files land under seg=batch/cell=*, base files untouched
+    (
+        ivf_assign(batch, spark.read.parquet(cpath))
+        .select(F.col("id").alias("vec_id"), "cell")
+        .withColumn("seg", F.lit("batch"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("seg", "cell")
+        .parquet(ipath)
+    )
+    disk = spark.read.parquet(ipath).select("vec_id", "cell", "seg")
+    base_idx = disk.filter(F.col("seg") == "base").select("vec_id", "cell")
+    batch_idx = disk.filter(F.col("seg") == "batch").select("vec_id", "cell")
+    appended = disk.select("vec_id", "cell")
+    # attestation leg: full re-assignment under the same persisted
+    # centroids — never run in production
+    rebuilt = ivf_assign(emb, spark.read.parquet(cpath)).select(
+        F.col("id").alias("vec_id"), "cell"
+    )
+    return _ivf_append_census(spark, base_idx, batch_idx, appended, rebuilt)
+
+
 QUERIES = {
+    "ann_index_build": ann_index_build,
+    "ann_index_serve": ann_index_serve,
+    "ann_filtered_topk": ann_filtered_topk,
+    "ann_index_append": ann_index_append,
     "ann_kcenter_select": ann_kcenter_select,
     "ann_kcenter_scaled": ann_kcenter_scaled,
     "ann_nprobe_sweep": ann_nprobe_sweep,
@@ -3841,6 +4355,12 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ann_index_build": _index_build_oracle(),
+    "ann_index_serve": _index_serve_oracle(),
+    "ann_filtered_topk": _filtered_topk_oracle(),
+    # identical output contract to the in-plan incremental append —
+    # the persisted-lifecycle variant attests the same census
+    "ann_index_append": _ivf_append_oracle(),
     "ann_kcenter_select": _kcenter_oracle(),
     "ann_kcenter_scaled": _kcenter_oracle(
         n_shards=KC_SHARDS * ANN_REP, source=_KC_SCALED_SOURCE

@@ -1170,6 +1170,130 @@ def _sivfa_oracle() -> str:
 
 
 # --------------------------------------------------------------------------
+# stream_index_serve — ann_index_serve's streaming twin: the QUERY
+# stream served against the frozen persisted index, the deployment
+# shape of a production vector store's online path (queries arrive
+# continuously; the index tables change only through build/append
+# jobs). Each micro-batch of query vectors routes to its KM_NPROBE
+# cells via the broadcast persisted centroids and ranks exactly within
+# the pruned index scan — stateless per batch, the quantizer and index
+# are frozen side inputs. write_replay_files splits the probe set
+# across 3 micro-batches with each query in exactly one batch, so the
+# union of per-batch top-K results equals the batch serve result and
+# the oracle is _index_serve_oracle() verbatim.
+# --------------------------------------------------------------------------
+def stream_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from jobx_spark.lineage import scratch_dir
+    from jobx_spark.operators.dedup import cosine_from_scaled, scaled_dot
+    from jobx_spark.queries.similarity import (
+        K,
+        KM_NPROBE,
+        N_QUERIES,
+        _ann_index_ensure,
+    )
+    from jobx_spark.sources import load_table
+
+    cpath, ipath = _ann_index_ensure(spark, sf_dir)
+    cent = spark.read.parquet(cpath).withColumn(
+        "cnorm_s", scaled_dot(F.col("cv"), F.col("cv"))
+    )
+    idx = spark.read.parquet(ipath)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qset = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        "vec_id", "embedding"
+    )
+    rdir = S.write_replay_files(qset, ["vec_id"], 3, "sserve")
+    st = S.stream_replay(spark, rdir)
+    root = scratch_dir("stream_serve")
+    out, ckpt = f"{root}/out", f"{root}/ckpt"
+
+    def _serve(batch_df: DataFrame, batch_id: int) -> None:
+        q = batch_df.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+        ).withColumn("qnorm_s", scaled_dot(F.col("qv"), F.col("qv")))
+        qcells = q.join(F.broadcast(cent)).select(
+            "query_id",
+            "qv",
+            "qnorm_s",
+            F.col("cent_id").alias("cell"),
+            cosine_from_scaled(
+                scaled_dot(F.col("qv"), F.col("cv")),
+                F.col("qnorm_s"),
+                F.col("cnorm_s"),
+            ).alias("ccos"),
+        )
+        wprobe = W.partitionBy("query_id").orderBy(
+            F.desc("ccos"), F.asc("cell")
+        )
+        probes = (
+            qcells.withColumn("pr", F.row_number().over(wprobe))
+            .filter(F.col("pr") <= KM_NPROBE)
+            .select("query_id", "qv", "qnorm_s", "cell")
+        )
+        scored = idx.join(F.broadcast(probes), "cell").select(
+            "query_id",
+            "vec_id",
+            F.col("cell").cast("int").alias("cell"),
+            cosine_from_scaled(
+                scaled_dot(F.col("qv"), F.col("embedding")),
+                F.col("qnorm_s"),
+                F.col("norm_s"),
+            ).alias("cosine"),
+        )
+        wrank = W.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc("vec_id")
+        )
+        (
+            scored.withColumn("rank", F.row_number().over(wrank))
+            .filter(F.col("rank") <= K)
+            .select(
+                "query_id",
+                "vec_id",
+                F.col("rank").cast("int").alias("rank"),
+                "cosine",
+                "cell",
+            )
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out)
+        )
+
+    q = (
+        st.writeStream.foreachBatch(_serve)
+        # contract label for the STREAM_PLANS audit: stateless per
+        # micro-batch — centroids and index are frozen side inputs
+        .queryName(f"sserve_stateless_{os.getpid()}_{next(S._name_counter)}")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    S._capture_run(q)
+    return (
+        spark.read.parquet(out)
+        .select("query_id", "vec_id", "rank", "cosine", "cell")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _sserve_oracle() -> str:
+    """ann_index_serve's oracle verbatim — each query lives in exactly
+    one micro-batch, so the unioned per-batch top-K IS the batch serve
+    result."""
+    from jobx_spark.queries.similarity import _index_serve_oracle
+
+    return _index_serve_oracle()
+
+
+# --------------------------------------------------------------------------
 # stream_drift_census — ann_drift_census's streaming twin: the drift
 # monitor as it actually runs in production, riding the INGEST stream
 # instead of re-scanning the corpus. Each micro-batch of new vectors
@@ -1488,6 +1612,7 @@ QUERIES = {
     "stream_ewma_user_value": stream_ewma_user_value,
     "stream_bloom_decontaminate": stream_bloom_decontaminate,
     "stream_ivf_append": stream_ivf_append,
+    "stream_index_serve": stream_index_serve,
     "stream_drift_census": stream_drift_census,
     "stream_scd_enrich": stream_scd_enrich,
     "stream_cms_users": stream_cms_users,
@@ -1517,6 +1642,7 @@ ORACLES = {
     "stream_ewma_user_value": _stream_ewma_oracle(),
     "stream_bloom_decontaminate": _sbdecon_oracle(),
     "stream_ivf_append": _sivfa_oracle(),
+    "stream_index_serve": _sserve_oracle(),
     "stream_drift_census": _sdrift_oracle(),
     "stream_scd_enrich": ORACLE_STREAM_SCD,
     "stream_cms_users": _stream_cms_oracle(),

@@ -287,7 +287,12 @@ def test_mmr_oracle_greedy_matches_independent_numpy_argmax(vecs):
         if norms[qid] <= 0:
             assert len(got) == 0
             continue
-        cands = [i for i in range(len(vecs)) if norms[i] > 0 and i != qid]
+        # ADVICE r9: mirror the oracle's pool exactly — rank the
+        # top-(MMR_POOL+1) over ALL nonzero-norm candidates INCLUDING
+        # the query itself, then drop the query. Excluding qid before
+        # the cut kept a 21st candidate whenever qid ranked inside the
+        # top-(MMR_POOL+1), a spurious-extra the greedy could pick.
+        cands = [i for i in range(len(vecs)) if norms[i] > 0]
         pool = sorted(cands, key=lambda i: (-cos(qid, i), i))[: MMR_POOL + 1]
         pool = [i for i in pool if i != qid]
         rel = {i: int(np.trunc(cos(qid, i) * 1e6)) for i in pool}

@@ -74,6 +74,10 @@ EXPECT = {
     # stateless-foreachBatch drift partials: one integer partial-sums
     # row per micro-batch, merged in the sink by exact addition (r9)
     "stream_drift_census": ([], False, set()),
+    # stateless-foreachBatch online vector serving: per-batch probe
+    # routing + pruned-index ranking against the frozen persisted
+    # index/centroids side inputs (r10)
+    "stream_index_serve": ([], False, set()),
 }
 
 FORBIDDEN_NODES = ("CartesianProduct", "BroadcastNestedLoopJoin")
