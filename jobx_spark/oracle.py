@@ -203,6 +203,32 @@ def compare(
     return CompareResult(name, ok, len(s_rows), len(d_rows), mismatches)
 
 
+def result_hash(spark_df: DataFrame) -> str:
+    """Canonical content hash of a Spark result: the same pandas-fetch
+    canonicalization ``compare`` applies (column-name-sorted, row-order-
+    insensitive, NA sentinels folded), collapsed to one sha256. Used by
+    the cross-run determinism attestation (VERDICT r9 #6): running the
+    same query twice in one session must produce the same hash, which
+    pins nondeterministic-plan regressions — shuffle-order-sensitive
+    UDFs, uncontrolled float reductions — that a single-run oracle gate
+    cannot see."""
+    import hashlib
+
+    pdf = spark_df.toPandas()
+    cols = list(pdf.columns)
+    rows = _pandas_rows(pdf)
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    norm = sorted(
+        (tuple(_norm_cell(r[i]) for i in order) for r in rows),
+        key=_sort_key,
+    )
+    h = hashlib.sha256()
+    h.update(repr(sorted(cols)).encode())
+    for row in norm:
+        h.update(repr(row).encode())
+    return h.hexdigest()
+
+
 def _approx_eq(a, b, rtol: float = 1e-9) -> bool:
     if type(a) is not type(b):
         return False
