@@ -219,48 +219,63 @@ def _utc_pinned(fn: QueryFn) -> QueryFn:
 #       back to the pool by the late stream_ivf_append /
 #       ann_rank_eval / ann_drift_census / ann_hybrid_rrf additions —
 #       new outranks refill).
+# ROUND-9 GATE for the record (all 50 landed green, CORRECTNESS_r09):
+#   1. new in round 9 (16 rows): pipe_bpe_decode, ann_ivf_append,
+#      stream_bloom_decontaminate, stream_ivf_append, ann_rank_eval,
+#      ann_drift_census, ann_hybrid_rrf, pipe_unimax_mixing,
+#      ann_mmr_diversify, stream_drift_census, ann_dim_truncation_sweep,
+#      pipe_curriculum_order, text_rake_keywords, ann_multiprobe_lsh,
+#      q69_sequence_funnel, q70_retention_cohorts;
+#   2. changed-code re-attests (10): the zero-norm-mask family
+#      (ann_knn_refine, ann_bruteforce_topk/scaled, ann_recall_eval,
+#      ann_nprobe_sweep), the BPE fixes (pipe_bpe_learn/encode), the
+#      vocabulary top-K rewrites (pipe_vocab_topk, pipe_bigram_counts,
+#      pipe_encode_ids);
+#   3. the 11 remaining r3-banked rows (q58-q64, stream_pii_scrub,
+#      stream_topk_trending, stream_zscore_anomaly, text_ttr);
+#   4. r4-banked rotation head (13 rows, ann_ivf_trained_topk ...
+#      mr_engine_event_counts).
 GATE_FIRST_50 = [
-    # -- 1. new in round 9 (16 rows; each late addition displaces the
-    #       tail of section 4 back to the r10 pool — new outranks
-    #       refill; ann_drift_census doubles as the changed-code
-    #       re-attest for the r9 _drift_census_from_sums refactor) --
-    "pipe_bpe_decode", "ann_ivf_append", "stream_bloom_decontaminate",
-    "stream_ivf_append", "ann_rank_eval", "ann_drift_census",
-    "ann_hybrid_rrf", "pipe_unimax_mixing", "ann_mmr_diversify",
-    "stream_drift_census", "ann_dim_truncation_sweep",
-    "pipe_curriculum_order", "text_rake_keywords", "ann_multiprobe_lsh",
-    "q69_sequence_funnel", "q70_retention_cohorts",
-    # -- 2. changed-code re-attests (10 rows) --
-    "ann_knn_refine", "ann_bruteforce_topk", "ann_bruteforce_scaled",
-    "ann_recall_eval", "ann_nprobe_sweep", "pipe_bpe_learn",
-    "pipe_bpe_encode", "pipe_vocab_topk", "pipe_bigram_counts",
-    "pipe_encode_ids",
-    # -- 3. the r3-banked tail (11 rows) --
-    "q58_disjunctive_join", "q59_waiting_suppliers", "q60_lateral_topn",
-    "q61_promo_share", "q62_supplier_census", "q63_dominant_supplier",
-    "q64_market_share", "stream_pii_scrub", "stream_topk_trending",
-    "stream_zscore_anomaly", "text_ttr",
-    # -- 4. r4-banked rotation, oldest cohort, alphabetical head
-    #       (13 rows) --
-    "ann_ivf_trained_topk", "ann_kmeans_train", "dedup_cluster_profile",
-    "dedup_components_scaled", "dedup_embedding", "dedup_kcore",
-    "dedup_lsh_recall", "dedup_minhash_est", "dedup_semantic",
-    "dedup_substring_spans", "dedup_two_hop_reach",
-    "mr_engine_combined_stats", "mr_engine_event_counts",
+    # ROUND-10 GATE (VERDICT r9 #3: retire the r4 tail — after this
+    # gate lands, no registry row is older than r5).
+    # -- 1. new in round 10 (never driver-attested; each late addition
+    #       displaces the tail of section 4 back to the pool) --
+    "ann_index_build", "ann_index_serve", "ann_filtered_topk",
+    "ann_index_append", "stream_index_serve",
+    # -- 2. changed-code re-attests — every query whose Spark plan or
+    #       oracle changed this round: q69 stage anchors materialized
+    #       + single-plan counts (VERDICT r9 #5), ann_multiprobe_lsh
+    #       zero-norm probe mask (ADVICE r9) --
+    "q69_sequence_funnel", "ann_multiprobe_lsh",
+    # -- 3. the full 25-row r4-banked tail (VERDICT r9 #3 names every
+    #       one) — oldest cohort, retired completely --
+    "mr_engine_user_value", "multimodal_phash", "multimodal_phash_pairs",
+    "multimodal_resize_real", "pipe_mix_temperature",
+    "pipe_quality_rules", "pipe_sample_weighted",
+    "q65_bloom_prefilter_join", "q67_market_basket", "stream_cms_users",
+    "stream_dedup_activity", "stream_hll_cards",
+    "stream_incremental_restart", "stream_interval_join",
+    "stream_left_outer_join", "stream_replay_dedup",
+    "stream_session_window", "stream_sliding_agg",
+    "stream_static_enrich", "stream_timeout_sessions",
+    "stream_window_distinct", "text_bm25_topk", "text_hll_distinct",
+    "text_readability", "text_trigram_lang_eval",
+    # -- 4. filler: alphabetical head of the r5-banked cohort (the
+    #       next-oldest, 46 rows) — displaced one-for-one as round-10
+    #       additions land (new outranks refill) --
+    "dedup_components_lsss", "dedup_source_overlap",
+    "dedup_split_leakage", "dedup_substring_scaled",
+    "q01_pricing_summary", "q02_filter_project", "q03_shipping_priority",
+    "q04_brand_revenue", "q05_semi_join", "q06_anti_join",
+    "q07_topk_per_group", "q08_running_sum", "q09_rollup", "q10_cube",
+    "q11_distinct_agg", "q12_set_ops", "q13_top_orders",
+    "q14_scalar_functions",
 ]
-# ROUND-10 GATE POOL: after the r9 gate lands the oldest cohort is the
-# r4-banked tail that did not fit this gate (25 rows):
-# mr_engine_user_value, multimodal_phash, multimodal_phash_pairs,
-# multimodal_resize_real, pipe_mix_temperature, pipe_quality_rules,
-# pipe_sample_weighted, q65_bloom_prefilter_join, q67_market_basket,
-# stream_cms_users, stream_dedup_activity, stream_hll_cards,
-# stream_incremental_restart, stream_interval_join,
-# stream_left_outer_join, stream_replay_dedup, stream_session_window,
-# stream_sliding_agg, stream_static_enrich, stream_timeout_sessions,
-# stream_window_distinct, text_bm25_topk, text_hll_distinct,
-# text_readability, text_trigram_lang_eval
-# (recompute as always by parsing CORRECTNESS_r0*.json for hash_match
-#  rows, max round per query).
+# ROUND-11 GATE POOL: after the r10 gate lands the oldest cohort is
+# the r5-banked tail that did not fit this gate (q18_grouping_sets
+# onward, alphabetical), then the r6 cohort. Recompute as always by
+# parsing CORRECTNESS_r0*.json for hash_match rows, max round per
+# query.
 
 
 def all_queries() -> dict[str, QueryFn]:
