@@ -117,6 +117,11 @@ HEADLINE = [
     "pipe_bpe_encode",
     "pipe_quantile_sketch",
     "stream_quantile_sketch",
+    # round-10 additions outside the auto-enrolled prefixes — these
+    # enroll into the rotation POOL (not BENCH_CORE); the ann_index_*
+    # family auto-enrolls via the ann_ prefix
+    "stream_index_serve",
+    "pipe_corpus_funnel",
     # round-9 additions outside the auto-enrolled prefixes
     # (ann_ivf_append auto-enrolls via the ann_ prefix)
     "pipe_bpe_decode",

@@ -3880,7 +3880,225 @@ ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+# pipe_corpus_funnel — the END-TO-END corpus-build attrition report:
+# the one table every training-data run publishes, showing how many
+# documents and tokens survive each pipeline stage in order. Stages
+# compose the repo's own gated kernels (this query is the composition
+# certificate, not a new kernel):
+#   1 raw          every document
+#   2 exact_dedup  keep the min-doc_id representative of each
+#                  normalized-text digest group (dedup_exact semantics,
+#                  computed over ALL raw docs)
+#   3 quality      the 5-rule keep predicate of pipe_quality_rules
+#   4 lang_en      language filter
+#   5 holdout      drop the benchmark slice (doc_id ≡ 0 mod 10 — the
+#                  dedup_decontaminate eval split)
+#   6 decontam     drop survivors whose digest appears in the eval
+#                  slice (exact-match decontamination — the GPT-3-style
+#                  baseline; the LSH/Bloom variants are the gated
+#                  dedup_decontaminate / dedup_bloom_decontaminate)
+# Scale shape: ONE documents scan materializes the per-doc flag table
+# (digest, token count, rule bits); the keep-min table and the eval
+# digest set both derive from that cut table and join back on digest —
+# keyed shuffle joins with map-side-combinable aggregates (the digest
+# tables are corpus-sized, so no broadcast is claimed); stage survival
+# folds into a single aggregate row, and the 6-row
+# census unpivots from it — kept_ppm (vs raw) and drop_ppm (vs the
+# previous stage) via a 6-row stage self-join, the q69 device. No
+# driver-side action; every ratio is integer ppm.
+# --------------------------------------------------------------------------
+PCF_STAGES = [
+    "raw", "exact_dedup", "quality", "lang_en", "holdout", "decontam",
+]
+
+
+def pipe_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.lineage import cut_lineage
+    from jobx_spark.operators.dedup import normalized_digest
+    from jobx_spark.operators.text import punct_count, stopword_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_toks = F.size(toks).cast("long")
+    nospace = F.length(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", "")
+    ).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    r_wordcount = (n_toks >= QR_MIN_TOKENS) & (n_toks <= QR_MAX_TOKENS)
+    r_wordlen = (nospace >= QR_MIN_MWL * n_toks) & (
+        nospace <= QR_MAX_MWL * n_toks
+    )
+    r_symbol = (
+        punct_count(F.col("text")) * 100
+        <= F.length("text").cast("long") * QR_MAX_SYMBOL_PCT
+    )
+    r_stopword = stopword_count(F.col("text"), "en") >= 1
+    r_repetition = n_distinct * 100 >= n_toks * QR_MIN_TTR_PCT
+    base = cut_lineage(
+        docs.select(
+            "doc_id",
+            normalized_digest("text").alias("digest"),
+            n_toks.alias("n_toks"),
+            (
+                r_wordcount & r_wordlen & r_symbol & r_stopword
+                & r_repetition
+            ).alias("q_keep"),
+            (F.col("lang") == "en").alias("is_en"),
+            (F.col("doc_id") % 10 == 0).alias("is_eval"),
+        ),
+        "pcf-base",
+    )
+    keep = base.groupBy("digest").agg(F.min("doc_id").alias("keep_id"))
+    eval_digests = (
+        base.filter(F.col("is_eval")).select("digest").distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    flagged = (
+        base.join(keep, "digest")
+        .join(eval_digests, "digest", "left")
+        .select(
+            "n_toks",
+            F.lit(True).alias("a1"),
+            (F.col("doc_id") == F.col("keep_id")).alias("a2"),
+            "q_keep",
+            "is_en",
+            "is_eval",
+            F.coalesce("contaminated", F.lit(False)).alias("contam"),
+        )
+        .withColumn("a3", F.col("a2") & F.col("q_keep"))
+        .withColumn("a4", F.col("a3") & F.col("is_en"))
+        .withColumn("a5", F.col("a4") & ~F.col("is_eval"))
+        .withColumn("a6", F.col("a5") & ~F.col("contam"))
+    )
+    aggs = []
+    for i in range(1, len(PCF_STAGES) + 1):
+        b = F.col(f"a{i}").cast("long")
+        aggs.append(F.sum(b).alias(f"d{i}"))
+        aggs.append(F.sum(b * F.col("n_toks")).alias(f"t{i}"))
+    one = flagged.agg(*aggs)
+    stack_expr = ", ".join(
+        f"{i + 1}, '{s}', d{i + 1}, t{i + 1}"
+        for i, s in enumerate(PCF_STAGES)
+    )
+    counts = one.select(
+        F.expr(
+            f"stack({len(PCF_STAGES)}, {stack_expr})"
+            " as (stage, name, n_docs, n_tokens)"
+        )
+    )
+    prev = counts.select(
+        (F.col("stage") + 1).alias("stage"),
+        F.col("n_docs").alias("prev_docs"),
+    )
+    root = counts.filter(F.col("stage") == 1).select(
+        F.greatest(F.col("n_docs"), F.lit(1)).alias("raw_docs")
+    )
+    return (
+        counts.join(prev, "stage", "left")
+        .withColumn("prev_docs", F.coalesce("prev_docs", "n_docs"))
+        .crossJoin(F.broadcast(root))
+        .select(
+            F.col("stage").cast("int").alias("stage"),
+            "name",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.expr("(n_docs * 1000000) div raw_docs")
+            .cast("long")
+            .alias("kept_ppm"),
+            F.expr(
+                "((prev_docs - n_docs) * 1000000) div greatest(prev_docs, 1)"
+            )
+            .cast("long")
+            .alias("drop_ppm"),
+        )
+        .orderBy("stage")
+    )
+
+
+def _corpus_funnel_oracle() -> str:
+    from jobx_spark.operators.text import LANG_STOPWORDS, PUNCT_CLASS
+    from jobx_spark.queries.dedup import _DIGEST
+
+    en = LANG_STOPWORDS["en"]
+    names = ", ".join(f"(%d, '%s')" % (i + 1, s)
+                      for i, s in enumerate(PCF_STAGES))
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_DIGEST} AS digest,
+         CAST(len({_TOKS}) AS BIGINT) AS n_toks,
+         CAST(len(regexp_replace(lower(trim(text)), '\\s+', '', 'g')) AS BIGINT) AS nospace,
+         CAST(len(list_distinct({_TOKS})) AS BIGINT) AS n_distinct,
+         CAST(len(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')) AS BIGINT) AS n_punct,
+         CAST(len(text) AS BIGINT) AS n_chars,
+         CAST(len(list_intersect({_TOKS}, {en!r})) AS BIGINT) AS n_stop,
+         lang = 'en' AS is_en,
+         doc_id % 10 = 0 AS is_eval
+  FROM documents
+), keepmin AS (
+  SELECT digest, MIN(doc_id) AS keep_id FROM base GROUP BY digest
+), evald AS (
+  SELECT DISTINCT digest FROM base WHERE is_eval
+), flags AS (
+  SELECT b.n_toks,
+         TRUE AS a1,
+         b.doc_id = k.keep_id AS a2,
+         (b.n_toks >= {QR_MIN_TOKENS} AND b.n_toks <= {QR_MAX_TOKENS}
+          AND b.nospace >= {QR_MIN_MWL} * b.n_toks
+          AND b.nospace <= {QR_MAX_MWL} * b.n_toks
+          AND b.n_punct * 100 <= b.n_chars * {QR_MAX_SYMBOL_PCT}
+          AND b.n_stop >= 1
+          AND b.n_distinct * 100 >= b.n_toks * {QR_MIN_TTR_PCT}) AS qk,
+         b.is_en, b.is_eval,
+         e.digest IS NOT NULL AS contam
+  FROM base b JOIN keepmin k ON k.digest = b.digest
+  LEFT JOIN evald e ON e.digest = b.digest
+), m AS (
+  SELECT n_toks, a1, a2,
+         a2 AND qk AS a3,
+         a2 AND qk AND is_en AS a4,
+         a2 AND qk AND is_en AND NOT is_eval AS a5,
+         a2 AND qk AND is_en AND NOT is_eval AND NOT contam AS a6
+  FROM flags
+), one AS (
+  SELECT
+    {", ".join(
+        f"CAST(SUM(CASE WHEN a{i} THEN 1 ELSE 0 END) AS BIGINT) AS d{i},"
+        f" CAST(SUM(CASE WHEN a{i} THEN n_toks ELSE 0 END) AS BIGINT)"
+        f" AS t{i}"
+        for i in range(1, len(PCF_STAGES) + 1)
+    )}
+  FROM m
+), counts AS (
+  SELECT s.stage, s.name,
+         CASE s.stage {" ".join(
+             f"WHEN {i + 1} THEN d{i + 1}"
+             for i in range(len(PCF_STAGES)))} END AS n_docs,
+         CASE s.stage {" ".join(
+             f"WHEN {i + 1} THEN t{i + 1}"
+             for i in range(len(PCF_STAGES)))} END AS n_tokens
+  FROM (VALUES {names}) AS s(stage, name), one
+), root AS (
+  SELECT GREATEST(MAX(CASE WHEN stage = 1 THEN n_docs END), 1)
+         AS raw_docs FROM counts
+), prevs AS (
+  SELECT c.*, COALESCE(LAG(n_docs) OVER (ORDER BY stage), n_docs)
+         AS prev_docs
+  FROM counts c
+)
+SELECT CAST(stage AS INTEGER) AS stage, name,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_docs * 1000000 // root.raw_docs AS BIGINT) AS kept_ppm,
+       CAST((prev_docs - n_docs) * 1000000 // GREATEST(prev_docs, 1)
+            AS BIGINT) AS drop_ppm
+FROM prevs, root
+ORDER BY stage
+"""
+
+
 QUERIES = {
+    "pipe_corpus_funnel": pipe_corpus_funnel,
     "pipe_bpe_decode": pipe_bpe_decode,
     "pipe_bpe_encode": pipe_bpe_encode,
     "pipe_quantile_sketch": pipe_quantile_sketch,
@@ -3933,6 +4151,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pipe_corpus_funnel": _corpus_funnel_oracle(),
     "pipe_bpe_decode": _bpe_decode_oracle(),
     "pipe_bpe_encode": _bpe_encode_oracle(),
     "pipe_quantile_sketch": _quantile_sketch_oracle(),

@@ -127,3 +127,23 @@ def test_ann_index_build_census_attests_persisted_table(spark, sf_dir):
     assert first == again
     assert len(first) == 8
     assert sum(r[1] for r in first) > 0
+
+
+def test_corpus_funnel_single_scan_and_monotone(spark, sf_dir):
+    """The funnel's returned plan must derive every stage from the ONE
+    materialized per-doc flag table (no documents re-scan), and stage
+    survival must be monotone non-increasing with exact raw totals."""
+    from jobx_spark.queries.pipeline import PCF_STAGES, QUERIES
+
+    df = QUERIES["pipe_corpus_funnel"](spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "documents" not in plan, (
+        "funnel must plan against the materialized pcf-base table"
+    )
+    out = df.collect()
+    assert [r["name"] for r in out] == PCF_STAGES
+    docs = [r["n_docs"] for r in out]
+    toks = [r["n_tokens"] for r in out]
+    assert all(a >= b for a, b in zip(docs, docs[1:]))
+    assert all(a >= b for a, b in zip(toks, toks[1:]))
+    assert out[0]["kept_ppm"] == 1000000 and out[0]["drop_ppm"] == 0
