@@ -4314,11 +4314,133 @@ def ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_append_census(spark, base_idx, batch_idx, appended, rebuilt)
 
 
+# --------------------------------------------------------------------------
+# ann_index_compact — the maintenance job that completes the persisted
+# lifecycle (build → append → COMPACT → serve): after appends the index
+# accumulates small per-batch files under seg=batch/cell=*, and probe
+# latency degrades with file count, not row count. Compaction rewrites
+# base ∪ batch as a NEW single-segment generation (seg=compacted under
+# a fresh generation dir — never in place, the swap is atomic at the
+# directory level exactly like a table-format rewrite), clustered so
+# each cell holds ONE file. The census is planned over BOTH on-disk
+# generations and attests content identity per cell: row count AND
+# vec_id-XOR membership must match (content_match = 1), plus
+# files_after = 1 per populated cell read from the compacted layout —
+# the physical claim, verified from disk, not assumed. Dead cells stay
+# visible as zero rows.
+# 100 TB story: compaction is one clustered rewrite of the index table
+# (embarrassingly parallel by cell), after which a probe reads nprobe
+# FILES instead of nprobe × n_appends.
+# --------------------------------------------------------------------------
+def ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    cpath, ipath = _ann_index_append_paths(sf_dir)
+    if not os.path.exists(os.path.join(cpath, "_SUCCESS")):
+        # materialize the appended generation this job compacts — the
+        # append's table writes run eagerly inside the call; its
+        # returned census frame is not needed here
+        ann_index_append(spark, sf_dir)
+    gpath = os.path.join(os.path.dirname(ipath), "index-compacted")
+    old = spark.read.parquet(ipath).select("vec_id", "cell")
+    (
+        old.repartition(KM_K, "cell")
+        .sortWithinPartitions("cell", "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(gpath)
+    )
+    new = spark.read.parquet(gpath)
+    fcount = (
+        new.withColumn("f", F.input_file_name())
+        .groupBy("cell")
+        .agg(F.count_distinct("f").cast("long").alias("files_after"))
+    )
+
+    def census(df: DataFrame, n: str, x: str) -> DataFrame:
+        return df.groupBy("cell").agg(
+            F.count(F.lit(1)).cast("long").alias(n),
+            F.coalesce(F.bit_xor("vec_id"), F.lit(0).cast("long"))
+            .alias(x),
+        )
+
+    dom = spark.range(KM_K).select(F.col("id").cast("int").alias("cell"))
+    z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("long")  # noqa: E731
+    return (
+        dom.join(census(old, "n_before", "x_before"), "cell", "left")
+        .join(census(new.select("vec_id", "cell"), "n_after", "x_after"),
+              "cell", "left")
+        .join(fcount, "cell", "left")
+        .select(
+            "cell",
+            z("n_before").alias("n_before"),
+            z("n_after").alias("n_after"),
+            z("files_after").alias("files_after"),
+            (
+                (z("n_before") == z("n_after"))
+                & (z("x_before") == z("x_after"))
+            )
+            .cast("long")
+            .alias("content_match"),
+        )
+        .orderBy("cell")
+    )
+
+
+def _index_compact_oracle() -> str:
+    """The compacted generation's content equals the appended one: the
+    full-corpus assignment under the base-trained quantizer (the
+    ann_ivf_append oracle's cells CTE), one file per populated cell,
+    content_match pinned to 1."""
+    parts, _assign = _kmeans_ctes(pfx="ia", source="iabase")
+    parts = [
+        f"""iabase AS (
+  SELECT * FROM embeddings WHERE vec_id % {APPEND_MOD} <> {APPEND_RES}
+)"""
+    ] + parts
+    body = ",\n".join(parts)
+    S = KM_SCALE
+    return f"""
+WITH {body},
+cent AS (
+  SELECT cent_id, list_transform(cv_s, c -> c::DOUBLE / {S}) AS cv
+  FROM iac{KM_ITERS}
+), centn AS (
+  SELECT cent_id, cv, {_SDOT.format(a='cv', b='cv')} AS cnorm_s FROM cent
+), alle AS (
+  SELECT vec_id, embedding,
+         {_SDOT.format(a='embedding', b='embedding')} AS vnorm_s
+  FROM embeddings
+), cells AS (
+  SELECT vec_id, cent_id AS cell FROM (
+    SELECT a.vec_id, n.cent_id,
+           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+             {_SDOT.format(a='a.embedding', b='n.cv')}::DOUBLE
+               / (sqrt(a.vnorm_s::DOUBLE) * sqrt(n.cnorm_s::DOUBLE)) DESC,
+             n.cent_id ASC) AS rn
+    FROM alle a, centn n
+  ) WHERE rn = 1
+), per AS (
+  SELECT cell, CAST(count(*) AS BIGINT) AS n
+  FROM cells GROUP BY cell
+)
+SELECT CAST(r.range AS INTEGER) AS cell,
+       CAST(COALESCE(per.n, 0) AS BIGINT) AS n_before,
+       CAST(COALESCE(per.n, 0) AS BIGINT) AS n_after,
+       CAST(CASE WHEN per.n IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS files_after,
+       CAST(1 AS BIGINT) AS content_match
+FROM range({KM_K}) r LEFT JOIN per ON per.cell = r.range
+ORDER BY cell
+"""
+
+
 QUERIES = {
     "ann_index_build": ann_index_build,
     "ann_index_serve": ann_index_serve,
     "ann_filtered_topk": ann_filtered_topk,
     "ann_index_append": ann_index_append,
+    "ann_index_compact": ann_index_compact,
     "ann_kcenter_select": ann_kcenter_select,
     "ann_kcenter_scaled": ann_kcenter_scaled,
     "ann_nprobe_sweep": ann_nprobe_sweep,
@@ -4361,6 +4483,7 @@ ORACLES = {
     # identical output contract to the in-plan incremental append —
     # the persisted-lifecycle variant attests the same census
     "ann_index_append": _ivf_append_oracle(),
+    "ann_index_compact": _index_compact_oracle(),
     "ann_kcenter_select": _kcenter_oracle(),
     "ann_kcenter_scaled": _kcenter_oracle(
         n_shards=KC_SHARDS * ANN_REP, source=_KC_SCALED_SOURCE

@@ -147,3 +147,16 @@ def test_corpus_funnel_single_scan_and_monotone(spark, sf_dir):
     assert all(a >= b for a, b in zip(docs, docs[1:]))
     assert all(a >= b for a, b in zip(toks, toks[1:]))
     assert out[0]["kept_ppm"] == 1000000 and out[0]["drop_ppm"] == 0
+
+
+def test_ann_index_compact_single_file_per_cell(spark, sf_dir):
+    """Compaction's physical claim, verified from the result itself:
+    every populated cell holds exactly ONE file after the rewrite, and
+    content identity holds for all cells."""
+    from jobx_spark.queries.similarity import QUERIES
+
+    out = QUERIES["ann_index_compact"](spark, sf_dir).collect()
+    assert len(out) == 8
+    assert all(r["content_match"] == 1 for r in out)
+    for r in out:
+        assert r["files_after"] == (1 if r["n_after"] > 0 else 0)
