@@ -99,12 +99,17 @@ def ivf_assign(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Assign each vector to its nearest centroid by cosine (IVF coarse
     quantization). Centroids broadcast; the argmax is max(struct(cos,
     -cent_id)) — one narrow aggregation, ties to the lowest cent_id.
 
-    Output (id, v, norm_s, cell). At 100 TB the cell becomes the
+    Output (id, v, norm_s, *extra_cols, cell). ``extra_cols`` carries
+    per-vector metadata (e.g. the label an index stores for filtered
+    search) THROUGH the assignment — the alternative, joining the
+    assignment back to the corpus on id, is a corpus-to-corpus shuffle
+    join the 100 TB build never needs. At 100 TB the cell becomes the
     partition key of the stored index table, so a probe reads only
     nprobe partitions.
     """
@@ -112,12 +117,13 @@ def ivf_assign(
         F.col("cent_id"), F.col("cv")
     ).withColumn("cnorm_s", _sdot(F.col("cv"), F.col("cv")))
     v = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), *extra_cols
     ).withColumn("norm_s", _sdot(F.col("v"), F.col("v")))
     scored = v.join(F.broadcast(c)).select(
         "id",
         "v",
         "norm_s",
+        *extra_cols,
         F.struct(
             cosine_from_scaled(
                 _sdot(F.col("v"), F.col("cv")), F.col("norm_s"), F.col("cnorm_s")
@@ -127,8 +133,16 @@ def ivf_assign(
     )
     return (
         scored.groupBy("id")
-        .agg(F.max("sc").alias("best"), F.first("v").alias("v"), F.first("norm_s").alias("norm_s"))
-        .select("id", "v", "norm_s", (-F.col("best.neg_cent")).alias("cell"))
+        .agg(
+            F.max("sc").alias("best"),
+            F.first("v").alias("v"),
+            F.first("norm_s").alias("norm_s"),
+            *[F.first(c0).alias(c0) for c0 in extra_cols],
+        )
+        .select(
+            "id", "v", "norm_s", *extra_cols,
+            (-F.col("best.neg_cent")).alias("cell"),
+        )
     )
 
 

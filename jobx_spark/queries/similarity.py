@@ -3882,14 +3882,17 @@ def _ann_index_write(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         output="centroids",
     )
     centroids.write.mode("overwrite").parquet(cpath)
-    cells = ivf_assign(emb, spark.read.parquet(cpath))
     # the index row carries the vector's METADATA (label) beside the
     # vector + its precomputed norm: filtered vector search
     # (ann_filtered_topk) pushes metadata predicates into the pruned
-    # index scan instead of joining back to the corpus
+    # index scan instead of joining back to the corpus. The label rides
+    # THROUGH the assignment (ivf_assign extra_cols) — no
+    # corpus-to-corpus join in the build.
+    cells = ivf_assign(
+        emb, spark.read.parquet(cpath), extra_cols=("label",)
+    )
     (
-        cells.join(emb.select(F.col("vec_id").alias("id"), "label"), "id")
-        .select(
+        cells.select(
             F.col("id").alias("vec_id"),
             F.col("v").alias("embedding"),
             "norm_s",
