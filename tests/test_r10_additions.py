@@ -160,3 +160,37 @@ def test_ann_index_compact_single_file_per_cell(spark, sf_dir):
     assert all(r["content_match"] == 1 for r in out)
     for r in out:
         assert r["files_after"] == (1 if r["n_after"] > 0 else 0)
+
+
+def test_index_serve_equals_inline_trained_topk(spark, sf_dir):
+    """The persisted serving path and the inline train-in-plan path use
+    the same quantizer constants, so their results must be IDENTICAL
+    row sets — the certificate that persisting the index changed the
+    execution shape, not the answer."""
+    from jobx_spark.queries.similarity import QUERIES
+
+    served = {
+        (r["query_id"], r["vec_id"], r["rank"], r["cosine"])
+        for r in QUERIES["ann_index_serve"](spark, sf_dir).collect()
+    }
+    inline = {
+        (r["query_id"], r["vec_id"], r["rank"], r["cosine"])
+        for r in QUERIES["ann_ivf_trained_topk"](spark, sf_dir).collect()
+    }
+    assert served == inline
+
+
+def test_stream_index_serve_equals_batch_serve(spark, sf_dir):
+    """Each query lives in exactly one replay micro-batch, so the
+    streaming twin's unioned per-batch top-K must equal the batch
+    serve result bit for bit."""
+    from jobx_spark.queries.similarity import QUERIES as AQ
+    from jobx_spark.queries.streams import QUERIES as SQ
+
+    batch = {
+        tuple(r) for r in AQ["ann_index_serve"](spark, sf_dir).collect()
+    }
+    streamed = {
+        tuple(r) for r in SQ["stream_index_serve"](spark, sf_dir).collect()
+    }
+    assert streamed == batch
