@@ -482,7 +482,15 @@ def main() -> None:
                 and n not in BENCH_EXCLUDE:
             enrolled.append(n)
     core_set = set(BENCH_CORE)
-    pool = sorted(n for n in enrolled if n not in core_set)
+    # hash-ordered, not alphabetical: an alphabetical pool clumps whole
+    # families (e.g. every ann_* diagnostic) into one round's slice —
+    # the md5 order spreads families across slices deterministically
+    import hashlib
+
+    pool = sorted(
+        (n for n in enrolled if n not in core_set),
+        key=lambda n: hashlib.md5(n.encode()).hexdigest(),
+    )
     rnd = _round_number()
     pool_offset = 0
     pool_slice: list[str] = []
@@ -556,11 +564,27 @@ def main() -> None:
             reps_done[name] += 1
         if anchor_exhausted:
             break
-    # pass 1b: everything else once — coverage of the benched set is
-    # unconditional (an overrun degrades pass 2, never coverage)
-    for name in names:
+    # pass 1b: the rest of the CORE once — core coverage is
+    # unconditional (an overrun degrades pass 2 and the pool slice,
+    # never the comparable core)
+    for name in BENCH_CORE:
         if name not in timings:
             pass1(name)
+    # pass 1c: this round's pool slice, BUDGET-CHECKED — a pool query
+    # that misses its slot is simply not benched this round (it is
+    # still correctness-gated every round); pool_skipped in run_meta
+    # says so. Without this check a slice that happens to hold several
+    # heavy queries could push pass 1 past the driver's timeout and
+    # lose the whole artifact.
+    pool_skipped: list[str] = []
+    for name in pool_slice:
+        if name in timings:
+            continue
+        if time.monotonic() - _T0 > BENCH_BUDGET_S:
+            pool_skipped.append(name)
+            continue
+        pass1(name)
+    names = [n for n in names if n in timings]
     # pass 2+: min-of-reps for NON-anchor queries (anchors already hold
     # their reps) only while inside the budget — every query ≥ 1 s in
     # descending pass-1-time order, ROTATED by a round-keyed offset
@@ -629,6 +653,7 @@ def main() -> None:
                 "n_core": len(BENCH_CORE),
                 "n_pool": len(pool),
                 "pool_slice": pool_slice,
+                "pool_skipped": pool_skipped,
                 "pool_offset": pool_offset,
                 "pass1_rotation_period": PASS1_ROTATION_PERIOD,
             },
