@@ -122,6 +122,8 @@ HEADLINE = [
     # family auto-enrolls via the ann_ prefix
     "stream_index_serve",
     "pipe_corpus_funnel",
+    "pipe_vocab_build",
+    "pipe_encode_serve",
     # round-9 additions outside the auto-enrolled prefixes
     # (ann_ivf_append auto-enrolls via the ann_ prefix)
     "pipe_bpe_decode",

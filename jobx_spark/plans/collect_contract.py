@@ -100,6 +100,13 @@ COLLECT_BOUNDS: dict[tuple[str, str, str], tuple[int, str]] = {
         "into the literal id / inverse maps that keep encode and "
         "decode join-free per symbol",
     ),
+    ("jobx_spark/queries/pipeline.py", "pipe_encode_serve", "collect"): (
+        1,
+        "the persisted symbol table: ≤ |chars| + BPE_MERGES rows by "
+        "construction — loaded into the literal id map that keeps the "
+        "serve-path encode join-free per symbol (same bound as "
+        "_bpe_symbol_idmap)",
+    ),
     ("jobx_spark/queries/pipeline.py", "pipe_bpe_learn", "collect"): (
         1,
         "per-round best-pair argmax through limit(1): ≤1 row per merge "

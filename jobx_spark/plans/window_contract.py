@@ -57,6 +57,11 @@ WINDOW_BOUNDS: dict[str, dict[tuple[str, ...], str]] = {
                      "runs over one doc's tokens, bounded by document "
                      "length",
     },
+    "pipe_encode_serve": {
+        ("doc_id",): "per-document token sequence: same offset prefix "
+                     "sum as pipe_bpe_encode (shared _bpe_encode_body) "
+                     "— bounded by document length",
+    },
     "pipe_quantile_sketch": {
         ("source",): "(source, bin) histogram and (source, n_chars) "
                      "value-count tables — domain-bounded (bins = "

@@ -194,3 +194,19 @@ def test_stream_index_serve_equals_batch_serve(spark, sf_dir):
         tuple(r) for r in SQ["stream_index_serve"](spark, sf_dir).collect()
     }
     assert streamed == batch
+
+
+def test_encode_serve_plan_is_learn_free_and_equals_inline(spark, sf_dir):
+    """The persisted-vocabulary serve path must contain zero learn-
+    chain iterations (no bpee-w lineage cuts - the vocab tables are the
+    only non-corpus scans) and return the identical row set to the
+    learn-in-plan encode."""
+    from jobx_spark.queries.pipeline import QUERIES
+
+    df = QUERIES["pipe_encode_serve"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "bpee-w" not in plan
+    assert "bpe-vocab-" in plan
+    served = {tuple(r) for r in df.collect()}
+    inline = {tuple(r) for r in QUERIES["pipe_bpe_encode"](spark, sf_dir).collect()}
+    assert served == inline
