@@ -596,6 +596,21 @@ def main() -> None:
     # never worth a re-run. run_meta.reps_per_query records who got a
     # warm min, so cross-round comparisons can filter on equal
     # treatment.
+    # pass 2a: one LATE-WARM anchor rep (min over 3 total). The hoisted
+    # pass-1a reps guarantee the anchor number always COMPLETES, but
+    # both of those reps run in the first minutes of the session — the
+    # first close under the hoist read 77.2 vs the r9 series' 54–63,
+    # a uniform 1.2–1.7× on unchanged plans, because the old series'
+    # second reps ran after ~470 s of pass-1 warm-up. This rep restores
+    # that measurement condition whenever budget allows; when the box
+    # is squeezed the early min-of-2 still stands (complete, flagged by
+    # reps_per_query = 2 instead of 3 for cross-round readers).
+    for name in WARM_ANCHOR:
+        if time.monotonic() - _T0 > BENCH_BUDGET_S:
+            break
+        t, _ = run_once(name)
+        timings[name] = round(min(timings[name], t), 3)
+        reps_done[name] += 1
     rest = sorted(
         (n for n in names if timings[n] >= 1.0 and n not in WARM_ANCHOR),
         key=lambda n: (-timings[n], n),
