@@ -4438,7 +4438,189 @@ ORDER BY cell
 """
 
 
+# --------------------------------------------------------------------------
+# ann_pq_index_build / ann_pq_index_serve — the persisted-index
+# contract extended to the PQ family (the r9 VERDICT's explicit cost
+# callout: ann_ivf_pq_residual_topk's 15 s is "five concurrent k-means
+# trainings; would drop to ~nothing under a persisted-index
+# contract"). Build trains the PQ_SUB subspace codebooks once
+# (concurrently, the audited _train_concurrent device), persists
+#   * `codebooks` (s, cent_id, cv) — PQ_SUB·KM_K rows, the artifact a
+#     serving tier broadcasts, and
+#   * `codes` (s, vec_id, cell) — the PQ-compressed corpus, the
+#     billion-scale representation (PQ_SUB small ints per vector
+#     instead of the raw floats),
+# and returns a per-(s, cell) census planned over the persisted codes
+# table (population + vec_id XOR — the gate hash attests the artifact
+# on disk, dead codes visible as zeros). Serve builds each query's
+# LUT from the PERSISTED codebooks (broadcast k·PQ_SUB scaled-int
+# partial dots) and ranks the PERSISTED codes by LUT-sum — identical
+# output contract to ann_pq_adc_topk, so the oracle is that query's
+# oracle verbatim, and the serve plan contains ZERO k-means stages
+# (pinned by test): raw corpus vectors are never touched at query
+# time, only the code table and the query rows.
+# --------------------------------------------------------------------------
+def _pq_index_paths(sf_dir: str) -> tuple[str, str]:
+    import hashlib
+    import os
+
+    from jobx_spark.lineage import checkpoint_root
+
+    key = hashlib.sha256(sf_dir.rstrip("/").encode()).hexdigest()[:12]
+    root = os.path.join(checkpoint_root(), f"ann-pq-index-{key}")
+    return os.path.join(root, "codebooks"), os.path.join(root, "codes")
+
+
+def _pq_index_write(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    from jobx_spark.operators.similarity import ivf_assign, kmeans_train
+
+    bpath, cpath = _pq_index_paths(sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    subs, _ = _pq_subspaces(emb)
+    cents = _train_concurrent([
+        (lambda sub=sub: kmeans_train(
+            sub, k=KM_K, iters=KM_ITERS, cent_base=KM_BASE, scale=KM_SCALE,
+            output="centroids",
+        ))
+        for sub in subs
+    ])
+    books = None
+    for s in range(PQ_SUB):
+        b = cents[s].select(F.lit(s).alias("s"), "cent_id", "cv")
+        books = b if books is None else books.unionByName(b)
+    books.write.mode("overwrite").parquet(bpath)
+    stored = spark.read.parquet(bpath)
+    codes = None
+    for s in range(PQ_SUB):
+        asg = ivf_assign(
+            subs[s], stored.filter(F.col("s") == s).select("cent_id", "cv")
+        ).select(F.lit(s).alias("s"), F.col("id").alias("vec_id"), "cell")
+        codes = asg if codes is None else codes.unionByName(asg)
+    codes.write.mode("overwrite").parquet(cpath)
+    return bpath, cpath
+
+
+def _pq_index_ensure(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    import os
+
+    bpath, cpath = _pq_index_paths(sf_dir)
+    if not (
+        os.path.exists(os.path.join(bpath, "_SUCCESS"))
+        and os.path.exists(os.path.join(cpath, "_SUCCESS"))
+    ):
+        _pq_index_write(spark, sf_dir)
+    return bpath, cpath
+
+
+def ann_pq_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, cpath = _pq_index_write(spark, sf_dir)
+    codes = spark.read.parquet(cpath)
+    dom = (
+        spark.range(PQ_SUB)
+        .select(F.col("id").cast("int").alias("s"))
+        .crossJoin(
+            spark.range(KM_K).select(F.col("id").cast("int").alias("cell"))
+        )
+    )
+    census = codes.groupBy("s", "cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.coalesce(F.bit_xor("vec_id"), F.lit(0).cast("long")).alias(
+            "xor_vec_ids"
+        ),
+    )
+    return (
+        dom.join(census, ["s", "cell"], "left")
+        .select(
+            "s",
+            "cell",
+            F.coalesce("n_vecs", F.lit(0)).cast("long").alias("n_vecs"),
+            F.coalesce("xor_vec_ids", F.lit(0).cast("long")).alias(
+                "xor_vec_ids"
+            ),
+        )
+        .orderBy("s", "cell")
+    )
+
+
+def _pq_index_build_oracle() -> str:
+    final = KM_ITERS + 1
+    parts: list[str] = []
+    for s in range(PQ_SUB):
+        sl = f"list_slice(embedding, {s * PQ_DIM + 1}, {(s + 1) * PQ_DIM})"
+        sub_parts, assign_cte = _kmeans_ctes(pfx=f"s{s}", emb_expr=sl)
+        parts += sub_parts + [assign_cte(final)]
+    body = ",\n".join(parts)
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {s} AS s, cell, vec_id FROM s{s}a{final}"
+        for s in range(PQ_SUB)
+    )
+    return f"""
+WITH {body},
+allc AS (
+{unions}
+), census AS (
+  SELECT s, cell, CAST(count(*) AS BIGINT) AS n_vecs,
+         CAST(bit_xor(vec_id) AS BIGINT) AS xor_vec_ids
+  FROM allc GROUP BY s, cell
+)
+SELECT CAST(d.s AS INTEGER) AS s, CAST(d.c AS INTEGER) AS cell,
+       COALESCE(census.n_vecs, 0) AS n_vecs,
+       COALESCE(census.xor_vec_ids, 0) AS xor_vec_ids
+FROM (SELECT a.range AS s, b.range AS c
+      FROM range({PQ_SUB}) a, range({KM_K}) b) d
+LEFT JOIN census ON census.s = d.s AND census.cell = d.c
+ORDER BY s, cell
+"""
+
+
+def ann_pq_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from jobx_spark.operators.similarity import _sdot
+
+    bpath, cpath = _pq_index_ensure(spark, sf_dir)
+    books = spark.read.parquet(bpath)
+    codes = spark.read.parquet(cpath)
+    emb = load_table(spark, sf_dir, "embeddings")
+    # the query side: slice each probe vector into its subspaces —
+    # query input, not corpus (raw corpus vectors never load at serve)
+    qsubs = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("s"),
+                    F.slice("embedding", s * PQ_DIM + 1, PQ_DIM).alias("qv"),
+                )
+                for s in range(PQ_SUB)
+            ])
+        ).alias("sub"),
+    ).select("query_id", "sub.s", "sub.qv")
+    lut = qsubs.join(F.broadcast(books), "s").select(
+        "query_id",
+        "s",
+        F.col("cent_id").alias("cell"),
+        _sdot(F.col("qv"), F.col("cv")).alias("part"),
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["s", "cell"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("part").alias("adc_s"))
+    )
+    rk = F.row_number().over(
+        W.partitionBy("query_id").orderBy(F.desc("adc_s"), F.asc("vec_id"))
+    )
+    return (
+        scored.withColumn("rank", rk.cast("int"))
+        .filter(F.col("rank") <= K)
+        .select("query_id", "vec_id", "rank", "adc_s")
+        .orderBy("query_id", "rank")
+    )
+
+
 QUERIES = {
+    "ann_pq_index_build": ann_pq_index_build,
+    "ann_pq_index_serve": ann_pq_index_serve,
     "ann_index_build": ann_index_build,
     "ann_index_serve": ann_index_serve,
     "ann_filtered_topk": ann_filtered_topk,
@@ -4480,6 +4662,10 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ann_pq_index_build": _pq_index_build_oracle(),
+    # identical output contract to the train-in-plan ADC ranker — the
+    # persisted-codebook serve attests the same ranking
+    "ann_pq_index_serve": _pq_adc_oracle(),
     "ann_index_build": _index_build_oracle(),
     "ann_index_serve": _index_serve_oracle(),
     "ann_filtered_topk": _filtered_topk_oracle(),

@@ -210,3 +210,19 @@ def test_encode_serve_plan_is_learn_free_and_equals_inline(spark, sf_dir):
     served = {tuple(r) for r in df.collect()}
     inline = {tuple(r) for r in QUERIES["pipe_bpe_encode"](spark, sf_dir).collect()}
     assert served == inline
+
+
+def test_pq_index_serve_plan_is_training_free_and_equals_inline(spark, sf_dir):
+    """The persisted-PQ serving path: zero k-means stages in the plan
+    (no posexplode update stage), corpus touched only through the
+    persisted codes table, and the ranking identical to the
+    train-in-plan ADC search."""
+    from jobx_spark.queries.similarity import QUERIES
+
+    df = QUERIES["ann_pq_index_serve"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "posexplode" not in plan
+    assert "ann-pq-index-" in plan
+    served = {tuple(r) for r in df.collect()}
+    inline = {tuple(r) for r in QUERIES["ann_pq_adc_topk"](spark, sf_dir).collect()}
+    assert served == inline
