@@ -300,6 +300,7 @@ BENCH_EXCLUDE = (
     "dedup_substring_scaled",
     "ann_bruteforce_scaled",
     "ann_kcenter_scaled",
+    "ann_index_serve_scaled",
     "stream_window_distinct_scaled",
     "multimodal_decode_scaled",
     "dedup_components_lsss",

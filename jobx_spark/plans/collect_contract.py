@@ -123,12 +123,13 @@ COLLECT_BOUNDS: dict[tuple[str, str, str], tuple[int, str]] = {
         "min(N_QUERIES·KM_NPROBE, KM_K) = 8 integers by construction — "
         "same literal-isin partition-pruning device as ann_index_serve",
     ),
-    ("jobx_spark/queries/similarity.py", "ann_index_serve", "collect"): (
+    ("jobx_spark/queries/similarity.py", "_index_serve_body", "collect"): (
         1,
         "the router's shard list: distinct probed cell ids, ≤ "
         "min(N_QUERIES·KM_NPROBE, KM_K) = 8 integers by construction — "
         "collected into the literal isin() that statically partition-"
-        "prunes the persisted index scan to the probed cells",
+        "prunes the persisted index scan to the probed cells (shared "
+        "serving kernel of ann_index_serve and its 8× scale probe)",
     ),
     ("jobx_spark/queries/similarity.py", "ann_multiprobe_lsh", "collect"): (
         1,

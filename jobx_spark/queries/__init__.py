@@ -243,7 +243,7 @@ GATE_FIRST_50 = [
     "ann_index_build", "ann_index_serve", "ann_filtered_topk",
     "ann_index_append", "ann_index_compact", "stream_index_serve",
     "pipe_corpus_funnel", "pipe_vocab_build", "pipe_encode_serve",
-    "ann_pq_index_build", "ann_pq_index_serve",
+    "ann_pq_index_build", "ann_pq_index_serve", "ann_index_serve_scaled",
     # -- 2. changed-code re-attests — every query whose Spark plan or
     #       oracle changed this round: q69 stage anchors materialized
     #       + single-plan counts (VERDICT r9 #5), ann_multiprobe_lsh
@@ -269,7 +269,7 @@ GATE_FIRST_50 = [
     "dedup_split_leakage", "dedup_substring_scaled",
     "q01_pricing_summary", "q02_filter_project", "q03_shipping_priority",
     "q04_brand_revenue", "q05_semi_join", "q06_anti_join",
-    "q07_topk_per_group", "q08_running_sum",
+    "q07_topk_per_group",
 ]
 # ROUND-11 GATE POOL: after the r10 gate lands the oldest cohort is
 # the r5-banked tail that did not fit this gate (q18_grouping_sets

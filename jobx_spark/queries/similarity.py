@@ -3961,16 +3961,26 @@ ORDER BY cell
 
 
 def ann_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cpath, ipath = _ann_index_ensure(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _index_serve_body(spark, cpath, ipath, _probe_queries(emb))
+
+
+def _index_serve_body(
+    spark: SparkSession, cpath: str, ipath: str, queries: DataFrame
+) -> DataFrame:
+    """The serving kernel proper, shared by ann_index_serve and its 8×
+    replication probe: broadcast-centroid probe routing, the bounded
+    probed-cell collect (declared in collect_contract), the statically
+    partition-pruned index scan, exact ranking within."""
     from pyspark.sql import Window as W
 
     from jobx_spark.operators.dedup import cosine_from_scaled, scaled_dot
 
-    cpath, ipath = _ann_index_ensure(spark, sf_dir)
     cent = spark.read.parquet(cpath).withColumn(
         "cnorm_s", scaled_dot(F.col("cv"), F.col("cv"))
     )
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = _probe_queries(emb).select(
+    q = queries.select(
         F.col("query_id"), F.col("embedding").alias("qv")
     ).withColumn("qnorm_s", scaled_dot(F.col("qv"), F.col("qv")))
     qcells = q.join(F.broadcast(cent)).select(
@@ -4618,7 +4628,89 @@ def ann_pq_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# ann_index_serve_scaled — the persisted serving path under the 8×
+# replication probe (the ann_bruteforce_scaled device): the embedding
+# corpus replicated ANN_REP× into disjoint id ranges, the index BUILT
+# over the replicated corpus (training seeds live only in the rep-0
+# range, so the quantizer is identical to the unscaled one and every
+# replica lands in its original's cell — cells grow 8×, the probe
+# still reads KM_NPROBE of them), and the SAME serving kernel run
+# against it. Every original vector now appears ANN_REP times at an
+# exactly tied cosine, so the probe also attests the deterministic tie
+# policy (vec_id asc) that keeps distributed top-k hash-stable when
+# partial lists merge across 1000 executors. Excluded from the bench
+# headline like the other replication probes; gated for correctness
+# every round.
+# --------------------------------------------------------------------------
+def _ann_scaled_corpus(emb: DataFrame) -> DataFrame:
+    return emb.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.array(*[F.lit(i) for i in range(ANN_REP)])).alias("rep"),
+    ).select(
+        (
+            F.col("vec_id").cast("long")
+            + F.col("rep").cast("long") * F.lit(_ANN_REP_BASE).cast("long")
+        ).alias("vec_id"),
+        "embedding",
+    )
+
+
+def ann_index_serve_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+
+    from jobx_spark.lineage import checkpoint_root
+    from jobx_spark.operators.similarity import ivf_assign, kmeans_train
+
+    key = hashlib.sha256(
+        (sf_dir.rstrip("/") + ":scaled").encode()
+    ).hexdigest()[:12]
+    root = os.path.join(checkpoint_root(), f"ann-index-{key}")
+    cpath, ipath = os.path.join(root, "centroids"), os.path.join(root, "index")
+    emb = load_table(spark, sf_dir, "embeddings")
+    scaled = _ann_scaled_corpus(emb)
+    if not (
+        os.path.exists(os.path.join(cpath, "_SUCCESS"))
+        and os.path.exists(os.path.join(ipath, "_SUCCESS"))
+    ):
+        kmeans_train(
+            scaled, k=KM_K, iters=KM_ITERS, cent_base=KM_BASE,
+            scale=KM_SCALE, output="centroids",
+        ).write.mode("overwrite").parquet(cpath)
+        (
+            ivf_assign(scaled, spark.read.parquet(cpath))
+            .select(
+                F.col("id").alias("vec_id"),
+                F.col("v").alias("embedding"),
+                "norm_s",
+                "cell",
+            )
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(ipath)
+        )
+    return _index_serve_body(spark, cpath, ipath, _probe_queries(scaled))
+
+
+def _index_serve_scaled_oracle() -> str:
+    base = _index_serve_oracle()
+    es = f"""
+WITH es AS (
+  SELECT b.vec_id + r.rep * {_ANN_REP_BASE} AS vec_id, b.embedding
+  FROM embeddings b CROSS JOIN range({ANN_REP}) AS r(rep)
+),"""
+    parts, _assign = _kmeans_ctes(source="es")
+    body = ",\n".join(parts)
+    # the base oracle from its cent CTE onward, re-rooted on the
+    # replicated source's kmeans chain
+    tail = base.split("cent AS (", 1)[1]
+    return es + "\n" + body + ",\ncent AS (" + tail
+
+
 QUERIES = {
+    "ann_index_serve_scaled": ann_index_serve_scaled,
     "ann_pq_index_build": ann_pq_index_build,
     "ann_pq_index_serve": ann_pq_index_serve,
     "ann_index_build": ann_index_build,
@@ -4662,6 +4754,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ann_index_serve_scaled": _index_serve_scaled_oracle(),
     "ann_pq_index_build": _pq_index_build_oracle(),
     # identical output contract to the train-in-plan ADC ranker — the
     # persisted-codebook serve attests the same ranking
