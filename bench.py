@@ -47,11 +47,13 @@ BENCH_BUDGET_S = float(os.environ.get("JOBX_BENCH_BUDGET_S", "530"))
 # reps complete in the first minutes.
 BENCH_HARD_S = float(os.environ.get("JOBX_BENCH_HARD_S", "560"))
 
-# Enrollment list: non-prefix queries that exercise the heavy operators
-# (big agg, 3-way join, window, streams, engine). Together with the
-# auto-enrolled dedup_/ann_/text_ prefixes this defines the ENROLLED
-# universe; what actually runs each round is BENCH_CORE + a rotating
-# slice of the remainder (see BENCH_CORE below).
+# Historical enrollment list (r1-r10): non-prefix queries that exercise
+# the heavy operators (big agg, 3-way join, window, streams, engine).
+# Since r11 enrollment is REGISTRY-WIDE (ADVICE r10: the prefix-based
+# auto-enroll silently never benched 87 rows — the q* relational block,
+# the stream_/pipe_/multimodal_/mr_engine_ families not hand-listed
+# here); this list is kept as the documented r1-r10 benched universe
+# and is no longer what defines the pool.
 HEADLINE = [
     "q01_pricing_summary",
     "q03_shipping_priority",
@@ -485,16 +487,15 @@ def main() -> None:
     missing_core = [n for n in BENCH_CORE if n not in qs]
     if missing_core:
         raise KeyError(f"BENCH_CORE names not in registry: {missing_core}")
-    # Enrollment (VERDICT r9 #1b): the benched set is the frozen
-    # BENCH_CORE plus a round-robin slice of the rotation pool. The
-    # pool = (HEADLINE ∪ auto-enrolled dedup_/ann_/text_/stream_/pipe_
-    # prefixes) − core − excluded probes, so NEW queries land in the
-    # pool by default and the comparable core stays fixed.
-    enrolled = [n for n in HEADLINE if n in qs]
-    for n in qs:
-        if n.startswith(("dedup_", "ann_", "text_")) and n not in enrolled \
-                and n not in BENCH_EXCLUDE:
-            enrolled.append(n)
+    # Enrollment (VERDICT r9 #1b, widened per ADVICE r10): the benched
+    # set is the frozen BENCH_CORE plus a round-robin slice of the
+    # rotation pool. The pool = ENTIRE registry − core − excluded
+    # probes, so EVERY query (present and future) lands in the pool by
+    # default and the comparable core stays fixed. The pool slice is
+    # budget-checked (pass 1c records skips in bench_set.pool_skipped),
+    # so a larger pool degrades to honest partial coverage, never to a
+    # lost artifact. tests/test_bench_contract.py pins full enrollment.
+    enrolled = [n for n in qs if n not in BENCH_EXCLUDE]
     core_set = set(BENCH_CORE)
     # hash-ordered, not alphabetical: an alphabetical pool clumps whole
     # families (e.g. every ann_* diagnostic) into one round's slice —

@@ -1058,8 +1058,13 @@ def scaled_dot_udf():
 
 
 def cosine_from_scaled(dot_s: Column, norm_a_s: Column, norm_b_s: Column) -> Column:
-    return dot_s.cast("double") / (
-        F.sqrt(norm_a_s.cast("double")) * F.sqrt(norm_b_s.cast("double"))
+    # try_divide, not /: a zero-norm vector must yield a NULL cosine
+    # (sorted last under desc, maskable with norm > 0 filters) instead
+    # of an ANSI DIVIDE_BY_ZERO task failure — the engine-wide
+    # contract the serve-family zero-norm masks rely on (ADVICE r10).
+    return F.try_divide(
+        dot_s.cast("double"),
+        F.sqrt(norm_a_s.cast("double")) * F.sqrt(norm_b_s.cast("double")),
     )
 
 

@@ -235,7 +235,58 @@ def _utc_pinned(fn: QueryFn) -> QueryFn:
 #      stream_topk_trending, stream_zscore_anomaly, text_ttr);
 #   4. r4-banked rotation head (13 rows, ann_ivf_trained_topk ...
 #      mr_engine_event_counts).
+# ROUND-10 GATE for the record (all 50 landed green, CORRECTNESS_r10):
+#   1. new in round 10 (12): the persisted index/vocab families
+#      (ann_index_build/serve/filtered/append/compact,
+#      stream_index_serve, ann_pq_index_build/serve,
+#      ann_index_serve_scaled, pipe_corpus_funnel, pipe_vocab_build,
+#      pipe_encode_serve);
+#   2. changed-code re-attests: q69_sequence_funnel,
+#      ann_multiprobe_lsh;
+#   3. the full 25-row r4-banked tail;
+#   4. filler: alphabetical head of the r5-banked cohort (11 rows,
+#      dedup_components_lsss … q07_topk_per_group).
 GATE_FIRST_50 = [
+    # ROUND-11 GATE (VERDICT r10 #2: retire the r5 tail — after this
+    # gate lands, no registry row is older than r6).
+    # -- 1. new in round 11 (never driver-attested): the persisted
+    #       dedup band-index family (VERDICT r10 #3) + the 64× serve
+    #       probe (VERDICT r10 #6) --
+    "dedup_index_build", "dedup_index_probe", "dedup_index_append",
+    "dedup_index_compact", "stream_dedup_index_probe",
+    "stream_dedup_index_append", "ann_index_serve_scaled64",
+    # -- 2. changed-code re-attests — every query whose Spark plan or
+    #       oracle changed this round: the serve-family zero-norm
+    #       masks + oracle norm filters (ADVICE r10 #1), the compact
+    #       repair gate + maxRecordsPerFile pin (ADVICE r10 #3/#4),
+    #       the fused DSIR census (VERDICT r10 #4), plus one
+    #       representative of the cosine_from_scaled → try_divide
+    #       NULL-on-zero-norm change that touches the whole
+    #       ANN/kmeans stack (the rest of that family is CI-covered
+    #       by the full-registry oracle suite at sf0.001 AND this
+    #       round's two 269/269 driver-recipe sweeps at sf0.01) --
+    "ann_index_serve", "ann_filtered_topk", "stream_index_serve",
+    "ann_index_serve_scaled", "ann_index_append", "ann_index_compact",
+    "pipe_dsir_sample", "ann_kmeans_train",
+    # -- 3. the full 35-row r5-banked tail (VERDICT r10 #2 names the
+    #       cohort; list = gate-union histogram rows at max round 5)
+    #       — oldest cohort, retired completely --
+    "q08_running_sum", "q09_rollup", "q10_cube", "q11_distinct_agg",
+    "q12_set_ops", "q13_top_orders", "q14_scalar_functions",
+    "q15_json_extract", "q16_sessionize", "q17_pivot",
+    "q18_grouping_sets", "q19_above_nation_avg", "q20_asof_join",
+    "q21_band_join", "q26_outer_join_dist", "q27_full_outer",
+    "q28_cheapest_supplier", "q30_exists_late_ship",
+    "q31_idle_rich_customers", "q32_explode_words",
+    "q34_conditional_agg", "q35_string_agg", "q36_unpivot_metrics",
+    "q37_approx_distinct_kmv", "q38_salted_skew_agg", "q39_nation_trade",
+    "q40_monthly_growth", "q68_product_profit", "stream_ewma_user_value",
+    "stream_full_outer_join", "stream_scd_enrich",
+    "stream_stateful_user_stats", "stream_tumbling_agg",
+    "text_domain_signature", "text_hll_merge",
+]
+# superseded r10 gate kept for the diff reader:
+_GATE_R10 = [
     # ROUND-10 GATE (VERDICT r9 #3: retire the r4 tail — after this
     # gate lands, no registry row is older than r5).
     # -- 1. new in round 10 (never driver-attested; each late addition

@@ -2546,7 +2546,402 @@ ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+# dedup_index_* — the persisted band-index lifecycle (VERDICT r10 #3:
+# the text-side twin of the r10 ANN index contract). dedup_incremental
+# re-bands the CORPUS in-plan on every ingest; its own docstring
+# already promises "at scale the corpus band table is the persisted
+# bucketed index". This family IS that contract:
+#
+#   dedup_index_build  — band the existing corpus (doc_id <
+#     INCR_SPLIT_ID, the same split dedup_incremental uses) ONCE and
+#     persist (id, band, bh) partitioned by band, rows sorted by bh
+#     within each band file (at 100 TB: bucketed by bh, so a probe is
+#     a bucket lookup). Returns a per-band census planned over the
+#     ON-DISK table — the gate hash attests the persisted artifact.
+#   dedup_index_probe  — the daily ingest path: ONLY the new batch is
+#     shingled/hashed/banded (broadcast — a day's ingest vs the
+#     accumulated corpus); the corpus side arrives purely as the
+#     persisted index scan, zero signature recompute. Output contract
+#     identical to dedup_incremental, so the oracle is that query's
+#     oracle verbatim — the persisted path provably changes the
+#     execution shape, not the answer.
+#   dedup_index_append — the ingest-commit: the probed batch's band
+#     signatures land under seg=batch/band=* via dynamic partition
+#     overwrite (base files untouched, re-runs idempotent), with the
+#     same append≡rebuild certificate as ann_index_append: per band,
+#     the on-disk row count AND doc_id-XOR membership must equal an
+#     in-plan re-banding of the full corpus (banding is per-doc
+#     deterministic, so append == rebuild exactly).
+#   stream_dedup_index_probe (streams.py) — the probe's streaming
+#     twin: the ingest stream probed per micro-batch against the
+#     frozen artifact, stateless foreachBatch.
+#
+# Reference basis: JobX models persistent job state the request
+# registry re-reads per step (mr/models/kv/request.py); the persisted
+# band table is the analogous "already-computed" state for dedup.
+# --------------------------------------------------------------------------
+def _dedup_index_root(sf_dir: str, family: str = "") -> str:
+    import hashlib
+    import os
+
+    from jobx_spark.lineage import checkpoint_root
+
+    key = hashlib.sha256(sf_dir.rstrip("/").encode()).hexdigest()[:12]
+    return os.path.join(checkpoint_root(), f"dedup-index{family}-{key}")
+
+
+def _dedup_index_write(spark: SparkSession, sf_dir: str) -> str:
+    # version-pointer publish (jobx_spark.artifacts): a rebuild writes
+    # v=N+1 and flips the pointer, never mutating the version a
+    # concurrent probe is pinned to — same contract as _ann_index_write
+    import os
+
+    from jobx_spark import artifacts as A
+    from jobx_spark.operators.dedup import banded_signature
+
+    root = _dedup_index_root(sf_dir)
+    ver, vdir = A.next_version_dir(spark, root)
+    ipath = os.path.join(vdir, "index")
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < INCR_SPLIT_ID)
+    banded = banded_signature(
+        corpus, n_hashes=N_HASHES, bands=BANDS, shingle_n=SHINGLE_N,
+        seed=SEED,
+    )
+    (
+        banded.repartition(BANDS, "band")
+        .sortWithinPartitions("band", "bh")
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(ipath)
+    )
+    A.publish(spark, root, ver)
+    return ipath
+
+
+def _dedup_index_ensure(spark: SparkSession, sf_dir: str) -> str:
+    import os
+
+    from jobx_spark import artifacts as A
+
+    vdir = A.resolve(spark, _dedup_index_root(sf_dir))
+    if vdir is not None:
+        ipath = os.path.join(vdir, "index")
+        if A.fs_exists(spark, os.path.join(ipath, "_SUCCESS")):
+            return ipath
+    return _dedup_index_write(spark, sf_dir)
+
+
+def dedup_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ipath = _dedup_index_write(spark, sf_dir)
+    idx = spark.read.parquet(ipath)
+    dom = spark.range(BANDS).select(F.col("id").cast("int").alias("band"))
+    census = idx.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.coalesce(F.bit_xor("id"), F.lit(0).cast("long")).alias(
+            "xor_doc_ids"
+        ),
+        F.coalesce(F.bit_xor("bh"), F.lit(0).cast("long")).alias("xor_bh"),
+    )
+    z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("long")  # noqa: E731
+    return (
+        dom.join(census, "band", "left")
+        .select(
+            "band",
+            z("n_rows").alias("n_rows"),
+            z("xor_doc_ids").alias("xor_doc_ids"),
+            z("xor_bh").alias("xor_bh"),
+        )
+        .orderBy("band")
+    )
+
+
+def _dedup_index_build_oracle() -> str:
+    return f"""
+WITH {_banded_sql('old', f'doc_id < {INCR_SPLIT_ID}')},
+census AS (
+  SELECT band, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(bit_xor(doc_id) AS BIGINT) AS xor_doc_ids,
+         CAST(bit_xor(bh) AS BIGINT) AS xor_bh
+  FROM banded_old GROUP BY band
+)
+SELECT CAST(d.b AS INTEGER) AS band,
+       COALESCE(c.n_rows, 0) AS n_rows,
+       COALESCE(c.xor_doc_ids, 0) AS xor_doc_ids,
+       COALESCE(c.xor_bh, 0) AS xor_bh
+FROM range({BANDS}) AS d(b) LEFT JOIN census c ON c.band = d.b
+ORDER BY band
+"""
+
+
+def dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.operators.dedup import banded_signature
+
+    ipath = _dedup_index_ensure(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") >= INCR_SPLIT_ID)
+    bb = banded_signature(
+        batch, n_hashes=N_HASHES, bands=BANDS, shingle_n=SHINGLE_N,
+        seed=SEED,
+    ).select(F.col("id").alias("new_id"), "band", "bh")
+    idx = spark.read.parquet(ipath).select(
+        F.col("id").alias("old_id"), "band", "bh"
+    )
+    return (
+        idx.join(F.broadcast(bb), ["band", "bh"])
+        .groupBy("new_id", "old_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+        .orderBy("new_id", "old_id")
+    )
+
+
+def _dedup_index_append_paths(sf_dir: str) -> str:
+    import os
+
+    # the append family's layout mutates in place BY DESIGN (dynamic
+    # partition overwrite of the batch segment only — versioning it
+    # would re-copy the base on every ingest), so it stays unversioned;
+    # its existence probes still go through the portable FS helper
+    return os.path.join(_dedup_index_root(sf_dir, "-append"), "index")
+
+
+def dedup_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from jobx_spark import artifacts as A
+    from jobx_spark.operators.dedup import banded_signature
+
+    ipath = _dedup_index_append_paths(sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < INCR_SPLIT_ID)
+    batch = docs.filter(F.col("doc_id") >= INCR_SPLIT_ID)
+
+    def banded(df: DataFrame) -> DataFrame:
+        return banded_signature(
+            df, n_hashes=N_HASHES, bands=BANDS, shingle_n=SHINGLE_N,
+            seed=SEED,
+        )
+
+    if not A.fs_exists(spark, os.path.join(ipath, "_SUCCESS")):
+        (
+            banded(corpus)
+            .withColumn("seg", F.lit("base"))
+            .repartition(BANDS, "band")
+            .sortWithinPartitions("band", "bh")
+            .write.mode("overwrite")
+            .partitionBy("seg", "band")
+            .parquet(ipath)
+        )
+    # THE APPEND: batch-side-only banding; new files land under
+    # seg=batch/band=*, base files untouched; dynamic overwrite makes
+    # re-runs replace only the batch segment (double-run determinism)
+    (
+        banded(batch)
+        .withColumn("seg", F.lit("batch"))
+        .repartition(BANDS, "band")
+        .sortWithinPartitions("band", "bh")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("seg", "band")
+        .parquet(ipath)
+    )
+    disk = spark.read.parquet(ipath)
+    # attestation leg: full re-banding of the whole corpus — never run
+    # in production; banding is per-doc deterministic so append must
+    # equal rebuild bit for bit
+    rebuilt = banded(docs)
+    return _band_append_census(
+        spark,
+        disk.filter(F.col("seg") == "base"),
+        disk.filter(F.col("seg") == "batch"),
+        disk,
+        rebuilt,
+    )
+
+
+def _band_append_census(
+    spark: SparkSession,
+    base_idx: DataFrame,
+    batch_idx: DataFrame,
+    appended: DataFrame,
+    rebuilt: DataFrame,
+) -> DataFrame:
+    """Per-band before/after/rebuild census with the doc_id-XOR
+    append≡rebuild certificate — shared by dedup_index_append and its
+    streaming twin (the text-side analogue of _ivf_append_census)."""
+
+    def census(df: DataFrame, n: str, x: str | None) -> DataFrame:
+        aggs = [F.count(F.lit(1)).cast("long").alias(n)]
+        if x is not None:
+            aggs.append(
+                F.coalesce(F.bit_xor("id"), F.lit(0).cast("long")).alias(x)
+            )
+        return df.groupBy("band").agg(*aggs)
+
+    dom = spark.range(BANDS).select(F.col("id").cast("int").alias("band"))
+    z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("long")  # noqa: E731
+    return (
+        dom.join(census(base_idx, "n_base", None), "band", "left")
+        .join(census(batch_idx, "n_batch", None), "band", "left")
+        .join(census(appended, "n_after", "xor_after"), "band", "left")
+        .join(census(rebuilt, "n_rebuild", "xor_rebuild"), "band", "left")
+        .select(
+            "band",
+            z("n_base").alias("n_base"),
+            z("n_batch").alias("n_batch"),
+            z("n_after").alias("n_after"),
+            z("n_rebuild").alias("n_rebuild"),
+            (
+                (z("n_after") == z("n_rebuild"))
+                & (z("xor_after") == z("xor_rebuild"))
+            )
+            .cast("long")
+            .alias("append_matches_rebuild"),
+        )
+        .orderBy("band")
+    )
+
+
+def _dedup_index_append_oracle() -> str:
+    # the rebuild leg is computed INDEPENDENTLY (banded over the whole
+    # corpus), not asserted — the oracle re-derives the certificate
+    return f"""
+WITH {_banded_sql('old', f'doc_id < {INCR_SPLIT_ID}')},
+{_banded_sql('new', f'doc_id >= {INCR_SPLIT_ID}')},
+{_banded_sql('all', 'TRUE')},
+after AS (
+  SELECT * FROM banded_old UNION ALL SELECT * FROM banded_new
+),
+cb AS (SELECT band, CAST(count(*) AS BIGINT) AS n_base
+       FROM banded_old GROUP BY band),
+cn AS (SELECT band, CAST(count(*) AS BIGINT) AS n_batch
+       FROM banded_new GROUP BY band),
+ca AS (SELECT band, CAST(count(*) AS BIGINT) AS n_after,
+              CAST(bit_xor(doc_id) AS BIGINT) AS xor_after
+       FROM after GROUP BY band),
+cr AS (SELECT band, CAST(count(*) AS BIGINT) AS n_rebuild,
+              CAST(bit_xor(doc_id) AS BIGINT) AS xor_rebuild
+       FROM banded_all GROUP BY band)
+SELECT CAST(d.b AS INTEGER) AS band,
+       COALESCE(cb.n_base, 0) AS n_base,
+       COALESCE(cn.n_batch, 0) AS n_batch,
+       COALESCE(ca.n_after, 0) AS n_after,
+       COALESCE(cr.n_rebuild, 0) AS n_rebuild,
+       CAST(CASE WHEN COALESCE(ca.n_after, 0) = COALESCE(cr.n_rebuild, 0)
+                  AND COALESCE(ca.xor_after, 0) = COALESCE(cr.xor_rebuild, 0)
+            THEN 1 ELSE 0 END AS BIGINT) AS append_matches_rebuild
+FROM range({BANDS}) AS d(b)
+LEFT JOIN cb ON cb.band = d.b
+LEFT JOIN cn ON cn.band = d.b
+LEFT JOIN ca ON ca.band = d.b
+LEFT JOIN cr ON cr.band = d.b
+ORDER BY band
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup_index_compact — the maintenance job completing the dedup-index
+# lifecycle (build → probe → append → COMPACT), ann_index_compact's
+# text-side twin: after appends the band index accumulates small
+# per-batch files under seg=batch/band=*, and probe latency degrades
+# with file count, not row count. Compaction rewrites base ∪ batch as
+# a new single-segment generation (never in place), clustered so each
+# band holds ONE file — the physical claim enforced in the plan
+# (maxRecordsPerFile pinned, ADVICE r10) and verified from the
+# compacted layout via input_file_name. Census attests per-band
+# content identity (row count + doc_id-XOR + bh-XOR) between the two
+# on-disk generations.
+# 100 TB story: one clustered rewrite, embarrassingly parallel by
+# band; afterwards a probe reads `bands` files instead of
+# bands × n_appends.
+# --------------------------------------------------------------------------
+def dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from jobx_spark import artifacts as A
+
+    ipath = _dedup_index_append_paths(sf_dir)
+    if not A.fs_exists(spark, os.path.join(ipath, "_SUCCESS")):
+        # materialize the appended generation this job compacts
+        dedup_index_append(spark, sf_dir)
+    gpath = os.path.join(os.path.dirname(ipath), "index-compacted")
+    old = spark.read.parquet(ipath).select("id", "band", "bh")
+    (
+        old.repartition(BANDS, "band")
+        .sortWithinPartitions("band", "bh")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 0)
+        .partitionBy("band")
+        .parquet(gpath)
+    )
+    new = spark.read.parquet(gpath)
+    fcount = (
+        new.withColumn("f", F.input_file_name())
+        .groupBy("band")
+        .agg(F.count_distinct("f").cast("long").alias("files_after"))
+    )
+
+    def census(df: DataFrame, n: str, xi: str, xb: str) -> DataFrame:
+        return df.groupBy("band").agg(
+            F.count(F.lit(1)).cast("long").alias(n),
+            F.coalesce(F.bit_xor("id"), F.lit(0).cast("long")).alias(xi),
+            F.coalesce(F.bit_xor("bh"), F.lit(0).cast("long")).alias(xb),
+        )
+
+    dom = spark.range(BANDS).select(F.col("id").cast("int").alias("band"))
+    z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("long")  # noqa: E731
+    return (
+        dom.join(census(old, "n_before", "xi_b", "xb_b"), "band", "left")
+        .join(
+            census(new.select("id", "band", "bh"), "n_after", "xi_a", "xb_a"),
+            "band", "left",
+        )
+        .join(fcount, "band", "left")
+        .select(
+            "band",
+            z("n_before").alias("n_before"),
+            z("n_after").alias("n_after"),
+            z("files_after").alias("files_after"),
+            (
+                (z("n_before") == z("n_after"))
+                & (z("xi_b") == z("xi_a"))
+                & (z("xb_b") == z("xb_a"))
+            )
+            .cast("long")
+            .alias("content_match"),
+        )
+        .orderBy("band")
+    )
+
+
+def _dedup_index_compact_oracle() -> str:
+    # same oracle structure as ann_index_compact: the compacted
+    # generation's content equals the appended one (the full-corpus
+    # banding), one file per populated band, content_match pinned —
+    # the Spark side computes both physically from the two layouts
+    return f"""
+WITH {_banded_sql('all', 'TRUE')},
+per AS (
+  SELECT band, CAST(count(*) AS BIGINT) AS n
+  FROM banded_all GROUP BY band
+)
+SELECT CAST(r.range AS INTEGER) AS band,
+       CAST(COALESCE(per.n, 0) AS BIGINT) AS n_before,
+       CAST(COALESCE(per.n, 0) AS BIGINT) AS n_after,
+       CAST(CASE WHEN per.n IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS files_after,
+       CAST(1 AS BIGINT) AS content_match
+FROM range({BANDS}) r LEFT JOIN per ON per.band = r.range
+ORDER BY band
+"""
+
+
 QUERIES = {
+    "dedup_index_build": dedup_index_build,
+    "dedup_index_compact": dedup_index_compact,
+    "dedup_index_probe": dedup_index_probe,
+    "dedup_index_append": dedup_index_append,
     "dedup_semantic_leakage": dedup_semantic_leakage,
     "dedup_funnel": dedup_funnel,
     "dedup_effective_size": dedup_effective_size,
@@ -2588,6 +2983,12 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_index_build": _dedup_index_build_oracle(),
+    # identical output contract to the in-plan incremental probe — the
+    # persisted-index path attests the same candidate pairs
+    "dedup_index_probe": _incremental_oracle(),
+    "dedup_index_append": _dedup_index_append_oracle(),
+    "dedup_index_compact": _dedup_index_compact_oracle(),
     "dedup_semantic_leakage": _semantic_leakage_oracle(),
     "dedup_funnel": _dedup_funnel_oracle(),
     "dedup_effective_size": _effective_size_oracle(),

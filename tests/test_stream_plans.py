@@ -78,6 +78,12 @@ EXPECT = {
     # routing + pruned-index ranking against the frozen persisted
     # index/centroids side inputs (r10)
     "stream_index_serve": ([], False, set()),
+    # stateless-foreachBatch incremental dedup probe: per-batch banding
+    # against the frozen persisted band index
+    "stream_dedup_index_probe": ([], False, set()),
+    # stateless-foreachBatch band-index ingest: per-batch banding
+    # against frozen constants, unioned with the materialized base
+    "stream_dedup_index_append": ([], False, set()),
 }
 
 FORBIDDEN_NODES = ("CartesianProduct", "BroadcastNestedLoopJoin")
