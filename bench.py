@@ -167,6 +167,14 @@ BENCH_REPS = 2  # per-query timing = min over this many runs
 # Editing this list is a deliberate set-version change — note it in
 # BENCH_NOTES.md.
 BENCH_CORE = [
+    # r11 set-version change (noted in BENCH_NOTES §r11): the flat-serve
+    # pair joins the core so the serving-cost-vs-corpus-size evidence is
+    # a permanent core comparable, not a 1-in-3-rounds pool visitor.
+    # Order matters: build runs first so the serve rows time the
+    # SERVING path against the published artifact, not the ensure.
+    "ann_index_build",
+    "ann_index_serve",
+    "ann_index_serve_scaled64",
     "ann_bruteforce_topk",
     "ann_dim_truncation_sweep",
     "ann_drift_census",
