@@ -254,20 +254,22 @@ GATE_FIRST_50 = [
     #       probe (VERDICT r10 #6) --
     "dedup_index_build", "dedup_index_probe", "dedup_index_append",
     "dedup_index_compact", "stream_dedup_index_probe",
-    "stream_dedup_index_append", "ann_index_serve_scaled64",
+    "stream_dedup_index_append", "stream_index_ingest",
+    "ann_index_serve_scaled64",
     # -- 2. changed-code re-attests — every query whose Spark plan or
     #       oracle changed this round: the serve-family zero-norm
     #       masks + oracle norm filters (ADVICE r10 #1), the compact
     #       repair gate + maxRecordsPerFile pin (ADVICE r10 #3/#4),
-    #       the fused DSIR census (VERDICT r10 #4), plus one
-    #       representative of the cosine_from_scaled → try_divide
-    #       NULL-on-zero-norm change that touches the whole
-    #       ANN/kmeans stack (the rest of that family is CI-covered
-    #       by the full-registry oracle suite at sf0.001 AND this
-    #       round's two 269/269 driver-recipe sweeps at sf0.01) --
+    #       the fused DSIR census (VERDICT r10 #4). The
+    #       cosine_from_scaled → try_divide NULL-on-zero-norm change
+    #       touches the whole ANN/kmeans stack; beyond the serve rows
+    #       here (which exercise it end to end) that family is
+    #       CI-covered by the full-registry oracle suite at sf0.001
+    #       AND this round's two 269/269 driver-recipe sweeps at
+    #       sf0.01 --
     "ann_index_serve", "ann_filtered_topk", "stream_index_serve",
     "ann_index_serve_scaled", "ann_index_append", "ann_index_compact",
-    "pipe_dsir_sample", "ann_kmeans_train",
+    "pipe_dsir_sample",
     # -- 3. the full 35-row r5-banked tail (VERDICT r10 #2 names the
     #       cohort; list = gate-union histogram rows at max round 5)
     #       — oldest cohort, retired completely --

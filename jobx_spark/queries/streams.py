@@ -1468,6 +1468,112 @@ def _sdida_oracle() -> str:
 
 
 # --------------------------------------------------------------------------
+# stream_index_ingest — the PERSISTED streaming vector ingest, closing
+# the triangle ann_index_append (persisted, batch) / stream_ivf_append
+# (streaming, in-plan) left open: each micro-batch of new vectors is
+# assigned via the frozen persisted quantizer and lands as NEW FILES
+# directly in the on-disk index under its own segment
+# (seg=b<batch_id>/cell=*, dynamic partition overwrite — re-running a
+# batch replaces exactly its segment, so replay/recovery is idempotent
+# and the base files are never touched). This is how a production
+# vector store actually ingests: streaming writers append bucketed
+# files; build/compact jobs own rewrites. The census is planned over
+# the on-disk table AFTER ingest with the same append≡rebuild XOR
+# certificate, so the gate hash attests the persisted layout; output
+# contract identical to ann_ivf_append (oracle verbatim). Own root
+# (ann-index-ingest-*), disjoint from the batch append family, so the
+# two lifecycles' artifacts never cross-contaminate a census.
+# --------------------------------------------------------------------------
+def stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from jobx_spark import artifacts as A
+    from jobx_spark.lineage import checkpoint_root, scratch_dir
+    from jobx_spark.operators.similarity import ivf_assign, kmeans_train
+    from jobx_spark.queries.similarity import (
+        APPEND_MOD,
+        APPEND_RES,
+        KM_BASE,
+        KM_ITERS,
+        KM_K,
+        KM_SCALE,
+        _ivf_append_census,
+    )
+    from jobx_spark.sources import load_table
+
+    key = hashlib.sha256(sf_dir.rstrip("/").encode()).hexdigest()[:12]
+    root = os.path.join(checkpoint_root(), f"ann-index-ingest-{key}")
+    cpath, ipath = os.path.join(root, "centroids"), os.path.join(root, "index")
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % APPEND_MOD != APPEND_RES)
+    batch = emb.filter(F.col("vec_id") % APPEND_MOD == APPEND_RES).select(
+        "vec_id", "embedding"
+    )
+    if not (
+        A.fs_exists(spark, os.path.join(cpath, "_SUCCESS"))
+        and A.fs_exists(spark, os.path.join(ipath, "_SUCCESS"))
+    ):
+        kmeans_train(
+            base, k=KM_K, iters=KM_ITERS, cent_base=KM_BASE, scale=KM_SCALE,
+            output="centroids",
+        ).write.mode("overwrite").parquet(cpath)
+        (
+            ivf_assign(base, spark.read.parquet(cpath))
+            .select(F.col("id").alias("vec_id"), "cell")
+            .withColumn("seg", F.lit("base"))
+            .write.mode("overwrite")
+            .partitionBy("seg", "cell")
+            .parquet(ipath)
+        )
+    centroids = spark.read.parquet(cpath)
+    rdir = S.write_replay_files(batch, ["vec_id"], 3, "singest")
+    st = S.stream_replay(spark, rdir)
+    ckpt = f"{scratch_dir('stream_ingest')}/ckpt"
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            ivf_assign(batch_df, centroids)
+            .select(F.col("id").alias("vec_id"), "cell")
+            .withColumn("seg", F.lit(f"b{batch_id}"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("seg", "cell")
+            .parquet(ipath)
+        )
+
+    q = (
+        st.writeStream.foreachBatch(_ingest)
+        # contract label for the STREAM_PLANS audit: stateless per
+        # micro-batch — the quantizer is a frozen persisted side input
+        .queryName(f"singest_stateless_{os.getpid()}_{next(S._name_counter)}")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    S._capture_run(q)
+    disk = spark.read.parquet(ipath).select("vec_id", "cell", "seg")
+    base_idx = disk.filter(F.col("seg") == "base").select("vec_id", "cell")
+    batch_idx = disk.filter(F.col("seg") != "base").select("vec_id", "cell")
+    appended = disk.select("vec_id", "cell")
+    rebuilt = ivf_assign(emb, centroids).select(
+        F.col("id").alias("vec_id"), "cell"
+    )
+    return _ivf_append_census(spark, base_idx, batch_idx, appended, rebuilt)
+
+
+def _singest_oracle() -> str:
+    """ann_ivf_append's oracle verbatim — identical output contract:
+    the persisted streaming ingest provably equals append ≡ rebuild."""
+    from jobx_spark.queries.similarity import _ivf_append_oracle
+
+    return _ivf_append_oracle()
+
+
+# --------------------------------------------------------------------------
 # stream_drift_census — ann_drift_census's streaming twin: the drift
 # monitor as it actually runs in production, riding the INGEST stream
 # instead of re-scanning the corpus. Each micro-batch of new vectors
@@ -1784,6 +1890,7 @@ ORDER BY window_start, event_type, n_users
 QUERIES = {
     "stream_dedup_index_probe": stream_dedup_index_probe,
     "stream_dedup_index_append": stream_dedup_index_append,
+    "stream_index_ingest": stream_index_ingest,
     "stream_incremental_restart": stream_incremental_restart,
     "stream_ewma_user_value": stream_ewma_user_value,
     "stream_bloom_decontaminate": stream_bloom_decontaminate,
@@ -1816,6 +1923,7 @@ QUERIES = {
 ORACLES = {
     "stream_dedup_index_probe": _sdprobe_oracle(),
     "stream_dedup_index_append": _sdida_oracle(),
+    "stream_index_ingest": _singest_oracle(),
     "stream_incremental_restart": ORACLE_STREAM_RESTART,
     "stream_ewma_user_value": _stream_ewma_oracle(),
     "stream_bloom_decontaminate": _sbdecon_oracle(),

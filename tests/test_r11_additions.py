@@ -222,3 +222,30 @@ def test_stream_dedup_index_append_equals_batch_append(spark, sf_dir):
     ]
     assert streamed == batch
     assert all(r[5] == 1 for r in streamed)
+
+
+def test_stream_index_ingest_layout_and_census(spark, tmp_path):
+    """The persisted streaming ingest lands each micro-batch as its own
+    segment (seg=b0/b1/b2) beside the untouched base segment, and its
+    census (incl. append≡rebuild) matches ann_ivf_append's contract:
+    per-cell totals identical to the batch append job's."""
+    import shutil
+
+    from jobx_spark.queries.similarity import QUERIES as AQ
+    from jobx_spark.queries.streams import QUERIES as SQ
+
+    sf = str(tmp_path / "sfingest")
+    shutil.copytree(SF_SMOKE, sf)
+    streamed = [tuple(r) for r in SQ["stream_index_ingest"](spark, sf).collect()]
+    assert all(r[5] == 1 for r in streamed)
+    # layout: base + one segment per replay micro-batch
+    import glob
+
+    from jobx_spark.lineage import checkpoint_root
+
+    roots = glob.glob(f"{checkpoint_root()}/ann-index-ingest-*/index/seg=*")
+    segs = {os.path.basename(p).split("=")[1] for p in roots}
+    assert "base" in segs and {"b0", "b1", "b2"} <= segs
+    # census identical to the batch lifecycle append on the same data
+    batch = [tuple(r) for r in AQ["ann_index_append"](spark, sf).collect()]
+    assert streamed == batch

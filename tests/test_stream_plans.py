@@ -84,6 +84,10 @@ EXPECT = {
     # stateless-foreachBatch band-index ingest: per-batch banding
     # against frozen constants, unioned with the materialized base
     "stream_dedup_index_append": ([], False, set()),
+    # stateless-foreachBatch persisted vector ingest: per-batch
+    # assignment via the frozen persisted quantizer, new files landing
+    # directly in the on-disk index under seg=b<batch_id>
+    "stream_index_ingest": ([], False, set()),
 }
 
 FORBIDDEN_NODES = ("CartesianProduct", "BroadcastNestedLoopJoin")
