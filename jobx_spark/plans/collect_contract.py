@@ -149,4 +149,19 @@ COLLECT_BOUNDS: dict[tuple[str, str, str], tuple[int, str]] = {
         1,
         "1-row min/max(ts) aggregate that sizes the replay split point",
     ),
+    ("jobx_spark/queries/dedup.py", "dedup_index_probe", "collect"): (
+        1,
+        "the probe's bucket list: distinct bkt = bh mod DBKT over the "
+        "batch's band signatures, ≤ DBKT(=16) integers by construction "
+        "— collected into the literal isin() that statically partition-"
+        "prunes the persisted band-index scan to the probed buckets "
+        "(same device as ann_index_serve's probed cells)",
+    ),
+    ("jobx_spark/queries/streams.py", "stream_dedup_index_probe._probe",
+     "collect"): (
+        1,
+        "per-micro-batch bucket list: distinct bkt over that batch's "
+        "band signatures, ≤ DBKT(=16) integers — the streaming twin of "
+        "dedup_index_probe's pruning collect",
+    ),
 }

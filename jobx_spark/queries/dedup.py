@@ -31,6 +31,11 @@ _SHINGLES3 = (
 
 N_HASHES, BANDS, SHINGLE_N, SEED = 16, 4, 3, 7
 _COEFFS = minhash_coeffs(N_HASHES, SEED)
+# bucket fan-out of the persisted band index (partition key bkt =
+# bh mod DBKT): a production deployment sizes this so a bucket is a
+# few HDFS blocks — 16 keeps the test artifact's partition count sane
+# while exercising the pruning mechanics
+DBKT = 16
 
 
 # --------------------------------------------------------------------------
@@ -2609,11 +2614,18 @@ def _dedup_index_write(spark: SparkSession, sf_dir: str) -> str:
         corpus, n_hashes=N_HASHES, bands=BANDS, shingle_n=SHINGLE_N,
         seed=SEED,
     )
+    # (band, bkt) partitioning — bkt = bh mod DBKT is the bucket key
+    # the probe prunes on: a probe batch touches only the buckets its
+    # own band hashes fall in, so the corpus-side scan is a true
+    # bucket lookup (statically partition-pruned, like ann_index_serve
+    # cells), not a full index scan. Within a bucket, rows sort by bh
+    # so parquet row-group stats cut further.
     (
-        banded.repartition(BANDS, "band")
-        .sortWithinPartitions("band", "bh")
+        banded.withColumn("bkt", F.pmod(F.col("bh"), F.lit(DBKT)))
+        .repartition(BANDS * DBKT, "band", "bkt")
+        .sortWithinPartitions("band", "bkt", "bh")
         .write.mode("overwrite")
-        .partitionBy("band")
+        .partitionBy("band", "bkt")
         .parquet(ipath)
     )
     A.publish(spark, root, ver)
@@ -2681,15 +2693,29 @@ def dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ipath = _dedup_index_ensure(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     batch = docs.filter(F.col("doc_id") >= INCR_SPLIT_ID)
-    bb = banded_signature(
-        batch, n_hashes=N_HASHES, bands=BANDS, shingle_n=SHINGLE_N,
-        seed=SEED,
-    ).select(F.col("id").alias("new_id"), "band", "bh")
-    idx = spark.read.parquet(ipath).select(
-        F.col("id").alias("old_id"), "band", "bh"
+    bb = cut_lineage(
+        banded_signature(
+            batch, n_hashes=N_HASHES, bands=BANDS, shingle_n=SHINGLE_N,
+            seed=SEED,
+        ).select(
+            F.col("id").alias("new_id"), "band", "bh",
+            F.pmod(F.col("bh"), F.lit(DBKT)).alias("bkt"),
+        ),
+        "didx-probe",
     )
+    # the probe's bucket list: ≤ min(|batch|·BANDS, DBKT) ints
+    # (declared in collect_contract) — a LITERAL isin() so the index
+    # scan below is statically partition-pruned to the probed buckets,
+    # in family with ann_index_serve's probed-cell pruning. (band is
+    # not worth pruning on: every doc emits all BANDS bands.)
+    probed_bkts = sorted(
+        int(r["bkt"]) for r in bb.select("bkt").distinct().collect()
+    )
+    idx = spark.read.parquet(ipath).filter(
+        F.col("bkt").isin(probed_bkts)
+    ).select(F.col("id").alias("old_id"), "band", "bh")
     return (
-        idx.join(F.broadcast(bb), ["band", "bh"])
+        idx.join(F.broadcast(bb.drop("bkt")), ["band", "bh"])
         .groupBy("new_id", "old_id")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
         .orderBy("new_id", "old_id")

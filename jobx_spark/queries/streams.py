@@ -1331,10 +1331,10 @@ def stream_dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from jobx_spark.sources import load_table
 
+    from jobx_spark.lineage import cut_lineage
+    from jobx_spark.queries.dedup import DBKT
+
     ipath = _dedup_index_ensure(spark, sf_dir)
-    idx = spark.read.parquet(ipath).select(
-        F.col("id").alias("old_id"), "band", "bh"
-    )
     docs = load_table(spark, sf_dir, "documents")
     batch = docs.filter(F.col("doc_id") >= INCR_SPLIT_ID).select(
         "doc_id", "text"
@@ -1345,12 +1345,26 @@ def stream_dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     out, ckpt = f"{root}/out", f"{root}/ckpt"
 
     def _probe(batch_df: DataFrame, batch_id: int) -> None:
-        bb = banded_signature(
-            batch_df, n_hashes=N_HASHES, bands=BANDS,
-            shingle_n=SHINGLE_N, seed=SEED,
-        ).select(F.col("id").alias("new_id"), "band", "bh")
+        bb = cut_lineage(
+            banded_signature(
+                batch_df, n_hashes=N_HASHES, bands=BANDS,
+                shingle_n=SHINGLE_N, seed=SEED,
+            ).select(
+                F.col("id").alias("new_id"), "band", "bh",
+                F.pmod(F.col("bh"), F.lit(DBKT)).alias("bkt"),
+            ),
+            f"sdprobe-b{batch_id}",
+        )
+        # per-micro-batch bucket pruning, same device as the batch
+        # probe (bounded ≤ DBKT ints; declared in collect_contract)
+        probed_bkts = sorted(
+            int(r["bkt"]) for r in bb.select("bkt").distinct().collect()
+        )
+        idx = spark.read.parquet(ipath).filter(
+            F.col("bkt").isin(probed_bkts)
+        ).select(F.col("id").alias("old_id"), "band", "bh")
         (
-            idx.join(F.broadcast(bb), ["band", "bh"])
+            idx.join(F.broadcast(bb.drop("bkt")), ["band", "bh"])
             .groupBy("new_id", "old_id")
             .agg(F.count(F.lit(1)).alias("n_shared_bands"))
             .withColumn("_batch_id", F.lit(batch_id))

@@ -97,24 +97,26 @@ def test_dedup_index_probe_plan_reads_artifact_not_corpus(spark, sf_dir):
     persisted band index for the corpus side — exactly one documents
     scan (the batch being probed), zero corpus re-signing — in family
     with ann_index_serve."""
-    import re
-
-    from jobx_spark.queries.dedup import INCR_SPLIT_ID, QUERIES
+    from jobx_spark.queries.dedup import QUERIES
 
     df = QUERIES["dedup_index_probe"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dedup-index-" in plan
-    # every documents scan in the logical plan carries the batch filter
-    # (doc_id >= INCR_SPLIT_ID) — the only non-batch doc subtree Spark
-    # adds is the dynamic-partition-pruning replica of that same
-    # broadcast side, never a corpus re-signing
+    # the batch side arrives via its materialized banding (lineage cut
+    # shared between the pruning collect and the join), so the probe
+    # plan holds ZERO documents scans: the corpus is touched only
+    # through the persisted index scan, statically partition-pruned to
+    # the probed bh-buckets
     op = df._jdf.queryExecution().optimizedPlan().toString()
-    n_doc = op.count("Relation [doc_id")
-    n_batch = len(re.findall(rf"doc_id#\d+L >= {INCR_SPLIT_ID}\)", op))
-    assert n_doc >= 1 and n_doc == n_batch, (
-        "probe must shingle/band the batch side only; the corpus "
-        "arrives via the persisted index scan"
+    assert "Relation [doc_id" not in op, (
+        "probe must not re-sign anything in-plan; batch banding is "
+        "materialized once, corpus arrives via the index artifact"
     )
+    assert "didx-probe" in plan
+    pf = plan.split("PartitionFilters: [")[1]
+    assert pf.startswith("bkt#") and (
+        " INSET " in pf[:40] or " IN (" in pf[:40]
+    ), "index scan must be statically pruned on the bucket key"
 
 
 def test_dedup_index_probe_equals_inline_incremental(spark, sf_dir):
