@@ -205,10 +205,11 @@ def incremental_dup_pairs(
     Scale shape: the batch side is small relative to the corpus by
     contract (a day's ingest vs. the accumulated 100 TB), so its banded
     signatures BROADCAST; the corpus side streams through its own
-    signature scan — at scale the corpus band table is the persisted
-    index (write it bucketed by (band, bh) and this join is a bucket
-    lookup, no corpus scan at all). The only shuffle is the per-pair
-    band count.
+    signature scan — the persisted form of that corpus band table is
+    queries.dedup.dedup_index_build/probe (on-disk, partitioned by
+    (band, bh-bucket); the probe is a partition-pruned bucket lookup,
+    no corpus scan at all). The only shuffle is the per-pair band
+    count.
     """
     cb = banded_signature(
         corpus, id_col, text_col, n_hashes, bands, shingle_n, seed

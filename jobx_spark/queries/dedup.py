@@ -1467,8 +1467,10 @@ ORDER BY node
 # dedup_incremental — incremental-ingest dedup: the NEW batch (latest
 # ingest, doc_id >= 400) LSH-probed against the EXISTING corpus's band
 # index — never corpus×corpus. The batch's band signatures broadcast;
-# at scale the corpus band table is the persisted (band, bh)-bucketed
-# index. Oracle: the banded SQL on both subsets, joined.
+# the persisted form of this contract is dedup_index_build/probe (the
+# corpus band table on disk, probes bucket-pruned — r11); this in-plan
+# variant stays as the train-of-thought oracle twin.
+# Oracle: the banded SQL on both subsets, joined.
 # --------------------------------------------------------------------------
 INCR_SPLIT_ID = 400
 
