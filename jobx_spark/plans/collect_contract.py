@@ -157,6 +157,15 @@ COLLECT_BOUNDS: dict[tuple[str, str, str], tuple[int, str]] = {
         "prunes the persisted band-index scan to the probed buckets "
         "(same device as ann_index_serve's probed cells)",
     ),
+    ("jobx_spark/queries/streams.py", "stream_bm25_index_serve._serve",
+     "collect"): (
+        1,
+        "the micro-batch's QUERY rows: ≤ |BM25_QUERIES|(=5) tiny "
+        "(query_id, qtext) rows by construction — expanded driver-side "
+        "into the broadcast term list + the literal bucket pruning, "
+        "exactly like the batch serve's pure-Python bucket math; the "
+        "corpus is only ever touched by the pruned postings scan",
+    ),
     ("jobx_spark/queries/streams.py", "stream_dedup_index_probe._probe",
      "collect"): (
         1,

@@ -329,6 +329,12 @@ _GATE_R10 = [
 # onward, alphabetical), then the r6 cohort. Recompute as always by
 # parsing CORRECTNESS_r0*.json for hash_match rows, max round per
 # query.
+# ROUND-12 GATE PLAN: lead with the post-close r11 additions that
+# never held a driver row (text_bm25_index_build,
+# text_bm25_index_serve, stream_bm25_index_serve — the persisted
+# inverted-index family; all sf0.001+sf0.01 verified under the driver
+# recipe as they landed), then changed plans, then the r6-banked
+# cohort (the next-oldest after this round retires r5).
 
 
 def all_queries() -> dict[str, QueryFn]:

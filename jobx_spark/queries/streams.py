@@ -1588,6 +1588,84 @@ def _singest_oracle() -> str:
 
 
 # --------------------------------------------------------------------------
+# stream_bm25_index_serve — text_bm25_index_serve's streaming twin: the
+# QUERY stream served per micro-batch against the frozen persisted
+# inverted index (the index changes only through build jobs). Whole
+# queries replay (5 rows split across 3 micro-batches — terms explode
+# INSIDE the batch, so a query never straddles batches); each batch
+# runs the shared serving kernel (driver-side bucket pruning + the
+# scaled-integer BM25 formula) and ranks group by query_id, so the
+# unioned per-batch top-K equals the batch serve result and the oracle
+# is text_bm25_topk's verbatim. Stateless per batch.
+# --------------------------------------------------------------------------
+def stream_bm25_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql import functions as F
+
+    from jobx_spark.lineage import scratch_dir
+    from jobx_spark.queries.text import (
+        BM25_QUERIES,
+        _bm25_index_ensure,
+        _bm25_serve_body,
+    )
+
+    ppath, spath = _bm25_index_ensure(spark, sf_dir)
+    qdf = spark.createDataFrame(
+        sorted(BM25_QUERIES.items()), "query_id INT, qtext STRING"
+    )
+    rdir = S.write_replay_files(qdf, ["query_id"], 3, "sbm25")
+    st = S.stream_replay(spark, rdir)
+    root = scratch_dir("stream_bm25")
+    out, ckpt = f"{root}/out", f"{root}/ckpt"
+
+    def _serve(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.collect()  # ≤ |BM25_QUERIES| tiny query rows
+        if not rows:
+            return
+        terms = sorted({t for r in rows for t in r["qtext"].split()})
+        qterms = spark.createDataFrame(
+            [(int(r["query_id"]), t) for r in rows
+             for t in r["qtext"].split()],
+            "query_id INT, term STRING",
+        )
+        (
+            _bm25_serve_body(spark, ppath, spath, qterms, terms)
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out)
+        )
+
+    q = (
+        st.writeStream.foreachBatch(_serve)
+        # contract label for the STREAM_PLANS audit: stateless per
+        # micro-batch — the inverted index is a frozen side input
+        .queryName(f"sbm25_stateless_{os.getpid()}_{next(S._name_counter)}")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    S._capture_run(q)
+    return (
+        spark.read.parquet(out)
+        .select("query_id", "rank", "doc_id", "score_s")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _sbm25_oracle() -> str:
+    """text_bm25_topk's oracle verbatim — each query lives in exactly
+    one micro-batch, so the unioned per-batch top-K IS the batch serve
+    result."""
+    from jobx_spark.queries.text import _bm25_oracle
+
+    return _bm25_oracle()
+
+
+# --------------------------------------------------------------------------
 # stream_drift_census — ann_drift_census's streaming twin: the drift
 # monitor as it actually runs in production, riding the INGEST stream
 # instead of re-scanning the corpus. Each micro-batch of new vectors
@@ -1905,6 +1983,7 @@ QUERIES = {
     "stream_dedup_index_probe": stream_dedup_index_probe,
     "stream_dedup_index_append": stream_dedup_index_append,
     "stream_index_ingest": stream_index_ingest,
+    "stream_bm25_index_serve": stream_bm25_index_serve,
     "stream_incremental_restart": stream_incremental_restart,
     "stream_ewma_user_value": stream_ewma_user_value,
     "stream_bloom_decontaminate": stream_bloom_decontaminate,
@@ -1938,6 +2017,7 @@ ORACLES = {
     "stream_dedup_index_probe": _sdprobe_oracle(),
     "stream_dedup_index_append": _sdida_oracle(),
     "stream_index_ingest": _singest_oracle(),
+    "stream_bm25_index_serve": _sbm25_oracle(),
     "stream_incremental_restart": ORACLE_STREAM_RESTART,
     "stream_ewma_user_value": _stream_ewma_oracle(),
     "stream_bloom_decontaminate": _sbdecon_oracle(),

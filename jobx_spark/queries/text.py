@@ -1889,7 +1889,230 @@ ORDER BY rank
 """
 
 
+# --------------------------------------------------------------------------
+# text_bm25_index_* — the persisted INVERTED INDEX, the third serving
+# family beside vectors (ann_index_*) and near-dup bands
+# (dedup_index_*): text_bm25_topk recomputes TF/DF/doc-lengths over the
+# whole corpus inside every query plan; a production retrieval stack
+# pays that once at build time and serves from the artifact.
+#
+#   text_bm25_index_build — ONE corpus tokenization materializes the
+#     full-vocabulary postings table (term, doc_id, tf) DENORMALIZED
+#     with the two per-posting scoring inputs (dl — the doc's length,
+#     df — the term's document frequency), partitioned by the term
+#     bucket tbkt = h('bm25:'||term) mod TBKT and sorted by term within
+#     each bucket, plus a 1-row corpus-scalars table (n_docs, t_toks).
+#     Version-pointer published (jobx_spark.artifacts) like the other
+#     serving artifacts. Returns a per-bucket census planned over the
+#     ON-DISK postings — the gate hash attests the artifact.
+#   text_bm25_index_serve — the online path: the query's term buckets
+#     are computed DRIVER-SIDE from the query constants (pure Python
+#     md5 arithmetic — no collect, no corpus touch), the postings scan
+#     is statically partition-pruned to those buckets with the term
+#     list pushed to parquet, and the SAME scaled-integer BM25 formula
+#     ranks — output contract identical to text_bm25_topk, oracle
+#     verbatim: the persisted path provably changes the execution
+#     shape, not the ranking. Zero documents scans in the serve plan.
+#   stream_bm25_index_serve (streams.py) — the query STREAM served
+#     per micro-batch against the frozen index, stateless.
+#
+# 100 TB story: the index is the corpus-sized artifact (postings ~
+# token count), but a query reads |q| buckets ≈ vocabulary/TBKT-th of
+# it — partition pruning + parquet term-range skipping inside the
+# bucket (rows sorted by term); df/dl denormalization means serving
+# joins NOTHING corpus-sized (only the broadcast query terms and the
+# 1-row scalars).
+# --------------------------------------------------------------------------
+TBKT = 16
+
+
+def _bm25_bucket_py(term: str) -> int:
+    import hashlib as _h
+
+    return int(_h.md5(f"bm25:{term}".encode()).hexdigest()[:15], 16) % TBKT
+
+
+def _bm25_index_root(sf_dir: str) -> str:
+    import hashlib
+    import os
+
+    from jobx_spark.lineage import checkpoint_root
+
+    key = hashlib.sha256(sf_dir.rstrip("/").encode()).hexdigest()[:12]
+    return os.path.join(checkpoint_root(), f"bm25-index-{key}")
+
+
+def _bm25_index_write(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    import os
+
+    from jobx_spark import artifacts as A
+    from jobx_spark.functions import md5_long
+
+    root = _bm25_index_root(sf_dir)
+    ver, vdir = A.next_version_dir(spark, root)
+    ppath = os.path.join(vdir, "postings")
+    spath = os.path.join(vdir, "scalars")
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    # dl from the same exploded frame (= size(tokens) for every doc
+    # that has postings); df is the term's posting count
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    (
+        tf.join(dl, "doc_id")
+        .join(df_t, "term")
+        .withColumn(
+            "tbkt",
+            F.pmod(md5_long(F.concat(F.lit("bm25:"), F.col("term"))),
+                   F.lit(TBKT)),
+        )
+        .repartition(TBKT, "tbkt")
+        .sortWithinPartitions("tbkt", "term", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("tbkt")
+        .parquet(ppath)
+    )
+    # corpus scalars match text_bm25_topk's exactly: n_docs counts
+    # EVERY document row (null-text docs included), t_toks sums
+    # size(tokens) with nulls skipped
+    (
+        docs.select(
+            F.size(tokens(F.col("text"))).cast("long").alias("dl")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("dl").alias("t_toks"),
+        )
+        .write.mode("overwrite")
+        .parquet(spath)
+    )
+    A.publish(spark, root, ver)
+    return ppath, spath
+
+
+def _bm25_index_ensure(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    import os
+
+    from jobx_spark import artifacts as A
+
+    vdir = A.resolve(spark, _bm25_index_root(sf_dir))
+    if vdir is not None:
+        ppath = os.path.join(vdir, "postings")
+        spath = os.path.join(vdir, "scalars")
+        if A.fs_exists(spark, os.path.join(ppath, "_SUCCESS")) and \
+                A.fs_exists(spark, os.path.join(spath, "_SUCCESS")):
+            return ppath, spath
+    return _bm25_index_write(spark, sf_dir)
+
+
+def text_bm25_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ppath, _spath = _bm25_index_write(spark, sf_dir)
+    post = spark.read.parquet(ppath)
+    dom = spark.range(TBKT).select(F.col("id").cast("int").alias("tbkt"))
+    census = post.groupBy("tbkt").agg(
+        F.count(F.lit(1)).cast("long").alias("n_postings"),
+        F.count_distinct("term").cast("long").alias("n_terms"),
+        F.coalesce(F.bit_xor("doc_id"), F.lit(0).cast("long")).alias(
+            "xor_doc_ids"
+        ),
+    )
+    z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("long")  # noqa: E731
+    return (
+        dom.join(census, "tbkt", "left")
+        .select(
+            "tbkt",
+            z("n_postings").alias("n_postings"),
+            z("n_terms").alias("n_terms"),
+            z("xor_doc_ids").alias("xor_doc_ids"),
+        )
+        .orderBy("tbkt")
+    )
+
+
+def _bm25_index_build_oracle() -> str:
+    bkt = _MD5.format(e="'bm25:'||term")
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term FROM tok GROUP BY doc_id, term),
+p AS (SELECT doc_id, term, ({bkt}) % {TBKT} AS tbkt FROM tf),
+census AS (
+  SELECT tbkt, CAST(count(*) AS BIGINT) AS n_postings,
+         CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+         CAST(bit_xor(doc_id) AS BIGINT) AS xor_doc_ids
+  FROM p GROUP BY tbkt
+)
+SELECT CAST(d.b AS INTEGER) AS tbkt,
+       COALESCE(c.n_postings, 0) AS n_postings,
+       COALESCE(c.n_terms, 0) AS n_terms,
+       COALESCE(c.xor_doc_ids, 0) AS xor_doc_ids
+FROM range({TBKT}) AS d(b) LEFT JOIN census c ON c.tbkt = d.b
+ORDER BY tbkt
+"""
+
+
+def _bm25_serve_body(
+    spark: SparkSession, ppath: str, spath: str, qterms: DataFrame,
+    terms: list[str],
+) -> DataFrame:
+    """The serving kernel: bucket-pruned postings scan + broadcast
+    query terms + broadcast 1-row scalars + the scaled-integer BM25
+    formula (identical constants to text_bm25_topk). Shared by the
+    batch serve and its streaming twin."""
+    from pyspark.sql import Window as W
+
+    buckets = sorted({_bm25_bucket_py(t) for t in terms})
+    post = spark.read.parquet(ppath).filter(
+        F.col("tbkt").isin(buckets) & F.col("term").isin(sorted(terms))
+    )
+    scalars = spark.read.parquet(spath)
+    scored = (
+        post.join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr(f"(( (n_docs - df) * {BM25_S_IDF} ) div df)").alias(
+                "idf_s"
+            ),
+            F.expr(
+                f"(22 * t_toks * tf * {BM25_S_TF})"
+                f" div (10 * t_toks * tf + 3 * t_toks + 9 * dl * n_docs)"
+            ).alias("tf_part_s"),
+        )
+        .select(
+            "query_id", "doc_id",
+            F.expr(f"(idf_s * tf_part_s) div {BM25_S_TF}").alias("contrib"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib").alias("score_s"))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("score_s").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= BM25_K)
+        .select("query_id", "rank", "doc_id", "score_s")
+        .orderBy("query_id", "rank")
+    )
+
+
+def text_bm25_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ppath, spath = _bm25_index_ensure(spark, sf_dir)
+    all_terms = sorted({t for q in BM25_QUERIES.values() for t in q.split()})
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, q in BM25_QUERIES.items() for t in q.split()],
+        "query_id INT, term STRING",
+    )
+    return _bm25_serve_body(spark, ppath, spath, qterms, all_terms)
+
+
 QUERIES = {
+    "text_bm25_index_build": text_bm25_index_build,
+    "text_bm25_index_serve": text_bm25_index_serve,
     "text_ngram_novelty": text_ngram_novelty,
     "text_hll_merge": text_hll_merge,
     "text_domain_signature": text_domain_signature,
@@ -1914,6 +2137,10 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_bm25_index_build": _bm25_index_build_oracle(),
+    # identical output contract to the train-in-plan ranker — the
+    # persisted-index serve attests the same BM25 ranking
+    "text_bm25_index_serve": _bm25_oracle(),
     "text_ngram_novelty": ORACLE_TEXT_NGRAM_NOVELTY,
     "text_hll_merge": _hll_merge_oracle(),
     "text_domain_signature": ORACLE_TEXT_DOMAIN_SIGNATURE,

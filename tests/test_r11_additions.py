@@ -251,3 +251,43 @@ def test_stream_index_ingest_layout_and_census(spark, tmp_path):
     # census identical to the batch lifecycle append on the same data
     batch = [tuple(r) for r in AQ["ann_index_append"](spark, sf).collect()]
     assert streamed == batch
+
+
+def test_bm25_index_serve_plan_pruned_and_equals_inline(spark, sf_dir):
+    """The persisted inverted-index serve: zero documents scans (the
+    corpus arrives only through the postings artifact), the postings
+    scan statically partition-pruned to the query's term buckets
+    (computed driver-side from the query constants — no collect), and
+    the ranking identical to the train-in-plan text_bm25_topk."""
+    from jobx_spark.queries.text import QUERIES
+
+    df = QUERIES["text_bm25_index_serve"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "bm25-index-" in plan
+    assert "documents.parquet" not in plan
+    pf = plan.split("PartitionFilters: [")[1]
+    assert pf.startswith("tbkt#") and (
+        " IN (" in pf[:40] or " INSET " in pf[:40]
+    )
+    served = [tuple(r) for r in df.collect()]
+    inline = [tuple(r) for r in QUERIES["text_bm25_topk"](spark, sf_dir).collect()]
+    assert served == inline
+    assert served, "fixture must rank at least one document"
+
+
+def test_stream_bm25_index_serve_equals_batch_serve(spark, sf_dir):
+    """Whole queries replay (terms explode inside the batch), so the
+    streaming twin's unioned per-batch top-K must equal the batch
+    serve bit for bit."""
+    from jobx_spark.queries.streams import QUERIES as SQ
+    from jobx_spark.queries.text import QUERIES as TQ
+
+    batch = [
+        tuple(r)
+        for r in TQ["text_bm25_index_serve"](spark, sf_dir).collect()
+    ]
+    streamed = [
+        tuple(r)
+        for r in SQ["stream_bm25_index_serve"](spark, sf_dir).collect()
+    ]
+    assert streamed == batch

@@ -88,6 +88,9 @@ EXPECT = {
     # assignment via the frozen persisted quantizer, new files landing
     # directly in the on-disk index under seg=b<batch_id>
     "stream_index_ingest": ([], False, set()),
+    # stateless-foreachBatch online retrieval: per-batch BM25 serving
+    # against the frozen persisted inverted index
+    "stream_bm25_index_serve": ([], False, set()),
 }
 
 FORBIDDEN_NODES = ("CartesianProduct", "BroadcastNestedLoopJoin")
