@@ -316,6 +316,50 @@ BENCH_EXCLUDE = (
     "dedup_components_lsss",
 )
 
+# Artifact-family lifecycle prerequisites (VERDICT r11 #3): the r11
+# pool slice held ann_pq_index_serve without ann_pq_index_build, so
+# the serve row paid the full in-plan codebook training via its ensure
+# (7.58 s vs the 1.64 s controlled serving cost) — and the same
+# pattern charged ann_index_compact for a whole append and
+# dedup_index_append for its one-off base-segment build. Before a
+# POOL-slice member of an artifact family takes its first timed rep,
+# its prerequisites below run UNTIMED (the artifact materializes; the
+# timed rep then measures the serving/maintenance/incremental path the
+# row is named for). A self-prerequisite means "run the row itself
+# once untimed first": append jobs pay a one-off base-segment build on
+# first run, and the timed rep should measure the incremental append.
+# BENCH_CORE rows are NOT prereq'd — the core trio already orders
+# build before serve, and injecting ensures there would break the
+# core_total series (this is a POOL accounting fix; noted as a pool
+# set-version change in BENCH_NOTES §r12).
+BENCH_PREREQ: dict[str, tuple[str, ...]] = {
+    # serve/probe rows: build publishes the artifact being served
+    "ann_index_serve": ("ann_index_build",),
+    "ann_index_serve_scaled64": ("ann_index_build",),
+    "ann_filtered_topk": ("ann_index_build",),
+    "stream_index_serve": ("ann_index_build",),
+    "ann_pq_index_serve": ("ann_pq_index_build",),
+    "dedup_index_probe": ("dedup_index_build",),
+    "stream_dedup_index_probe": ("dedup_index_build",),
+    # self-prereq: the first (untimed) run replicates the 1× band
+    # table into the 64× bucket space; the timed rep is probe-only
+    "dedup_index_probe_scaled64": ("dedup_index_probe_scaled64",),
+    "text_bm25_index_serve": ("text_bm25_index_build",),
+    "stream_bm25_index_serve": ("text_bm25_index_build",),
+    "pipe_encode_serve": ("pipe_vocab_build",),
+    # append rows: the first (untimed) run pays the one-off base
+    # segment; the timed rep measures the incremental append
+    "ann_index_append": ("ann_index_append",),
+    "dedup_index_append": ("dedup_index_append",),
+    "stream_dedup_index_append": ("dedup_index_append",),
+    "text_bm25_index_append": ("text_bm25_index_append",),
+    "stream_index_ingest": ("stream_index_ingest",),
+    # compact rows: append materializes the generation being compacted
+    "ann_index_compact": ("ann_index_append",),
+    "dedup_index_compact": ("dedup_index_append",),
+    "text_bm25_index_compact": ("text_bm25_index_append",),
+}
+
 # Round-over-round comparison anchor (VERDICT r6 #4): a FIXED set of
 # expensive representatives that gets the first slice of the pass-2
 # budget EVERY round, so their min-of-2 total (run_meta.
@@ -361,6 +405,35 @@ def _round_number() -> int:
     return (max(rounds) + 1) if rounds else 1
 
 
+def enrolled_queries(qs) -> list[str]:
+    """The benched universe: every registry query except the
+    deliberately-excluded replication probes — the REAL enrollment
+    computation main() uses (factored out per ADVICE r11 so the
+    contract test exercises this implementation instead of recomputing
+    the same set expression itself)."""
+    return [n for n in qs if n not in BENCH_EXCLUDE]
+
+
+def pool_for_round(qs, rnd: int) -> tuple[list[str], list[str], int]:
+    """(pool, this round's slice, offset). The pool is the enrolled
+    set minus the frozen core, md5-name-ordered so families spread
+    across slices; the slice advances by ~1/PASS1_ROTATION_PERIOD of
+    the pool per round."""
+    import hashlib
+
+    core_set = set(BENCH_CORE)
+    pool = sorted(
+        (n for n in enrolled_queries(qs) if n not in core_set),
+        key=lambda n: hashlib.md5(n.encode()).hexdigest(),
+    )
+    if not pool:
+        return pool, [], 0
+    stride = (len(pool) + PASS1_ROTATION_PERIOD - 1) // PASS1_ROTATION_PERIOD
+    offset = (((rnd - 1) % PASS1_ROTATION_PERIOD) * stride) % len(pool)
+    wrapped = pool[offset:] + pool[:offset]
+    return pool, wrapped[:stride], offset
+
+
 LINE_BUDGET = 1600  # driver tail window is 2000 chars; leave headroom
 
 
@@ -394,6 +467,7 @@ def run_meta(
     reps_done: dict[str, int] | None = None,
     rotation: dict | None = None,
     bench_set: dict | None = None,
+    calibration: dict | None = None,
 ) -> dict:
     """Run-environment stamp for BENCH_FULL.json. External load ≈
     loadavg beyond what this bench itself generates; the start sample
@@ -471,6 +545,11 @@ def run_meta(
         "pass2_rotation": rotation or {},
         # benched-set split: frozen core + this round's pool slice
         "bench_set": bench_set or {},
+        # constant-work box-speed canary (VERDICT r11 #5): start/end
+        # samples of a fixed Spark job + a fixed numpy loop — a slow
+        # box moves these with the anchors; a code regression moves
+        # the anchors alone
+        "calibration": calibration or {},
     }
 
 
@@ -503,25 +582,11 @@ def main() -> None:
     # budget-checked (pass 1c records skips in bench_set.pool_skipped),
     # so a larger pool degrades to honest partial coverage, never to a
     # lost artifact. tests/test_bench_contract.py pins full enrollment.
-    enrolled = [n for n in qs if n not in BENCH_EXCLUDE]
-    core_set = set(BENCH_CORE)
     # hash-ordered, not alphabetical: an alphabetical pool clumps whole
     # families (e.g. every ann_* diagnostic) into one round's slice —
     # the md5 order spreads families across slices deterministically
-    import hashlib
-
-    pool = sorted(
-        (n for n in enrolled if n not in core_set),
-        key=lambda n: hashlib.md5(n.encode()).hexdigest(),
-    )
     rnd = _round_number()
-    pool_offset = 0
-    pool_slice: list[str] = []
-    if pool:
-        stride = (len(pool) + PASS1_ROTATION_PERIOD - 1) // PASS1_ROTATION_PERIOD
-        pool_offset = (((rnd - 1) % PASS1_ROTATION_PERIOD) * stride) % len(pool)
-        wrapped = pool[pool_offset:] + pool[:pool_offset]
-        pool_slice = wrapped[:stride]
+    pool, pool_slice, pool_offset = pool_for_round(qs, rnd)
     names = list(BENCH_CORE) + pool_slice
 
     # Load snapshot BEFORE warmup: a high 1-min loadavg here means some
@@ -533,6 +598,33 @@ def main() -> None:
     # warm the JVM, parquet footers and Python UDF workers once (not timed)
     qs["q01_pricing_summary"](spark, SF_DIR).count()
     qs["ann_bruteforce_topk"](spark, SF_DIR).count()
+
+    # Box-speed canary (VERDICT r11 #5): constant work, timed at the
+    # start and end of the run. Three rounds of anchors moving 1.2-1.5×
+    # on UNCHANGED plans were each adjudicated ambient via a manual
+    # median-ratio forensic; the canary separates a slow box from a
+    # real regression mechanically — BENCH_NOTES restates anchors raw
+    # AND canary-normalized (anchor ÷ (spark_fixed_s / its r12
+    # baseline)).
+    def calibrate() -> dict:
+        import numpy as np
+
+        t0 = time.monotonic()
+        spark.range(0, 256_000_000, 1, 32).selectExpr(
+            "sum(id % 7) AS s", "sum(id * 3 % 11) AS t"
+        ).collect()
+        spark_s = time.monotonic() - t0
+        a = np.arange(8_000_000, dtype=np.float64)
+        t0 = time.monotonic()
+        for _ in range(16):
+            a = np.sqrt(a * 1.0000001 + 1.0)
+        numpy_s = time.monotonic() - t0
+        return {
+            "spark_fixed_s": round(spark_s, 3),
+            "numpy_fixed_s": round(numpy_s, 3),
+        }
+
+    calib_start = calibrate()
 
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
@@ -606,12 +698,23 @@ def main() -> None:
     # heavy queries could push pass 1 past the driver's timeout and
     # lose the whole artifact.
     pool_skipped: list[str] = []
+    prereqs_run: list[str] = []
     for name in pool_slice:
         if name in timings:
             continue
         if time.monotonic() - _T0 > BENCH_BUDGET_S:
             pool_skipped.append(name)
             continue
+        # lifecycle prereqs (VERDICT r11 #3): materialize the family's
+        # artifact UNTIMED so the timed rep measures the path the row
+        # is named for, not the whole lifecycle. A prereq already
+        # timed this run (core ordering or an earlier slice member)
+        # has published the artifact — skip it.
+        for pre in BENCH_PREREQ.get(name, ()):
+            if pre in timings or pre in prereqs_run:
+                continue
+            run_once(pre)
+            prereqs_run.append(pre)
         pass1(name)
     names = [n for n in names if n in timings]
     # pass 2+: min-of-reps for NON-anchor queries (anchors already hold
@@ -701,7 +804,13 @@ def main() -> None:
                 "core_skipped": core_skipped,
                 "pool_offset": pool_offset,
                 "pass1_rotation_period": PASS1_ROTATION_PERIOD,
+                # untimed lifecycle materializations run before pool
+                # rows (VERDICT r11 #3) — their cost is real but
+                # charged to no row; listed so a reader can tell a
+                # prereq'd serve number from a lifecycle-inclusive one
+                "pool_prereqs_run": prereqs_run,
             },
+            calibration={"start": calib_start, "end": calibrate()},
         ),
     }
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")

@@ -74,6 +74,15 @@ def _touch(spark: SparkSession | None, path: str) -> None:
         pass
 
 
+def touch(spark: SparkSession | None, path: str) -> None:
+    """Create (or truncate) an empty marker file through the portable
+    FS path — the terminal-marker primitive the append families use to
+    record 'every segment of this generation is on disk' (gating
+    repair on Spark's root ``_SUCCESS`` is wrong for multi-segment
+    writes: the FIRST segment's commit already creates it)."""
+    _touch(spark, path)
+
+
 def _delete(spark: SparkSession | None, path: str) -> None:
     if spark is not None:
         try:

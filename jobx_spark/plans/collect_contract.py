@@ -157,6 +157,15 @@ COLLECT_BOUNDS: dict[tuple[str, str, str], tuple[int, str]] = {
         "prunes the persisted band-index scan to the probed buckets "
         "(same device as ann_index_serve's probed cells)",
     ),
+    ("jobx_spark/queries/dedup.py", "dedup_index_probe_scaled64",
+     "collect"): (
+        1,
+        "the probe's bucket list over the 64× replicated index: "
+        "distinct bkt = bh mod DBKT over the batch's band signatures, "
+        "≤ DBKT(=16) integers by construction — identical device to "
+        "dedup_index_probe's pruning collect; the 64× bucket space "
+        "is never enumerated",
+    ),
     ("jobx_spark/queries/streams.py", "stream_bm25_index_serve._serve",
      "collect"): (
         1,

@@ -247,6 +247,49 @@ def _utc_pinned(fn: QueryFn) -> QueryFn:
 #   4. filler: alphabetical head of the r5-banked cohort (11 rows,
 #      dedup_components_lsss … q07_topk_per_group).
 GATE_FIRST_50 = [
+    # ROUND-12 GATE (VERDICT r11 #2: retire the r6 cohort — after this
+    # gate lands, no registry row is older than r7).
+    # -- 1. the only registry rows with ZERO driver attestation: the
+    #       r11 post-close persisted inverted-index trio (judge-
+    #       verified hash-exact; these rows lead per the rotation
+    #       discipline) --
+    "text_bm25_index_build", "text_bm25_index_serve",
+    "stream_bm25_index_serve",
+    # -- 2. new in round 12 (never driver-attested): the BM25 index
+    #       lifecycle completion (VERDICT r11 #4 — delta postings
+    #       segment + republished corpus scalars + the three-leg
+    #       append certificate) and the band-index flat-serve probe
+    #       (VERDICT r11 #6) --
+    "text_bm25_index_append", "text_bm25_index_compact",
+    "dedup_index_probe_scaled64",
+    # -- 3. changed-code re-attests — every query whose Spark plan
+    #       changed this round: the dedup append/compact repair gates
+    #       moved from root _SUCCESS to the terminal _APPEND_DONE
+    #       marker (ADVICE r11 #3) --
+    "dedup_index_append", "dedup_index_compact",
+    # -- 4. the full 42-row r6-banked cohort (VERDICT r11 #4 "minor"
+    #       names it; list = gate-union histogram rows at max round 6)
+    #       — oldest cohort, retired completely --
+    "ann_ivf_balance", "ann_ivf_pq_topk", "ann_ivf_topk",
+    "ann_jl_distortion", "ann_kcenter_scaled", "ann_kcenter_select",
+    "ann_lsh_topk", "ann_pca_project", "ann_pq_adc_topk",
+    "ann_pq_codes", "dedup_components", "dedup_containment",
+    "dedup_lsh_s_curve", "dedup_rate_by_source", "dedup_winnow_pairs",
+    "pipe_dp_release", "pipe_epochs_budget", "pipe_ewma_user_value",
+    "pipe_k_anonymity", "pipe_l_diversity", "pipe_pack_sequences",
+    "pipe_padding_waste", "pipe_snapshot_diff",
+    "pipe_tokenizer_fertility", "pipe_watermark_lateness",
+    "q41_percentile_cont", "q42_important_parts",
+    "q43_small_qty_revenue", "q44_top_supplier", "q46_fuzzy_name_pairs",
+    "q47_cohort_retention", "q48_funnel_steps",
+    "q49_local_supplier_volume", "q50_returned_items",
+    "q51_window_navigation", "q52_revenue_share",
+    "q53_select_scalar_subquery", "q54_session_conversion",
+    "stream_window_distinct_scaled", "text_ngram_novelty",
+    "text_winnow_fingerprints", "text_zipf_census",
+]
+# superseded r11 gate kept for the diff reader:
+_GATE_R11 = [
     # ROUND-11 GATE (VERDICT r10 #2: retire the r5 tail — after this
     # gate lands, no registry row is older than r6).
     # -- 1. new in round 11 (never driver-attested): the persisted
@@ -324,17 +367,12 @@ _GATE_R10 = [
     "q04_brand_revenue", "q05_semi_join", "q06_anti_join",
     "q07_topk_per_group",
 ]
-# ROUND-11 GATE POOL: after the r10 gate lands the oldest cohort is
-# the r5-banked tail that did not fit this gate (q18_grouping_sets
-# onward, alphabetical), then the r6 cohort. Recompute as always by
-# parsing CORRECTNESS_r0*.json for hash_match rows, max round per
-# query.
-# ROUND-12 GATE PLAN: lead with the post-close r11 additions that
-# never held a driver row (text_bm25_index_build,
-# text_bm25_index_serve, stream_bm25_index_serve — the persisted
-# inverted-index family; all sf0.001+sf0.01 verified under the driver
-# recipe as they landed), then changed plans, then the r6-banked
-# cohort (the next-oldest after this round retires r5).
+# ROUND-13 GATE PLAN: after the r12 gate lands the oldest cohort is
+# the 41-row r7-banked block (dedup_exact/simhash family, the
+# multimodal quintet, text_lang_id/quality/tfidf..., pipe_corpus_stats
+# et al. — compute as always by parsing CORRECTNESS_r*.json for
+# hash_match rows, max round per query); lead with anything new in
+# r13, then changed plans, then that cohort.
 
 
 def all_queries() -> dict[str, QueryFn]:

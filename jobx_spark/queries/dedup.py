@@ -2774,6 +2774,12 @@ def dedup_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         .partitionBy("seg", "band")
         .parquet(ipath)
     )
+    # terminal marker: Spark's root _SUCCESS lands after the FIRST
+    # (base) segment commit, so it cannot attest "both segments are on
+    # disk" — a crash between the base and batch writes leaves it
+    # present (ADVICE r11 #3). Downstream repair gates (compact) key
+    # on THIS marker, touched only after the batch segment commit.
+    A.touch(spark, os.path.join(ipath, "_APPEND_DONE"))
     disk = spark.read.parquet(ipath)
     # attestation leg: full re-banding of the whole corpus — never run
     # in production; banding is per-doc deterministic so append must
@@ -2890,8 +2896,13 @@ def dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jobx_spark import artifacts as A
 
     ipath = _dedup_index_append_paths(sf_dir)
-    if not A.fs_exists(spark, os.path.join(ipath, "_SUCCESS")):
-        # materialize the appended generation this job compacts
+    if not A.fs_exists(spark, os.path.join(ipath, "_APPEND_DONE")):
+        # materialize the appended generation this job compacts — the
+        # gate is the TERMINAL marker the append touches after its
+        # batch-segment commit, not the root _SUCCESS Spark creates
+        # after the FIRST (base) segment write: a crash between the
+        # two writes would otherwise compact a base-only index
+        # (ADVICE r11 #3); the append itself is idempotent
         dedup_index_append(spark, sf_dir)
     gpath = os.path.join(os.path.dirname(ipath), "index-compacted")
     old = spark.read.parquet(ipath).select("id", "band", "bh")
@@ -2965,8 +2976,102 @@ ORDER BY band
 """
 
 
+# --------------------------------------------------------------------------
+# dedup_index_probe_scaled64 — the flat-serve probe for the BAND index
+# (VERDICT r11 #6), ann_index_serve_scaled64's dedup twin. The claim
+# is "probe cost independent of corpus size": at 100 TB the band
+# index's BUCKET space grows with the corpus while per-bucket size
+# stays bounded, and a probe batch reads only the ≤DBKT buckets its
+# own band hashes fall in. This probe materializes that shape
+# directly: the 1× band table is replicated into 64 disjoint
+# bucket/id ranges (id + rep·10⁹, bkt + rep·DBKT — a cheap artifact
+# rewrite, no re-signing), so the on-disk index holds 64× the rows
+# across 64× the bucket partitions while every bucket keeps its 1×
+# size. The replica buckets model the cold regions of a larger corpus
+# the probe batch never hashes into, so the partition-pruned scan
+# reads CONSTANT bytes and the probed candidate pairs provably equal
+# the 1× probe — the oracle is dedup_incremental's verbatim,
+# hash-exact. Enrolled in the bench POOL; its number read against
+# dedup_index_probe's is the band-side flat-serve evidence
+# (BENCH_NOTES §r12 records the controlled 1× vs 64× pair).
+# --------------------------------------------------------------------------
+_DEDUP_REP_BASE = 10**9
+DEDUP_REP64 = 64
+
+
+def _dedup_scaled64_ensure(spark: SparkSession, sf_dir: str) -> str:
+    import hashlib
+    import os
+
+    from jobx_spark import artifacts as A
+    from jobx_spark.lineage import checkpoint_root
+
+    ipath = _dedup_index_ensure(spark, sf_dir)
+    key = hashlib.sha256(
+        (sf_dir.rstrip("/") + ":scaled64").encode()
+    ).hexdigest()[:12]
+    i64 = os.path.join(checkpoint_root(), f"dedup-index-{key}", "index")
+    if A.fs_exists(spark, os.path.join(i64, "_SUCCESS")):
+        return i64
+    rep = F.explode(
+        F.array(*[F.lit(i) for i in range(DEDUP_REP64)])
+    ).alias("rep")
+    (
+        spark.read.parquet(ipath)
+        .select("id", "band", "bh", "bkt", rep)
+        .select(
+            (
+                F.col("id").cast("long")
+                + F.col("rep").cast("long") * F.lit(_DEDUP_REP_BASE)
+            ).alias("id"),
+            "band",
+            "bh",
+            (
+                F.col("bkt").cast("int")
+                + F.col("rep").cast("int") * F.lit(DBKT)
+            ).alias("bkt"),
+        )
+        .repartition(BANDS * DBKT, "band", "bkt")
+        .write.mode("overwrite")
+        .partitionBy("band", "bkt")
+        .parquet(i64)
+    )
+    return i64
+
+
+def dedup_index_probe_scaled64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.operators.dedup import banded_signature
+
+    i64 = _dedup_scaled64_ensure(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") >= INCR_SPLIT_ID)
+    bb = cut_lineage(
+        banded_signature(
+            batch, n_hashes=N_HASHES, bands=BANDS, shingle_n=SHINGLE_N,
+            seed=SEED,
+        ).select(
+            F.col("id").alias("new_id"), "band", "bh",
+            F.pmod(F.col("bh"), F.lit(DBKT)).alias("bkt"),
+        ),
+        "didx-probe64",
+    )
+    probed_bkts = sorted(
+        int(r["bkt"]) for r in bb.select("bkt").distinct().collect()
+    )
+    idx = spark.read.parquet(i64).filter(
+        F.col("bkt").isin(probed_bkts)
+    ).select(F.col("id").alias("old_id"), "band", "bh")
+    return (
+        idx.join(F.broadcast(bb.drop("bkt")), ["band", "bh"])
+        .groupBy("new_id", "old_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+        .orderBy("new_id", "old_id")
+    )
+
+
 QUERIES = {
     "dedup_index_build": dedup_index_build,
+    "dedup_index_probe_scaled64": dedup_index_probe_scaled64,
     "dedup_index_compact": dedup_index_compact,
     "dedup_index_probe": dedup_index_probe,
     "dedup_index_append": dedup_index_append,
@@ -3015,6 +3120,9 @@ ORACLES = {
     # identical output contract to the in-plan incremental probe — the
     # persisted-index path attests the same candidate pairs
     "dedup_index_probe": _incremental_oracle(),
+    # replica buckets are disjoint from every probed bucket, so the
+    # 64× probe's candidate pairs equal the 1× incremental dedup's
+    "dedup_index_probe_scaled64": _incremental_oracle(),
     "dedup_index_append": _dedup_index_append_oracle(),
     "dedup_index_compact": _dedup_index_compact_oracle(),
     "dedup_semantic_leakage": _semantic_leakage_oracle(),

@@ -2110,9 +2110,496 @@ def text_bm25_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bm25_serve_body(spark, ppath, spath, qterms, all_terms)
 
 
+# --------------------------------------------------------------------------
+# text_bm25_index_append / text_bm25_index_compact — the ingest-commit
+# and maintenance jobs completing the inverted-index lifecycle
+# (build → serve → APPEND → COMPACT), mirroring the other two serving
+# families (dedup_index_append/compact, ann_index_append/compact).
+#
+# The BM25-specific twist (absent from bands and vectors): df, n_docs
+# and avgdl are CORPUS-GLOBAL. The build family denormalizes df onto
+# every posting — correct for a frozen index, but an append would
+# leave every base-segment posting holding a stale df, and rewriting
+# the base on each ingest defeats the delta design. So the APPEND
+# layout drops the df column entirely:
+#
+#   postings/ (seg=base|batch, tbkt=0..15): (term, doc_id, tf, dl) —
+#     the batch lands under seg=batch via dynamic partition overwrite
+#     (base files untouched, re-runs idempotent, exactly
+#     dedup_index_append's discipline);
+#   scalars_base/ — (n_docs, t_toks) over the base corpus, written
+#     once with the base segment;
+#   scalars/ — REPUBLISHED on every append as scalars_base + the
+#     batch's own deltas (both addends derived from fixed inputs, so
+#     the republish is overwrite-idempotent — never read-modify-write
+#     of its own previous output);
+#   _APPEND_DONE — terminal marker touched AFTER the batch write and
+#     scalars republish; the compact job gates its repair on THIS,
+#     not the root _SUCCESS Spark writes after the base write (ADVICE
+#     r11: a crash between base and batch writes leaves _SUCCESS
+#     present, so a root-_SUCCESS gate would compact a base-only
+#     index).
+#
+# Serving from the appended index recomputes df FROM THE PRUNED SCAN:
+# the query's term buckets are known driver-side, the postings scan
+# prunes to those ≤|q| partitions with the term list pushed down, and
+# df = per-term posting count over exactly those rows — a
+# query-vocabulary-bounded aggregate (≤15 terms), no corpus-sized
+# join, no separate terms artifact to go stale. The serve plan scans
+# ONLY postings + the 1-row scalars table.
+#
+# text_bm25_index_append returns a per-bucket census with THREE
+# certificates (the gate hash attests all of them):
+#   append_matches_rebuild — per tbkt, posting count AND the XOR of
+#     the full posting-content hash md5('p:'||term||':'||doc_id||':'||
+#     tf||':'||dl) of the on-disk base∪batch equals an in-plan rebuild
+#     over the whole corpus (tokenization is per-doc deterministic, so
+#     append == rebuild bit for bit; the rebuild leg is
+#     attestation-only, never run in production);
+#   scalars_match_rebuild — the republished scalars equal re-derived
+#     whole-corpus scalars (n_docs AND t_toks);
+#   serve_matches_rebuild — the ranking served from the appended
+#     artifact equals text_bm25_topk's train-in-plan ranking over the
+#     full corpus, row for row (the analogue of dedup's
+#     append≡rebuild taken all the way to the OUTPUT contract: df
+#     reconstruction + stale-free scalars provably reproduce the
+#     global statistics).
+#
+# 100 TB story: an ingest writes one batch-sized delta segment plus a
+# 1-row scalars table; nothing corpus-sized moves. Compaction is one
+# clustered rewrite, embarrassingly parallel by term bucket, after
+# which a query reads one file per probed bucket instead of
+# 1 + n_appends.
+# --------------------------------------------------------------------------
+def _bm25_append_paths(sf_dir: str) -> tuple[str, str, str, str]:
+    import hashlib
+    import os
+
+    from jobx_spark.lineage import checkpoint_root
+
+    key = hashlib.sha256(sf_dir.rstrip("/").encode()).hexdigest()[:12]
+    root = os.path.join(checkpoint_root(), f"bm25-index-append-{key}")
+    return (
+        os.path.join(root, "postings"),
+        os.path.join(root, "scalars_base"),
+        os.path.join(root, "scalars"),
+        os.path.join(root, "_APPEND_DONE"),
+    )
+
+
+def _bm25_postings(docs: DataFrame) -> DataFrame:
+    """(term, doc_id, tf, dl, tbkt) postings frame — the append-family
+    layout (no df: corpus-global, recomputed at serve time from the
+    pruned scan)."""
+    from jobx_spark.functions import md5_long
+
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    return tf.join(dl, "doc_id").withColumn(
+        "tbkt",
+        F.pmod(md5_long(F.concat(F.lit("bm25:"), F.col("term"))),
+               F.lit(TBKT)),
+    )
+
+
+def _bm25_posting_hash() -> "F.Column":
+    """Full-content posting hash — the XOR'd certificate unit (term
+    membership alone can collide within a bucket; hashing tf and dl in
+    makes the append≡rebuild certificate attest the scoring inputs,
+    not just membership)."""
+    from jobx_spark.functions import md5_long
+
+    return md5_long(
+        F.concat(
+            F.lit("p:"), F.col("term"), F.lit(":"),
+            F.col("doc_id").cast("string"), F.lit(":"),
+            F.col("tf").cast("string"), F.lit(":"),
+            F.col("dl").cast("string"),
+        )
+    )
+
+
+def _bm25_corpus_scalars(docs: DataFrame) -> DataFrame:
+    """(n_docs, t_toks) with text_bm25_topk's exact conventions:
+    n_docs counts every document row, t_toks sums size(tokens) with
+    nulls skipped."""
+    return docs.select(
+        F.size(tokens(F.col("text"))).cast("long").alias("dl")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum("dl"), F.lit(0).cast("long")).alias("t_toks"),
+    )
+
+
+def _bm25_append_serve_body(
+    spark: SparkSession, ppath: str, spath: str, qterms: DataFrame,
+    terms: list[str],
+) -> DataFrame:
+    """Serve from the APPENDED (segmented, df-free) postings: bucket-
+    pruned scan, df recomputed over exactly the pruned rows (query-
+    vocabulary-bounded), same scaled-integer formula. Scans only
+    postings + scalars."""
+    from pyspark.sql import Window as W
+
+    buckets = sorted({_bm25_bucket_py(t) for t in terms})
+    post = spark.read.parquet(ppath).filter(
+        F.col("tbkt").isin(buckets) & F.col("term").isin(sorted(terms))
+    )
+    df_t = post.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    scalars = spark.read.parquet(spath)
+    scored = (
+        post.join(F.broadcast(df_t), "term")
+        .join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr(f"(( (n_docs - df) * {BM25_S_IDF} ) div df)").alias(
+                "idf_s"
+            ),
+            F.expr(
+                f"(22 * t_toks * tf * {BM25_S_TF})"
+                f" div (10 * t_toks * tf + 3 * t_toks + 9 * dl * n_docs)"
+            ).alias("tf_part_s"),
+        )
+        .select(
+            "query_id", "doc_id",
+            F.expr(f"(idf_s * tf_part_s) div {BM25_S_TF}").alias("contrib"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib").alias("score_s"))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("score_s").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= BM25_K)
+        .select("query_id", "rank", "doc_id", "score_s")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _bm25_append_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serve-after-append DataFrame (exposed for the plan test —
+    the census certificate consumes it)."""
+    ppath, _sb, spath, _m = _bm25_append_paths(sf_dir)
+    all_terms = sorted({t for q in BM25_QUERIES.values() for t in q.split()})
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, q in BM25_QUERIES.items() for t in q.split()],
+        "query_id INT, term STRING",
+    )
+    return _bm25_append_serve_body(spark, ppath, spath, qterms, all_terms)
+
+
+def text_bm25_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from jobx_spark import artifacts as A
+    from jobx_spark.queries.dedup import INCR_SPLIT_ID
+
+    ppath, sbase, spath, marker = _bm25_append_paths(sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < INCR_SPLIT_ID)
+    batch = docs.filter(F.col("doc_id") >= INCR_SPLIT_ID)
+    if not A.fs_exists(spark, os.path.join(ppath, "_SUCCESS")):
+        (
+            _bm25_postings(corpus)
+            .withColumn("seg", F.lit("base"))
+            .repartition(TBKT, "tbkt")
+            .sortWithinPartitions("tbkt", "term", "doc_id")
+            .write.mode("overwrite")
+            .partitionBy("seg", "tbkt")
+            .parquet(ppath)
+        )
+        _bm25_corpus_scalars(corpus).write.mode("overwrite").parquet(sbase)
+    # THE APPEND: batch-side-only tokenization; new files land under
+    # seg=batch/tbkt=*, base files untouched; dynamic overwrite makes
+    # re-runs replace only the batch segment (double-run determinism)
+    (
+        _bm25_postings(batch)
+        .withColumn("seg", F.lit("batch"))
+        .repartition(TBKT, "tbkt")
+        .sortWithinPartitions("tbkt", "term", "doc_id")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("seg", "tbkt")
+        .parquet(ppath)
+    )
+    # republish the global scalars: base (frozen on disk) + this
+    # batch's deltas — both addends independent of the table being
+    # overwritten, so a re-run writes the identical row
+    sb = spark.read.parquet(sbase)
+    bd = _bm25_corpus_scalars(batch).select(
+        F.col("n_docs").alias("b_docs"), F.col("t_toks").alias("b_toks")
+    )
+    (
+        sb.crossJoin(bd)
+        .select(
+            (F.col("n_docs") + F.col("b_docs")).alias("n_docs"),
+            (F.col("t_toks") + F.col("b_toks")).alias("t_toks"),
+        )
+        .write.mode("overwrite")
+        .parquet(spath)
+    )
+    A.touch(spark, marker)
+
+    # census + certificates (rebuild/inline legs are attestation-only)
+    disk = spark.read.parquet(ppath)
+    rebuilt = _bm25_postings(docs)
+    scalars_ok = (
+        spark.read.parquet(spath)
+        .crossJoin(
+            _bm25_corpus_scalars(docs).select(
+                F.col("n_docs").alias("r_docs"),
+                F.col("t_toks").alias("r_toks"),
+            )
+        )
+        .select(
+            (
+                (F.col("n_docs") == F.col("r_docs"))
+                & (F.col("t_toks") == F.col("r_toks"))
+            )
+            .cast("long")
+            .alias("scalars_match_rebuild")
+        )
+    )
+    served = _bm25_append_serve(spark, sf_dir).alias("a")
+    inline = text_bm25_topk(spark, sf_dir).alias("b")
+    serve_ok = (
+        served.join(inline, ["query_id", "rank"], "full_outer")
+        .select(
+            (
+                F.col("a.doc_id").eqNullSafe(F.col("b.doc_id"))
+                & F.col("a.score_s").eqNullSafe(F.col("b.score_s"))
+            )
+            .cast("long")
+            .alias("row_ok")
+        )
+        .agg(
+            F.min(F.coalesce(F.col("row_ok"), F.lit(0)))
+            .cast("long")
+            .alias("serve_matches_rebuild")
+        )
+    )
+
+    def census(df: DataFrame, n: str, x: str | None) -> DataFrame:
+        aggs = [F.count(F.lit(1)).cast("long").alias(n)]
+        if x is not None:
+            aggs.append(
+                F.coalesce(
+                    F.bit_xor(_bm25_posting_hash()), F.lit(0).cast("long")
+                ).alias(x)
+            )
+        return df.groupBy("tbkt").agg(*aggs)
+
+    dom = spark.range(TBKT).select(F.col("id").cast("int").alias("tbkt"))
+    z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("long")  # noqa: E731
+    return (
+        dom.join(
+            census(disk.filter(F.col("seg") == "base"), "n_base", None),
+            "tbkt", "left",
+        )
+        .join(
+            census(disk.filter(F.col("seg") == "batch"), "n_batch", None),
+            "tbkt", "left",
+        )
+        .join(census(disk, "n_after", "xor_after"), "tbkt", "left")
+        .join(census(rebuilt, "n_rebuild", "xor_rebuild"), "tbkt", "left")
+        .crossJoin(F.broadcast(scalars_ok))
+        .crossJoin(F.broadcast(serve_ok))
+        .select(
+            "tbkt",
+            z("n_base").alias("n_base"),
+            z("n_batch").alias("n_batch"),
+            z("n_after").alias("n_after"),
+            z("n_rebuild").alias("n_rebuild"),
+            (
+                (z("n_after") == z("n_rebuild"))
+                & (z("xor_after") == z("xor_rebuild"))
+            )
+            .cast("long")
+            .alias("append_matches_rebuild"),
+            F.col("scalars_match_rebuild").cast("long").alias(
+                "scalars_match_rebuild"
+            ),
+            F.col("serve_matches_rebuild").cast("long").alias(
+                "serve_matches_rebuild"
+            ),
+        )
+        .orderBy("tbkt")
+    )
+
+
+def _bm25_index_append_oracle() -> str:
+    bkt = _MD5.format(e="'bm25:'||term")
+    ph = _MD5.format(e="'p:'||term||':'||doc_id||':'||tf||':'||dl")
+    split = "400"  # dedup.INCR_SPLIT_ID — the shared incremental split
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tfb AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM tok GROUP BY doc_id, term),
+dlb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+        FROM tok GROUP BY doc_id),
+p AS (SELECT t.term, t.doc_id, t.tf, l.dl,
+             ({bkt}) % {TBKT} AS tbkt, ({ph}) AS ph
+      FROM tfb t JOIN dlb l USING (doc_id)),
+after AS (SELECT * FROM p WHERE doc_id < {split}
+          UNION ALL SELECT * FROM p WHERE doc_id >= {split}),
+cb AS (SELECT tbkt, CAST(count(*) AS BIGINT) AS n_base
+       FROM p WHERE doc_id < {split} GROUP BY tbkt),
+cn AS (SELECT tbkt, CAST(count(*) AS BIGINT) AS n_batch
+       FROM p WHERE doc_id >= {split} GROUP BY tbkt),
+ca AS (SELECT tbkt, CAST(count(*) AS BIGINT) AS n_after,
+              CAST(bit_xor(ph) AS BIGINT) AS xor_after
+       FROM after GROUP BY tbkt),
+cr AS (SELECT tbkt, CAST(count(*) AS BIGINT) AS n_rebuild,
+              CAST(bit_xor(ph) AS BIGINT) AS xor_rebuild
+       FROM p GROUP BY tbkt),
+sc AS (
+  SELECT CASE WHEN b.n + n.n = a.n AND b.t + n.t = a.t
+         THEN 1 ELSE 0 END AS ok
+  FROM (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(COALESCE(SUM(len({_TOKS})), 0) AS BIGINT) AS t
+        FROM documents WHERE doc_id < {split}) b,
+       (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(COALESCE(SUM(len({_TOKS})), 0) AS BIGINT) AS t
+        FROM documents WHERE doc_id >= {split}) n,
+       (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(COALESCE(SUM(len({_TOKS})), 0) AS BIGINT) AS t
+        FROM documents) a
+)
+SELECT CAST(d.b AS INTEGER) AS tbkt,
+       COALESCE(cb.n_base, 0) AS n_base,
+       COALESCE(cn.n_batch, 0) AS n_batch,
+       COALESCE(ca.n_after, 0) AS n_after,
+       COALESCE(cr.n_rebuild, 0) AS n_rebuild,
+       CAST(CASE WHEN COALESCE(ca.n_after, 0) = COALESCE(cr.n_rebuild, 0)
+                  AND COALESCE(ca.xor_after, 0) = COALESCE(cr.xor_rebuild, 0)
+            THEN 1 ELSE 0 END AS BIGINT) AS append_matches_rebuild,
+       CAST(sc.ok AS BIGINT) AS scalars_match_rebuild,
+       -- the serve leg: the Spark side computes it PHYSICALLY (top-K
+       -- served from the appended artifact, full-outer-compared to
+       -- the train-in-plan ranking); in SQL both sides reduce to the
+       -- identical corpus BM25 query, so the oracle pins the
+       -- tautology — same precedent as the compact oracles
+       CAST(1 AS BIGINT) AS serve_matches_rebuild
+FROM range({TBKT}) AS d(b)
+LEFT JOIN cb ON cb.tbkt = d.b
+LEFT JOIN cn ON cn.tbkt = d.b
+LEFT JOIN ca ON ca.tbkt = d.b
+LEFT JOIN cr ON cr.tbkt = d.b
+CROSS JOIN sc
+ORDER BY tbkt
+"""
+
+
+def text_bm25_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from jobx_spark import artifacts as A
+
+    ppath, _sbase, _spath, marker = _bm25_append_paths(sf_dir)
+    if not A.fs_exists(spark, marker):
+        # materialize the appended generation this job compacts; the
+        # gate is the TERMINAL marker, so a crash between the base and
+        # batch writes (root _SUCCESS present, batch segment missing)
+        # re-runs the idempotent append instead of compacting a
+        # base-only index
+        text_bm25_index_compact_repair(spark, sf_dir)
+    gpath = os.path.join(os.path.dirname(ppath), "postings-compacted")
+    old = spark.read.parquet(ppath).select(
+        "term", "doc_id", "tf", "dl", "tbkt"
+    )
+    (
+        old.repartition(TBKT, "tbkt")
+        .sortWithinPartitions("tbkt", "term", "doc_id")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 0)
+        .partitionBy("tbkt")
+        .parquet(gpath)
+    )
+    new = spark.read.parquet(gpath)
+    fcount = (
+        new.withColumn("f", F.input_file_name())
+        .groupBy("tbkt")
+        .agg(F.count_distinct("f").cast("long").alias("files_after"))
+    )
+
+    def census(df: DataFrame, n: str, x: str) -> DataFrame:
+        return df.groupBy("tbkt").agg(
+            F.count(F.lit(1)).cast("long").alias(n),
+            F.coalesce(
+                F.bit_xor(_bm25_posting_hash()), F.lit(0).cast("long")
+            ).alias(x),
+        )
+
+    dom = spark.range(TBKT).select(F.col("id").cast("int").alias("tbkt"))
+    z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("long")  # noqa: E731
+    return (
+        dom.join(census(old, "n_before", "x_b"), "tbkt", "left")
+        .join(
+            census(new.select("term", "doc_id", "tf", "dl", "tbkt"),
+                   "n_after", "x_a"),
+            "tbkt", "left",
+        )
+        .join(fcount, "tbkt", "left")
+        .select(
+            "tbkt",
+            z("n_before").alias("n_before"),
+            z("n_after").alias("n_after"),
+            z("files_after").alias("files_after"),
+            (
+                (z("n_before") == z("n_after")) & (z("x_b") == z("x_a"))
+            )
+            .cast("long")
+            .alias("content_match"),
+        )
+        .orderBy("tbkt")
+    )
+
+
+def text_bm25_index_compact_repair(spark: SparkSession, sf_dir: str) -> None:
+    """Run the idempotent append to (re)materialize the segmented
+    generation — the census/serve legs of the returned frame stay
+    unexecuted; only the eager artifact writes matter here."""
+    text_bm25_index_append(spark, sf_dir)
+
+
+def _bm25_index_compact_oracle() -> str:
+    # same structure as the dedup/ann compact oracles: the compacted
+    # generation's content equals the appended one (the full-corpus
+    # postings), one file per populated bucket, content_match pinned —
+    # the Spark side computes both physically from the two layouts
+    bkt = _MD5.format(e="'bm25:'||term")
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tfb AS (SELECT doc_id, term FROM tok GROUP BY doc_id, term),
+per AS (
+  SELECT ({bkt}) % {TBKT} AS tbkt, CAST(count(*) AS BIGINT) AS n
+  FROM tfb GROUP BY 1
+)
+SELECT CAST(r.range AS INTEGER) AS tbkt,
+       CAST(COALESCE(per.n, 0) AS BIGINT) AS n_before,
+       CAST(COALESCE(per.n, 0) AS BIGINT) AS n_after,
+       CAST(CASE WHEN per.n IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS files_after,
+       CAST(1 AS BIGINT) AS content_match
+FROM range({TBKT}) r LEFT JOIN per ON per.tbkt = r.range
+ORDER BY tbkt
+"""
+
+
 QUERIES = {
     "text_bm25_index_build": text_bm25_index_build,
     "text_bm25_index_serve": text_bm25_index_serve,
+    "text_bm25_index_append": text_bm25_index_append,
+    "text_bm25_index_compact": text_bm25_index_compact,
     "text_ngram_novelty": text_ngram_novelty,
     "text_hll_merge": text_hll_merge,
     "text_domain_signature": text_domain_signature,
@@ -2141,6 +2628,8 @@ ORACLES = {
     # identical output contract to the train-in-plan ranker — the
     # persisted-index serve attests the same BM25 ranking
     "text_bm25_index_serve": _bm25_oracle(),
+    "text_bm25_index_append": _bm25_index_append_oracle(),
+    "text_bm25_index_compact": _bm25_index_compact_oracle(),
     "text_ngram_novelty": ORACLE_TEXT_NGRAM_NOVELTY,
     "text_hll_merge": _hll_merge_oracle(),
     "text_domain_signature": ORACLE_TEXT_DOMAIN_SIGNATURE,

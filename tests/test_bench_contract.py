@@ -184,14 +184,82 @@ def test_every_registry_query_enrolled_or_excluded():
     all_queries() must be in BENCH_CORE, the rotation pool (registry −
     core − exclude), or explicitly listed in BENCH_EXCLUDE — i.e. the
     only way a query escapes the bench is a deliberate exclusion."""
-    from bench import BENCH_CORE, BENCH_EXCLUDE
+    from bench import (
+        BENCH_CORE,
+        BENCH_EXCLUDE,
+        PASS1_ROTATION_PERIOD,
+        enrolled_queries,
+        pool_for_round,
+    )
     from jobx_spark.queries import all_queries
 
     qs = set(all_queries())
-    enrolled = (qs - set(BENCH_EXCLUDE)) | set(BENCH_CORE)
-    stranded = qs - enrolled - set(BENCH_EXCLUDE)
+    # against the REAL enrollment computation main() uses (ADVICE r11:
+    # the old form recomputed the set expression inside the test, so
+    # it could never fail — the r10 prefix-auto-enroll bug this guards
+    # against would not have been caught)
+    stranded = qs - set(enrolled_queries(qs)) - set(BENCH_EXCLUDE)
     assert not stranded, f"never-benched registry rows: {sorted(stranded)}"
+    # the union of one full rotation's slices must cover the whole
+    # pool: every non-core enrolled query is actually VISITED within
+    # PASS1_ROTATION_PERIOD rounds by the real slicer
+    visited: set[str] = set()
+    pool = None
+    for rnd in range(1, PASS1_ROTATION_PERIOD + 1):
+        pool, sl, _off = pool_for_round(qs, rnd)
+        visited |= set(sl)
+    expected = set(enrolled_queries(qs)) - set(BENCH_CORE)
+    assert set(pool) == expected
+    assert visited == expected, (
+        f"pool rows never sliced in: {sorted(expected - visited)}"
+    )
     # and exclusions must be real registry names (a rename would turn
     # an exclusion into a dead entry while the query re-enrolls)
     dead = [n for n in BENCH_EXCLUDE if n not in qs]
     assert not dead, f"BENCH_EXCLUDE names not in registry: {dead}"
+
+
+def test_bench_prereq_names_resolve_and_core_untouched():
+    """VERDICT r11 #3: lifecycle prereqs must name real registry rows,
+    every prereq'd row must itself be enrolled (core or pool), and the
+    prereq map must not inject ensures into the frozen core's own
+    timing path (the core trio handles ordering positionally — a
+    prereq'd CORE row would silently change the core_total series).
+    run_meta must serialize the calibration canary."""
+    from bench import (
+        BENCH_CORE,
+        BENCH_PREREQ,
+        enrolled_queries,
+        run_meta,
+    )
+    from jobx_spark.queries import all_queries
+
+    qs = all_queries()
+    enrolled = set(enrolled_queries(qs))
+    for name, pres in BENCH_PREREQ.items():
+        assert name in qs, f"BENCH_PREREQ key not in registry: {name}"
+        assert name in enrolled, f"prereq'd row is excluded: {name}"
+        for p in pres:
+            assert p in qs, f"prereq not in registry: {name} -> {p}"
+    # main() applies prereqs in pass 1c only; nothing in BENCH_CORE may
+    # rely on one (build-before-serve inside the core is positional)
+    core = set(BENCH_CORE)
+    for name in BENCH_PREREQ:
+        if name in core:
+            for p in BENCH_PREREQ[name]:
+                assert p in core and BENCH_CORE.index(p) < BENCH_CORE.index(
+                    name
+                ), (
+                    f"core row {name} depends on {p}, which must precede "
+                    "it inside BENCH_CORE (pool prereqs never fire for "
+                    "core rows)"
+                )
+    import json as _json
+
+    meta = run_meta(
+        0.1, 0.1, {n: 1.0 for n in BENCH_CORE},
+        reps_done={n: 1 for n in BENCH_CORE},
+        calibration={"start": {"spark_fixed_s": 1.0}},
+    )
+    assert meta["calibration"]["start"]["spark_fixed_s"] == 1.0
+    _json.dumps(meta)
