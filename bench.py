@@ -353,6 +353,7 @@ BENCH_PREREQ: dict[str, tuple[str, ...]] = {
     "dedup_index_append": ("dedup_index_append",),
     "stream_dedup_index_append": ("dedup_index_append",),
     "text_bm25_index_append": ("text_bm25_index_append",),
+    "stream_bm25_index_append": ("stream_bm25_index_append",),
     "stream_index_ingest": ("stream_index_ingest",),
     # compact rows: append materializes the generation being compacted
     "ann_index_compact": ("ann_index_append",),

@@ -26,6 +26,21 @@ bpe-vocab) relied on ``mode("overwrite")`` + a ``_SUCCESS`` probe via
   publish of ``v=N+1`` (the snapshot-isolation contract pinned by
   tests/test_r11_additions.py::test_index_snapshot_isolation).
 
+Scope of the guarantee (ADVICE r11): this layout assumes a SINGLE
+WRITER per artifact root. Two concurrent builders would resolve the
+same next version, and ``next_version_dir``'s crash-leftover cleanup
+could delete the other writer's in-flight directory mid-
+materialization. That matches the deployment story — one driver owns
+an index's build/append/compact jobs (the way one streaming query
+owns a checkpoint dir); reader concurrency is unlimited. Cross-driver
+writer coordination would need an external lock or a
+conditional-create manifest, out of scope here. Retention depth is
+likewise a bound, not an invariant: keeping the latest TWO versions
+protects a reader pinned to v=N across exactly ONE subsequent publish
+— a reader that stays pinned while two more versions publish loses
+its files. Long-lived readers should re-resolve per query (every
+serve path here does).
+
 Reference basis: the same publish-then-flip-pointer discipline as
 table formats' metadata pointer (Iceberg's version-hint / Delta's
 _last_checkpoint), re-expressed for plain parquet directories.
@@ -142,7 +157,10 @@ def publish(spark: SparkSession | None, root: str, version: int) -> str:
     """Flip the pointer to ``version`` (whose directory must already be
     fully written) and prune versions older than the previous one —
     the latest TWO stay on disk so a reader pinned to the prior
-    version survives this publish."""
+    version survives THIS publish (one-publish window: a second
+    subsequent publish deletes v=N, see the module docstring's
+    retention bound). Single-writer per root, also per the module
+    docstring."""
     _touch(spark, os.path.join(root, f"_v{version}.ptr"))
     for old in _list_markers(spark, root):
         if old < version - 1:
@@ -154,7 +172,10 @@ def publish(spark: SparkSession | None, root: str, version: int) -> str:
 def next_version_dir(spark: SparkSession | None, root: str) -> tuple[int, str]:
     """(version, dir) the writer should materialize into. Never reuses
     a published version number; an unpublished crash leftover with the
-    same number is removed first (it was invisible to readers)."""
+    same number is removed first (it was invisible to readers). The
+    leftover cleanup is exactly why the contract is single-writer per
+    root: a second concurrent builder's in-flight directory looks like
+    a crash leftover to this call."""
     cur = current_version(spark, root)
     nxt = (cur or 0) + 1
     vdir = version_dir(root, nxt)

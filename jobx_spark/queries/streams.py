@@ -1666,6 +1666,123 @@ def _sbm25_oracle() -> str:
 
 
 # --------------------------------------------------------------------------
+# stream_bm25_index_append — the PERSISTED streaming postings ingest,
+# completing the streaming-ingest triangle (vectors:
+# stream_index_ingest, bands: stream_dedup_index_append, terms: THIS):
+# each micro-batch of new documents is tokenized into (term, doc_id,
+# tf, dl) postings — per-doc arithmetic against frozen code, stateless
+# — and lands as NEW FILES directly in the on-disk inverted index
+# under its own segment (seg=b<batch_id>/tbkt=*, dynamic partition
+# overwrite: a replayed batch replaces exactly its segment, base files
+# never touched). The BM25-specific step the other two families don't
+# have: after the stream drains, the corpus-global scalars table is
+# REPUBLISHED (base-on-disk + the full batch side's deltas — both
+# addends independent of the table being overwritten, so recovery
+# re-runs are idempotent); df needs no republish at all because the
+# append layout never denormalizes it (serving recomputes df from the
+# bucket-pruned scan — jobx_spark/queries/text.py design note). The
+# returned census is text_bm25_index_append's verbatim (oracle too):
+# per term bucket, append≡rebuild on the posting-content hash,
+# scalars≡rebuild, and serve-from-the-streamed-index ≡ the
+# train-in-plan ranking. Own root (bm25-index-ingest-*), disjoint from
+# the batch append family, so the two lifecycles never
+# cross-contaminate a census.
+# --------------------------------------------------------------------------
+def stream_bm25_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from jobx_spark import artifacts as A
+    from jobx_spark.lineage import checkpoint_root, scratch_dir
+    from jobx_spark.queries.dedup import INCR_SPLIT_ID
+    from jobx_spark.queries.text import (
+        TBKT,
+        _bm25_append_census,
+        _bm25_corpus_scalars,
+        _bm25_postings,
+    )
+    from jobx_spark.sources import load_table
+
+    key = hashlib.sha256(sf_dir.rstrip("/").encode()).hexdigest()[:12]
+    iroot = os.path.join(checkpoint_root(), f"bm25-index-ingest-{key}")
+    ppath = os.path.join(iroot, "postings")
+    sbase = os.path.join(iroot, "scalars_base")
+    spath = os.path.join(iroot, "scalars")
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < INCR_SPLIT_ID)
+    batch = docs.filter(F.col("doc_id") >= INCR_SPLIT_ID).select(
+        "doc_id", "text"
+    )
+    if not A.fs_exists(spark, os.path.join(ppath, "_SUCCESS")):
+        (
+            _bm25_postings(corpus)
+            .withColumn("seg", F.lit("base"))
+            .repartition(TBKT, "tbkt")
+            .sortWithinPartitions("tbkt", "term", "doc_id")
+            .write.mode("overwrite")
+            .partitionBy("seg", "tbkt")
+            .parquet(ppath)
+        )
+        _bm25_corpus_scalars(corpus).write.mode("overwrite").parquet(sbase)
+    rdir = S.write_replay_files(batch, ["doc_id"], 3, "sbm25a")
+    st = S.stream_replay(spark, rdir)
+    ckpt = f"{scratch_dir('stream_bm25_append')}/ckpt"
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            _bm25_postings(batch_df)
+            .withColumn("seg", F.lit(f"b{batch_id}"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("seg", "tbkt")
+            .parquet(ppath)
+        )
+
+    q = (
+        st.writeStream.foreachBatch(_append)
+        # contract label for the STREAM_PLANS audit: stateless per
+        # micro-batch — tokenization constants are frozen code
+        .queryName(
+            f"sbm25a_stateless_{os.getpid()}_{next(S._name_counter)}"
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    S._capture_run(q)
+    # the scalars republish (base + the whole batch side's deltas)
+    sb = spark.read.parquet(sbase)
+    bd = _bm25_corpus_scalars(
+        docs.filter(F.col("doc_id") >= INCR_SPLIT_ID)
+    ).select(
+        F.col("n_docs").alias("b_docs"), F.col("t_toks").alias("b_toks")
+    )
+    (
+        sb.crossJoin(bd)
+        .select(
+            (F.col("n_docs") + F.col("b_docs")).alias("n_docs"),
+            (F.col("t_toks") + F.col("b_toks")).alias("t_toks"),
+        )
+        .write.mode("overwrite")
+        .parquet(spath)
+    )
+    A.touch(spark, os.path.join(iroot, "_APPEND_DONE"))
+    return _bm25_append_census(spark, sf_dir, ppath, spath)
+
+
+def _sbm25a_oracle() -> str:
+    """text_bm25_index_append's oracle verbatim — identical output
+    contract (every batch doc lives in exactly one segment, so the
+    segmented union equals the batch append's base∪batch)."""
+    from jobx_spark.queries.text import _bm25_index_append_oracle
+
+    return _bm25_index_append_oracle()
+
+
+# --------------------------------------------------------------------------
 # stream_drift_census — ann_drift_census's streaming twin: the drift
 # monitor as it actually runs in production, riding the INGEST stream
 # instead of re-scanning the corpus. Each micro-batch of new vectors
@@ -1984,6 +2101,7 @@ QUERIES = {
     "stream_dedup_index_append": stream_dedup_index_append,
     "stream_index_ingest": stream_index_ingest,
     "stream_bm25_index_serve": stream_bm25_index_serve,
+    "stream_bm25_index_append": stream_bm25_index_append,
     "stream_incremental_restart": stream_incremental_restart,
     "stream_ewma_user_value": stream_ewma_user_value,
     "stream_bloom_decontaminate": stream_bloom_decontaminate,
@@ -2018,6 +2136,7 @@ ORACLES = {
     "stream_dedup_index_append": _sdida_oracle(),
     "stream_index_ingest": _singest_oracle(),
     "stream_bm25_index_serve": _sbm25_oracle(),
+    "stream_bm25_index_append": _sbm25a_oracle(),
     "stream_incremental_restart": ORACLE_STREAM_RESTART,
     "stream_ewma_user_value": _stream_ewma_oracle(),
     "stream_bloom_decontaminate": _sbdecon_oracle(),

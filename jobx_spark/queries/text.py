@@ -2348,8 +2348,19 @@ def text_bm25_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(spath)
     )
     A.touch(spark, marker)
+    return _bm25_append_census(spark, sf_dir, ppath, spath)
 
-    # census + certificates (rebuild/inline legs are attestation-only)
+
+def _bm25_append_census(
+    spark: SparkSession, sf_dir: str, ppath: str, spath: str
+) -> DataFrame:
+    """Per-bucket census + the three certificates, planned over the
+    given append-family root (seg=base is the frozen corpus segment;
+    everything else — seg=batch for the batch job, seg=b<k> for the
+    streaming ingest — counts as appended). Shared by
+    text_bm25_index_append and stream_bm25_index_append; the rebuild
+    and inline-ranking legs are attestation-only."""
+    docs = load_table(spark, sf_dir, "documents")
     disk = spark.read.parquet(ppath)
     rebuilt = _bm25_postings(docs)
     scalars_ok = (
@@ -2369,7 +2380,14 @@ def text_bm25_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("scalars_match_rebuild")
         )
     )
-    served = _bm25_append_serve(spark, sf_dir).alias("a")
+    all_terms = sorted({t for q in BM25_QUERIES.values() for t in q.split()})
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, q in BM25_QUERIES.items() for t in q.split()],
+        "query_id INT, term STRING",
+    )
+    served = _bm25_append_serve_body(
+        spark, ppath, spath, qterms, all_terms
+    ).alias("a")
     inline = text_bm25_topk(spark, sf_dir).alias("b")
     serve_ok = (
         served.join(inline, ["query_id", "rank"], "full_outer")
@@ -2406,7 +2424,7 @@ def text_bm25_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tbkt", "left",
         )
         .join(
-            census(disk.filter(F.col("seg") == "batch"), "n_batch", None),
+            census(disk.filter(F.col("seg") != "base"), "n_batch", None),
             "tbkt", "left",
         )
         .join(census(disk, "n_after", "xor_after"), "tbkt", "left")

@@ -110,6 +110,37 @@ def test_bm25_compact_repairs_partial_append_state(spark, tmp_path):
     )
 
 
+def test_stream_bm25_index_append_equals_batch_append(spark, sf_dir):
+    """The persisted streaming postings ingest lands each micro-batch
+    as its own segment (seg=b0/b1/b2) beside the untouched base, then
+    republishes the corpus scalars — its census (all three
+    certificates included) must equal the batch append job's bit for
+    bit."""
+    import glob
+
+    from jobx_spark.lineage import checkpoint_root
+    from jobx_spark.queries.streams import QUERIES as SQ
+    from jobx_spark.queries.text import QUERIES as TQ
+
+    streamed = [
+        tuple(r)
+        for r in SQ["stream_bm25_index_append"](spark, sf_dir).collect()
+    ]
+    assert all(r[5] == 1 and r[6] == 1 and r[7] == 1 for r in streamed)
+    segs = {
+        os.path.basename(p).split("=")[1]
+        for p in glob.glob(
+            f"{checkpoint_root()}/bm25-index-ingest-*/postings/seg=*"
+        )
+    }
+    assert "base" in segs and {"b0", "b1", "b2"} <= segs
+    batch = [
+        tuple(r)
+        for r in TQ["text_bm25_index_append"](spark, sf_dir).collect()
+    ]
+    assert streamed == batch
+
+
 def test_dedup_probe_scaled64_pruned_and_equals_1x(spark, sf_dir):
     """VERDICT r11 #6: the band-index flat-serve probe — the 64×
     replicated index is scanned partition-pruned to the probed

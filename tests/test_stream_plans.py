@@ -91,6 +91,7 @@ EXPECT = {
     # stateless-foreachBatch online retrieval: per-batch BM25 serving
     # against the frozen persisted inverted index
     "stream_bm25_index_serve": ([], False, set()),
+    "stream_bm25_index_append": ([], False, set()),
 }
 
 FORBIDDEN_NODES = ("CartesianProduct", "BroadcastNestedLoopJoin")
