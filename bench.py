@@ -346,6 +346,9 @@ BENCH_PREREQ: dict[str, tuple[str, ...]] = {
     "dedup_index_probe_scaled64": ("dedup_index_probe_scaled64",),
     "text_bm25_index_serve": ("text_bm25_index_build",),
     "stream_bm25_index_serve": ("text_bm25_index_build",),
+    # self-prereq: the first (untimed) run replicates the 1× postings
+    # into the 64× bucket space; the timed rep is serve-only
+    "text_bm25_serve_scaled64": ("text_bm25_serve_scaled64",),
     "pipe_encode_serve": ("pipe_vocab_build",),
     # append rows: the first (untimed) run pays the one-off base
     # segment; the timed rep measures the incremental append

@@ -367,10 +367,12 @@ _GATE_R10 = [
     "q04_brand_revenue", "q05_semi_join", "q06_anti_join",
     "q07_topk_per_group",
 ]
-# ROUND-13 GATE PLAN: lead with stream_bm25_index_append (the
-# streaming postings ingest, landed after the r12 gate filled — the
-# only registry row without a driver attestation after r12; verified
-# at sf0.001+sf0.01 under the driver recipe as it landed), then
+# ROUND-13 GATE PLAN: lead with the two rows landed after the r12
+# gate filled (the only registry rows without a driver attestation
+# after r12; both verified at sf0.001+sf0.01 under the driver recipe
+# as they landed): stream_bm25_index_append (the streaming postings
+# ingest) and text_bm25_serve_scaled64 (the term-side 64× flat-serve
+# probe). Then
 # anything new in r13, then changed plans, then the oldest cohort:
 # the 41-row r7-banked block (dedup_exact/simhash family, the
 # multimodal quintet, text_lang_id/quality/tfidf..., pipe_corpus_stats

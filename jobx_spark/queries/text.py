@@ -2297,6 +2297,82 @@ def _bm25_append_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bm25_append_serve_body(spark, ppath, spath, qterms, all_terms)
 
 
+# --------------------------------------------------------------------------
+# text_bm25_serve_scaled64 — the flat-serve probe for the INVERTED
+# index, completing the 64× serving evidence across all three
+# families (vectors: ann_index_serve_scaled64, bands:
+# dedup_index_probe_scaled64, terms: THIS). The claim is "query cost
+# independent of corpus size": at 100 TB the term-bucket space grows
+# with the vocabulary while per-bucket size stays bounded by the
+# bucket's posting mass, and a query reads only its own ≤|q| buckets.
+# This probe replicates the BUILT 1× postings into 64 disjoint
+# bucket/doc ranges (doc_id + rep·10⁹, tbkt + rep·TBKT — a cheap
+# artifact rewrite, no re-tokenization; df/dl columns ride along
+# unchanged), so the on-disk index holds 64× the postings across 64×
+# the bucket partitions while every bucket keeps its 1× size. The
+# replica buckets model the vocabulary mass a query never touches, so
+# the partition-pruned scan reads CONSTANT bytes and the served
+# ranking provably equals the 1× serve — the oracle is
+# text_bm25_topk's verbatim, hash-exact. Enrolled in the bench POOL
+# with a self-prerequisite (first untimed run materializes the
+# replica); its number read against text_bm25_index_serve's is the
+# term-side flat-serve evidence.
+# --------------------------------------------------------------------------
+_BM25_REP_BASE = 10**9
+BM25_REP64 = 64
+
+
+def _bm25_scaled64_ensure(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    import hashlib
+    import os
+
+    from jobx_spark import artifacts as A
+    from jobx_spark.lineage import checkpoint_root
+
+    ppath, spath = _bm25_index_ensure(spark, sf_dir)
+    key = hashlib.sha256(
+        (sf_dir.rstrip("/") + ":scaled64").encode()
+    ).hexdigest()[:12]
+    p64 = os.path.join(checkpoint_root(), f"bm25-index-{key}", "postings")
+    if A.fs_exists(spark, os.path.join(p64, "_SUCCESS")):
+        return p64, spath
+    rep = F.explode(
+        F.array(*[F.lit(i) for i in range(BM25_REP64)])
+    ).alias("rep")
+    base = spark.read.parquet(ppath)
+    cols = [c for c in base.columns if c != "tbkt"]
+    (
+        base.select(*cols, "tbkt", rep)
+        .select(
+            *[c for c in cols if c != "doc_id"],
+            (
+                F.col("doc_id").cast("long")
+                + F.col("rep").cast("long") * F.lit(_BM25_REP_BASE)
+            ).alias("doc_id"),
+            (
+                F.col("tbkt").cast("int")
+                + F.col("rep").cast("int") * F.lit(TBKT)
+            ).alias("tbkt"),
+        )
+        .repartition(TBKT, "tbkt")
+        .sortWithinPartitions("tbkt", "term", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("tbkt")
+        .parquet(p64)
+    )
+    return p64, spath
+
+
+def text_bm25_serve_scaled64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p64, spath = _bm25_scaled64_ensure(spark, sf_dir)
+    all_terms = sorted({t for q in BM25_QUERIES.values() for t in q.split()})
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, q in BM25_QUERIES.items() for t in q.split()],
+        "query_id INT, term STRING",
+    )
+    return _bm25_serve_body(spark, p64, spath, qterms, all_terms)
+
+
 def text_bm25_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
@@ -2618,6 +2694,7 @@ QUERIES = {
     "text_bm25_index_serve": text_bm25_index_serve,
     "text_bm25_index_append": text_bm25_index_append,
     "text_bm25_index_compact": text_bm25_index_compact,
+    "text_bm25_serve_scaled64": text_bm25_serve_scaled64,
     "text_ngram_novelty": text_ngram_novelty,
     "text_hll_merge": text_hll_merge,
     "text_domain_signature": text_domain_signature,
@@ -2648,6 +2725,9 @@ ORACLES = {
     "text_bm25_index_serve": _bm25_oracle(),
     "text_bm25_index_append": _bm25_index_append_oracle(),
     "text_bm25_index_compact": _bm25_index_compact_oracle(),
+    # replica buckets are disjoint from every query-term bucket, so
+    # the 64× serve's ranking equals the train-in-plan BM25 top-K
+    "text_bm25_serve_scaled64": _bm25_oracle(),
     "text_ngram_novelty": ORACLE_TEXT_NGRAM_NOVELTY,
     "text_hll_merge": _hll_merge_oracle(),
     "text_domain_signature": ORACLE_TEXT_DOMAIN_SIGNATURE,

@@ -141,6 +141,30 @@ def test_stream_bm25_index_append_equals_batch_append(spark, sf_dir):
     assert streamed == batch
 
 
+def test_bm25_serve_scaled64_pruned_and_equals_1x(spark, sf_dir):
+    """The term-side flat-serve probe completing the 64× evidence
+    across all three serving families: the 64× replicated postings
+    scan prunes to the query's own term buckets (replica bucket
+    ranges never read), zero documents scans, ranking equal to the
+    train-in-plan BM25 top-K."""
+    from jobx_spark.queries.text import QUERIES
+
+    df = QUERIES["text_bm25_serve_scaled64"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "bm25-index-" in plan
+    assert "documents.parquet" not in plan
+    pf = plan.split("PartitionFilters: [")[1]
+    assert "tbkt#" in pf[:60] and (
+        " IN (" in pf[:80] or " INSET " in pf[:80]
+    )
+    served = [tuple(r) for r in df.collect()]
+    inline = [
+        tuple(r) for r in QUERIES["text_bm25_topk"](spark, sf_dir).collect()
+    ]
+    assert served == inline
+    assert served
+
+
 def test_dedup_probe_scaled64_pruned_and_equals_1x(spark, sf_dir):
     """VERDICT r11 #6: the band-index flat-serve probe — the 64×
     replicated index is scanned partition-pruned to the probed
