@@ -65,3 +65,27 @@ def cut_lineage(df: DataFrame, tag: str = "step") -> DataFrame:
     path = os.path.join(checkpoint_root(), f"{tag}-{uuid.uuid4().hex[:12]}")
     df.write.mode("error").parquet(path)
     return df.sparkSession.read.parquet(path)
+
+
+def cut_lineage_observed(
+    df: DataFrame, aggs, tag: str = "step", keep: list[str] | None = None
+):
+    """:func:`cut_lineage` whose materializing write ALSO evaluates the
+    given aggregate expressions through an ``Observation`` riding the
+    same action — iterative loops get their convergence metrics for
+    free instead of paying a second job per round (guide §1: the
+    per-round convergence ``count()``/``limit(1).count()`` was a full
+    extra job over the just-written frame). ``keep`` optionally
+    restricts the PERSISTED columns (the observation still sees every
+    column of ``df``, so a metric may aggregate a column that is not
+    written — e.g. a per-round ``changed`` flag). Returns
+    ``(frame_reading_the_parquet, metrics_dict)``."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = df.observe(obs, *aggs)
+    if keep is not None:
+        observed = observed.select(*keep)
+    path = os.path.join(checkpoint_root(), f"{tag}-{uuid.uuid4().hex[:12]}")
+    observed.write.mode("error").parquet(path)
+    return df.sparkSession.read.parquet(path), obs.get

@@ -428,27 +428,34 @@ def connected_components(
         .withColumn("comp", F.col("node")),
         "cc-labels",
     )
+    from jobx_spark.lineage import cut_lineage_observed
+
     for _ in range(max_iter):
-        msgs = (
+        # per-node min over neighbor labels, then ONE outer join against
+        # the old labels: new comp = min(old, neighbor-min) — identical
+        # values to the previous union+groupBy-min (labels holds every
+        # node exactly once), but the `changed` flag now exists in-plan,
+        # so the convergence check rides the checkpoint write as an
+        # Observation instead of paying a separate join+count job per
+        # round (guide §1/§2.4: one job per round, half the actions).
+        msgs_min = (
             sym.alias("e")
             .join(labels.alias("l"), F.col("e.u") == F.col("l.node"))
-            .select(F.col("e.v").alias("node"), F.col("l.comp").alias("comp"))
+            .groupBy(F.col("e.v").alias("node"))
+            .agg(F.min(F.col("l.comp")).alias("mcomp"))
         )
-        new_labels = cut_lineage(
-            labels.union(msgs)
-            .groupBy("node")
-            .agg(F.min("comp").alias("comp")),
+        joined = labels.join(msgs_min, "node", "left").select(
+            "node",
+            F.least(F.col("comp"), F.col("mcomp")).alias("new_comp"),
+            (F.col("mcomp") < F.col("comp")).alias("changed"),
+        )
+        labels, metrics = cut_lineage_observed(
+            joined.select("node", F.col("new_comp").alias("comp"), "changed"),
+            [F.count_if(F.col("changed")).alias("n_changed")],
             "cc-labels",
+            keep=["node", "comp"],
         )
-        improved = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") < F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if improved == 0:
+        if int(metrics["n_changed"] or 0) == 0:
             break
     return labels
 
@@ -541,8 +548,21 @@ def connected_components_lsss(
             )
             .distinct()
         )
-        oriented = cut_lineage(small, "lsss-edges")
-        new_sig = _sig(oriented)
+        # fixpoint signature rides the checkpoint write (guide §1: no
+        # separate count+checksum job per round)
+        from jobx_spark.lineage import cut_lineage_observed
+
+        oriented, m = cut_lineage_observed(
+            small,
+            [
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(
+                    F.bit_xor(F.xxhash64("u", "v")), F.lit(0).cast("long")
+                ).alias("h"),
+            ],
+            "lsss-edges",
+        )
+        new_sig = (int(m["n"] or 0), int(m["h"] or 0))
         if new_sig == sig:
             converged = True
             break
@@ -786,6 +806,8 @@ def kcore(
         .distinct(),
         "kcore-edges",
     )
+    from jobx_spark.lineage import cut_lineage_observed
+
     alive = sym.select(F.col("u").alias("node")).distinct()
     n_alive = alive.count()
     for _ in range(rounds):
@@ -799,11 +821,14 @@ def kcore(
             .groupBy("u")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
-        alive = cut_lineage(
+        # survivor count rides the checkpoint write as an Observation —
+        # no separate count job per peel round (guide §1)
+        alive, metrics = cut_lineage_observed(
             deg.filter(F.col("deg") >= k).select(F.col("u").alias("node")),
+            [F.count(F.lit(1)).alias("n")],
             "kcore-alive",
         )
-        n_next = alive.count()
+        n_next = int(metrics["n"] or 0)
         if n_next == n_alive:  # converged — further rounds are no-ops
             break
         n_alive = n_next

@@ -21,7 +21,6 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from jobx_spark.lineage import cut_lineage
 from jobx_spark.operators.dedup import cosine_from_scaled, scaled_dot, scaled_dot_udf
 
 # hyperplane weights: w(plane j, dim i) = +1 if ((j*1000003 + i*7919) mod 97)
@@ -94,6 +93,93 @@ def hyperplane_bucket_udf(n_planes: int = 8):
     return bucket
 
 
+def _centroid_arrays(rows, scale: int | None = None):
+    """Driver-side centroid matrix from collected (cent_id, cv[_s])
+    rows: (cent_ids asc int64, cv float64 (k,dim), cnorm_sqrt float64).
+    ``scale`` set means rows carry scaled-int ``cv_s`` to be divided
+    down; None means rows already carry double ``cv``. The norm is the
+    same ``floor(c·c·1e12)`` int64 sum as :func:`scaled_dot`, so every
+    downstream cosine is bit-identical to the expression form."""
+    ids = sorted(r["cent_id"] for r in rows)
+    by_id = {r["cent_id"]: r for r in rows}
+    cent_ids = np.array(ids, dtype=np.int64)
+    if scale is None:
+        cv = np.array([list(by_id[i]["cv"]) for i in ids], dtype=np.float64)
+    else:
+        cv = (
+            np.array([list(by_id[i]["cv_s"]) for i in ids], dtype=np.float64)
+            / scale
+        )
+    cnorm_sqrt = np.sqrt(
+        np.floor(cv * cv * 1e12).astype(np.int64).sum(axis=1).astype(np.float64)
+    )
+    return cent_ids, cv, cnorm_sqrt
+
+
+def _nearest_centroid_udf(cent_ids, cv, cnorm_sqrt, with_cosine: bool):
+    """Pandas UDF mapping a vector column to its nearest centroid by
+    cosine — the k-row centroid matrix ships in the task closure, so
+    assignment is a PURE MAP over the corpus (the previous shape was a
+    broadcast join + a full-corpus groupBy(id) shuffle that carried the
+    vectors). Numerics are bit-identical to the join form: per-element
+    ``floor(x·c·1e12)`` int64 dots (numpy, same as scaled_dot_udf),
+    cosine = dot / (√vnorm·√cnorm) in IEEE doubles, NULL when either
+    norm is zero (the try_divide contract), ties to the LOWEST cent_id
+    (np.argmax first-max == max(struct(cos, -cent_id)): a NULL cosine
+    sorts below every finite one, exactly like -inf here).
+
+    Returns struct(norm_s, cell, cosine?) per row; rows where every
+    centroid cosine is undefined get cell = lowest cent_id and a NULL
+    cosine — the same row the old max(struct) aggregation produced."""
+    fields = "norm_s bigint, cell bigint" + (
+        ", cosine double" if with_cosine else ""
+    )
+
+    @F.pandas_udf(f"struct<{fields}>")
+    def best(vs: pd.Series) -> pd.DataFrame:
+        n = len(vs)
+        if n == 0 or len(cent_ids) == 0:
+            out = pd.DataFrame(
+                {
+                    "norm_s": pd.Series([], dtype="int64"),
+                    "cell": pd.Series([], dtype="int64"),
+                }
+            )
+            if with_cosine:
+                out["cosine"] = pd.Series([], dtype="float64")
+            return out
+        mat = np.stack(vs.values).astype(np.float64)
+        vnorm_s = (
+            np.floor(mat * mat * 1e12).astype(np.int64).sum(axis=1)
+        )
+        vnorm_sqrt = np.sqrt(vnorm_s.astype(np.float64))
+        k = len(cent_ids)
+        cos = np.full((n, k), -np.inf)
+        for j in range(k):
+            denom = vnorm_sqrt * cnorm_sqrt[j]
+            dot = (
+                np.floor(mat * cv[j] * 1e12)
+                .astype(np.int64)
+                .sum(axis=1)
+                .astype(np.float64)
+            )
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cj = dot / denom
+            cos[:, j] = np.where(denom > 0.0, cj, -np.inf)
+        bi = np.argmax(cos, axis=1)  # first max → lowest cent_id on ties
+        bc = cos[np.arange(n), bi]
+        out = pd.DataFrame(
+            {"norm_s": vnorm_s, "cell": cent_ids[bi]}
+        )
+        if with_cosine:
+            cvals = bc.astype(object)
+            cvals[~np.isfinite(bc)] = None  # all-undefined → NULL cosine
+            out["cosine"] = cvals
+        return out
+
+    return best
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,
@@ -102,8 +188,10 @@ def ivf_assign(
     extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Assign each vector to its nearest centroid by cosine (IVF coarse
-    quantization). Centroids broadcast; the argmax is max(struct(cos,
-    -cent_id)) — one narrow aggregation, ties to the lowest cent_id.
+    quantization). The k-row centroid table is collected to the driver
+    (bounded by k, never the corpus) and ships in the task closure, so
+    assignment is a pure map — no join, no shuffle; ties to the lowest
+    cent_id exactly as before.
 
     Output (id, v, norm_s, *extra_cols, cell). ``extra_cols`` carries
     per-vector metadata (e.g. the label an index stores for filtered
@@ -113,36 +201,25 @@ def ivf_assign(
     partition key of the stored index table, so a probe reads only
     nprobe partitions.
     """
-    c = centroids.select(
-        F.col("cent_id"), F.col("cv")
-    ).withColumn("cnorm_s", _sdot(F.col("cv"), F.col("cv")))
+    crows = centroids.select("cent_id", "cv").collect()
+    cent_ids, cvm, cnorm_sqrt = _centroid_arrays(crows)
+    best = _nearest_centroid_udf(cent_ids, cvm, cnorm_sqrt, with_cosine=False)
     v = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), *extra_cols
-    ).withColumn("norm_s", _sdot(F.col("v"), F.col("v")))
-    scored = v.join(F.broadcast(c)).select(
+    )
+    if len(crows) == 0:
+        return (
+            v.withColumn("norm_s", _sdot(F.col("v"), F.col("v")))
+            .withColumn("cell", F.lit(None).cast("long"))
+            .filter(F.lit(False))
+            .select("id", "v", "norm_s", *extra_cols, "cell")
+        )
+    return v.withColumn("b", best(F.col("v"))).select(
         "id",
         "v",
-        "norm_s",
+        F.col("b.norm_s").alias("norm_s"),
         *extra_cols,
-        F.struct(
-            cosine_from_scaled(
-                _sdot(F.col("v"), F.col("cv")), F.col("norm_s"), F.col("cnorm_s")
-            ).alias("cos"),
-            (-F.col("cent_id")).alias("neg_cent"),
-        ).alias("sc"),
-    )
-    return (
-        scored.groupBy("id")
-        .agg(
-            F.max("sc").alias("best"),
-            F.first("v").alias("v"),
-            F.first("norm_s").alias("norm_s"),
-            *[F.first(c0).alias(c0) for c0 in extra_cols],
-        )
-        .select(
-            "id", "v", "norm_s", *extra_cols,
-            (-F.col("best.neg_cent")).alias("cell"),
-        )
+        F.col("b.cell").alias("cell"),
     )
 
 
@@ -230,16 +307,24 @@ def kmeans_train(
     double op on identical inputs, so DuckDB running the same unrolled
     rounds reproduces bit-identical centroids and assignments.
 
-    Scale shape per round: centroids (k rows) broadcast into the
-    assignment join — the corpus never shuffles for assignment; the
-    update is one posexplode + (cell, dim)-keyed aggregation (map-side
-    partial) whose output is k·dim rows. Driver never sees vectors;
-    centroid frames (tiny) are reliably checkpointed each round via
-    ``cut_lineage`` — survives executor loss, unlike localCheckpoint.
+    Scale shape per round: the k·dim scaled-int centroid matrix lives
+    on the DRIVER (bounded by k and dim, never the corpus) and ships in
+    the task closure, so assignment is a pure map — no join, no
+    broadcast exchange, no corpus shuffle; the update is one posexplode
+    + (cell, dim)-keyed aggregation (map-side partial) whose k·dim
+    output rows are collected back. One Spark job per Lloyd round (the
+    previous shape paid a broadcast join, a full-corpus groupBy(id)
+    shuffle carrying the vectors, and a parquet lineage-cut round-trip
+    per round). Driver never sees corpus vectors; a restart replays
+    from the deterministic seed, so no checkpoint is needed.
     """
+    spark = df.sparkSession
     e = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    e = e.withColumn("vnorm_s", _sdot(F.col("v"), F.col("v")))
-    cent = (
+    # Seed centroids: k rows collected to the driver (bounded by k,
+    # never the corpus) — the whole Lloyd loop iterates driver-side on
+    # k·dim integers, so each round is ONE job whose only shuffle is
+    # the map-side-combined (cell, dim) update aggregate.
+    seed_rows = (
         e.filter((F.col("id") >= cent_base) & (F.col("id") < cent_base + k))
         .select(
             (F.col("id") - cent_base).alias("cent_id"),
@@ -247,68 +332,61 @@ def kmeans_train(
                 "v", lambda x: F.floor(x.cast("double") * scale).cast("long")
             ).alias("cv_s"),
         )
+        .collect()
     )
-    cent = cut_lineage(cent, "km-cent")
+    cents = {int(r["cent_id"]): list(r["cv_s"]) for r in seed_rows}
 
-    def assign(cent_df: DataFrame) -> DataFrame:
-        cd = cent_df.select(
-            "cent_id",
-            F.transform("cv_s", lambda c: c.cast("double") / scale).alias("cv"),
-        ).withColumn("cnorm_s", _sdot(F.col("cv"), F.col("cv")))
-        scored = e.join(F.broadcast(cd)).select(
-            "id",
-            "v",
-            F.struct(
-                cosine_from_scaled(
-                    _sdot(F.col("v"), F.col("cv")),
-                    F.col("vnorm_s"),
-                    F.col("cnorm_s"),
-                ).alias("cos"),
-                (-F.col("cent_id")).alias("neg_cent"),
-            ).alias("sc"),
-        )
-        return (
-            scored.groupBy("id")
-            .agg(F.max("sc").alias("best"), F.first("v").alias("v"))
-            .select(
-                "id",
-                "v",
-                (-F.col("best.neg_cent")).alias("cell"),
-                F.col("best.cos").alias("cosine"),
-            )
-        )
+    def assign_col(with_cosine: bool):
+        rows = [{"cent_id": c, "cv_s": cents[c]} for c in sorted(cents)]
+        cent_ids, cvm, cnorm_sqrt = _centroid_arrays(rows, scale=scale)
+        return _nearest_centroid_udf(
+            cent_ids, cvm, cnorm_sqrt, with_cosine=with_cosine
+        )(F.col("v"))
 
     for _ in range(iters):
-        members = assign(cent)
-        upd = (
-            members.select("cell", F.posexplode("v").alias("idx", "val"))
+        if not cents:
+            break
+        # One job per round: pure-map assignment (centroids in the task
+        # closure), then the update aggregate — k·dim rows collected,
+        # the integer division stays a Spark `div` so its truncation
+        # semantics are byte-identical to the previous plan's.
+        upd_rows = (
+            e.withColumn("b", assign_col(with_cosine=False))
+            .select(F.col("b.cell").alias("cell"), F.posexplode("v").alias("idx", "val"))
             .groupBy("cell", "idx")
             .agg(
-                F.sum(F.floor(F.col("val").cast("double") * scale).cast("long")).alias(
-                    "s"
-                ),
+                F.sum(
+                    F.floor(F.col("val").cast("double") * scale).cast("long")
+                ).alias("s"),
                 F.count("*").alias("n"),
             )
             .select("cell", "idx", F.expr("s div n").alias("val_s"))
+            .collect()
         )
-        cent = (
-            upd.groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("idx", "val_s"))),
-                    lambda st: st["val_s"],
-                ).alias("cv_s")
-            )
-            .select(F.col("cell").alias("cent_id"), "cv_s")
-        )
-        cent = cut_lineage(cent, "km-cent")
+        nxt: dict[int, dict[int, int]] = {}
+        for r in upd_rows:
+            nxt.setdefault(int(r["cell"]), {})[int(r["idx"])] = int(r["val_s"])
+        cents = {
+            cell: [vals[i] for i in sorted(vals)] for cell, vals in nxt.items()
+        }
     if output == "centroids":
-        return cent.select(
-            "cent_id",
-            F.transform("cv_s", lambda c: c.cast("double") / scale).alias("cv"),
+        return spark.createDataFrame(
+            [
+                {"cent_id": c, "cv": [v / scale for v in cents[c]]}
+                for c in sorted(cents)
+            ],
+            "cent_id bigint, cv array<double>",
         )
-    final = assign(cent)
-    return final.select(F.col("id").alias("vec_id"), "cell", "cosine")
+    if not cents:
+        return spark.createDataFrame(
+            [], "vec_id long, cell bigint, cosine double"
+        )
+    final = e.withColumn("b", assign_col(with_cosine=True))
+    return final.select(
+        F.col("id").alias("vec_id"),
+        F.col("b.cell").alias("cell"),
+        F.col("b.cosine").alias("cosine"),
+    )
 
 
 def brute_force_topk(

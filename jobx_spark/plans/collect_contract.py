@@ -65,6 +65,21 @@ COLLECT_BOUNDS: dict[tuple[str, str, str], tuple[int, str]] = {
         "convergence probe: a 1-row aggregate (count + bit_xor hash of "
         "the edge table) per LSSS iteration",
     ),
+    ("jobx_spark/operators/similarity.py", "kmeans_train", "collect"): (
+        2,
+        "driver-side Lloyd state: the seed collect is k rows and each "
+        "round's update collect is ≤ k·dim (cell, idx, val_s) rows — "
+        "both bounded by k and the embedding dimension, never the "
+        "corpus; the centroid matrix then ships in the task closure so "
+        "assignment is a pure map (no join, no corpus shuffle)",
+    ),
+    ("jobx_spark/operators/similarity.py", "ivf_assign", "collect"): (
+        1,
+        "the centroid table: k rows by construction (trained k-means "
+        "output or a persisted index's codebook) — collected into the "
+        "task-closure matrix that makes assignment a pure map, the "
+        "same bound that previously justified broadcasting it",
+    ),
     ("jobx_spark/operators/similarity.py", "brute_force_topk", "collect"): (
         1,
         "probe query set: small by documented contract (it ships in the "
@@ -111,6 +126,35 @@ COLLECT_BOUNDS: dict[tuple[str, str, str], tuple[int, str]] = {
         1,
         "per-round best-pair argmax through limit(1): ≤1 row per merge "
         "round, BPE_MERGES rounds",
+    ),
+    ("jobx_spark/queries/similarity.py", "_pq_adc_lut", "collect"): (
+        2,
+        "the probe queries' subspace slices (≤ N_QUERIES=5 rows) and "
+        "the per-subspace codebooks (k=8 rows each) — both bounded by "
+        "contract; the driver builds the |Q|·PQ_SUB·k ADC lookup table "
+        "from them in one numpy pass",
+    ),
+    ("jobx_spark/queries/similarity.py", "ann_ivf_pq_topk", "collect"): (
+        2,
+        "the probe queries (≤ N_QUERIES=5 rows) and the k-row coarse "
+        "codebook — the driver computes the nprobe routing from them "
+        "(same bound as the serve family's router collects)",
+    ),
+    ("jobx_spark/queries/similarity.py", "ann_ivf_pq_residual_topk",
+     "collect"): (
+        3,
+        "the probe queries (≤ N_QUERIES=5), the k-row coarse codebook, "
+        "and the PQ_SUB k-row residual codebooks — the driver computes "
+        "probe routing, per-probed-cell query residuals and the "
+        "|Q|·nprobe·PQ_SUB·k LUT from them; all bounded by the probe "
+        "contract and k, never the corpus",
+    ),
+    ("jobx_spark/queries/similarity.py", "_pq_code_struct_cols", "collect"): (
+        1,
+        "per-subspace codebooks: k rows each (PQ_SUB·k total, k=8) by "
+        "construction — collected into the task-closure matrices of "
+        "the fused one-scan subspace assignment, the same bound that "
+        "justified broadcasting them",
     ),
     ("jobx_spark/queries/similarity.py", "ann_pca_project", "collect"): (
         1,

@@ -2094,35 +2094,36 @@ def pipe_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("r_s"),
         )
     )
-    rmap = ratio.agg(
-        F.map_from_entries(
-            F.array_sort(F.collect_list(F.struct("b", "r_s")))
-        ).alias("rmap")
-    )
     # Contract: documents that produce NO gram rows are DROPPED before
     # scoring — the oracle derives its per-doc table from the exploded
     # gram table, so such a doc never appears there [ADVICE r6]. For
     # any NON-NULL text, split() yields ≥1 element (tokens('') is ['']
     # in both engines, and unnest of [''] yields a row), so the only
     # zero-gram case is NULL text: filter that directly — an IsNotNull
-    # the scan pushes down — instead of size(grams) > 0, which made
-    # Catalyst evaluate the token+shingle expression a second time
-    # just for the predicate (+~30% on the sf0.1 runtime).
+    # the scan pushes down.
+    #
+    # Scoring runs over the EXPLODED gram frame (guide §4.1: built-ins
+    # over interpreted lambdas): explode + codegen md5 bucket + a
+    # broadcast join against the DSIR_NB-row ratio table + one
+    # map-side-combinable (doc_id, source) aggregate. The previous
+    # shape folded a per-element `aggregate(transform(grams,
+    # element_at(rmap, md5(...))))` — higher-order functions are
+    # CodegenFallback, so every gram paid an INTERPRETED md5 + map
+    # lookup (~1M interpreted evals at sf0.1, the query's hot spot).
+    # Σ r_s is an int64 sum (order-free) and every bucket 0..DSIR_NB-1
+    # exists in `ratio` by construction (left join against the dom
+    # spine), so the inner join drops nothing: values are unchanged.
     scored = (
         docs.filter(F.col("text").isNotNull())
-        .select("doc_id", "source", _dsir_grams(F.col("text")).alias("grams"))
-        .crossJoin(F.broadcast(rmap))
         .select(
-            "doc_id",
-            "source",
-            F.size("grams").cast("long").alias("n_grams"),
-            F.aggregate(
-                F.transform(
-                    "grams", lambda g: F.element_at(F.col("rmap"), bucket_of(g))
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("score_s"),
+            "doc_id", "source", F.explode(_dsir_grams(F.col("text"))).alias("gram")
+        )
+        .select("doc_id", "source", bucket_of(F.col("gram")).alias("b"))
+        .join(F.broadcast(ratio), "b")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("r_s").alias("score_s"),
         )
         .select(
             "doc_id", "source", "n_grams",

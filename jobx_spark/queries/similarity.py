@@ -546,15 +546,17 @@ ORDER BY cell, band
 # rows.
 # --------------------------------------------------------------------------
 def ann_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from jobx_spark.operators.similarity import kmeans_train
+    from jobx_spark.operators.similarity import ivf_assign, kmeans_train
 
     emb = load_table(spark, sf_dir, "embeddings")
-    asg = kmeans_train(
+    # the label rides THROUGH the pure-map assignment (ivf_assign
+    # extra_cols) instead of a corpus self-join on vec_id (guide §2.4)
+    cents = kmeans_train(
         emb, k=KM_K, iters=KM_ITERS, cent_base=KM_BASE, scale=KM_SCALE,
-        output="assignments",
+        output="centroids",
     )
     cl = (
-        asg.join(emb.select("vec_id", "label"), "vec_id")
+        ivf_assign(emb, cents, extra_cols=("label",))
         .groupBy("cell", "label")
         .agg(F.count(F.lit(1)).alias("n_lab"))
     )
@@ -2451,10 +2453,14 @@ def _pq_subspaces(emb: DataFrame, with_full: bool = False):
     embedding for the coarse/IVF chain, so ann_ivf_pq_topk's source
     scan count is exactly 1 (the materialization itself).
 
-    Returns ``(subs, full)`` where ``subs[s]`` is (vec_id, embedding=
-    slice s) and ``full`` is (vec_id, embedding) read from the same
-    materialized table (None unless ``with_full``). Parquet round-trips
-    doubles bit-exactly, so values are unchanged."""
+    Returns ``(subs, full, mat)`` where ``subs[s]`` is (vec_id,
+    embedding=slice s), ``full`` is (vec_id, embedding) read from the
+    same materialized table (None unless ``with_full``), and ``mat`` is
+    the materialized wide frame itself (vec_id, sub0..sub{n-1}[,
+    embedding]) — the input of the FUSED code assignment
+    (:func:`_pq_code_struct_cols`), which computes every subspace's
+    code in one scan. Parquet round-trips doubles bit-exactly, so
+    values are unchanged."""
     from jobx_spark.lineage import cut_lineage
 
     cols = [
@@ -2469,7 +2475,127 @@ def _pq_subspaces(emb: DataFrame, with_full: bool = False):
         for s in range(PQ_SUB)
     ]
     full = mat.select("vec_id", "embedding") if with_full else None
-    return subs, full
+    return subs, full, mat
+
+
+def _pq_code_struct_cols(sub_cents: list, with_cosine: bool = False):
+    """Pure-map assignment columns ``b0..b{n-1}`` (struct<norm_s, cell
+    [, cosine]>) over the materialized ``sub0..sub{n-1}`` columns of
+    the :func:`_pq_subspaces` frame: each subspace's k-row centroid
+    table is collected (bounded by k) into a task-closure matrix, so
+    ALL subspace codes come out of ONE corpus scan with zero joins and
+    zero unions — the per-subspace ``ivf_assign`` chains each rescanned
+    the materialized table and the wide-output variants then re-joined
+    them on vec_id (guide §2.4: remove shuffles outright). Numerics are
+    the assignment UDF's — bit-identical to the broadcast-join form."""
+    from jobx_spark.operators.similarity import (
+        _centroid_arrays,
+        _nearest_centroid_udf,
+    )
+
+    cols = []
+    for s, cdf in enumerate(sub_cents):
+        rows = cdf.select("cent_id", "cv").collect()
+        cent_ids, cvm, cnorm_sqrt = _centroid_arrays(rows)
+        best = _nearest_centroid_udf(
+            cent_ids, cvm, cnorm_sqrt, with_cosine=with_cosine
+        )
+        cols.append(best(F.col(f"sub{s}")).alias(f"b{s}"))
+    return cols
+
+
+def _pq_adc_lut(
+    spark: SparkSession, mat: DataFrame, sub_cents: list,
+    cell_name: str = "cell",
+) -> DataFrame:
+    """Driver-built ADC lookup table (query_id, s, <cell_name>, part):
+    |Q|·PQ_SUB·k rows by construction — the query side of ADC is
+    bounded (the probe-set contract that justified shipping queries in
+    task closures), so the LUT comes out of one numpy pass over the
+    collected probe slices × codebooks instead of PQ_SUB crossJoin
+    subtrees that each rescanned the materialization (guide §2.4).
+    part = Σ floor(qᵢ·cᵢ·1e12) int64 — scaled_dot's arithmetic
+    verbatim, so every downstream ADC sum is bit-identical."""
+    import numpy as np
+
+    from jobx_spark.operators.similarity import _centroid_arrays
+
+    qrows = (
+        mat.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", *[f"sub{s}" for s in range(len(sub_cents))])
+        .collect()
+    )
+    out = []
+    for s, cdf in enumerate(sub_cents):
+        cent_ids, cvm, _ = _centroid_arrays(
+            cdf.select("cent_id", "cv").collect()
+        )
+        for r in qrows:
+            qs = np.asarray(list(r[f"sub{s}"]), dtype=np.float64)
+            dots = np.floor(cvm * qs * 1e12).astype(np.int64).sum(axis=1)
+            for cid, d in zip(cent_ids.tolist(), dots.tolist()):
+                out.append((int(r["vec_id"]), s, int(cid), int(d)))
+    return spark.createDataFrame(
+        out, f"query_id bigint, s int, {cell_name} bigint, part bigint"
+    )
+
+
+def _driver_probes(qrows, coarse_rows, nprobe: int):
+    """Per query the top-``nprobe`` coarse cells by (ccos desc, cell
+    asc) — the qscore/row_number plan replayed in numpy over the
+    bounded probe set: cosine = dot/(√qnorm·√cnorm) on the identical
+    scaled-int dots, undefined cosines (zero norm) sort last exactly
+    like Spark's default NULLS LAST under desc, ties to the lowest
+    cell via the stable lexsort. Returns [(query_id, cell), ...]."""
+    import numpy as np
+
+    from jobx_spark.operators.similarity import _centroid_arrays
+
+    cent_ids, cvm, cnorm_sqrt = _centroid_arrays(coarse_rows)
+    out = []
+    for r in qrows:
+        qv = np.asarray(list(r["embedding"]), dtype=np.float64)
+        qnorm_sqrt = float(
+            np.sqrt(
+                float(np.floor(qv * qv * 1e12).astype(np.int64).sum())
+            )
+        )
+        dots = (
+            np.floor(cvm * qv * 1e12).astype(np.int64).sum(axis=1)
+            .astype(np.float64)
+        )
+        denom = qnorm_sqrt * cnorm_sqrt
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(denom > 0.0, dots / denom, -np.inf)
+        order = np.lexsort((cent_ids, -cos))
+        for cell in cent_ids[order[:nprobe]].tolist():
+            out.append((int(r["vec_id"]), int(cell)))
+    return out
+
+
+def _pq_codes_long(
+    mat: DataFrame, sub_cents: list, cell_name: str = "pq_cell"
+) -> DataFrame:
+    """(vec_id, s, <cell_name>) — the unpivoted per-subspace code table
+    the ADC rankers consume, produced by ONE fused scan of ``mat``
+    (explode of the n in-row assignment structs) instead of n scans
+    unioned."""
+    code_structs = [
+        F.struct(
+            F.lit(s).cast("int").alias("s"),
+            F.col(f"b{s}.cell").alias(cell_name),
+        )
+        for s in range(len(sub_cents))
+    ]
+    return (
+        mat.select("vec_id", *_pq_code_struct_cols(sub_cents))
+        .select("vec_id", F.explode(F.array(*code_structs)).alias("sc"))
+        .select(
+            "vec_id",
+            F.col("sc.s").alias("s"),
+            F.col(f"sc.{cell_name}").alias(cell_name),
+        )
+    )
 
 
 def _train_concurrent(trains: list) -> list[DataFrame]:
@@ -2497,7 +2623,7 @@ def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    subs, _ = _pq_subspaces(emb)
+    subs, _, mat = _pq_subspaces(emb)
     cents = _train_concurrent([
         (lambda sub=sub: kmeans_train(
             sub, k=KM_K, iters=KM_ITERS, cent_base=KM_BASE, scale=KM_SCALE,
@@ -2505,26 +2631,17 @@ def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ))
         for sub in subs
     ])
-    out = None
-    for s in range(PQ_SUB):
-        cd = cents[s].withColumn("cnorm_s", _sdot(F.col("cv"), F.col("cv")))
-        asg = (
-            ivf_assign(subs[s], cents[s])
-            .join(F.broadcast(cd), F.col("cell") == cd["cent_id"])
-            .select(
-                F.col("id").alias("vec_id"),
-                F.col("cell").alias(f"code{s}"),
-                cosine_from_scaled(
-                    _sdot(F.col("v"), F.col("cv")),
-                    F.col("norm_s"), F.col("cnorm_s"),
-                ).alias(f"cos{s}"),
-            )
-        )
-        out = asg if out is None else out.join(asg, "vec_id")
-    return out.select(
+    # every subspace's (code, cosine) out of ONE scan of the
+    # materialized projection — the previous shape ran one
+    # ivf_assign + broadcast join per subspace and then re-JOINED the
+    # four outputs on vec_id (4 shuffles of map output; guide §2.4)
+    b = mat.select(
+        "vec_id", *_pq_code_struct_cols(cents, with_cosine=True)
+    )
+    return b.select(
         "vec_id",
-        *[f"code{s}" for s in range(PQ_SUB)],
-        *[f"cos{s}" for s in range(PQ_SUB)],
+        *[F.col(f"b{s}.cell").alias(f"code{s}") for s in range(PQ_SUB)],
+        *[F.col(f"b{s}.cosine").alias(f"cos{s}") for s in range(PQ_SUB)],
     ).orderBy("vec_id")
 
 
@@ -2567,11 +2684,10 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jobx_spark.operators.similarity import _sdot, ivf_assign, kmeans_train
 
     emb = load_table(spark, sf_dir, "embeddings")
-    subs, _ = _pq_subspaces(emb)
+    subs, _, mat = _pq_subspaces(emb)
     # Train ONCE per subspace (assignment reuses the trained centroids
-    # via the shared broadcast-argmax assigner rather than re-running
-    # the Lloyd rounds), and train all subspaces CONCURRENTLY —
-    # together: measured 24 s → ~7 s at sf0.1.
+    # via the shared pure-map assigner rather than re-running the Lloyd
+    # rounds), and train all subspaces CONCURRENTLY.
     cents = _train_concurrent([
         (lambda sub=sub: kmeans_train(
             sub, k=KM_K, iters=KM_ITERS, cent_base=KM_BASE, scale=KM_SCALE,
@@ -2579,32 +2695,11 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ))
         for sub in subs
     ])
-    luts, codes = [], []
-    for s in range(PQ_SUB):
-        sub = subs[s]
-        asg = ivf_assign(sub, cents[s]).select(
-            F.col("id").alias("vec_id"), "cell"
-        )
-        qsub = sub.filter(F.col("vec_id") < N_QUERIES).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
-        )
-        luts.append(
-            qsub.crossJoin(F.broadcast(cents[s])).select(
-                "query_id",
-                F.lit(s).alias("s"),
-                F.col("cent_id").alias("cell"),
-                _sdot(F.col("qv"), F.col("cv")).alias("part"),
-            )
-        )
-        codes.append(
-            asg.select("vec_id", F.lit(s).alias("s"), "cell")
-        )
-    lut = luts[0]
-    for x in luts[1:]:
-        lut = lut.unionByName(x)
-    code = codes[0]
-    for x in codes[1:]:
-        code = code.unionByName(x)
+    # LUT built driver-side from the bounded probe set (guide §2.4 —
+    # previously PQ_SUB crossJoin subtrees each rescanning the
+    # materialization); codes out of ONE fused scan
+    lut = _pq_adc_lut(spark, mat, cents, cell_name="cell")
+    code = _pq_codes_long(mat, cents, cell_name="cell")
     scored = (
         code.join(F.broadcast(lut), ["s", "cell"])
         .groupBy("query_id", "vec_id")
@@ -2687,7 +2782,7 @@ def ann_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    subs, full = _pq_subspaces(emb, with_full=True)
+    subs, full, mat = _pq_subspaces(emb, with_full=True)
     cents = _train_concurrent([
         (lambda sub=sub: kmeans_train(
             sub, k=KM_K, iters=KM_ITERS, cent_base=KM_BASE, scale=KM_SCALE,
@@ -2695,29 +2790,10 @@ def ann_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ))
         for sub in subs
     ])
-    luts, codes = [], []
-    for s in range(PQ_SUB):
-        sub = subs[s]
-        asg = ivf_assign(sub, cents[s]).select(
-            F.col("id").alias("vec_id"), "cell"
-        )
-        qsub = sub.filter(F.col("vec_id") < N_QUERIES).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
-        )
-        luts.append(
-            qsub.crossJoin(F.broadcast(cents[s])).select(
-                "query_id", F.lit(s).alias("s"),
-                F.col("cent_id").alias("cell"),
-                _sdot(F.col("qv"), F.col("cv")).alias("part"),
-            )
-        )
-        codes.append(asg.select("vec_id", F.lit(s).alias("s"), "cell"))
-    lut = luts[0]
-    for x in luts[1:]:
-        lut = lut.unionByName(x)
-    code = codes[0]
-    for x in codes[1:]:
-        code = code.unionByName(x)
+    # LUT built driver-side from the bounded probe set; codes out of
+    # ONE fused scan (guide §2.4)
+    lut = _pq_adc_lut(spark, mat, cents, cell_name="cell")
+    code = _pq_codes_long(mat, cents, cell_name="cell")
     scored = (
         code.join(F.broadcast(lut), ["s", "cell"])
         .groupBy("query_id", "vec_id")
@@ -2842,7 +2918,7 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    subs, full = _pq_subspaces(emb, with_full=True)
+    subs, full, mat = _pq_subspaces(emb, with_full=True)
     trained = _train_concurrent(
         [
             (lambda: kmeans_train(
@@ -2862,56 +2938,25 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = ivf_assign(full, coarse).select(
         F.col("id").alias("vec_id"), "cell"
     )
-    cd = coarse.withColumn("cnorm_s", _sdot(F.col("cv"), F.col("cv")))
-    qs = full.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
-    ).withColumn("qnorm_s", _sdot(F.col("qv"), F.col("qv")))
-    qscore = qs.join(F.broadcast(cd)).select(
-        "query_id",
-        F.col("cent_id").alias("cell"),
-        cosine_from_scaled(
-            _sdot(F.col("qv"), F.col("cv")), F.col("qnorm_s"), F.col("cnorm_s")
-        ).alias("ccos"),
+    # probe routing computed driver-side over the bounded probe set
+    # (guide §2.4 — replaces a broadcast join + ranking window; same
+    # numerics, see _driver_probes)
+    qrows = (
+        full.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
     )
-    probes = (
-        qscore.withColumn(
-            "pr",
-            F.row_number().over(
-                W.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cell"))
-            ),
-        )
-        .filter(F.col("pr") <= KM_NPROBE)
-        .select("query_id", "cell")
+    probes = spark.createDataFrame(
+        _driver_probes(qrows, coarse.select("cent_id", "cv").collect(),
+                       KM_NPROBE),
+        "query_id bigint, cell bigint",
     )
     cand = cells.join(F.broadcast(probes), "cell").select("query_id", "vec_id")
 
-    luts, codes = [], []
-    for s in range(PQ_SUB):
-        sub = subs[s]
-        cents = sub_cents[s]
-        codes.append(
-            ivf_assign(sub, cents).select(
-                F.col("id").alias("vec_id"), F.lit(s).alias("s"),
-                F.col("cell").alias("pq_cell"),
-            )
-        )
-        qsub = sub.filter(F.col("vec_id") < N_QUERIES).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
-        )
-        luts.append(
-            qsub.crossJoin(F.broadcast(cents)).select(
-                "query_id",
-                F.lit(s).alias("s"),
-                F.col("cent_id").alias("pq_cell"),
-                _sdot(F.col("qv"), F.col("cv")).alias("part"),
-            )
-        )
-    code = codes[0]
-    for x in codes[1:]:
-        code = code.unionByName(x)
-    lut = luts[0]
-    for x in luts[1:]:
-        lut = lut.unionByName(x)
+    # LUT built driver-side from the bounded probe set; codes out of
+    # ONE fused scan (guide §2.4)
+    lut = _pq_adc_lut(spark, mat, sub_cents, cell_name="pq_cell")
+    code = _pq_codes_long(mat, sub_cents, cell_name="pq_cell")
     scored = (
         cand.join(code, "vec_id")
         .join(F.broadcast(lut), ["query_id", "s", "pq_cell"])
@@ -3040,7 +3085,6 @@ def ann_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         full, k=KM_K, iters=KM_ITERS, cent_base=KM_BASE, scale=KM_SCALE,
         output="centroids",
     )
-    cd = coarse.withColumn("cnorm_s", _sdot(F.col("cv"), F.col("cv")))
     asg = ivf_assign(full, coarse)  # (id, v, norm_s, cell)
     resid = (
         asg.join(F.broadcast(coarse), asg["cell"] == coarse["cent_id"])
@@ -3075,66 +3119,55 @@ def ann_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
     cells = mat.select("vec_id", "cell")
 
-    qs = (
+    # The whole QUERY side — coarse probe routing, per-probed-cell
+    # residuals, and the 4 subspace LUTs — is bounded by the probe-set
+    # contract (|Q|·nprobe·PQ_SUB·k rows), so it is computed driver-
+    # side in one numpy pass over the collected probes + codebooks
+    # (guide §2.4): the previous plan paid a qscore broadcast join, a
+    # ranking window, a qres parquet cut_lineage, and 4 crossJoin LUT
+    # subtrees. Numerics are scaled_dot/try_divide verbatim (see
+    # _driver_probes); the corpus side stays fully distributed.
+    import numpy as np
+
+    from jobx_spark.operators.similarity import _centroid_arrays
+
+    qrows = (
         full.filter(F.col("vec_id") < N_QUERIES)
-        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
-        .withColumn("qnorm_s", _sdot(F.col("qv"), F.col("qv")))
+        .select("vec_id", "embedding")
+        .collect()
     )
-    qscore = qs.join(F.broadcast(cd)).select(
-        "query_id",
-        F.col("cent_id").alias("cell"),
-        cosine_from_scaled(
-            _sdot(F.col("qv"), F.col("cv")), F.col("qnorm_s"), F.col("cnorm_s")
-        ).alias("ccos"),
+    coarse_rows = coarse.select("cent_id", "cv").collect()
+    probe_pairs = _driver_probes(qrows, coarse_rows, KM_NPROBE)
+    probes = spark.createDataFrame(
+        probe_pairs, "query_id bigint, cell bigint"
     )
-    probes = (
-        qscore.withColumn(
-            "pr",
-            F.row_number().over(
-                W.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cell"))
-            ),
-        )
-        .filter(F.col("pr") <= KM_NPROBE)
-        .select("query_id", "cell")
+    qvmap = {
+        int(r["vec_id"]): np.asarray(list(r["embedding"]), dtype=np.float64)
+        for r in qrows
+    }
+    cvmap = {
+        int(r["cent_id"]): np.asarray(list(r["cv"]), dtype=np.float64)
+        for r in coarse_rows
+    }
+    sub_arrays = [
+        _centroid_arrays(c.select("cent_id", "cv").collect())
+        for c in sub_cents
+    ]
+    lut_rows = []
+    for qid, cell in probe_pairs:
+        qrv = qvmap[qid] - cvmap[cell]
+        for s, (cent_ids, cvm, _) in enumerate(sub_arrays):
+            sl = qrv[s * PQ_DIM:(s + 1) * PQ_DIM]
+            dots = np.floor(cvm * sl * 1e12).astype(np.int64).sum(axis=1)
+            for cid, d in zip(cent_ids.tolist(), dots.tolist()):
+                lut_rows.append((qid, cell, s, int(cid), int(d)))
+    lut = spark.createDataFrame(
+        lut_rows,
+        "query_id bigint, cell bigint, s int, pq_cell bigint, part bigint",
     )
-    # the query's residual is PER PROBED CELL (q − that cell's
-    # centroid); |Q|·nprobe rows — materialized once so the 4 LUT
-    # branches read it instead of each re-deriving probes + qscore
-    qres = cut_lineage(
-        probes.join(qs.select("query_id", "qv"), "query_id")
-        .join(F.broadcast(coarse), probes["cell"] == coarse["cent_id"])
-        .select(
-            "query_id", "cell",
-            F.zip_with("qv", "cv", lambda x, c: x - c).alias("qrv"),
-        ),
-        "pq-qres",
-    )
-    luts, codes = [], []
-    for s in range(PQ_SUB):
-        codes.append(
-            ivf_assign(rsubs[s], sub_cents[s]).select(
-                F.col("id").alias("vec_id"), F.lit(s).alias("s"),
-                F.col("cell").alias("pq_cell"),
-            )
-        )
-        luts.append(
-            qres.select(
-                "query_id", "cell",
-                F.slice("qrv", s * PQ_DIM + 1, PQ_DIM).alias("qsub"),
-            )
-            .crossJoin(F.broadcast(sub_cents[s]))
-            .select(
-                "query_id", "cell", F.lit(s).alias("s"),
-                F.col("cent_id").alias("pq_cell"),
-                _sdot(F.col("qsub"), F.col("cv")).alias("part"),
-            )
-        )
-    code = codes[0]
-    for x in codes[1:]:
-        code = code.unionByName(x)
-    lut = luts[0]
-    for x in luts[1:]:
-        lut = lut.unionByName(x)
+    # all 4 residual-subspace codes out of ONE scan of the residual
+    # materialization (guide §2.4)
+    code = _pq_codes_long(mat, sub_cents, cell_name="pq_cell")
     cand = cells.join(F.broadcast(probes), "cell").select(
         "query_id", "cell", "vec_id"
     )
@@ -3271,14 +3304,23 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jobx_spark.operators.similarity import kmeans_train
 
     emb = load_table(spark, sf_dir, "embeddings")
-    assign = kmeans_train(
-        emb, k=KM_K, iters=KM_ITERS, cent_base=KM_BASE, scale=KM_SCALE
-    ).select("vec_id", "cell")
-    v = emb.select("vec_id", "embedding").withColumn(
-        "vnorm_s", _sdot_col(F.col("embedding"), F.col("embedding"))
+    # trained centroids + one pure-map assignment that carries the
+    # vector and its norm through (ivf_assign) — the previous shape
+    # joined the assignment output back to the corpus on vec_id, a
+    # corpus self-join the map never needs (guide §2.4)
+    from jobx_spark.operators.similarity import ivf_assign
+
+    cents = kmeans_train(
+        emb, k=KM_K, iters=KM_ITERS, cent_base=KM_BASE, scale=KM_SCALE,
+        output="centroids",
     )
     members = cut_lineage(  # consumed by both sides of the pair join
-        assign.join(v, "vec_id").select("vec_id", "cell", "embedding", "vnorm_s"),
+        ivf_assign(emb, cents).select(
+            F.col("id").alias("vec_id"),
+            "cell",
+            F.col("v").alias("embedding"),
+            F.col("norm_s").alias("vnorm_s"),
+        ),
         "sem-members",
     )
     a, b = members.alias("a"), members.alias("b")
@@ -4556,7 +4598,7 @@ def _pq_index_write(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     bpath = os.path.join(vdir, "codebooks")
     cpath = os.path.join(vdir, "codes")
     emb = load_table(spark, sf_dir, "embeddings")
-    subs, _ = _pq_subspaces(emb)
+    subs, _, mat = _pq_subspaces(emb)
     cents = _train_concurrent([
         (lambda sub=sub: kmeans_train(
             sub, k=KM_K, iters=KM_ITERS, cent_base=KM_BASE, scale=KM_SCALE,
@@ -4569,13 +4611,17 @@ def _pq_index_write(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         b = cents[s].select(F.lit(s).alias("s"), "cent_id", "cv")
         books = b if books is None else books.unionByName(b)
     books.write.mode("overwrite").parquet(bpath)
+    # codes assign against the PERSISTED codebooks (attestation: what is
+    # on disk is what the index serves from), all 4 subspaces in ONE
+    # fused scan of the materialized projection (guide §2.4)
     stored = spark.read.parquet(bpath)
-    codes = None
-    for s in range(PQ_SUB):
-        asg = ivf_assign(
-            subs[s], stored.filter(F.col("s") == s).select("cent_id", "cv")
-        ).select(F.lit(s).alias("s"), F.col("id").alias("vec_id"), "cell")
-        codes = asg if codes is None else codes.unionByName(asg)
+    stored_per_sub = [
+        stored.filter(F.col("s") == s).select("cent_id", "cv")
+        for s in range(PQ_SUB)
+    ]
+    codes = _pq_codes_long(mat, stored_per_sub, cell_name="cell").select(
+        "s", "vec_id", "cell"
+    )
     codes.write.mode("overwrite").parquet(cpath)
     A.publish(spark, root, ver)
     return bpath, cpath
