@@ -122,8 +122,6 @@ def ewma_dyadic_fold(
         .filter(F.col("n") > chunk)
         .select("k")
     )
-    cold = base.join(hot_keys, "k", "left_anti")
-    hot = base.join(hot_keys, "k", "left_semi")
 
     def fold_small(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(order)
@@ -138,9 +136,25 @@ def ewma_dyadic_fold(
             }
         )
 
-    cold_out = cold.groupBy("k").applyInPandas(
-        fold_small, f"k {k_type}, n_events long, ewma_s long"
-    )
+    out_schema = f"k {k_type}, n_events long, ewma_s long"
+    # Branch-select the plan on a cheap 0/1-row hot-key probe (the AQE
+    # idea applied to the skew split; guide §1): when NO key exceeds
+    # ``chunk`` rows — the realistic corpus — the probe itself PROVES
+    # every pandas group is within the memory bound, so the single
+    # one-shuffle fold runs directly and the anti/semi routing joins
+    # plus the empty chunked sub-plan (whose stages cost real job time
+    # even with zero rows) are never built. A detected hot key takes
+    # the original two-path machinery unchanged — same values either
+    # way, the fold is key-local.
+    if hot_keys.limit(1).count() == 0:
+        return (
+            base.groupBy("k")
+            .applyInPandas(fold_small, out_schema)
+            .withColumnRenamed("k", key)
+        )
+    cold = base.join(hot_keys, "k", "left_anti")
+    hot = base.join(hot_keys, "k", "left_semi")
+    cold_out = cold.groupBy("k").applyInPandas(fold_small, out_schema)
 
     rn = F.row_number().over(
         Window.partitionBy("k").orderBy(*[F.col(c) for c in order])
