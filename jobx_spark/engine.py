@@ -194,9 +194,33 @@ def _make_phase1_udf(step_plan: dict, workdir: str | None):
     invocation observable semantics (ids, sessions, forensics)."""
 
     def phase1(pdf: pd.DataFrame) -> pd.DataFrame:
+        # One global (inv, seq) sort + numpy boundary slicing instead of
+        # pandas groupby(inv) → per-group sort_values(seq): a wide
+        # fan-out makes invocations per-PAIR, and constructing a pandas
+        # sub-frame per invocation cost tens of µs × |pairs| — the
+        # dominant phase-1 cost at 100k+ invocations (guide §4.2: keep
+        # the per-batch Python vectorized, spend the per-row budget in
+        # the handler itself). Group order and within-group seq order
+        # are what groupby(sort=True) produced; seq ties carry
+        # bit-identical rows either way.
+        import numpy as np
+
+        pdf = pdf.sort_values(["inv", "seq"])
+        invs = pdf["inv"].to_numpy()
+        pinvs = pdf["parent_inv"].to_numpy()
+        rts = pdf["row_type"].to_numpy()
+        ks = pdf["k"].to_numpy()
+        vs = pdf["v"].to_numpy()
+        starts = np.nonzero(np.concatenate(([True], invs[1:] != invs[:-1])))[0]
+        bounds = np.append(starts, len(invs))
         rows: list[tuple] = []
-        for _inv, sub in pdf.groupby("inv", sort=True):
-            rows.extend(_phase1_one_invocation(step_plan, workdir, sub))
+        for s, e_ in zip(bounds[:-1], bounds[1:]):
+            rows.extend(
+                _phase1_one_invocation(
+                    step_plan, workdir, invs[s], pinvs[s],
+                    rts[s:e_], ks[s:e_], vs[s:e_],
+                )
+            )
         return pd.DataFrame(
             rows,
             columns=["row_type", "inv", "parent_inv", "step", "seq", "k", "v"],
@@ -206,21 +230,20 @@ def _make_phase1_udf(step_plan: dict, workdir: str | None):
 
 
 def _phase1_one_invocation(
-    step_plan: dict, workdir: str | None, pdf: pd.DataFrame
+    step_plan: dict, workdir: str | None, inv, parent_inv, row_types, ks, vs
 ) -> list[tuple]:
     """One invocation's mapper → routing → (leaf: combine+reduce
     in-place | fan-out: child rows + session rows); returns engine
-    rows as tuples (the bucket UDF builds ONE frame per batch — a
-    pandas DataFrame per invocation would cost ~1 ms × invocations)."""
-    pdf = pdf.sort_values("seq")
-    inv = pdf["inv"].iloc[0]
-    parent_inv = pdf["parent_inv"].iloc[0]
+    rows as tuples. Takes the invocation's rows as seq-presorted
+    parallel arrays — the bucket UDF slices them out of its one
+    batch-wide sort (a pandas sub-frame per invocation would cost
+    tens of µs × invocations)."""
     # 'arg_empty' sentinel: a zero-argument invocation still runs its
     # mapper exactly once (parity with the reference, which enumerates
     # an empty DT_ARGUMENTS dataset).
     args = [
         (_decode(k), _decode(v))
-        for t, k, v in zip(pdf["row_type"], pdf["k"], pdf["v"])
+        for t, k, v in zip(row_types, ks, vs)
         if t != "arg_empty"
     ]
     scope = HandlerScope(
@@ -423,12 +446,29 @@ class Engine:
             .orderBy("inv").limit(room + 1).collect()
         ]
         frontier = frontier.filter(F.col("inv").isin(keep))
-        args = frontier.groupBy("inv").agg(
-            F.first("parent_inv", ignorenulls=True).alias("parent_inv"),
-            F.count(F.lit(1)).alias("n_args"),
-            F.slice(
-                F.sort_array(F.collect_list(F.struct("seq", "k", "v"))), 1, 3
-            ).alias("sample"),
+        # ≤3-pair sample via a rank prefilter: collect_list over ONLY
+        # the rank-≤3 rows, not a full-width sort_array(collect_list)
+        # of every argument per invocation — same 3 structs ((seq, k,
+        # v) ascending is exactly sort_array's struct order).
+        from pyspark.sql import Window as _W
+
+        rk = F.row_number().over(
+            _W.partitionBy("inv").orderBy("seq", "k", "v")
+        )
+        args = (
+            frontier.withColumn("_rk", rk)
+            .groupBy("inv")
+            .agg(
+                F.first("parent_inv", ignorenulls=True).alias("parent_inv"),
+                F.count(F.lit(1)).alias("n_args"),
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            F.col("_rk") <= 3, F.struct("seq", "k", "v")
+                        )
+                    )
+                ).alias("sample"),
+            )
         )
         # child rows carry the CHILD's inv with parent_inv pointing back,
         # so a parent's post-map (fan-out) count groups on parent_inv;
@@ -518,6 +558,15 @@ class Engine:
         step = self.catalog.get_step(workflow_name, step_name)
         plan = self._step_plan(step)
         trace.record(depth, step_name, "map")
+
+        # The frontier is read by several consumers (the phase-1 map,
+        # the forensic capture's distinct + sample aggregations, and on
+        # the fan-out path the parent_map distinct) — persist it once
+        # so the source scan/JSON encode doesn't re-run per consumer
+        # (guide §5: reuse beats recompute when the recompute is a
+        # corpus pass; unpersisted by the caller like map_out).
+        frontier = frontier.persist()
+        persisted.append(frontier)
 
         # Group by a HASH BUCKET of the invocation id, not the id: a
         # wide fan-out makes invocations per-pair (reference semantics),

@@ -2011,11 +2011,7 @@ S_CURVE_CONFIGS = [2, 4, 8]  # bands over the 16 hashes
 
 def dedup_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jobx_spark.functions import md5_long
-    from jobx_spark.operators.dedup import (
-        banded_from_signature,
-        lsh_pairs_from_banded,
-        minhash_signature_from_hashes,
-    )
+    from jobx_spark.operators.dedup import minhash_signature_from_hashes
     from jobx_spark.operators.text import shingles
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2032,16 +2028,44 @@ def dedup_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_signature_from_hashes(hh, n_hashes=N_HASHES, seed=SEED),
         "scurve-sig",
     )
-    per_cfg = [
-        lsh_pairs_from_banded(banded_from_signature(sig, N_HASHES, b))
-        .select("id_a", "id_b")
-        .withColumn("bands", F.lit(b).cast("long"))
-        for b in S_CURVE_CONFIGS
-    ]
-    from functools import reduce
-
+    # All three band configs fused into ONE banding explode + ONE
+    # (cfg, band, bh)-keyed self-join (guide §2.4: operations keyed the
+    # same way share one exchange): the per-config legs each paid their
+    # own repartition + self-join + groupBy (3× the exchanges, 3× the
+    # sig scans) for what is one disjoint key space — `bands` rides in
+    # the join key, so collisions never cross configs and the grouped
+    # output is row-identical to the unioned per-config pair tables.
+    band_structs = []
+    for bcfg in S_CURVE_CONFIGS:
+        rpb = N_HASHES // bcfg
+        for b in range(bcfg):
+            member = F.concat_ws(
+                ",", *[F.col(f"mh{b * rpb + r}") for r in range(rpb)]
+            )
+            band_structs.append(
+                F.struct(
+                    F.lit(bcfg).cast("long").alias("bands"),
+                    F.lit(b).alias("band"),
+                    md5_long(member).alias("bh"),
+                )
+            )
+    banded_all = (
+        sig.select("id", F.explode(F.array(*band_structs)).alias("bb"))
+        .select("id", "bb.bands", "bb.band", "bb.bh")
+        .repartition("bands", "band", "bh")
+    )
+    a_side, b_side = banded_all.alias("a"), banded_all.alias("b")
     tagged = cut_lineage(
-        reduce(lambda a, b: a.unionByName(b), per_cfg), "scurve-pairs"
+        a_side.join(b_side, ["bands", "band", "bh"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(
+            "bands",
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("_nb"))
+        .select("id_a", "id_b", "bands"),
+        "scurve-pairs",
     )
     cand = tagged.select("id_a", "id_b").distinct()
     sizes = hh.groupBy("id").agg(F.count("*").alias("sz"))

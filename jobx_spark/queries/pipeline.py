@@ -2046,14 +2046,15 @@ ORDER BY fill_pct
 # (r_s = (p+1)·K div (q+1)); the target is a subset of the corpus so
 # p ≤ q and r_s ≤ K — per-doc sums stay far inside int64 at any
 # corpus size.
-# Scale shape (the verdict's prescription): ONE vocabulary-BOUNDED
-# census shuffle (DSIR_NB=256 buckets, map-side combinable; the corpus
-# and target counts are conditional aggregates of the same groupBy)
-# builds the ratio profile, which BROADCASTS back as a 256-entry map —
-# per-doc scoring is then scan-side arithmetic over the doc's own gram
-# array (no doc-keyed shuffle, no join), and the final per-source
-# census is the only other aggregation. 100 TB cost: 2 corpus scans
-# (one exploded census + one scoring pass) + ~22 rows out.
+# Scale shape (the verdict's prescription, tightened r12): ONE
+# explode pass collapses to the (doc, bucket, n) occurrence table
+# (≤256 rows/doc, map-side combinable) and materializes; the bucket
+# census and the ratio profile re-aggregate IT (256 rows, broadcast
+# back), and per-doc scoring is a broadcast join + Σ r_s·n
+# re-aggregate of the same table — no second explode, no doc-keyed
+# join of corpus rows. 100 TB cost: 1 corpus scan + one
+# occurrence-table round-trip (≈ gram-count rows of 3 small ints,
+# zstd-friendly) + ~22 rows out.
 # --------------------------------------------------------------------------
 DSIR_NB = 256
 DSIR_K = 1 << 20
@@ -2068,20 +2069,36 @@ def _dsir_grams(text_col) -> "F.Column":
 
 
 def pipe_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobx_spark.lineage import cut_lineage
+
     docs = load_table(spark, sf_dir, "documents")
     bucket_of = lambda c: F.pmod(  # noqa: E731
         md5_long(F.concat(F.lit("dsir:"), c)), F.lit(DSIR_NB)
     )
-    gb = docs.select(
-        "source", F.explode(_dsir_grams(F.col("text"))).alias("gram")
-    ).select("source", bucket_of(F.col("gram")).alias("b"))
-    # ONE fused census over the exploded gram frame (VERDICT r10 #3):
-    # the corpus count and the target count are conditional aggregates
-    # of the same groupBy("b") — the explode is the cost, and the old
-    # separate q/p censuses paid it twice (3 documents scans, now 2)
-    census = gb.groupBy("b").agg(
-        F.count("*").alias("q"),
-        F.count_if(F.col("source") == DSIR_TARGET).alias("p"),
+    # ONE explode+md5 pass for census AND scoring (guide §1.2-1; the
+    # r10 fuse took 3 documents scans to 2, this takes 2 to 1): the
+    # exploded gram frame collapses to the (doc_id, source, bucket,
+    # n)-compact occurrence table — ≤256 rows per doc, map-side
+    # combinable — which materializes once and feeds both the
+    # bucket census (Σn re-aggregate) and the per-doc scoring
+    # (Σ r_s·n ≡ per-occurrence Σ r_s, exact int64). The gram-less
+    # NULL-text filter moves up front: explode of NULL produced no
+    # census rows before either, so census values are unchanged.
+    gcounts = cut_lineage(
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            "source",
+            F.explode(_dsir_grams(F.col("text"))).alias("gram"),
+        )
+        .select("doc_id", "source", bucket_of(F.col("gram")).alias("b"))
+        .groupBy("doc_id", "source", "b")
+        .agg(F.count(F.lit(1)).alias("n")),
+        "dsir-gcounts",
+    )
+    census = gcounts.groupBy("b").agg(
+        F.sum("n").alias("q"),
+        F.sum(F.when(F.col("source") == DSIR_TARGET, F.col("n")).otherwise(F.lit(0))).alias("p"),
     )
     dom = spark.range(DSIR_NB).select(F.col("id").alias("b"))
     ratio = (
@@ -2099,31 +2116,23 @@ def pipe_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gram table, so such a doc never appears there [ADVICE r6]. For
     # any NON-NULL text, split() yields ≥1 element (tokens('') is ['']
     # in both engines, and unnest of [''] yields a row), so the only
-    # zero-gram case is NULL text: filter that directly — an IsNotNull
-    # the scan pushes down.
+    # zero-gram case is NULL text: the IsNotNull filter ahead of the
+    # gcounts explode (pushed to the scan) handles it.
     #
-    # Scoring runs over the EXPLODED gram frame (guide §4.1: built-ins
-    # over interpreted lambdas): explode + codegen md5 bucket + a
-    # broadcast join against the DSIR_NB-row ratio table + one
-    # map-side-combinable (doc_id, source) aggregate. The previous
-    # shape folded a per-element `aggregate(transform(grams,
-    # element_at(rmap, md5(...))))` — higher-order functions are
-    # CodegenFallback, so every gram paid an INTERPRETED md5 + map
-    # lookup (~1M interpreted evals at sf0.1, the query's hot spot).
-    # Σ r_s is an int64 sum (order-free) and every bucket 0..DSIR_NB-1
-    # exists in `ratio` by construction (left join against the dom
-    # spine), so the inner join drops nothing: values are unchanged.
+    # Scoring re-aggregates the compact occurrence table (guide §4.1:
+    # codegen md5 at the single explode, never an interpreted
+    # higher-order lambda): broadcast join against the DSIR_NB-row
+    # ratio table + one map-side-combinable (doc_id, source)
+    # aggregate. Σ r_s·n over distinct (doc, bucket) rows equals the
+    # per-occurrence Σ r_s exactly (int64), and every bucket
+    # 0..DSIR_NB-1 exists in `ratio` by construction (left join
+    # against the dom spine), so the inner join drops nothing.
     scored = (
-        docs.filter(F.col("text").isNotNull())
-        .select(
-            "doc_id", "source", F.explode(_dsir_grams(F.col("text"))).alias("gram")
-        )
-        .select("doc_id", "source", bucket_of(F.col("gram")).alias("b"))
-        .join(F.broadcast(ratio), "b")
+        gcounts.join(F.broadcast(ratio), "b")
         .groupBy("doc_id", "source")
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum("r_s").alias("score_s"),
+            F.sum("n").alias("n_grams"),
+            F.sum(F.col("r_s") * F.col("n")).alias("score_s"),
         )
         .select(
             "doc_id", "source", "n_grams",

@@ -903,10 +903,13 @@ NPROBE_SWEEP = [1, 2, 4]
 def ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from functools import reduce
 
+    from pyspark.sql import Window as W
+
+    from jobx_spark.operators.dedup import cosine_from_scaled
     from jobx_spark.operators.similarity import (
+        _sdot,
         brute_force_topk as _bf,
         ivf_assign,
-        ivf_topk,
         kmeans_train,
     )
 
@@ -923,12 +926,60 @@ def ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     gt = cut_lineage(
         _bf(emb, q, k=K).select("query_id", "vec_id"), "ivf-truth"
     )
+    # ONE candidate-scoring pass serves every sweep point too (guide
+    # §1.2-1): candidates are scored once at nprobe = max(SWEEP) with
+    # their cell's probe rank attached; each sweep leg is then a
+    # vector-free filter pr ≤ nprobe + top-K window over the bounded
+    # materialized candidate table — previously every leg re-ran its
+    # own ivf_topk (cells scan + probe broadcast + ranking) for a
+    # strictly nested candidate set. Probe ranking and cosine are
+    # ivf_topk's expressions verbatim, so each leg's top-K is
+    # row-identical to the ivf_topk it replaces.
+    np_max = max(NPROBE_SWEEP)
+    c = centroids.select("cent_id", "cv").withColumn(
+        "cnorm_s", _sdot(F.col("cv"), F.col("cv"))
+    )
+    qn = q.select(
+        F.col("query_id").alias("qid"), F.col("embedding").alias("qv")
+    ).withColumn("qnorm_s", _sdot(F.col("qv"), F.col("qv")))
+    qcells = qn.join(F.broadcast(c)).select(
+        "qid",
+        "qv",
+        "qnorm_s",
+        F.col("cent_id").alias("cell"),
+        cosine_from_scaled(
+            _sdot(F.col("qv"), F.col("cv")), F.col("qnorm_s"), F.col("cnorm_s")
+        ).alias("ccos"),
+    )
+    wprobe = W.partitionBy("qid").orderBy(F.desc("ccos"), F.asc("cell"))
+    probes = (
+        qcells.withColumn("pr", F.row_number().over(wprobe))
+        .filter(F.col("pr") <= np_max)
+        .select("qid", "qv", "qnorm_s", "cell", "pr")
+    )
+    scored = cut_lineage(
+        cells.join(F.broadcast(probes), "cell").select(
+            "qid",
+            F.col("id").alias("vec_id"),
+            cosine_from_scaled(
+                _sdot(F.col("qv"), F.col("v")),
+                F.col("qnorm_s"),
+                F.col("norm_s"),
+            ).alias("cosine"),
+            "pr",
+        ),
+        "sweep-scored",
+    )
+    wrank = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
     denom = K * N_QUERIES
     per_np = []
     for np_ in NPROBE_SWEEP:
-        ap = ivf_topk(
-            emb, q, centroids, k=K, nprobe=np_, cells=cells
-        ).select("query_id", "vec_id")
+        ap = (
+            scored.filter(F.col("pr") <= np_)
+            .withColumn("rank", F.row_number().over(wrank))
+            .filter(F.col("rank") <= K)
+            .select(F.col("qid").alias("query_id"), "vec_id")
+        )
         hits = ap.join(gt, ["query_id", "vec_id"], "left_semi").agg(
             F.count(F.lit(1)).alias("hits")
         )

@@ -101,29 +101,40 @@ def write_replay_files(
     from pyspark.sql import Window as W
 
     out = _scratch(f"replay_{tag}_{next(_name_counter)}")
-    rn = F.row_number().over(W.partitionBy().orderBy(*order_cols)) - 1
-    total = df.count()
+    # ONE pass (guide §1.2-1: don't repeat passes you can fuse): rank
+    # and total ride the same single-partition window — previously this
+    # staging paid a count() job plus one filtered scan PER FILE
+    # (n_files+1 passes through the global-window sort, each its own
+    # job). The partitioned write emits every replay file from the one
+    # window task; per-file assignment is the identical integer rank
+    # split, so batch contents are bit-for-bit what the loop produced.
+    single = W.partitionBy()
+    rn = F.row_number().over(single.orderBy(*order_cols)) - 1
+    total = F.count(F.lit(1)).over(single)
     # integer rank split — float division could round across a file
     # boundary and disagree with the oracle's `//`
-    staged = df.withColumn("_rn", rn).withColumn(
-        "_file", F.expr(f"(_rn * {n_files}) div {total}")
-    ).drop("_rn")
     base_mtime = 1_600_000_000  # any fixed epoch; only spacing matters
+    tmp = os.path.join(out, "_stage")
+    (
+        df.withColumn("_rn", rn)
+        .withColumn("_total", total)
+        .withColumn("_file", F.expr(f"(_rn * {n_files}) div _total"))
+        .drop("_rn", "_total")
+        .write.mode("overwrite")
+        # one part-file per replay batch regardless of session defaults
+        .option("maxRecordsPerFile", 0)
+        .partitionBy("_file")
+        .parquet(tmp)
+    )
     for i in range(n_files):
-        tmp = os.path.join(out, f"_stage_{i}")
-        (
-            staged.filter(F.col("_file") == i).drop("_file")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(tmp)
-        )
-        part = next(
-            p for p in sorted(os.listdir(tmp)) if p.endswith(".parquet")
-        )
+        pdir = os.path.join(tmp, f"_file={i}")
+        parts = [p for p in sorted(os.listdir(pdir)) if p.endswith(".parquet")]
+        if len(parts) != 1:  # single-window-task write: exactly one part
+            raise RuntimeError(f"replay stage {pdir}: {len(parts)} parts")
         dest = os.path.join(out, f"b{i:03d}.parquet")
-        shutil.move(os.path.join(tmp, part), dest)
-        shutil.rmtree(tmp)
+        shutil.move(os.path.join(pdir, parts[0]), dest)
         os.utime(dest, (base_mtime + i, base_mtime + i))
+    shutil.rmtree(tmp)
     return out
 
 
