@@ -33,7 +33,7 @@ from pyspark.storagelevel import StorageLevel
 
 from jobx_spark.functions import md5_long, minhash_coeffs, perm_hash
 from jobx_spark.lineage import cut_lineage
-from jobx_spark.operators.text import shingles, tokens
+from jobx_spark.operators.text import gram_rows, shingles, tokens
 
 DOT_SCALE = 1e12
 
@@ -84,10 +84,13 @@ def minhash_signature(
     sf0.1). The universal-hash family is (a*h+b) mod P with
     deterministic (a, b).
     """
-    base = (
-        df.select(F.col(id_col).alias("id"), F.explode(shingles(text_col, shingle_n)).alias("sh"))
-        .select("id", md5_long("sh").alias("h"))
-    )
+    # distinct=True: min over a set equals min over the multiset, and
+    # the Arrow gram producer (see operators.text.gram_rows — the fused
+    # C-speed form of the interpreted transform+md5 chain) then feeds
+    # fewer rows into the signature aggregation.
+    base = gram_rows(
+        df, [id_col], text_col, ns=(shingle_n,), distinct=True
+    ).withColumnRenamed(id_col, "id")
     return minhash_signature_from_hashes(base, "id", "h", n_hashes, seed)
 
 
@@ -286,17 +289,12 @@ def ngram_overlap_flags(
     carries each (doc, gram) once. The only shuffle is the final
     per-doc count — the corpus itself is never shuffled.
     """
-    tgrams = train.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("s"),
-    ).select("id", md5_long(F.col("s")).alias("h"))
-    egrams = (
-        eval_df.select(
-            F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("s")
-        )
-        .select(md5_long(F.col("s")).alias("h"))
-        .distinct()
-    )
+    tgrams = gram_rows(
+        train, [id_col], text_col, ns=(shingle_n,), distinct=True
+    ).withColumnRenamed(id_col, "id")
+    egrams = gram_rows(
+        eval_df, [], text_col, ns=(shingle_n,), distinct=True
+    ).distinct()
     return (
         tgrams.join(F.broadcast(egrams), "h", "left_semi")
         .groupBy("id")
@@ -861,16 +859,21 @@ def ngram_jaccard_pairs(
     shuffle is keyed by shingle, so cost tracks shared-shingle volume,
     not the pair cross product.
     """
-    sh = (
+    # Arrow gram producer (operators.text.gram_rows): per-doc-distinct
+    # (id, blk, h) rows with no distinct shuffle (per-doc dedup happens
+    # inside the batch) and no interpreted shingle lambda. Token-less
+    # docs emit nothing — they never join, so the old explode_outer
+    # NULL row changes no output.
+    sh = gram_rows(
         df.select(
             F.col(id_col).alias("id"),
             *( [F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")] ),
-            F.explode_outer(
-                F.array_distinct(shingles(text_col, n) if n > 1 else tokens(text_col))
-            ).alias("sh"),
-        )
-        .select("id", "blk", md5_long("sh").alias("h"))
-        .distinct()
+            F.col(text_col).alias("text"),
+        ),
+        ["id", "blk"],
+        "text",
+        ns=(n,),
+        distinct=True,
     )
     # sizes + both self-join sides reuse the token table; persist it or
     # the input is tokenized four times.
@@ -915,18 +918,20 @@ def containment_pairs(
     :func:`ngram_jaccard_pairs`, so the shuffle is keyed by shingle and
     scales with shared-shingle volume, not |docs|².
     """
-    sh = (
+    # same Arrow gram-producer shape as ngram_jaccard_pairs (per-doc
+    # distinct inside the batch, no distinct shuffle, no interpreted
+    # shingle lambda)
+    sh = gram_rows(
         df.select(
             F.col(id_col).alias("id"),
             *([F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")]),
-            F.explode_outer(
-                F.array_distinct(shingles(text_col, n) if n > 1 else tokens(text_col))
-            ).alias("sh"),
-        )
-        .select("id", "blk", md5_long("sh").alias("h"))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+            F.col(text_col).alias("text"),
+        ),
+        ["id", "blk"],
+        "text",
+        ns=(n,),
+        distinct=True,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -969,45 +974,49 @@ def ngram_jaccard_prefix_pairs(
     df². Candidates are then verified exactly with array_intersect over
     the collected token arrays.
 
-    Shuffles: df-count on (blk, h), prefix rank on id, candidate join on
-    (blk, h)-of-prefix, verify join on id — all keyed, none quadratic in
-    high-df tokens.
+    Shuffles of the full token table: ONE (blk, h)-keyed join against the
+    map-side-combined df-count table and ONE id-keyed window that carries
+    both the prefix rank and the set size; everything downstream (prefix
+    candidates, verify arrays) is prefix-/candidate-bounded or reuses the
+    id partitioning. (The token table needs no distinct pass: tokens are
+    per-doc-distinct from array_distinct BEFORE the explode, so the old
+    (id, blk, h) distinct was a full shuffle that removed nothing.)
     """
-    sh = (
+    sh = gram_rows(
         df.select(
             F.col(id_col).alias("id"),
             *( [F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")] ),
-            F.explode_outer(
-                F.array_distinct(shingles(text_col, n) if n > 1 else tokens(text_col))
-            ).alias("sh"),
-        )
-        .select("id", "blk", md5_long("sh").alias("h"))
-        .distinct()
+            F.col(text_col).alias("text"),
+        ),
+        ["id", "blk"],
+        "text",
+        ns=(n,),
+        distinct=True,
     )
-    # five downstream branches (sizes, dfreq, prefix, both verify sides)
-    # derive from the token table; without an explicit persist each one
-    # re-tokenizes the input — 10 scans at any scale. MEMORY_AND_DISK:
-    # the token table is O(input), spill is fine.
+    # two downstream branches (the df census and the ranked join) read
+    # the token table; persist so the second doesn't re-tokenize.
     sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    dfreq = sh.filter(F.col("h").isNotNull()).groupBy("blk", "h").agg(
-        F.count("*").alias("dfreq")
-    )
+    dfreq = sh.groupBy("blk", "h").agg(F.count("*").alias("dfreq"))
+    # sz rides the SAME id-window exchange as the prefix rank (a count
+    # over the whole partition), replacing the separate groupBy(id)
+    # census + join-back. Docs with no tokens never reach this point
+    # (explode of an empty array yields nothing) and can never be
+    # candidates, so dropping the old explode_outer NULL row changes no
+    # output.
+    w_id = W.partitionBy("id")
     ranked = (
-        sh.filter(F.col("h").isNotNull())
-        .join(dfreq, ["blk", "h"])
-        .join(sizes, "id")
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy("id").orderBy("dfreq", "h")
-            ),
-        )
+        sh.join(dfreq, ["blk", "h"])
+        .withColumn("sz", F.count(F.lit(1)).over(w_id))
+        .withColumn("rn", F.row_number().over(w_id.orderBy("dfreq", "h")))
         .withColumn(
             "prefix_len",
             (F.col("sz") - F.ceil(F.lit(min_jaccard) * F.col("sz")) + 1).cast("int"),
         )
     )
+    # prefix, candidates AND the verify arrays all derive from ranked;
+    # persisting it keeps the id partitioning visible downstream, so the
+    # tok_arrays groupBy(id) is exchange-free.
+    ranked = ranked.persist(StorageLevel.MEMORY_AND_DISK)
     prefix = ranked.filter(F.col("rn") <= F.col("prefix_len")).select("id", "blk", "h")
     a, b = prefix.alias("a"), prefix.alias("b")
     candidates = (
@@ -1017,13 +1026,10 @@ def ngram_jaccard_prefix_pairs(
         .distinct()
     )
     # One agg carries BOTH the verify payload (token array) and the set
-    # size, so each candidate side is a single join — two shuffles fewer
-    # than joining tokens and sizes separately. (sz here equals the
-    # ``sizes`` count for every id that can appear in candidates: the
-    # explode_outer null row only exists for token-less docs, which
-    # never produce a prefix.)
-    tok_arrays = sh.filter(F.col("h").isNotNull()).groupBy("id").agg(
-        F.collect_list("h").alias("hs"), F.count("*").alias("tsz")
+    # size, so each candidate side is a single join. sz equals the old
+    # null-filtered count for every id that can appear in candidates.
+    tok_arrays = ranked.groupBy("id").agg(
+        F.collect_list("h").alias("hs"), F.first("sz").alias("tsz")
     )
     ta = tok_arrays.select(
         F.col("id").alias("id_a"), F.col("hs").alias("hs_a"),

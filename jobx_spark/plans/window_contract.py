@@ -78,13 +78,15 @@ WINDOW_BOUNDS: dict[str, dict[tuple[str, ...], str]] = {
     "pipe_encode_ids": {
         (): _TOPK_RERANK,
     },
-    "pipe_ewma_user_value": {
-        ("k",): "chunking row_number of operators/recurrence.py: the JVM "
-                "window sort is disk-spilling and row_number streams over "
-                "the sorted run; the cliff the device removes is the "
-                "PYTHON-side whole-group hold, which chunking bounds "
-                "(module docstring contract)",
-    },
+    # pipe_ewma_user_value: the chunking row_number window of
+    # operators/recurrence.py is now branch-selected (r12: a hot-key
+    # probe proves every group fits the memory bound and takes the
+    # single-fold path, so no Window node survives in the realistic
+    # plan). When a hot key IS detected the chunked machinery still
+    # runs with its ("k",) window — bounded per the module docstring
+    # contract — but that branch never appears in a gated plan, so the
+    # contract carries no entry (the stale-entry audit would fail on
+    # one).
     "pipe_pack_offsets": {
         ("source", "chunk_id"): "≤ PACK_CHUNK(4096) rows per chunk by "
                                 "doc-id distinctness (r8 chunked rewrite)",

@@ -282,27 +282,25 @@ DECON_BF_K = 3
 
 def dedup_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jobx_spark.operators.sketches import bloom_positions, bloom_probe
-    from jobx_spark.operators.text import shingles
+    from jobx_spark.operators.text import gram_rows, shingles
 
     docs = load_table(spark, sf_dir, "documents")
     # distinct-per-doc shingles, materialized once: feeds the probe,
     # the per-doc hit counts, the exact residual AND the base census
+    # Arrow gram producer (gram strings — the bloom operators hash
+    # internally); per-doc dedup batch-side, no interpreted lambda
     tg = cut_lineage(
-        docs.filter(F.col("doc_id") % 10 != 0).select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(shingles(F.col("text"), SHINGLE_N))
-            ).alias("s"),
-        ),
+        gram_rows(
+            docs.filter(F.col("doc_id") % 10 != 0), ["doc_id"], "text",
+            ns=(SHINGLE_N,), distinct=True, emit="gram",
+        ).withColumnRenamed("g", "s"),
         "bdecon-tg",
     )
     eg = cut_lineage(
-        docs.filter(F.col("doc_id") % 10 == 0)
-        .select(
-            F.explode(
-                F.array_distinct(shingles(F.col("text"), SHINGLE_N))
-            ).alias("s")
-        )
+        gram_rows(
+            docs.filter(F.col("doc_id") % 10 == 0), [], "text",
+            ns=(SHINGLE_N,), distinct=True, emit="gram",
+        ).withColumnRenamed("g", "s")
         .distinct(),
         "bdecon-eg",
     )
@@ -1017,7 +1015,7 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_pairs_from_banded,
         minhash_signature_from_hashes,
     )
-    from jobx_spark.operators.text import shingles
+    from jobx_spark.operators.text import gram_rows, shingles
 
     docs = load_table(spark, sf_dir, "documents")
     # ONE corpus scan (VERDICT r3 "What's wrong" #2 — previously 5):
@@ -1026,14 +1024,10 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # within-block intersections) and the LSH candidate set
     # (signatures → bands → bucket join) — mirroring the oracle's
     # single-CTE shape.
+    # Arrow gram producer (operators.text.gram_rows): per-doc-distinct
+    # rows with no distinct shuffle and no interpreted shingle lambda
     hh = cut_lineage(
-        docs.select(
-            "doc_id",
-            "source",
-            F.explode(F.array_distinct(shingles("text", SHINGLE_N))).alias("s"),
-        )
-        .select("doc_id", "source", md5_long("s").alias("h"))
-        .distinct(),
+        gram_rows(docs, ["doc_id", "source"], "text", ns=(SHINGLE_N,), distinct=True),
         "recall-hh",
     )
     sizes = hh.groupBy("doc_id").agg(F.count("*").alias("sz"))
@@ -1206,7 +1200,7 @@ def dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_pairs_from_banded,
         minhash_signature_from_hashes,
     )
-    from jobx_spark.operators.text import shingles
+    from jobx_spark.operators.text import gram_rows, shingles
 
     docs = load_table(spark, sf_dir, "documents")
     # ONE corpus scan: the distinct (id, shingle-hash) table is
@@ -1214,13 +1208,11 @@ def dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     # intersections are all derived from it (VERDICT r3 "What's wrong"
     # #2 — the previous shape re-tokenized documents ~10×). This is the
     # same single-CTE structure the DuckDB oracle always had.
+    # Arrow gram producer (operators.text.gram_rows): per-doc-distinct
+    # rows with no distinct shuffle and no interpreted shingle lambda
     hh = cut_lineage(
-        docs.select(
-            F.col("doc_id").alias("id"),
-            F.explode(F.array_distinct(shingles("text", SHINGLE_N))).alias("s"),
-        )
-        .select("id", md5_long("s").alias("h"))
-        .distinct(),
+        gram_rows(docs, ["doc_id"], "text", ns=(SHINGLE_N,), distinct=True)
+        .withColumnRenamed("doc_id", "id"),
         "est-hh",
     )
     sig = cut_lineage(
@@ -1514,13 +1506,12 @@ SPAN_N = 8
 
 
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from jobx_spark.functions import md5_long
-    from jobx_spark.operators.text import shingles
+    from jobx_spark.operators.text import gram_rows
 
     docs = load_table(spark, sf_dir, "documents")
-    spans = docs.select(
-        "doc_id", F.explode(shingles("text", SPAN_N)).alias("s")
-    ).select("doc_id", md5_long("s").alias("h"))
+    # Arrow gram producer — multiset spans (no per-doc dedup: n_total
+    # counts every occurrence), no interpreted shingle lambda
+    spans = gram_rows(docs, ["doc_id"], "text", ns=(SPAN_N,), distinct=False)
     return (
         spans.groupBy("h")
         .agg(
@@ -1553,8 +1544,7 @@ SUB_REP = 8
 
 
 def dedup_substring_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from jobx_spark.functions import md5_long
-    from jobx_spark.operators.text import shingles
+    from jobx_spark.operators.text import gram_rows
 
     docs = load_table(spark, sf_dir, "documents")
     scaled = docs.select(
@@ -1568,9 +1558,9 @@ def dedup_substring_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("doc_id"),
         "text",
     )
-    spans = scaled.select(
-        "doc_id", F.explode(shingles("text", SPAN_N)).alias("s")
-    ).select("doc_id", md5_long("s").alias("h"))
+    # Arrow gram producer over the REPLICATED corpus — the 8× span
+    # stream is still genuinely produced and aggregated
+    spans = gram_rows(scaled, ["doc_id"], "text", ns=(SPAN_N,), distinct=False)
     return (
         spans.groupBy("h")
         .agg(
@@ -1742,13 +1732,15 @@ ORDER BY id_a, id_b
 # driver-tiny — while every stage stays a keyed shuffle.
 # --------------------------------------------------------------------------
 def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from jobx_spark.functions import md5_long
-    from jobx_spark.operators.text import shingles
+    from jobx_spark.operators.text import gram_rows
 
     docs = load_table(spark, sf_dir, "documents")
+    # per-doc dedup (distinct=True) happens batch-side in the Arrow
+    # producer, shrinking the input to the CROSS-doc (source, h)
+    # distinct — which still needs its shuffle (different docs of one
+    # source share spans) but over far fewer rows
     st = cut_lineage(
-        docs.select("source", F.explode(shingles("text", SPAN_N)).alias("s"))
-        .select("source", md5_long("s").alias("h"))
+        gram_rows(docs, ["source"], "text", ns=(SPAN_N,), distinct=True)
         .distinct(),
         "srcov-st",
     )
@@ -2012,16 +2004,14 @@ S_CURVE_CONFIGS = [2, 4, 8]  # bands over the 16 hashes
 def dedup_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jobx_spark.functions import md5_long
     from jobx_spark.operators.dedup import minhash_signature_from_hashes
-    from jobx_spark.operators.text import shingles
+    from jobx_spark.operators.text import gram_rows
 
     docs = load_table(spark, sf_dir, "documents")
+    # Arrow gram producer (operators.text.gram_rows): per-doc-distinct
+    # rows with no distinct shuffle and no interpreted shingle lambda
     hh = cut_lineage(
-        docs.select(
-            F.col("doc_id").alias("id"),
-            F.explode(F.array_distinct(shingles("text", SHINGLE_N))).alias("s"),
-        )
-        .select("id", md5_long("s").alias("h"))
-        .distinct(),
+        gram_rows(docs, ["doc_id"], "text", ns=(SHINGLE_N,), distinct=True)
+        .withColumnRenamed("doc_id", "id"),
         "scurve-hh",
     )
     sig = cut_lineage(

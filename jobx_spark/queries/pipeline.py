@@ -789,11 +789,12 @@ BIGRAM_K = 100
 def pipe_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    from jobx_spark.operators.text import shingles
+    from jobx_spark.operators.text import gram_rows
 
     docs = load_table(spark, sf_dir, "documents")
-    bg = docs.select(
-        "doc_id", F.explode(shingles(F.col("text"), 2)).alias("bigram")
+    # Arrow gram producer (bigram strings, multiset)
+    bg = gram_rows(docs, ["doc_id"], "text", ns=(2,), emit="gram").withColumnRenamed(
+        "g", "bigram"
     )
     counts = bg.groupBy("bigram").agg(
         F.count("*").alias("n"),
@@ -2084,14 +2085,20 @@ def pipe_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (Σ r_s·n ≡ per-occurrence Σ r_s, exact int64). The gram-less
     # NULL-text filter moves up front: explode of NULL produced no
     # census rows before either, so census values are unchanged.
+    # Arrow gram producer: one fused pass emits the md5("dsir:"+gram)
+    # hash for the unigram+bigram multiset (ns=(1,2) ≡ concat(tokens,
+    # shingles-2)); bucketing is a pmod of that hash — bit-identical to
+    # the old explode + codegen md5 and free of the interpreted
+    # shingle lambda
+    from jobx_spark.operators.text import gram_rows
+
     gcounts = cut_lineage(
-        docs.filter(F.col("text").isNotNull())
-        .select(
-            "doc_id",
-            "source",
-            F.explode(_dsir_grams(F.col("text"))).alias("gram"),
+        gram_rows(
+            docs.filter(F.col("text").isNotNull()),
+            ["doc_id", "source"], "text",
+            ns=(1, 2), distinct=False, prefix="dsir:",
         )
-        .select("doc_id", "source", bucket_of(F.col("gram")).alias("b"))
+        .select("doc_id", "source", F.pmod(F.col("h"), F.lit(DSIR_NB)).alias("b"))
         .groupBy("doc_id", "source", "b")
         .agg(F.count(F.lit(1)).alias("n")),
         "dsir-gcounts",

@@ -982,18 +982,16 @@ def stream_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from jobx_spark.lineage import cut_lineage, scratch_dir
     from jobx_spark.operators.sketches import bloom_positions, bloom_probe
-    from jobx_spark.operators.text import shingles
+    from jobx_spark.operators.text import gram_rows
     from jobx_spark.queries.dedup import DECON_BF_BITS, DECON_BF_K, SHINGLE_N
     from jobx_spark.sources import load_table
 
     docs = load_table(spark, sf_dir, "documents")
     eg = cut_lineage(
-        docs.filter(F.col("doc_id") % 10 == 0)
-        .select(
-            F.explode(
-                F.array_distinct(shingles(F.col("text"), SHINGLE_N))
-            ).alias("s")
-        )
+        gram_rows(
+            docs.filter(F.col("doc_id") % 10 == 0), [], "text",
+            ns=(SHINGLE_N,), distinct=True, emit="gram",
+        ).withColumnRenamed("g", "s")
         .distinct(),
         "sbdecon-eg",
     )
@@ -1012,12 +1010,10 @@ def stream_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         # consumers (probe, bloom census, exact residual, base census),
         # same domsig device as the batch twin
         tg = cut_lineage(
-            batch_df.select(
-                "doc_id",
-                F.explode(
-                    F.array_distinct(shingles(F.col("text"), SHINGLE_N))
-                ).alias("s"),
-            ),
+            gram_rows(
+                batch_df, ["doc_id"], "text",
+                ns=(SHINGLE_N,), distinct=True, emit="gram",
+            ).withColumnRenamed("g", "s"),
             "sbdecon-tg",
         )
         passed = bloom_probe(

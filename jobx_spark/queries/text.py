@@ -542,14 +542,15 @@ def _bigram_doc_scores(docs: DataFrame) -> DataFrame:
     import uuid
 
     from jobx_spark.lineage import checkpoint_root
-    from jobx_spark.operators.text import shingles
+    from jobx_spark.operators.text import gram_rows
 
     spark = docs.sparkSession
     key = _cdb_cache_key(docs.inputFiles() or [])
+    # Arrow gram producer (bigram strings — downstream keys on the
+    # string); multiset, no interpreted shingle lambda
     plan = (
-        docs.select(
-            "doc_id", F.explode(shingles(F.col("text"), 2)).alias("bigram")
-        )
+        gram_rows(docs, ["doc_id"], "text", ns=(2,), emit="gram")
+        .withColumnRenamed("g", "bigram")
         .groupBy("doc_id", "bigram")
         .agg(F.count("*").alias("c_db"))
     )
@@ -1472,14 +1473,15 @@ def winnow_selected(docs: DataFrame) -> DataFrame:
     (dedup_winnow_pairs)."""
     from pyspark.sql import Window as W
 
-    from jobx_spark.functions import md5_long
-    from jobx_spark.operators.text import shingles
+    from jobx_spark.operators.text import gram_rows
 
-    grams = docs.select(
-        "doc_id", F.posexplode(shingles(F.col("text"), WIN_K)).alias("pos", "g")
+    # Arrow gram producer with positions — h is md5_long(gram), i.e.
+    # exactly the old posexplode+md5 pair, built batch-side
+    grams = gram_rows(
+        docs, ["doc_id"], "text", ns=(WIN_K,), with_pos=True
     ).select(
         "doc_id", "pos",
-        F.pmod(md5_long(F.col("g")), F.lit(1 << _WIN_HBITS)).alias("hw"),
+        F.pmod(F.col("h"), F.lit(1 << _WIN_HBITS)).alias("hw"),
     )
     pmax = (1 << _WIN_PBITS) - 1
     keyed = grams.select(
