@@ -182,7 +182,9 @@ def _run_reduce(
     return rows
 
 
-def _make_phase1_udf(step_plan: dict, workdir: str | None):
+def _make_phase1_udf(
+    step_plan: dict, workdir: str | None, emit_forensics: bool = False
+):
     """Bucket UDF: each Arrow group carries MANY invocations (the
     frontier is grouped by a hash bucket of the invocation id, not by
     the id itself), and the per-invocation semantics — seeded RNG,
@@ -203,24 +205,72 @@ def _make_phase1_udf(step_plan: dict, workdir: str | None):
         # the handler itself). Group order and within-group seq order
         # are what groupby(sort=True) produced; seq ties carry
         # bit-identical rows either way.
+        import heapq
+
         import numpy as np
 
         pdf = pdf.sort_values(["inv", "seq"])
         invs = pdf["inv"].to_numpy()
         pinvs = pdf["parent_inv"].to_numpy()
         rts = pdf["row_type"].to_numpy()
+        seqs = pdf["seq"].to_numpy()
         ks = pdf["k"].to_numpy()
         vs = pdf["v"].to_numpy()
         starts = np.nonzero(np.concatenate(([True], invs[1:] != invs[:-1])))[0]
         bounds = np.append(starts, len(invs))
         rows: list[tuple] = []
+        # Forensics ride phase 1 (guide §1.2-1: don't recompute what an
+        # existing pass already knows): each invocation's record —
+        # argument count, ≤3-pair sample ordered by (seq, k, v), child/
+        # reduced output counts — is emitted as ONE extra 'forensic'
+        # row, replacing the driver-side distinct + full-frontier
+        # window + two-aggregate join jobs that re-derived the same
+        # facts from the persisted frames. The 512-record cap makes a
+        # per-bucket budget sound: the globally smallest CAP+1 inv ids
+        # are a subset of each bucket's smallest CAP+1 (invocations
+        # iterate in ascending inv order here), so the driver's
+        # TakeOrdered over these rows sees every record it can keep.
+        budget = INVOCATION_CAP + 1 if emit_forensics else 0
         for s, e_ in zip(bounds[:-1], bounds[1:]):
-            rows.extend(
-                _phase1_one_invocation(
-                    step_plan, workdir, invs[s], pinvs[s],
-                    rts[s:e_], ks[s:e_], vs[s:e_],
-                )
+            out = _phase1_one_invocation(
+                step_plan, workdir, invs[s], pinvs[s],
+                rts[s:e_], ks[s:e_], vs[s:e_],
             )
+            rows.extend(out)
+            if budget > 0:
+                budget -= 1
+                # (seq ASC, k ASC, v ASC) with NULLS FIRST — exactly the
+                # window ordering the driver-side sample used (arg_empty
+                # sentinel rows carry NULL k/v)
+                sample = heapq.nsmallest(
+                    3,
+                    zip(
+                        (int(x) for x in seqs[s:e_]), ks[s:e_], vs[s:e_]
+                    ),
+                    key=lambda t: (
+                        t[0],
+                        t[1] is not None,
+                        t[1] or "",
+                        t[2] is not None,
+                        t[2] or "",
+                    ),
+                )
+                counts = {
+                    "n_args": int(e_ - s),
+                    "n_mapped": sum(1 for r in out if r[0] == "child"),
+                    "n_reduced": sum(1 for r in out if r[0] == "reduced"),
+                }
+                rows.append(
+                    (
+                        "forensic",
+                        invs[s],
+                        pinvs[s],
+                        step_plan["name"],
+                        0,
+                        _encode(counts),
+                        _encode([[k, v] for _, k, v in sample]),
+                    )
+                )
         return pd.DataFrame(
             rows,
             columns=["row_type", "inv", "parent_inv", "step", "seq", "k", "v"],
@@ -436,63 +486,15 @@ class Engine:
         ):
             return
         room = INVOCATION_CAP - len(trace.invocations)
-        # Cap BEFORE aggregating: pick the kept invocation ids with one
-        # cheap TakeOrdered over the distinct ids, then aggregate only
-        # those — a 1M-invocation fan-out must not pay a full-width
-        # sample/collect_list agg to produce 512 forensic records.
-        keep = [
-            r[0]
-            for r in frontier.select("inv").distinct()
-            .orderBy("inv").limit(room + 1).collect()
-        ]
-        frontier = frontier.filter(F.col("inv").isin(keep))
-        # ≤3-pair sample via a rank prefilter: collect_list over ONLY
-        # the rank-≤3 rows, not a full-width sort_array(collect_list)
-        # of every argument per invocation — same 3 structs ((seq, k,
-        # v) ascending is exactly sort_array's struct order).
-        from pyspark.sql import Window as _W
-
-        rk = F.row_number().over(
-            _W.partitionBy("inv").orderBy("seq", "k", "v")
-        )
-        args = (
-            frontier.withColumn("_rk", rk)
-            .groupBy("inv")
-            .agg(
-                F.first("parent_inv", ignorenulls=True).alias("parent_inv"),
-                F.count(F.lit(1)).alias("n_args"),
-                F.sort_array(
-                    F.collect_list(
-                        F.when(
-                            F.col("_rk") <= 3, F.struct("seq", "k", "v")
-                        )
-                    )
-                ).alias("sample"),
-            )
-        )
-        # child rows carry the CHILD's inv with parent_inv pointing back,
-        # so a parent's post-map (fan-out) count groups on parent_inv;
-        # reduced rows carry the producing invocation's own inv.
-        outs = (
-            map_out.select(
-                F.when(F.col("row_type") == "child", F.col("parent_inv"))
-                .otherwise(F.col("inv"))
-                .alias("okey"),
-                "row_type",
-            )
-            .filter(F.col("okey").isin(keep))
-            .groupBy("okey")
-            .agg(
-                F.sum(F.when(F.col("row_type") == "child", 1).otherwise(0)).alias(
-                    "n_mapped"
-                ),
-                F.sum(F.when(F.col("row_type") == "reduced", 1).otherwise(0)).alias(
-                    "n_reduced"
-                ),
-            )
-        )
+        # Phase 1 already emitted one 'forensic' row per invocation
+        # (per-bucket-budgeted at CAP+1, so the globally-smallest
+        # room+1 inv ids are all present — see _make_phase1_udf): the
+        # capture is ONE TakeOrdered collect over the persisted
+        # map_out, replacing the distinct-ids job + full-frontier
+        # rank-window sample + two-aggregate join job that re-derived
+        # the same facts the phase-1 loop had in hand (guide §1.2-1).
         rows = (
-            args.join(outs, args.inv == outs.okey, "left")
+            map_out.filter(F.col("row_type") == "forensic")
             .orderBy("inv")
             .limit(room + 1)
             .collect()
@@ -504,10 +506,8 @@ class Engine:
                     parent_inv=r["parent_inv"],
                     step=step_name,
                     depth=depth,
-                    n_args=r["n_args"],
-                    n_mapped=r["n_mapped"] or 0,
-                    n_reduced=r["n_reduced"] or 0,
-                    arg_sample=[(s["k"], s["v"]) for s in (r["sample"] or [])],
+                    arg_sample=[tuple(p) for p in _decode(r["v"])],
+                    **_decode(r["k"]),
                 )
                 for r in rows
             ]
@@ -574,10 +574,20 @@ class Engine:
         # Bucket count ~4 groups per core keeps every task busy while
         # the in-UDF loop amortizes Arrow batching over invocations.
         n_buckets = max(self.spark.sparkContext.defaultParallelism * 4, 64)
+        # Decide forensics at plan-build time (single-writer trace: the
+        # cap can only have been consumed by steps that already ran):
+        # when capture will run, phase 1 emits the per-invocation
+        # forensic rows itself — see _make_phase1_udf.
+        want_forensics = (
+            self.capture_forensics
+            and trace is not None
+            and len(trace.invocations) < INVOCATION_CAP
+        )
         map_out = frontier.groupBy(
             F.pmod(F.xxhash64("inv"), F.lit(n_buckets)).alias("_bucket")
         ).applyInPandas(
-            _make_phase1_udf(plan, self.workdir), schema=_ROWS_SCHEMA
+            _make_phase1_udf(plan, self.workdir, want_forensics),
+            schema=_ROWS_SCHEMA,
         ).persist()
         persisted.append(map_out)
         self._capture_invocations(frontier, map_out, trace, depth, step_name)

@@ -116,6 +116,104 @@ def _centroid_arrays(rows, scale: int | None = None):
     return cent_ids, cv, cnorm_sqrt
 
 
+def _nearest_cells(mat, cent_ids, cv, cnorm_sqrt):
+    """Vectorized nearest-centroid assignment over a (rows, dim) batch:
+    returns (best_index_into_cent_ids, vnorm_s int64). The shared
+    numerics of :func:`_nearest_centroid_udf` and the fused Lloyd
+    update (:func:`_update_partials_gen`): per-element
+    ``floor(x·c·1e12)`` int64 dots, cosine in IEEE doubles, undefined
+    cosines (zero norm) = -inf so np.argmax ties to the LOWEST
+    cent_id."""
+    n = mat.shape[0]
+    vnorm_s = np.floor(mat * mat * 1e12).astype(np.int64).sum(axis=1)
+    vnorm_sqrt = np.sqrt(vnorm_s.astype(np.float64))
+    k = len(cent_ids)
+    cos = np.full((n, k), -np.inf)
+    for j in range(k):
+        denom = vnorm_sqrt * cnorm_sqrt[j]
+        dot = (
+            np.floor(mat * cv[j] * 1e12)
+            .astype(np.int64)
+            .sum(axis=1)
+            .astype(np.float64)
+        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cj = dot / denom
+        cos[:, j] = np.where(denom > 0.0, cj, -np.inf)
+    return np.argmax(cos, axis=1), vnorm_s, cos
+
+
+def _update_partials_gen(cent_ids, cv, cnorm_sqrt, scale: int, vec_col: str):
+    """mapInPandas generator fusing one Lloyd round's ASSIGN + UPDATE
+    partials per Arrow batch: vectors cross the Python boundary once,
+    are assigned with :func:`_nearest_cells`, and the batch emits k·dim
+    partial rows (cell, idx, s=Σ floor(x·S) int64, n=rows-in-cell) —
+    the previous shape shipped the assignment struct back to the JVM
+    and re-exploded every vector element (rows·dim rows through an
+    interpreted floor + hash aggregate). Integer partials are exact and
+    order-free, so groupBy(cell, idx).sum reproduces the old
+    posexplode aggregation bit-for-bit."""
+
+    def gen(pdfs):
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf[vec_col].values).astype(np.float64)
+            bi, _, _ = _nearest_cells(mat, cent_ids, cv, cnorm_sqrt)
+            x = np.floor(mat * scale).astype(np.int64)
+            dim = mat.shape[1]
+            k = len(cent_ids)
+            sums = np.zeros((k, dim), dtype=np.int64)
+            np.add.at(sums, bi, x)
+            counts = np.bincount(bi, minlength=k).astype(np.int64)
+            ki = np.nonzero(counts > 0)[0]
+            yield pd.DataFrame(
+                {
+                    "cell": np.repeat(cent_ids[ki], dim),
+                    "idx": np.tile(
+                        np.arange(dim, dtype=np.int32), len(ki)
+                    ),
+                    "s": sums[ki].ravel(),
+                    "n": np.repeat(counts[ki], dim),
+                }
+            )
+
+    return gen
+
+
+def _residual_subs_udf(cent_ids, cv, cnorm_sqrt, pq_sub: int, pq_dim: int):
+    """Pandas UDF mapping a vector to struct(cell, sub0..sub{n-1}):
+    nearest-cell assignment (:func:`_nearest_cells`, ties to the lowest
+    cent_id exactly like ``ivf_assign``) fused with the residual
+    subtract ``rv = v - cv[cell]`` and its PQ subspace slices — the
+    previous plan paid a broadcast join back to the centroid table plus
+    an interpreted per-element ``zip_with`` subtract over the whole
+    corpus. numpy double subtraction is the same IEEE op on identical
+    inputs, and the slices are exact re-indexing, so the materialized
+    residual table is bit-identical."""
+    fields = "cell bigint" + "".join(
+        f", sub{s} array<double>" for s in range(pq_sub)
+    )
+
+    @F.pandas_udf(f"struct<{fields}>")
+    def best(vs: pd.Series) -> pd.DataFrame:
+        if len(vs) == 0 or len(cent_ids) == 0:
+            out = pd.DataFrame({"cell": pd.Series([], dtype="int64")})
+            for s in range(pq_sub):
+                out[f"sub{s}"] = pd.Series([], dtype="object")
+            return out
+        mat = np.stack(vs.values).astype(np.float64)
+        bi, _, _ = _nearest_cells(mat, cent_ids, cv, cnorm_sqrt)
+        rv = mat - cv[bi]
+        out = pd.DataFrame({"cell": cent_ids[bi]})
+        for s in range(pq_sub):
+            sl = rv[:, s * pq_dim : (s + 1) * pq_dim]
+            out[f"sub{s}"] = list(sl)
+        return out
+
+    return best
+
+
 def _nearest_centroid_udf(cent_ids, cv, cnorm_sqrt, with_cosine: bool):
     """Pandas UDF mapping a vector column to its nearest centroid by
     cosine — the k-row centroid matrix ships in the task closure, so
@@ -149,24 +247,8 @@ def _nearest_centroid_udf(cent_ids, cv, cnorm_sqrt, with_cosine: bool):
                 out["cosine"] = pd.Series([], dtype="float64")
             return out
         mat = np.stack(vs.values).astype(np.float64)
-        vnorm_s = (
-            np.floor(mat * mat * 1e12).astype(np.int64).sum(axis=1)
-        )
-        vnorm_sqrt = np.sqrt(vnorm_s.astype(np.float64))
-        k = len(cent_ids)
-        cos = np.full((n, k), -np.inf)
-        for j in range(k):
-            denom = vnorm_sqrt * cnorm_sqrt[j]
-            dot = (
-                np.floor(mat * cv[j] * 1e12)
-                .astype(np.int64)
-                .sum(axis=1)
-                .astype(np.float64)
-            )
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cj = dot / denom
-            cos[:, j] = np.where(denom > 0.0, cj, -np.inf)
-        bi = np.argmax(cos, axis=1)  # first max → lowest cent_id on ties
+        # first max → lowest cent_id on ties
+        bi, vnorm_s, cos = _nearest_cells(mat, cent_ids, cv, cnorm_sqrt)
         bc = cos[np.arange(n), bi]
         out = pd.DataFrame(
             {"norm_s": vnorm_s, "cell": cent_ids[bi]}
@@ -346,20 +428,21 @@ def kmeans_train(
     for _ in range(iters):
         if not cents:
             break
-        # One job per round: pure-map assignment (centroids in the task
-        # closure), then the update aggregate — k·dim rows collected,
-        # the integer division stays a Spark `div` so its truncation
-        # semantics are byte-identical to the previous plan's.
+        # One job per round, ONE boundary crossing: the mapInPandas
+        # batch assigns cells and emits k·dim integer partials directly
+        # (the previous shape returned the assignment struct to the JVM
+        # and re-exploded rows·dim elements through an interpreted
+        # floor + hash aggregate). Partials are exact int64 sums —
+        # order-free — and the integer division stays a Spark `div` so
+        # its truncation semantics are byte-identical.
+        rows = [{"cent_id": c, "cv_s": cents[c]} for c in sorted(cents)]
+        cent_ids, cvm, cnorm_sqrt = _centroid_arrays(rows, scale=scale)
+        gen = _update_partials_gen(cent_ids, cvm, cnorm_sqrt, scale, "v")
         upd_rows = (
-            e.withColumn("b", assign_col(with_cosine=False))
-            .select(F.col("b.cell").alias("cell"), F.posexplode("v").alias("idx", "val"))
+            e.select("v")
+            .mapInPandas(gen, "cell long, idx int, s long, n long")
             .groupBy("cell", "idx")
-            .agg(
-                F.sum(
-                    F.floor(F.col("val").cast("double") * scale).cast("long")
-                ).alias("s"),
-                F.count("*").alias("n"),
-            )
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
             .select("cell", "idx", F.expr("s div n").alias("val_s"))
             .collect()
         )

@@ -161,6 +161,92 @@ def gram_rows(
     return src.mapInPandas(gen, schema)
 
 
+def para_rows(
+    df: DataFrame,
+    id_cols: list[str],
+    text_col: str = "text",
+    width: int = 4,
+    prefix: str = "para:",
+) -> DataFrame:
+    """Exploded paragraph-line rows computed at the Arrow boundary —
+    the fused, batch-vectorized form of the blank-line-split →
+    normalize → ``width``-token line split → md5 chain
+    ``dedup_paragraphs`` previously built from NESTED higher-order
+    ``transform`` lambdas (CodegenFallback: every line paid an
+    interpreted slice + array_join, the same ~16 µs/gram pathology
+    :func:`gram_rows` removed from the shingle paths).
+
+    Values are bit-identical to the column form: blocks =
+    ``split(text, '\\n\\s*\\n')`` (ASCII classes, Java split's
+    empty-segment behavior), per block ``regexp_replace(lower(trim(b)),
+    '\\s+', ' ')`` then single-space split, lines = 1-indexed
+    ``width``-token slices space-joined (empty block → one empty line,
+    exactly like the expression form), ``idx`` = the 0-based
+    ``posexplode`` position across the flattened lines, ``ph`` = the
+    md5-hex-15 → BIGINT of ``prefix + line``, ``plen`` = character
+    length. NULL text emits no rows (posexplode-of-NULL semantics).
+
+    Output: (*id_cols, idx int, ph long, plen long) — the line string
+    itself never crosses back over the boundary (consumers only need
+    its hash and length).
+    """
+    import hashlib
+    import re as _re
+
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    blk = _re.compile(r"\n\s*\n", _re.ASCII)
+    ws = _re.compile(r"\s+", _re.ASCII)
+    src = df.select(*id_cols, text_col)
+    # same scale-adaptive small-input spread as gram_rows (never fires
+    # once the scan has >= cores splits — i.e. never at production scale)
+    para = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < para:
+        src = src.repartition(para)
+    fields = [src.schema[c] for c in id_cols] + [
+        StructField("idx", IntegerType(), False),
+        StructField("ph", LongType(), False),
+        StructField("plen", LongType(), False),
+    ]
+    schema = StructType(fields)
+
+    def gen(batches):
+        md5 = hashlib.md5
+        for pdf in batches:
+            ridx: list[int] = []
+            idxs: list[int] = []
+            phs: list[int] = []
+            plens: list[int] = []
+            for i, txt in enumerate(pdf[text_col]):
+                if txt is None:
+                    continue
+                k = 0
+                for b in blk.split(txt):
+                    toks = ws.sub(" ", b.strip(" ").lower()).split(" ")
+                    for j in range((len(toks) + width - 1) // width):
+                        p = " ".join(toks[j * width : (j + 1) * width])
+                        ridx.append(i)
+                        idxs.append(k)
+                        k += 1
+                        phs.append(
+                            int(
+                                md5((prefix + p).encode("utf-8"))
+                                .hexdigest()[:15],
+                                16,
+                            )
+                        )
+                        plens.append(len(p))
+            res = pdf.iloc[ridx, [pdf.columns.get_loc(c) for c in id_cols]]
+            res = res.reset_index(drop=True)
+            res["idx"] = pd.array(idxs, dtype="int32")
+            res["ph"] = pd.array(phs, dtype="int64")
+            res["plen"] = pd.array(plens, dtype="int64")
+            yield res
+
+    return src.mapInPandas(gen, schema)
+
+
 def punct_count(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.length(F.regexp_replace(c, PUNCT_CLASS, "")).cast("bigint")

@@ -61,6 +61,16 @@ def count_shuffles(plan: str) -> int:
     return count_nodes(plan, "Exchange")
 
 
+def count_data_shuffles(plan: str) -> int:
+    """Exchange nodes minus round-robin spread repartitions — the
+    shuffles keyed on data that multiply at scale. The ``gram_rows``
+    small-input parallelism guard repartitions round-robin ONLY when
+    the scan has fewer splits than cores (it never fires at production
+    scale), so plan gates that bound key-shuffle counts use this to
+    assert the scale-relevant property at any test SF."""
+    return count_shuffles(plan) - plan.lower().count("roundrobinpartitioning(")
+
+
 def codegen_stage_count(plan: str) -> int:
     """Distinct whole-stage-codegen spans; 0 means everything is
     interpreted (or Python-side) — the hot path should be > 0."""

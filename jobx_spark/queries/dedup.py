@@ -2460,59 +2460,59 @@ PARA_W = 4
 
 
 def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from jobx_spark.functions import md5_long
+    from jobx_spark.lineage import cut_lineage
+    from jobx_spark.operators.text import para_rows
 
     docs = load_table(spark, sf_dir, "documents")
-    # blank-line split FIRST (on the raw text — normalization would
-    # collapse the newlines away), then normalize each block
-    blocks = F.split(F.col("text"), r"\n\s*\n")
-    norm = lambda b: F.regexp_replace(  # noqa: E731
-        F.lower(F.trim(b)), r"\s+", " "
+    # ONE Arrow pass builds the (doc_id, source, idx, ph, plen) proxy
+    # table — the blank-line split / normalize / PARA_W-token line
+    # chain previously ran as nested interpreted transform lambdas AND
+    # was computed TWICE (once feeding the winners aggregation, once
+    # feeding the instance⋈winner join back). The proxy is lineage-cut
+    # (guide §8.1: fingerprint once, decide on small rows) and the
+    # decision needs NO corpus join and NO ph-keyed window: winners
+    # ride a map-side-combinable groupBy(ph).min(struct(doc_id, idx,
+    # source, plen)) — (doc_id, idx) is unique per instance, so the
+    # appended source/plen fields never participate in the
+    # lexicographic min and the argmin row is exactly the one the old
+    # instance⋈winner join marked kept=1 — then per-source totals and
+    # per-source winner stats join on the tiny source domain. A
+    # boilerplate paragraph duplicated a billion times partially
+    # aggregates map-side here; a ph-partitioned window would
+    # serialize it through one task.
+    inst = cut_lineage(
+        para_rows(docs, ["doc_id", "source"], width=PARA_W), "para-inst"
     )
-    toks = lambda b: F.split(norm(b), " ")  # noqa: E731
-    # sub-split every block into PARA_W-token lines (flattened)
-    lines = F.flatten(
-        F.transform(
-            blocks,
-            lambda b: F.transform(
-                F.sequence(
-                    F.lit(0),
-                    ((F.size(toks(b)) + PARA_W - 1) / PARA_W).cast("int") - 1,
-                ),
-                lambda j: F.array_join(
-                    F.slice(toks(b), j * PARA_W + 1, PARA_W), " "
-                ),
-            ),
+    tot = inst.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum("plen").alias("tot_plen"),
+    )
+    kept = (
+        inst.groupBy("ph")
+        .agg(F.min(F.struct("doc_id", "idx", "source", "plen")).alias("w"))
+        .groupBy(F.col("w.source").alias("source"))
+        .agg(
+            F.count(F.lit(1)).alias("kept_paras"),
+            F.sum("w.plen").alias("kept_plen"),
         )
     )
-    paras = docs.select(
-        "doc_id", "source", F.posexplode(lines).alias("idx", "para")
-    )
-    inst = paras.select(
-        "doc_id", "source", "idx", "para",
-        md5_long(F.concat(F.lit("para:"), F.col("para"))).alias("ph"),
-        F.length("para").cast("long").alias("plen"),
-    )
-    winners = inst.groupBy("ph").agg(
-        F.min(F.struct("doc_id", "idx")).alias("w")
-    )
-    marked = inst.join(winners, "ph").withColumn(
-        "kept",
-        (
-            (F.col("doc_id") == F.col("w.doc_id"))
-            & (F.col("idx") == F.col("w.idx"))
-        ).cast("long"),
-    )
     return (
-        marked.groupBy("source")
-        .agg(
-            F.countDistinct("doc_id").alias("n_docs"),
-            F.count(F.lit(1)).alias("n_paras"),
-            F.sum("kept").alias("kept_paras"),
-            (F.count(F.lit(1)) - F.sum("kept")).alias("dup_paras"),
+        tot.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_paras",
+            F.coalesce("kept_paras", F.lit(0).cast("long")).alias(
+                "kept_paras"
+            ),
             (
-                F.sum(F.col("kept") * F.col("plen")).cast("double")
-                / F.sum("plen").cast("double")
+                F.col("n_paras")
+                - F.coalesce("kept_paras", F.lit(0).cast("long"))
+            ).alias("dup_paras"),
+            (
+                F.coalesce("kept_plen", F.lit(0).cast("long")).cast("double")
+                / F.col("tot_plen").cast("double")
             ).alias("retained_share"),
         )
         .orderBy("source")

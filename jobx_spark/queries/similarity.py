@@ -3124,9 +3124,8 @@ def ann_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from jobx_spark.lineage import cut_lineage
     from jobx_spark.operators.similarity import (
-        _sdot,
-        cosine_from_scaled,
-        ivf_assign,
+        _centroid_arrays,
+        _residual_subs_udf,
         kmeans_train,
     )
 
@@ -3136,24 +3135,21 @@ def ann_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         full, k=KM_K, iters=KM_ITERS, cent_base=KM_BASE, scale=KM_SCALE,
         output="centroids",
     )
-    asg = ivf_assign(full, coarse)  # (id, v, norm_s, cell)
-    resid = (
-        asg.join(F.broadcast(coarse), asg["cell"] == coarse["cent_id"])
-        .select(
-            F.col("id").alias("vec_id"),
-            F.col("cell"),
-            F.zip_with("v", "cv", lambda x, c: x - c).alias("rv"),
-        )
-    )
     # one residual materialization feeds the 4 subspace chains AND the
-    # candidate cell map — the corpus is never rescanned per chain
+    # candidate cell map — the corpus is never rescanned per chain, and
+    # the assignment + residual subtract + subspace slices are FUSED in
+    # one Arrow pass (_residual_subs_udf: the previous shape paid an
+    # ivf_assign pass, a broadcast join back to the centroids, and an
+    # interpreted per-element zip_with subtract; numerics identical)
+    coarse_rows = coarse.select("cent_id", "cv").collect()
+    rsub = _residual_subs_udf(
+        *_centroid_arrays(coarse_rows), PQ_SUB, PQ_DIM
+    )
     mat = cut_lineage(
-        resid.select(
-            "vec_id", "cell",
-            *[
-                F.slice("rv", s * PQ_DIM + 1, PQ_DIM).alias(f"sub{s}")
-                for s in range(PQ_SUB)
-            ],
+        full.select("vec_id", rsub(F.col("embedding")).alias("b")).select(
+            "vec_id",
+            F.col("b.cell").alias("cell"),
+            *[F.col(f"b.sub{s}").alias(f"sub{s}") for s in range(PQ_SUB)],
         ),
         "pq-resid",
     )
@@ -3180,14 +3176,11 @@ def ann_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _driver_probes); the corpus side stays fully distributed.
     import numpy as np
 
-    from jobx_spark.operators.similarity import _centroid_arrays
-
     qrows = (
         full.filter(F.col("vec_id") < N_QUERIES)
         .select("vec_id", "embedding")
         .collect()
     )
-    coarse_rows = coarse.select("cent_id", "cv").collect()
     probe_pairs = _driver_probes(qrows, coarse_rows, KM_NPROBE)
     probes = spark.createDataFrame(
         probe_pairs, "query_id bigint, cell bigint"

@@ -550,6 +550,42 @@ def test_invocation_trace_and_graph(engine):
     assert 'H "split"' in dot and 'H "chunk"' in dot
 
 
+def test_forensics_cap_and_no_result_leakage(engine, monkeypatch):
+    """r12 optimization pin: invocation forensics are emitted by phase 1
+    as 'forensic' rows (no driver-side re-aggregation), so (a) the cap
+    still truncates to the lexicographically-smallest invocation ids
+    with the truncated flag set, and (b) forensic rows never leak into
+    the request result."""
+    import jobx_spark.engine as E
+    import jobx_spark.trace as T
+
+    monkeypatch.setattr(E, "INVOCATION_CAP", 3)
+    monkeypatch.setattr(T, "INVOCATION_CAP", 3)
+    # arg1=144 fans out 2 children at step_split → 1 root + 2 children
+    # = 3 invocation records already, so a second fan-out request would
+    # truncate; here the leaf chunk step's random fan-out is what
+    # overflows the cap (step_chunk children are per-pair invocations).
+    req = engine.submit("wf", "job4", {"arg1": 144})
+    recs = req.trace.invocations
+    assert len(recs) <= 3
+    # records arrive in ascending inv order per step and respect room
+    by_step = {}
+    for r in recs:
+        by_step.setdefault(r.step, []).append(r.inv)
+    for invs in by_step.values():
+        assert invs == sorted(invs)
+    if req.trace.invocations_truncated:
+        assert len(recs) == 3
+    # field parity: root record of the first step has its argument
+    root = [r for r in recs if r.step == "step_split"]
+    assert root and root[0].n_args == 1 and root[0].n_mapped == 2
+    assert root[0].arg_sample and root[0].arg_sample[0][1] == "144"
+    # no leakage: the result is exactly the fold output, value-lists
+    pairs = req.result["pairs"]
+    assert pairs and all(isinstance(v, list) for _, v in pairs)
+    assert sum(sum(v) for _, v in pairs) < 144
+
+
 def test_request_sessions_capture(engine):
     """mr_get_request_sessions parity: sessions written by fan-out
     mappers are listed per invocation on the request trace, decoded."""
