@@ -31,11 +31,12 @@ from __future__ import annotations
 # (relative file, qualified enclosing function, action) -> (count, why)
 COLLECT_BOUNDS: dict[tuple[str, str, str], tuple[int, str]] = {
     ("jobx_spark/engine.py", "_capture_invocations", "collect"): (
-        2,
-        "forensic trace capture: both sites read the frontier through "
-        "orderBy().limit(room+1) with room ≤ INVOCATION_CAP(512) — the "
-        "cap exists precisely so a 1M-invocation fan-out records 512 "
-        "forensic rows, never the fan-out",
+        1,
+        "forensic trace capture: one TakeOrdered over the 'forensic' "
+        "rows phase 1 emitted (r12: the facts ride the existing map "
+        "pass), orderBy().limit(room+1) with room ≤ INVOCATION_CAP(512) "
+        "— the cap exists precisely so a 1M-invocation fan-out records "
+        "512 forensic rows, never the fan-out",
     ),
     ("jobx_spark/engine.py", "_capture_sessions", "collect"): (
         1,

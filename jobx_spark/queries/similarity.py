@@ -779,17 +779,27 @@ DRIFT_S = 10**6
 DRIFT_OFF = 2 * 10**6
 
 
-def _drift_xs(i: int):
-    """Offset-shifted scaled element: floor(e[i]·10⁶) + 2·10⁶ — shared
-    by the batch census and its streaming twin so the partial sums are
-    the same integers everywhere."""
+def _drift_xs_sql(i: int) -> str:
+    """Offset-shifted scaled element as ONE SQL fragment:
+    floor(e[i]·10⁶) + 2·10⁶ — shared by the batch census and its
+    streaming twin so the partial sums are the same integers
+    everywhere. A string (parsed JVM-side by F.expr) rather than a
+    Column-builder chain: composing this per dimension through the
+    pyspark functions API cost ~70 py4j round-trips × 128 dims ≈ 4.8 s
+    of driver-side socket chatter PER PLAN BUILD (profiled: 17,911
+    send_command calls for one ann_drift_census construction — and the
+    streaming twin rebuilt the aggregates inside foreachBatch for
+    every micro-batch). Arithmetic is identical: double multiply,
+    floor→BIGINT, BIGINT add."""
     return (
-        F.floor(
-            F.element_at("embedding", i + 1).cast("double")
-            * F.lit(DRIFT_S)
-        ).cast("long")
-        + F.lit(DRIFT_OFF).cast("long")
+        f"(floor(cast(element_at(embedding, {i + 1}) as double)"
+        f" * {DRIFT_S}.0D) + {DRIFT_OFF}L)"
     )
+
+
+def _drift_xs(i: int):
+    """Column form of :func:`_drift_xs_sql` (one F.expr call)."""
+    return F.expr(_drift_xs_sql(i))
 
 
 def _drift_census_from_sums(row: DataFrame) -> DataFrame:
@@ -834,19 +844,28 @@ def _drift_census_from_sums(row: DataFrame) -> DataFrame:
 
 def ann_drift_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    isnew = (F.col("vec_id") % APPEND_MOD) == APPEND_RES
+    # each aggregate is ONE parsed SQL expression — see _drift_xs_sql
+    # (the Column-builder form cost ~18k py4j round-trips per build)
+    isnew = f"((vec_id % {APPEND_MOD}) = {APPEND_RES})"
     aggs = [
-        F.sum(F.when(~isnew, 1).otherwise(0)).cast("long").alias("n_old"),
-        F.sum(F.when(isnew, 1).otherwise(0)).cast("long").alias("n_new"),
+        F.expr(
+            f"cast(sum(CASE WHEN NOT {isnew} THEN 1 ELSE 0 END) as bigint)"
+        ).alias("n_old"),
+        F.expr(
+            f"cast(sum(CASE WHEN {isnew} THEN 1 ELSE 0 END) as bigint)"
+        ).alias("n_new"),
     ]
     aggs += [
-        F.sum(F.when(~isnew, _drift_xs(i)).otherwise(F.lit(0).cast("long")))
-        .alias(f"o{i}")
+        F.expr(
+            f"sum(CASE WHEN NOT {isnew} THEN {_drift_xs_sql(i)}"
+            f" ELSE 0L END)"
+        ).alias(f"o{i}")
         for i in range(DRIFT_DIM)
     ]
     aggs += [
-        F.sum(F.when(isnew, _drift_xs(i)).otherwise(F.lit(0).cast("long")))
-        .alias(f"s{i}")
+        F.expr(
+            f"sum(CASE WHEN {isnew} THEN {_drift_xs_sql(i)} ELSE 0L END)"
+        ).alias(f"s{i}")
         for i in range(DRIFT_DIM)
     ]
     return _drift_census_from_sums(emb.agg(*aggs))
@@ -3639,17 +3658,23 @@ def ann_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # materialized: the pair stage references the probe TWICE (both
     # join sides) — without the cut each alias would re-run the
-    # corpus-wide TakeOrdered, doubling the corpus scans
+    # corpus-wide TakeOrdered, doubling the corpus scans. The scaled
+    # projection x (an interpreted higher-order transform) and the JL
+    # sketch y are computed AFTER the top-JL_C cut: the corpus-wide
+    # TakeOrdered only needs the hash key, so the per-element
+    # interpreter cost is paid for JL_C rows, not the corpus (guide
+    # §1.2-1; same rows → same x/y values).
     probe = cut_lineage(
         emb.select(
             "vec_id",
-            x.alias("x"),
+            "embedding",
             md5_long(
                 F.concat(F.lit("jl:"), F.col("vec_id").cast("string"))
             ).alias("h"),
         )
         .orderBy("h", "vec_id")
         .limit(JL_C)
+        .withColumn("x", x)
         .withColumn("y", y)
         .select("vec_id", "x", "y"),
         "jl-probe",
@@ -4125,12 +4150,19 @@ def _index_serve_body(
     idx = spark.read.parquet(ipath).filter(
         F.col("cell").isin(probed_cells) & (F.col("norm_s") > 0)
     )
+    # corpus-side scoring dot is the scale-relevant per-row work
+    # ((corpus/cells)·nprobe·|Q| rows × dim): the vectorized Arrow UDF
+    # (bit-equal integer dot, used by brute_force_topk everywhere)
+    # replaces the interpreted higher-order aggregate — guide §4.2; the
+    # k-row probe-routing dots above stay expressions (tiny frames).
+    from jobx_spark.operators.similarity import _sdot
+
     scored = idx.join(F.broadcast(probes), "cell").select(
         "query_id",
         "vec_id",
         F.col("cell").cast("int").alias("cell"),
         cosine_from_scaled(
-            scaled_dot(F.col("qv"), F.col("embedding")),
+            _sdot(F.col("qv"), F.col("embedding")),
             F.col("qnorm_s"),
             F.col("norm_s"),
         ).alias("cosine"),
@@ -4270,6 +4302,10 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = spark.read.parquet(ipath).filter(
         F.col("cell").isin(probed_cells) & (F.col("norm_s") > 0)
     )
+    # corpus-side scoring via the vectorized Arrow dot — see
+    # _index_serve_body (same swap, same bit-equality)
+    from jobx_spark.operators.similarity import _sdot
+
     scored = cut_lineage(
         idx.join(F.broadcast(probes), "cell").select(
             "query_id",
@@ -4277,7 +4313,7 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qlabel",
             "label",
             cosine_from_scaled(
-                scaled_dot(F.col("qv"), F.col("embedding")),
+                _sdot(F.col("qv"), F.col("embedding")),
                 F.col("qnorm_s"),
                 F.col("norm_s"),
             ).alias("cosine"),

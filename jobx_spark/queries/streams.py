@@ -1238,7 +1238,11 @@ def stream_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("pr") <= KM_NPROBE)
             .select("query_id", "qv", "qnorm_s", "cell")
         )
-        # corpus-side zero-norm mask — see _index_serve_body
+        # corpus-side zero-norm mask — see _index_serve_body; the
+        # scoring dot is the vectorized Arrow UDF (bit-equal), same
+        # swap as the batch serve kernel (guide §4.2)
+        from jobx_spark.operators.similarity import _sdot
+
         scored = idx.filter(F.col("norm_s") > 0).join(
             F.broadcast(probes), "cell"
         ).select(
@@ -1246,7 +1250,7 @@ def stream_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             F.col("cell").cast("int").alias("cell"),
             cosine_from_scaled(
-                scaled_dot(F.col("qv"), F.col("embedding")),
+                _sdot(F.col("qv"), F.col("embedding")),
                 F.col("qnorm_s"),
                 F.col("norm_s"),
             ).alias("cosine"),
@@ -1808,7 +1812,7 @@ def stream_drift_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         APPEND_RES,
         DRIFT_DIM,
         _drift_census_from_sums,
-        _drift_xs,
+        _drift_xs_sql,
     )
     from jobx_spark.sources import load_table
 
@@ -1822,9 +1826,15 @@ def stream_drift_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     out, ckpt = f"{root}/out", f"{root}/ckpt"
 
     def _partial(batch_df: DataFrame, batch_id: int) -> None:
+        # one parsed SQL expression per dim — this closure runs PER
+        # MICRO-BATCH, so the Column-builder chatter (~70 py4j
+        # round-trips × 64 dims) was paid three times per query run;
+        # see similarity._drift_xs_sql
         aggs = [F.count(F.lit(1)).cast("long").alias("n_new")]
         aggs += [
-            F.sum(_drift_xs(i)).cast("long").alias(f"s{i}")
+            F.expr(f"cast(sum({_drift_xs_sql(i)}) as bigint)").alias(
+                f"s{i}"
+            )
             for i in range(DRIFT_DIM)
         ]
         (
@@ -1858,7 +1868,9 @@ def stream_drift_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_row = base.agg(
         F.count(F.lit(1)).cast("long").alias("n_old"),
         *[
-            F.sum(_drift_xs(i)).cast("long").alias(f"o{i}")
+            F.expr(f"cast(sum({_drift_xs_sql(i)}) as bigint)").alias(
+                f"o{i}"
+            )
             for i in range(DRIFT_DIM)
         ],
     )
