@@ -373,6 +373,12 @@ def simhash_pairs(
             )
         ).alias("bb"),
     ).select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.seg").alias("seg"))
+    # NO explicit repartition here (unlike lsh_pairs_from_banded): this
+    # subtree is pure JVM expressions, so the join's own (band, seg)
+    # exchanges canonicalize equal and AQE already reuses one — an
+    # explicit repartition ADDS a shuffle (measured 4.0 → 4.7 s at
+    # sf0.1). The explicit device is only needed when the subtree
+    # contains Python-boundary nodes, which defeat canonical equality.
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, ["band", "seg"])

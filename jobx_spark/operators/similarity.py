@@ -181,6 +181,144 @@ def _update_partials_gen(cent_ids, cv, cnorm_sqrt, scale: int, vec_col: str):
     return gen
 
 
+def _multi_update_partials_gen(active, scale: int):
+    """mapInPandas generator fusing one Lloyd round of SEVERAL
+    independent k-means chains into one boundary crossing: ``active``
+    is [(chain_index, vec_col, cent_ids, cv, cnorm_sqrt), ...] and each
+    Arrow batch emits every chain's (sub, cell, idx, s, n) integer
+    partials — per chain the exact rows :func:`_update_partials_gen`
+    produces, tagged with the chain index so one aggregation serves all
+    chains. Chains are independent, so fusing cannot change any
+    value."""
+
+    def gen(pdfs):
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            frames = []
+            for i, col, cent_ids, cv, cnorm_sqrt in active:
+                mat = np.stack(pdf[col].values).astype(np.float64)
+                bi, _, _ = _nearest_cells(mat, cent_ids, cv, cnorm_sqrt)
+                x = np.floor(mat * scale).astype(np.int64)
+                dim = mat.shape[1]
+                k = len(cent_ids)
+                sums = np.zeros((k, dim), dtype=np.int64)
+                np.add.at(sums, bi, x)
+                counts = np.bincount(bi, minlength=k).astype(np.int64)
+                ki = np.nonzero(counts > 0)[0]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "sub": np.full(
+                                len(ki) * dim, i, dtype=np.int32
+                            ),
+                            "cell": np.repeat(cent_ids[ki], dim),
+                            "idx": np.tile(
+                                np.arange(dim, dtype=np.int32), len(ki)
+                            ),
+                            "s": sums[ki].ravel(),
+                            "n": np.repeat(counts[ki], dim),
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return gen
+
+
+def kmeans_train_multi(
+    mat: DataFrame,
+    vec_cols: list[str],
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    cent_base: int = 10,
+    scale: int = 10**6,
+) -> list[DataFrame]:
+    """Train one :func:`kmeans_train` chain PER COLUMN of ``mat`` with
+    every chain's Lloyd round fused into ONE job (guide §2.4, §1.2-1):
+    the PQ queries train 4-5 independent subspace codebooks over the
+    same materialized projection, which as concurrent single-column
+    chains costs 4-5 scans + 4-5 (tiny) update jobs per round; fused,
+    each round is one scan of the needed columns emitting every chain's
+    tagged integer partials through one boundary crossing and one
+    map-side-combined (sub, cell, idx) aggregation.
+
+    Returns the (cent_id, cv) centroid table per column, index-aligned
+    with ``vec_cols`` — each bit-identical to ``kmeans_train(
+    mat.select(id, col as embedding), ..., output="centroids")``: the
+    seeds are the same filter+floor rows, each chain's assignment uses
+    :func:`_nearest_cells` on the same data, the summed partials are
+    the same order-free int64 sums, and the update division stays the
+    same Spark ``div`` applied per (sub, cell, idx)."""
+    spark = mat.sparkSession
+    ncols = len(vec_cols)
+    seed_rows = (
+        mat.filter(
+            (F.col(id_col) >= cent_base) & (F.col(id_col) < cent_base + k)
+        )
+        .select(
+            (F.col(id_col) - cent_base).alias("cent_id"),
+            *[
+                F.transform(
+                    c,
+                    lambda x: F.floor(x.cast("double") * scale).cast("long"),
+                ).alias(f"cv_{i}")
+                for i, c in enumerate(vec_cols)
+            ],
+        )
+        .collect()
+    )
+    cents: list[dict[int, list[int]]] = [
+        {int(r["cent_id"]): list(r[f"cv_{i}"]) for r in seed_rows}
+        for i in range(ncols)
+    ]
+    for _ in range(iters):
+        active = []
+        for i, col in enumerate(vec_cols):
+            if not cents[i]:
+                continue
+            rows = [
+                {"cent_id": c, "cv_s": cents[i][c]} for c in sorted(cents[i])
+            ]
+            cent_ids, cvm, cnorm_sqrt = _centroid_arrays(rows, scale=scale)
+            active.append((i, col, cent_ids, cvm, cnorm_sqrt))
+        if not active:
+            break
+        gen = _multi_update_partials_gen(active, scale)
+        cols_needed = list(dict.fromkeys(col for _, col, *_ in active))
+        upd_rows = (
+            mat.select(*cols_needed)
+            .mapInPandas(gen, "sub int, cell long, idx int, s long, n long")
+            .groupBy("sub", "cell", "idx")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .select("sub", "cell", "idx", F.expr("s div n").alias("val_s"))
+            .collect()
+        )
+        nxt: list[dict[int, dict[int, int]]] = [{} for _ in range(ncols)]
+        for r in upd_rows:
+            nxt[int(r["sub"])].setdefault(int(r["cell"]), {})[
+                int(r["idx"])
+            ] = int(r["val_s"])
+        for i, col in enumerate(vec_cols):
+            if cents[i]:
+                cents[i] = {
+                    cell: [vals[j] for j in sorted(vals)]
+                    for cell, vals in nxt[i].items()
+                }
+    return [
+        spark.createDataFrame(
+            [
+                {"cent_id": c, "cv": [v / scale for v in cents[i][c]]}
+                for c in sorted(cents[i])
+            ],
+            "cent_id bigint, cv array<double>",
+        )
+        for i in range(ncols)
+    ]
+
+
 def _residual_subs_udf(cent_ids, cv, cnorm_sqrt, pq_sub: int, pq_dim: int):
     """Pandas UDF mapping a vector to struct(cell, sub0..sub{n-1}):
     nearest-cell assignment (:func:`_nearest_cells`, ties to the lowest

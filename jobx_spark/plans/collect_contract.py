@@ -74,6 +74,15 @@ COLLECT_BOUNDS: dict[tuple[str, str, str], tuple[int, str]] = {
         "corpus; the centroid matrix then ships in the task closure so "
         "assignment is a pure map (no join, no corpus shuffle)",
     ),
+    ("jobx_spark/operators/similarity.py", "kmeans_train_multi", "collect"): (
+        2,
+        "driver-side Lloyd state for the FUSED multi-chain trainer: the "
+        "seed collect is k rows (all chains' seed slices in one pass) "
+        "and each round's update collect is ≤ chains·k·dim (sub, cell, "
+        "idx, val_s) rows — bounded by the chain count (≤5), k and the "
+        "embedding dimension, never the corpus; same contract as "
+        "kmeans_train, one job per round for ALL chains",
+    ),
     ("jobx_spark/operators/similarity.py", "ivf_assign", "collect"): (
         1,
         "the centroid table: k rows by construction (trained k-means "

@@ -298,6 +298,17 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "asset_id", "phash_lo", "phash_hi",
         F.col("bb.band").alias("band"), F.col("bb.seg").alias("seg"),
     )
+    # Materialize one exchange on the join keys (the
+    # lsh_pairs_from_banded device): the self-join then reads BOTH
+    # sides from the same shuffle (ReusedExchange) instead of re-running
+    # the full PNG synth + decode + ahash Arrow pass — the heaviest
+    # stage of the query — once per side, and the join needs no further
+    # exchange of its own. Needed HERE because the subtree contains
+    # Python-boundary nodes (the decode mapInPandas), which defeat the
+    # canonical-equality check AQE's automatic exchange reuse relies
+    # on; pure-JVM self-joins (simhash_pairs, entity resolution) reuse
+    # automatically and must NOT add this repartition (measured).
+    banded = banded.repartition("band", "seg")
     a, b = banded.alias("a"), banded.alias("b")
     hamming = (
         F.bit_count(F.col("a.phash_lo").bitwiseXOR(F.col("b.phash_lo")))

@@ -2668,39 +2668,24 @@ def _pq_codes_long(
     )
 
 
-def _train_concurrent(trains: list) -> list[DataFrame]:
-    """Run independent k-means trainings as CONCURRENT Spark job chains
-    (each training's per-round actions underutilize the cluster on its
-    own — tiny centroid frames — so the driver submits all chains at
-    once and the scheduler interleaves them; measured ~2.5× on the PQ
-    queries at sf0.1). Results are per-chain deterministic, so
-    concurrency cannot change any value."""
-    from concurrent.futures import ThreadPoolExecutor
-
-    from jobx_spark.lineage import checkpoint_root
-
-    checkpoint_root()  # init once before threads race to create it
-    with ThreadPoolExecutor(len(trains)) as ex:
-        return list(ex.map(lambda fn: fn(), trains))
-
-
 def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jobx_spark.operators.similarity import (
         _sdot,
         cosine_from_scaled,
         ivf_assign,
-        kmeans_train,
+        kmeans_train_multi,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     subs, _, mat = _pq_subspaces(emb)
-    cents = _train_concurrent([
-        (lambda sub=sub: kmeans_train(
-            sub, k=KM_K, iters=KM_ITERS, cent_base=KM_BASE, scale=KM_SCALE,
-            output="centroids",
-        ))
-        for sub in subs
-    ])
+    # all 4 subspace codebooks out of ONE fused Lloyd chain — each
+    # round is one scan + one tagged-partials aggregation instead of 4
+    # concurrent single-column chains (guide §2.4, §1.2-1; values
+    # per-chain bit-identical, see kmeans_train_multi)
+    cents = kmeans_train_multi(
+        mat, [f"sub{s}" for s in range(PQ_SUB)],
+        k=KM_K, iters=KM_ITERS, cent_base=KM_BASE, scale=KM_SCALE,
+    )
     # every subspace's (code, cosine) out of ONE scan of the
     # materialized projection — the previous shape ran one
     # ivf_assign + broadcast join per subspace and then re-JOINED the
@@ -2751,20 +2736,21 @@ ORDER BY vec_id
 # assignment tables, composed into the same LUT-sum ranking.
 # --------------------------------------------------------------------------
 def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from jobx_spark.operators.similarity import _sdot, ivf_assign, kmeans_train
+    from jobx_spark.operators.similarity import (
+        _sdot,
+        ivf_assign,
+        kmeans_train_multi,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     subs, _, mat = _pq_subspaces(emb)
     # Train ONCE per subspace (assignment reuses the trained centroids
     # via the shared pure-map assigner rather than re-running the Lloyd
-    # rounds), and train all subspaces CONCURRENTLY.
-    cents = _train_concurrent([
-        (lambda sub=sub: kmeans_train(
-            sub, k=KM_K, iters=KM_ITERS, cent_base=KM_BASE, scale=KM_SCALE,
-            output="centroids",
-        ))
-        for sub in subs
-    ])
+    # rounds), all 4 chains FUSED into one job per round (guide §2.4).
+    cents = kmeans_train_multi(
+        mat, [f"sub{s}" for s in range(PQ_SUB)],
+        k=KM_K, iters=KM_ITERS, cent_base=KM_BASE, scale=KM_SCALE,
+    )
     # LUT built driver-side from the bounded probe set (guide §2.4 —
     # previously PQ_SUB crossJoin subtrees each rescanning the
     # materialization); codes out of ONE fused scan
@@ -2848,18 +2834,17 @@ def ann_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sdot,
         cosine_from_scaled,
         ivf_assign,
-        kmeans_train,
+        kmeans_train_multi,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     subs, full, mat = _pq_subspaces(emb, with_full=True)
-    cents = _train_concurrent([
-        (lambda sub=sub: kmeans_train(
-            sub, k=KM_K, iters=KM_ITERS, cent_base=KM_BASE, scale=KM_SCALE,
-            output="centroids",
-        ))
-        for sub in subs
-    ])
+    # all 4 subspace chains fused into one job per Lloyd round (guide
+    # §2.4; values per-chain bit-identical, see kmeans_train_multi)
+    cents = kmeans_train_multi(
+        mat, [f"sub{s}" for s in range(PQ_SUB)],
+        k=KM_K, iters=KM_ITERS, cent_base=KM_BASE, scale=KM_SCALE,
+    )
     # LUT built driver-side from the bounded probe set; codes out of
     # ONE fused scan (guide §2.4)
     lut = _pq_adc_lut(spark, mat, cents, cell_name="cell")
@@ -2984,25 +2969,17 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sdot,
         cosine_from_scaled,
         ivf_assign,
-        kmeans_train,
+        kmeans_train_multi,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     subs, full, mat = _pq_subspaces(emb, with_full=True)
-    trained = _train_concurrent(
-        [
-            (lambda: kmeans_train(
-                full, k=KM_K, iters=KM_ITERS, cent_base=KM_BASE, scale=KM_SCALE,
-                output="centroids",
-            ))
-        ]
-        + [
-            (lambda sub=sub: kmeans_train(
-                sub, k=KM_K, iters=KM_ITERS, cent_base=KM_BASE, scale=KM_SCALE,
-                output="centroids",
-            ))
-            for sub in subs
-        ]
+    # coarse (full-vector) chain + 4 subspace chains, ALL fused into
+    # one job per Lloyd round over the one materialized projection
+    # (guide §2.4; values per-chain bit-identical, kmeans_train_multi)
+    trained = kmeans_train_multi(
+        mat, ["embedding"] + [f"sub{s}" for s in range(PQ_SUB)],
+        k=KM_K, iters=KM_ITERS, cent_base=KM_BASE, scale=KM_SCALE,
     )
     coarse, sub_cents = trained[0], trained[1:]
     cells = ivf_assign(full, coarse).select(
@@ -3146,6 +3123,7 @@ def ann_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _centroid_arrays,
         _residual_subs_udf,
         kmeans_train,
+        kmeans_train_multi,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -3172,17 +3150,13 @@ def ann_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "pq-resid",
     )
-    rsubs = [
-        mat.select("vec_id", F.col(f"sub{s}").alias("embedding"))
-        for s in range(PQ_SUB)
-    ]
-    sub_cents = _train_concurrent([
-        (lambda rs=rs: kmeans_train(
-            rs, k=KM_K, iters=KM_ITERS, cent_base=KM_BASE, scale=KM_SCALE,
-            output="centroids",
-        ))
-        for rs in rsubs
-    ])
+    # the 4 residual-subspace chains fused into one job per Lloyd
+    # round over the residual materialization (guide §2.4; values
+    # per-chain bit-identical, see kmeans_train_multi)
+    sub_cents = kmeans_train_multi(
+        mat, [f"sub{s}" for s in range(PQ_SUB)],
+        k=KM_K, iters=KM_ITERS, cent_base=KM_BASE, scale=KM_SCALE,
+    )
     cells = mat.select("vec_id", "cell")
 
     # The whole QUERY side — coarse probe routing, per-probed-cell
@@ -3635,25 +3609,24 @@ def ann_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     from jobx_spark.functions import md5_long
 
-    x = F.transform(
-        "embedding",
-        lambda e: F.floor(e.cast("double") * PCA_SCALE).cast("long"),
+    # x / y / the pair distances are each ONE F.expr SQL string parsed
+    # JVM-side (the ann_drift_census device): the Column-API builder
+    # paid JL_K·dim lit() round-trips (~2 s of py4j chatter per plan
+    # build) for the same analyzed tree — arithmetic and physical plan
+    # unchanged.
+    x = F.expr(
+        "transform(embedding, e -> CAST(FLOOR(CAST(e AS DOUBLE) * "
+        f"{PCA_SCALE}) AS BIGINT))"
     )
     signs = _jl_signs()
-    y = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    F.col("x"),
-                    F.array(*[F.lit(s).cast("long") for s in signs[j]]),
-                    lambda a, b: a * b,
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, t: acc + t,
-            )
-            for j in range(JL_K)
-        ]
-    )
+    y_parts = []
+    for j in range(JL_K):
+        arr = ", ".join(f"CAST({s} AS BIGINT)" for s in signs[j])
+        y_parts.append(
+            f"aggregate(zip_with(x, array({arr}), (a, b) -> a * b), "
+            "CAST(0 AS BIGINT), (acc, t) -> acc + t)"
+        )
+    y = F.expr("array(" + ", ".join(y_parts) + ")")
     from jobx_spark.lineage import cut_lineage
 
     # materialized: the pair stage references the probe TWICE (both
@@ -3680,20 +3653,18 @@ def ann_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "jl-probe",
     )
     a, b = probe.alias("a"), probe.alias("b")
-    sq = lambda u, v: (u - v) * (u - v)  # noqa: E731
+
+    def sq_agg(u: str, v: str) -> str:
+        return (
+            f"aggregate(zip_with({u}, {v}, (u, v) -> (u - v) * (u - v)), "
+            "CAST(0 AS BIGINT), (acc, t) -> acc + t)"
+        )
+
     pairs = (
         a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
-            F.aggregate(
-                F.zip_with("a.x", "b.x", sq),
-                F.lit(0).cast("long"),
-                lambda acc, t: acc + t,
-            ).alias("d2"),
-            F.aggregate(
-                F.zip_with("a.y", "b.y", sq),
-                F.lit(0).cast("long"),
-                lambda acc, t: acc + t,
-            ).alias("p2"),
+            F.expr(sq_agg("a.x", "b.x")).alias("d2"),
+            F.expr(sq_agg("a.y", "b.y")).alias("p2"),
         )
         .filter(F.col("d2") > 0)
         # E[p2] = K·d2 for ±1 JL: rho_s ≈ 1000 when undistorted
@@ -4640,7 +4611,7 @@ ORDER BY cell
 # callout: ann_ivf_pq_residual_topk's 15 s is "five concurrent k-means
 # trainings; would drop to ~nothing under a persisted-index
 # contract"). Build trains the PQ_SUB subspace codebooks once
-# (concurrently, the audited _train_concurrent device), persists
+# (fused into one job per Lloyd round, kmeans_train_multi), persists
 #   * `codebooks` (s, cent_id, cv) — PQ_SUB·KM_K rows, the artifact a
 #     serving tier broadcasts, and
 #   * `codes` (s, vec_id, cell) — the PQ-compressed corpus, the
@@ -4671,7 +4642,7 @@ def _pq_index_write(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     import os
 
     from jobx_spark import artifacts as A
-    from jobx_spark.operators.similarity import ivf_assign, kmeans_train
+    from jobx_spark.operators.similarity import ivf_assign, kmeans_train_multi
 
     root = _pq_index_root(sf_dir)
     ver, vdir = A.next_version_dir(spark, root)
@@ -4679,13 +4650,12 @@ def _pq_index_write(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     cpath = os.path.join(vdir, "codes")
     emb = load_table(spark, sf_dir, "embeddings")
     subs, _, mat = _pq_subspaces(emb)
-    cents = _train_concurrent([
-        (lambda sub=sub: kmeans_train(
-            sub, k=KM_K, iters=KM_ITERS, cent_base=KM_BASE, scale=KM_SCALE,
-            output="centroids",
-        ))
-        for sub in subs
-    ])
+    # all 4 subspace codebooks out of ONE fused Lloyd chain (guide
+    # §2.4; values per-chain bit-identical, see kmeans_train_multi)
+    cents = kmeans_train_multi(
+        mat, [f"sub{s}" for s in range(PQ_SUB)],
+        k=KM_K, iters=KM_ITERS, cent_base=KM_BASE, scale=KM_SCALE,
+    )
     books = None
     for s in range(PQ_SUB):
         b = cents[s].select(F.lit(s).alias("s"), "cent_id", "cv")
