@@ -182,8 +182,16 @@ def _run_reduce(
     return rows
 
 
+# Per-invocation fan-out width cap for in-task subtree fusion: one
+# invocation yielding more pairs than this falls back to distributed
+# child rows so a single skewed fan-out never serializes inside one
+# task (~76 µs/invocation → ~1.2 s of serial work at the cap).
+FUSE_MAX_CHILDREN = 16384
+
+
 def _make_phase1_udf(
-    step_plan: dict, workdir: str | None, emit_forensics: bool = False
+    step_plan: dict, workdir: str | None, emit_forensics: bool = False,
+    plans: dict | None = None, depth: int = 0, fuse_max: int | None = None,
 ):
     """Bucket UDF: each Arrow group carries MANY invocations (the
     frontier is grouped by a hash bucket of the invocation id, not by
@@ -193,7 +201,16 @@ def _make_phase1_udf(
     into 1M pandas groups (the reference's one-message-per-pair cliff
     reappearing as per-group Python overhead); bucketing amortizes the
     Arrow/pandas cost over the whole batch while keeping 1 pair = 1
-    invocation observable semantics (ids, sessions, forensics)."""
+    invocation observable semantics (ids, sessions, forensics).
+
+    With ``plans`` (the workflow's full step-plan table), a fan-out
+    subtree is FUSED into this pass (guide §1.2-1, §2.4): every child
+    invocation is single-pair by construction (child id = sha1(inv:i)
+    over this invocation's own yields), so its arguments are already
+    task-local and the child's map→combine→reduce plus this
+    invocation's fold need no exchange at all. The driver enables
+    fusion per level only when the frontier holds enough invocations
+    to keep every core busy from the PARENT level (see _run_step)."""
 
     def phase1(pdf: pd.DataFrame) -> pd.DataFrame:
         # One global (inv, seq) sort + numpy boundary slicing instead of
@@ -219,6 +236,19 @@ def _make_phase1_udf(
         starts = np.nonzero(np.concatenate(([True], invs[1:] != invs[:-1])))[0]
         bounds = np.append(starts, len(invs))
         rows: list[tuple] = []
+        fcands: list[tuple] = []
+        trans: set[tuple] = set()
+        for s, e_ in zip(bounds[:-1], bounds[1:]):
+            out, side, fc, tr = _phase1_one_invocation(
+                step_plan, workdir, invs[s], pinvs[s],
+                rts[s:e_], seqs[s:e_], ks[s:e_], vs[s:e_],
+                plans=plans, depth=depth, want_forensics=emit_forensics,
+                fuse_max=fuse_max,
+            )
+            rows.extend(out)
+            rows.extend(side)
+            fcands.extend(fc)
+            trans |= tr
         # Forensics ride phase 1 (guide §1.2-1: don't recompute what an
         # existing pass already knows): each invocation's record —
         # argument count, ≤3-pair sample ordered by (seq, k, v), child/
@@ -226,51 +256,26 @@ def _make_phase1_udf(
         # row, replacing the driver-side distinct + full-frontier
         # window + two-aggregate join jobs that re-derived the same
         # facts from the persisted frames. The 512-record cap makes a
-        # per-bucket budget sound: the globally smallest CAP+1 inv ids
-        # are a subset of each bucket's smallest CAP+1 (invocations
-        # iterate in ascending inv order here), so the driver's
-        # TakeOrdered over these rows sees every record it can keep.
-        budget = INVOCATION_CAP + 1 if emit_forensics else 0
-        for s, e_ in zip(bounds[:-1], bounds[1:]):
-            out = _phase1_one_invocation(
-                step_plan, workdir, invs[s], pinvs[s],
-                rts[s:e_], ks[s:e_], vs[s:e_],
-            )
-            rows.extend(out)
-            if budget > 0:
-                budget -= 1
-                # (seq ASC, k ASC, v ASC) with NULLS FIRST — exactly the
-                # window ordering the driver-side sample used (arg_empty
-                # sentinel rows carry NULL k/v)
-                sample = heapq.nsmallest(
-                    3,
-                    zip(
-                        (int(x) for x in seqs[s:e_]), ks[s:e_], vs[s:e_]
-                    ),
-                    key=lambda t: (
-                        t[0],
-                        t[1] is not None,
-                        t[1] or "",
-                        t[2] is not None,
-                        t[2] or "",
-                    ),
-                )
-                counts = {
-                    "n_args": int(e_ - s),
-                    "n_mapped": sum(1 for r in out if r[0] == "child"),
-                    "n_reduced": sum(1 for r in out if r[0] == "reduced"),
-                }
-                rows.append(
-                    (
-                        "forensic",
-                        invs[s],
-                        pinvs[s],
-                        step_plan["name"],
-                        0,
-                        _encode(counts),
-                        _encode([[k, v] for _, k, v in sample]),
-                    )
-                )
+        # per-(step, depth)-per-batch budget sound: the globally
+        # smallest CAP+1 inv ids of a step are a subset of each batch's
+        # smallest CAP+1, so the driver's TakeOrdered over these rows
+        # sees every record it can keep. seq carries the invocation's
+        # absolute fan-out depth so the driver can capture per
+        # (step, depth) node in the fused output.
+        if emit_forensics and fcands:
+            by_node: dict[tuple, list] = {}
+            for c in fcands:
+                by_node.setdefault((c[0], c[1]), []).append(c)
+            for cs in by_node.values():
+                for stp, dep, inv, pinv, counts, sample in heapq.nsmallest(
+                    INVOCATION_CAP + 1, cs, key=lambda c: c[2]
+                ):
+                    rows.append(("forensic", inv, pinv, stp, dep, counts, sample))
+        # one 'traceev' marker per fused fan-out transition per batch
+        # (bounded by steps × depth): the driver reconstructs the
+        # step-level trace events and per-node captures from these.
+        for pstep, cstep, cdep in sorted(trans):
+            rows.append(("traceev", "", pstep, cstep, cdep, None, None))
         return pd.DataFrame(
             rows,
             columns=["row_type", "inv", "parent_inv", "step", "seq", "k", "v"],
@@ -279,15 +284,59 @@ def _make_phase1_udf(
     return phase1
 
 
+def _forensic_candidate(
+    step_name: str, depth: int, inv, parent_inv, seqs, ks, vs,
+    n_mapped: int, n_reduced: int,
+) -> tuple:
+    """(step, depth, inv, parent_inv, counts_json, sample_json) — the
+    invocation's forensic record. Sample = ≤3 argument pairs ordered by
+    (seq ASC, k ASC, v ASC) NULLS FIRST, exactly the window ordering
+    the pre-r12 driver-side sample used (arg_empty sentinel rows carry
+    NULL k/v)."""
+    import heapq
+
+    sample = heapq.nsmallest(
+        3,
+        zip((int(x) for x in seqs), ks, vs),
+        key=lambda t: (
+            t[0],
+            t[1] is not None,
+            t[1] or "",
+            t[2] is not None,
+            t[2] or "",
+        ),
+    )
+    counts = {
+        "n_args": len(seqs),
+        "n_mapped": n_mapped,
+        "n_reduced": n_reduced,
+    }
+    return (
+        step_name, depth, inv, parent_inv,
+        _encode(counts), _encode([[k, v] for _, k, v in sample]),
+    )
+
+
 def _phase1_one_invocation(
-    step_plan: dict, workdir: str | None, inv, parent_inv, row_types, ks, vs
-) -> list[tuple]:
+    step_plan: dict, workdir: str | None, inv, parent_inv,
+    row_types, seqs, ks, vs,
+    plans: dict | None = None, depth: int = 0, want_forensics: bool = False,
+    fuse_max: int | None = None,
+) -> tuple[list[tuple], list[tuple], list[tuple], set[tuple]]:
     """One invocation's mapper → routing → (leaf: combine+reduce
-    in-place | fan-out: child rows + session rows); returns engine
-    rows as tuples. Takes the invocation's rows as seq-presorted
-    parallel arrays — the bucket UDF slices them out of its one
-    batch-wide sort (a pandas sub-frame per invocation would cost
-    tens of µs × invocations)."""
+    in-place | fan-out: fused subtree when possible, else child rows).
+    Takes the invocation's rows as seq-presorted parallel arrays — the
+    bucket UDF slices them out of its one batch-wide sort (a pandas
+    sub-frame per invocation would cost tens of µs × invocations).
+
+    Returns ``(out_rows, side_rows, forensic_candidates, transitions)``:
+    out_rows are this invocation's result rows ('reduced' for a leaf or
+    a fused fold, 'child' rows on the distributed-fallback path);
+    side_rows are 'session' rows of every fan-out invocation in the
+    fused subtree; forensic_candidates are unbudgeted per-invocation
+    records (the batch wrapper applies the CAP+1 budget); transitions
+    are (parent_step, child_step, child_depth) fan-out edges taken by
+    fused recursion (the driver rebuilds trace events from them)."""
     # 'arg_empty' sentinel: a zero-argument invocation still runs its
     # mapper exactly once (parity with the reference, which enumerates
     # an empty DT_ARGUMENTS dataset).
@@ -302,6 +351,10 @@ def _phase1_one_invocation(
     )
     _seeded_random(inv, "map")
     rows: list[tuple] = []
+    side: list[tuple] = []
+    fcands: list[tuple] = []
+    trans: set[tuple] = set()
+    n_mapped = n_reduced = 0
     try:
         gen = _call_handler(step_plan["mapper"], scope, iter(args))
         route = next(gen)
@@ -337,22 +390,89 @@ def _phase1_one_invocation(
         rows.extend(
             _run_reduce(step_plan, inv, parent_inv, grouped, scope.session_snapshot())
         )
+        n_reduced = len(rows)
     elif isinstance(route, MrConfigureToMap):
         # session rows are only needed on the fan-out path (the leaf
         # path consumed them in-UDF above); emitting them here keeps
-        # the fold cogroup free of spurious leaf session groups.
-        for key, val in scope.session_writes().items():
-            rows.append(("session", inv, parent_inv, step_plan["name"], 0, key, val))
+        # the fold cogroup free of spurious leaf session groups. seq
+        # carries the fan-out depth for per-node driver capture.
         next_step = route.next_step_name
-        for i, (ek, ev) in enumerate(pairs):
-            child = hashlib.sha1(f"{inv}:{i}".encode()).hexdigest()
-            rows.append(("child", child, inv, next_step, 0, ek, ev))
+        n_mapped = len(pairs)
+        for key, val in scope.session_writes().items():
+            side.append(("session", inv, parent_inv, step_plan["name"], depth, key, val))
+        child_plan = (plans or {}).get(next_step)
+        fused = False
+        if (
+            child_plan is not None
+            and depth + 1 <= _MAX_DEPTH
+            and len(pairs) <= (FUSE_MAX_CHILDREN if fuse_max is None else fuse_max)
+        ):
+            # Fused subtree (guide §1.2-1/§2.4): every child is a
+            # single-pair invocation whose arguments are in hand, so
+            # run map→combine→reduce for each child HERE and fold the
+            # results with this step's reducer in-task — the child
+            # exchange, the fold exchange and the parent-stamp join all
+            # disappear. Numerics are identical: the same seeded-RNG
+            # discipline runs before every handler call, child ids are
+            # the same sha1 derivation, and the fold consumes the same
+            # _default_combine(child reduced pairs) + session-writes
+            # dict the driver-side cogroup fold consumed. If any
+            # descendant cannot complete in-task (unknown step or the
+            # depth cap — the driver recursion then reports the exact
+            # legacy error), the subtree's speculative output is
+            # discarded and plain child rows are emitted instead;
+            # handlers are deterministic under the engine's seeding
+            # contract (Spark task retries already re-run them), so
+            # the discard is safe.
+            fused = True
+            child_pairs: list[tuple] = []
+            c_side: list[tuple] = []
+            c_fcands: list[tuple] = []
+            c_trans: set[tuple] = set()
+            for i, (ek, ev) in enumerate(pairs):
+                child = hashlib.sha1(f"{inv}:{i}".encode()).hexdigest()
+                c_out, cs, cf, ct = _phase1_one_invocation(
+                    child_plan, workdir, child, inv,
+                    ("arg",), (0,), (ek,), (ev,),
+                    plans=plans, depth=depth + 1,
+                    want_forensics=want_forensics, fuse_max=fuse_max,
+                )
+                if any(r[0] == "child" for r in c_out):
+                    fused = False
+                    break
+                child_pairs.extend((r[5], r[6]) for r in c_out if r[0] == "reduced")
+                c_side.extend(cs)
+                c_fcands.extend(cf)
+                c_trans |= ct
+            if fused:
+                grouped = _default_combine(child_pairs)
+                rows.extend(
+                    _run_reduce(
+                        step_plan, inv, parent_inv, grouped,
+                        scope.session_writes(),
+                    )
+                )
+                side.extend(c_side)
+                fcands.extend(c_fcands)
+                trans |= c_trans
+                trans.add((step_plan["name"], next_step, depth + 1))
+        if not fused:
+            for i, (ek, ev) in enumerate(pairs):
+                child = hashlib.sha1(f"{inv}:{i}".encode()).hexdigest()
+                rows.append(("child", child, inv, next_step, 0, ek, ev))
     else:
         raise HandlerInvocationError(
             f"JOBX_HANDLER_ERROR step={step_plan['name']} inv={inv} "
             f"phase=map\nfirst yield must be a routing token, got {route!r}"
         )
-    return rows
+    if want_forensics:
+        fcands.append(
+            _forensic_candidate(
+                step_plan["name"], depth, inv, parent_inv, seqs, ks, vs,
+                n_mapped, n_reduced,
+            )
+        )
+    return rows, side, fcands, trans
 
 
 
@@ -391,6 +511,12 @@ class Engine:
         # (trace/graph endpoints); turn off for hot submit paths where
         # the per-step latency matters more than forensics.
         self.capture_forensics = capture_forensics
+        # Minimum frontier width (invocations) for in-task subtree
+        # fusion; None = 2 × defaultParallelism (scale-adaptive: a
+        # narrow frontier keeps the distributed recursion so fan-out
+        # parallelism is preserved; a wide one fuses child/fold
+        # exchanges away). Tests pin both paths by setting this.
+        self.fuse_min_invocations: int | None = None
         self._requests: dict[str, Request] = {}
         # The HTTP API serves from ThreadingHTTPServer: a DELETE
         # (cleanup_request) can race a concurrent list/find iterating
@@ -469,16 +595,17 @@ class Engine:
         }
 
     def _capture_invocations(
-        self, frontier: DataFrame, map_out: DataFrame,
+        self, map_out: DataFrame,
         trace: RequestTrace | None, depth: int, step_name: str,
     ) -> None:
-        """Forensic capture: one record per invocation at this step —
-        parent edge, dataset sizes, a ≤3-pair argument sample. The
-        aggregation runs on the executors (map_out is already persisted,
-        so this reads cache, not the source); only the capped record set
-        transits to the driver (the reference stores full per-invocation
-        datasets in etcd, mr/models/kv/invocation.py — at 100 TB the cap
-        is what keeps forensics from becoming a driver OOM)."""
+        """Forensic capture: one record per invocation at this (step,
+        depth) node — parent edge, dataset sizes, a ≤3-pair argument
+        sample. The aggregation runs on the executors (map_out is
+        already persisted, so this reads cache, not the source); only
+        the capped record set transits to the driver (the reference
+        stores full per-invocation datasets in etcd,
+        mr/models/kv/invocation.py — at 100 TB the cap is what keeps
+        forensics from becoming a driver OOM)."""
         if (
             not self.capture_forensics
             or trace is None
@@ -487,14 +614,21 @@ class Engine:
             return
         room = INVOCATION_CAP - len(trace.invocations)
         # Phase 1 already emitted one 'forensic' row per invocation
-        # (per-bucket-budgeted at CAP+1, so the globally-smallest
-        # room+1 inv ids are all present — see _make_phase1_udf): the
-        # capture is ONE TakeOrdered collect over the persisted
-        # map_out, replacing the distinct-ids job + full-frontier
-        # rank-window sample + two-aggregate join job that re-derived
-        # the same facts the phase-1 loop had in hand (guide §1.2-1).
+        # (per-(step, depth)-per-batch budgeted at CAP+1, so the
+        # globally-smallest room+1 inv ids of this node are all
+        # present — see _make_phase1_udf): the capture is ONE
+        # TakeOrdered collect over the persisted map_out, replacing
+        # the distinct-ids job + full-frontier rank-window sample +
+        # two-aggregate join job that re-derived the same facts the
+        # phase-1 loop had in hand (guide §1.2-1). A fused run's
+        # map_out carries several (step, depth) nodes; seq holds the
+        # depth, so each node's capture filters to exactly its rows.
         rows = (
-            map_out.filter(F.col("row_type") == "forensic")
+            map_out.filter(
+                (F.col("row_type") == "forensic")
+                & (F.col("step") == step_name)
+                & (F.col("seq") == depth)
+            )
             .orderBy("inv")
             .limit(room + 1)
             .collect()
@@ -514,7 +648,8 @@ class Engine:
         )
 
     def _capture_sessions(
-        self, sessions: DataFrame, trace: RequestTrace | None, step_name: str
+        self, map_out: DataFrame, trace: RequestTrace | None,
+        depth: int, step_name: str,
     ) -> None:
         """Capture fan-out-path session rows for request inspection
         (reference: mr_get_request_sessions walks every invocation's
@@ -530,7 +665,12 @@ class Engine:
             return
         room = INVOCATION_CAP - len(trace.sessions)
         rows = (
-            sessions.select("inv", "k", "v")
+            map_out.filter(
+                (F.col("row_type") == "session")
+                & (F.col("step") == step_name)
+                & (F.col("seq") == depth)
+            )
+            .select("inv", "k", "v")
             .orderBy("inv", "k")
             .limit(room + 1)
             .collect()
@@ -541,9 +681,30 @@ class Engine:
             [(r["inv"], step_name, r["k"], _decode(r["v"])) for r in rows]
         )
 
+    def _fuse_plans(self, workflow_name: str, n_invocations: int | None) -> dict | None:
+        """The workflow's full step-plan table when subtree fusion is
+        on for this frontier, else None. Fusion trades the child/fold
+        exchanges for in-task recursion, so it is only right when the
+        PARENT level already holds enough invocations to keep every
+        core busy (a single wide root would serialize its whole subtree
+        into one task); below the threshold the distributed recursion
+        is the scalable shape."""
+        if n_invocations is None:
+            return None
+        threshold = self.fuse_min_invocations
+        if threshold is None:
+            threshold = 2 * self.spark.sparkContext.defaultParallelism
+        if n_invocations < threshold:
+            return None
+        return {
+            s.name: self._step_plan(s)
+            for s in self.catalog.list_steps(workflow_name)
+        }
+
     def _run_step(
         self, workflow_name: str, step_name: str, frontier: DataFrame,
         trace: RequestTrace, persisted: list, depth: int = 0,
+        n_invocations: int | None = None,
     ) -> DataFrame:
         """Run one step over a frontier of invocations; returns reduced
         rows (inv, parent_inv, seq, k, v) for those invocations.
@@ -552,7 +713,15 @@ class Engine:
         stage boundary to etcd — mr/job_engine.py:421-439; for us a
         persist is enough because Spark recomputes lineage on loss) and
         unpersisted by the caller after the final action — never
-        collected to the driver."""
+        collected to the driver.
+
+        When the frontier is wide enough (``n_invocations`` ≥ the fuse
+        threshold), the phase-1 pass FUSES each invocation's fan-out
+        subtree in-task (guide §1.2-1/§2.4): child invocations are
+        single-pair by construction, so their map→combine→reduce and
+        this step's fold need no exchange; the driver recursion below
+        then only handles invocations that fell back (unknown step,
+        depth cap, or a fan-out wider than FUSE_MAX_CHILDREN)."""
         if depth > _MAX_DEPTH:
             raise RuntimeError(f"fan-out depth exceeded {_MAX_DEPTH}")
         step = self.catalog.get_step(workflow_name, step_name)
@@ -583,26 +752,86 @@ class Engine:
             and trace is not None
             and len(trace.invocations) < INVOCATION_CAP
         )
+        plans = self._fuse_plans(workflow_name, n_invocations)
         map_out = frontier.groupBy(
             F.pmod(F.xxhash64("inv"), F.lit(n_buckets)).alias("_bucket")
         ).applyInPandas(
-            _make_phase1_udf(plan, self.workdir, want_forensics),
+            _make_phase1_udf(
+                plan, self.workdir, want_forensics, plans, depth,
+                fuse_max=FUSE_MAX_CHILDREN,
+            ),
             schema=_ROWS_SCHEMA,
         ).persist()
         persisted.append(map_out)
-        self._capture_invocations(frontier, map_out, trace, depth, step_name)
+        self._capture_invocations(map_out, trace, depth, step_name)
         reduced = map_out.filter(F.col("row_type") == "reduced")
         child_rows = map_out.filter(F.col("row_type") == "child")
-        # routing decisions: one tiny collect of the distinct next steps
-        # (bounded by the number of catalog steps, not the data)
-        next_steps = [r[0] for r in child_rows.select("step").distinct().collect()]
+        # Routing + fused-trace discovery in ONE tiny collect (bounded
+        # by catalog steps × depth, not data): distinct next steps of
+        # fallback child rows (with per-step invocation counts feeding
+        # the next level's fuse decision) plus the 'traceev' fan-out
+        # transitions fused subtrees took.
+        route_rows = (
+            map_out.filter(F.col("row_type").isin("child", "traceev"))
+            .select(
+                "row_type",
+                # parent_inv is per-parent on child rows — mask it so
+                # the aggregate stays bounded by catalog steps, not data
+                F.when(
+                    F.col("row_type") == "traceev", F.col("parent_inv")
+                ).alias("pstep"),
+                "step",
+                "seq",
+            )
+            .groupBy("row_type", "pstep", "step", "seq")
+            .count()
+            .collect()
+        )
+        next_steps: dict[str, int] = {}
+        for r in route_rows:
+            if r["row_type"] == "child":
+                next_steps[r["step"]] = next_steps.get(r["step"], 0) + r["count"]
+        transitions = sorted(
+            (r["pstep"], r["step"], r["seq"])
+            for r in route_rows
+            if r["row_type"] == "traceev"
+        )
+
+        # Fused-subtree trace events + per-node captures, replayed in
+        # the exact pre-order the driver recursion used to produce:
+        # map → [per child step: fanout-edge, child subtree] → fold.
+        # The root's own "map" event and invocation capture happened
+        # above; descendants' come from the traceev/forensic rows.
+        def _visit(d: int, s: str, capture_sessions: bool = True) -> None:
+            kids = sorted(
+                {cs for (ps, cs, cd) in transitions if ps == s and cd == d + 1}
+            )
+            if kids and capture_sessions:
+                self._capture_sessions(map_out, trace, d, s)
+            for ns in kids:
+                trace.record(d, s, f"fanout→{ns}")
+                trace.record(d + 1, ns, "map")
+                self._capture_invocations(map_out, trace, d + 1, ns)
+                _visit(d + 1, ns)
+            if kids:
+                trace.record(d, s, "fold")
+
+        if transitions and not next_steps:
+            _visit(depth, step_name)
         if not next_steps:
             return reduced
+        if transitions:
+            # mixed case (some invocations fused, some fell back):
+            # replay the fused events first, then run the fallback
+            # recursion below — step_sequence/edges dedup the overlap.
+            # Root session rows (fused + fallback parents share the
+            # root (step, depth) node) are captured once, below.
+            _visit(depth, step_name, capture_sessions=False)
 
-        # fan-out: recurse per next step, then fold children into their
-        # parents with this step's reducer.
+        # fan-out fallback: recurse per next step, then fold children
+        # into their parents with this step's reducer.
         sessions = map_out.filter(F.col("row_type") == "session")
-        self._capture_sessions(sessions, trace, step_name)
+        self._capture_sessions(map_out, trace, depth, step_name)
         child_results = []
         for ns in sorted(next_steps):
             trace.record(depth, step_name, f"fanout→{ns}")
@@ -611,7 +840,8 @@ class Engine:
             )
             child_results.append(
                 self._run_step(
-                    workflow_name, ns, child_frontier, trace, persisted, depth + 1
+                    workflow_name, ns, child_frontier, trace, persisted,
+                    depth + 1, n_invocations=next_steps[ns],
                 )
             )
         all_children = child_results[0]
@@ -619,9 +849,18 @@ class Engine:
             all_children = all_children.unionByName(df)
 
         trace.record(depth, step_name, "fold")
-        # child results keyed by their parent (= this level's inv)
+        # child results keyed by their parent (= this level's inv).
+        # Sessions are restricted to invocations that actually have
+        # fold input: a fused invocation's fold already ran in-task,
+        # and its session rows must not spawn an empty-input fold group
+        # in the cogroup below.
         fold_in = all_children.withColumn("gkey", F.col("parent_inv"))
-        sess_in = sessions.withColumn("gkey", F.col("inv"))
+        fallback_parents = child_rows.select(
+            F.col("parent_inv").alias("inv")
+        ).distinct()
+        sess_in = sessions.join(fallback_parents, "inv", "left_semi").withColumn(
+            "gkey", F.col("inv")
+        )
         folded = (
             fold_in.groupBy("gkey")
             .cogroup(sess_in.groupBy("gkey"))
@@ -687,6 +926,9 @@ class Engine:
                 result_rows = self._run_step(
                     workflow_name, job.initial_step_name, frontier,
                     request.trace, persisted,
+                    # submit() runs ONE root invocation — never fused,
+                    # so a wide root fan-out distributes its children.
+                    n_invocations=1,
                 )
                 pairs = [
                     (_decode(r["k"]), _decode(r["v"]))
@@ -838,7 +1080,19 @@ class Engine:
         persisted: list[DataFrame] = []
         try:
             root_inv = hashlib.sha1(f"{workflow_name}:{job_name}:dataset".encode()).hexdigest()
-            bucket = F.pmod(F.xxhash64(F.col("k")), F.lit(n_buckets))
+            # Bucket by (k, v), not k alone (guide §2.5: a synthetic
+            # partitioning key with too few distinct values starves the
+            # cluster): a dataset with a handful of distinct keys —
+            # event_type has 5 — used to collapse into that many fat
+            # invocations, capping phase-1 parallelism at 5 tasks no
+            # matter the cluster and defeating subtree fusion's width
+            # cap. Per-bucket partial reduce + the root fold's
+            # cross-bucket merge is already this API's documented
+            # contract ("partial/final aggregation"), so reducers must
+            # merge across buckets either way; the results are
+            # bucketing-invariant (all 4 mr_engine rows re-verified
+            # hash-exact, test_dataset_sum_matches_python_fold green).
+            bucket = F.pmod(F.xxhash64(F.col("k"), F.col("v")), F.lit(n_buckets))
             frontier = pairs_df.select(
                 F.lit("arg").alias("row_type"),
                 F.concat(F.lit(root_inv + ":"), bucket.cast("string")).alias("inv"),
@@ -853,6 +1107,10 @@ class Engine:
             leaf = self._run_step(
                 workflow_name, job.initial_step_name, frontier,
                 request.trace, persisted,
+                # the pre-fan-out gives exactly n_buckets invocations
+                # (sized 2-3× total cores by the contract above), so
+                # fusion keeps parent-level parallelism intact.
+                n_invocations=n_buckets,
             )
             request.trace.record(0, job.initial_step_name, "fold")
             fold_in = leaf.withColumn("gkey", F.col("parent_inv"))

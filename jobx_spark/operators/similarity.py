@@ -143,6 +143,32 @@ def _nearest_cells(mat, cent_ids, cv, cnorm_sqrt):
     return np.argmax(cos, axis=1), vnorm_s, cos
 
 
+def _assign_update_arrays(mat, cent_ids, cv, cnorm_sqrt, scale: int):
+    """ONE Lloyd round's assign + update partials for a (rows, dim)
+    float64 batch — THE single definition of the per-chain numerics
+    (ADVICE r12 #1: :func:`_update_partials_gen` and
+    :func:`_multi_update_partials_gen` previously re-implemented this
+    inline; an edit to one could silently desynchronize the other and
+    break the bit-identical contract the PQ queries pin). Returns the
+    four parallel column arrays (cell, idx, s, n) of the non-empty
+    cells' integer partials: s = Σ floor(x·scale) int64 (exact,
+    order-free), n = rows assigned to the cell."""
+    bi, _, _ = _nearest_cells(mat, cent_ids, cv, cnorm_sqrt)
+    x = np.floor(mat * scale).astype(np.int64)
+    dim = mat.shape[1]
+    k = len(cent_ids)
+    sums = np.zeros((k, dim), dtype=np.int64)
+    np.add.at(sums, bi, x)
+    counts = np.bincount(bi, minlength=k).astype(np.int64)
+    ki = np.nonzero(counts > 0)[0]
+    return (
+        np.repeat(cent_ids[ki], dim),
+        np.tile(np.arange(dim, dtype=np.int32), len(ki)),
+        sums[ki].ravel(),
+        np.repeat(counts[ki], dim),
+    )
+
+
 def _update_partials_gen(cent_ids, cv, cnorm_sqrt, scale: int, vec_col: str):
     """mapInPandas generator fusing one Lloyd round's ASSIGN + UPDATE
     partials per Arrow batch: vectors cross the Python boundary once,
@@ -159,24 +185,10 @@ def _update_partials_gen(cent_ids, cv, cnorm_sqrt, scale: int, vec_col: str):
             if len(pdf) == 0:
                 continue
             mat = np.stack(pdf[vec_col].values).astype(np.float64)
-            bi, _, _ = _nearest_cells(mat, cent_ids, cv, cnorm_sqrt)
-            x = np.floor(mat * scale).astype(np.int64)
-            dim = mat.shape[1]
-            k = len(cent_ids)
-            sums = np.zeros((k, dim), dtype=np.int64)
-            np.add.at(sums, bi, x)
-            counts = np.bincount(bi, minlength=k).astype(np.int64)
-            ki = np.nonzero(counts > 0)[0]
-            yield pd.DataFrame(
-                {
-                    "cell": np.repeat(cent_ids[ki], dim),
-                    "idx": np.tile(
-                        np.arange(dim, dtype=np.int32), len(ki)
-                    ),
-                    "s": sums[ki].ravel(),
-                    "n": np.repeat(counts[ki], dim),
-                }
+            cell, idx, s, n = _assign_update_arrays(
+                mat, cent_ids, cv, cnorm_sqrt, scale
             )
+            yield pd.DataFrame({"cell": cell, "idx": idx, "s": s, "n": n})
 
     return gen
 
@@ -198,26 +210,17 @@ def _multi_update_partials_gen(active, scale: int):
             frames = []
             for i, col, cent_ids, cv, cnorm_sqrt in active:
                 mat = np.stack(pdf[col].values).astype(np.float64)
-                bi, _, _ = _nearest_cells(mat, cent_ids, cv, cnorm_sqrt)
-                x = np.floor(mat * scale).astype(np.int64)
-                dim = mat.shape[1]
-                k = len(cent_ids)
-                sums = np.zeros((k, dim), dtype=np.int64)
-                np.add.at(sums, bi, x)
-                counts = np.bincount(bi, minlength=k).astype(np.int64)
-                ki = np.nonzero(counts > 0)[0]
+                cell, idx, s, n = _assign_update_arrays(
+                    mat, cent_ids, cv, cnorm_sqrt, scale
+                )
                 frames.append(
                     pd.DataFrame(
                         {
-                            "sub": np.full(
-                                len(ki) * dim, i, dtype=np.int32
-                            ),
-                            "cell": np.repeat(cent_ids[ki], dim),
-                            "idx": np.tile(
-                                np.arange(dim, dtype=np.int32), len(ki)
-                            ),
-                            "s": sums[ki].ravel(),
-                            "n": np.repeat(counts[ki], dim),
+                            "sub": np.full(len(cell), i, dtype=np.int32),
+                            "cell": cell,
+                            "idx": idx,
+                            "s": s,
+                            "n": n,
                         }
                     )
                 )

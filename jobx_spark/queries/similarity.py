@@ -920,8 +920,6 @@ NPROBE_SWEEP = [1, 2, 4]
 
 
 def ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from functools import reduce
-
     from pyspark.sql import Window as W
 
     from jobx_spark.operators.dedup import cosine_from_scaled
@@ -989,29 +987,65 @@ def ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "sweep-scored",
     )
-    wrank = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    # ALL sweep tiers out of ONE pass over the scored table (guide
+    # §1.2-1, VERDICT r12 #5): the tiers are nested (pr ≤ 1 ⊂ pr ≤ 2 ⊂
+    # pr ≤ 4), so each tier's row_number over (cosine DESC, vec_id ASC)
+    # equals a RUNNING CONDITIONAL COUNT of that tier's members in the
+    # same total order — vec_id is unique, the order is total, and
+    # filtering preserves relative order, so `rk{np} = Σ 1[pr ≤ np]
+    # rows-unbounded-preceding..current` is row-identical to the
+    # filter-then-row_number each union leg used to pay. One window +
+    # ONE gt semi-join + one aggregate replace |sweep| windows,
+    # semi-joins, aggregates and the union (previously 3 jobs re-read
+    # the scored parquet per leg).
     denom = K * N_QUERIES
-    per_np = []
-    for np_ in NPROBE_SWEEP:
-        ap = (
-            scored.filter(F.col("pr") <= np_)
-            .withColumn("rank", F.row_number().over(wrank))
-            .filter(F.col("rank") <= K)
-            .select(F.col("qid").alias("query_id"), "vec_id")
-        )
-        hits = ap.join(gt, ["query_id", "vec_id"], "left_semi").agg(
-            F.count(F.lit(1)).alias("hits")
-        )
-        per_np.append(
-            hits.select(
-                F.lit(np_).cast("long").alias("nprobe"),
-                F.col("hits").cast("long").alias("hits"),
-                F.expr(f"CAST(hits * 1000 div {denom} AS BIGINT)").alias(
-                    "recall_permille"
+    wrun = (
+        W.partitionBy("qid")
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ranked = scored.select(
+        F.col("qid").alias("query_id"),
+        "vec_id",
+        "pr",
+        *[
+            F.sum(F.when(F.col("pr") <= np_, 1).otherwise(0))
+            .over(wrun)
+            .alias(f"rk{np_}")
+            for np_ in NPROBE_SWEEP
+        ],
+    )
+    one = ranked.join(gt, ["query_id", "vec_id"], "left_semi").agg(
+        *[
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("pr") <= np_) & (F.col(f"rk{np_}") <= K), 1
+                    ).otherwise(0)
                 ),
+                F.lit(0),
+            ).alias(f"h{np_}")
+            for np_ in NPROBE_SWEEP
+        ]
+    )
+    tiers = F.array(
+        *[
+            F.struct(
+                F.lit(np_).cast("long").alias("nprobe"),
+                F.col(f"h{np_}").cast("long").alias("hits"),
             )
+            for np_ in NPROBE_SWEEP
+        ]
+    )
+    return (
+        one.select(F.explode(tiers).alias("t"))
+        .select("t.nprobe", "t.hits")
+        .withColumn(
+            "recall_permille",
+            F.expr(f"CAST(hits * 1000 div {denom} AS BIGINT)"),
         )
-    return reduce(lambda a, b: a.unionByName(b), per_np).orderBy("nprobe")
+        .orderBy("nprobe")
+    )
 
 
 def _nprobe_sweep_oracle() -> str:

@@ -2195,12 +2195,21 @@ def _bm25_postings(docs: DataFrame) -> DataFrame:
     pruned scan)."""
     from jobx_spark.functions import md5_long
 
+    from pyspark.sql import Window as W
+
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
     )
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
-    return tf.join(dl, "doc_id").withColumn(
+    # dl = Σ tf per doc, read off the already-reduced tf table with a
+    # per-doc window (bounded by document length) — previously a SECOND
+    # explode+scan of the token stream plus a join back on doc_id
+    # (guide §1.2-1: one pass, §2.3: aggregate before you shuffle).
+    # Identical values: count over exploded tokens ≡ sum of per-term
+    # counts; a doc with NULL/empty text has no tf rows either way.
+    return tf.withColumn(
+        "dl", F.sum("tf").over(W.partitionBy("doc_id")).cast("long")
+    ).withColumn(
         "tbkt",
         F.pmod(md5_long(F.concat(F.lit("bm25:"), F.col("term"))),
                F.lit(TBKT)),
