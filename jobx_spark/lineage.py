@@ -32,6 +32,27 @@ from pyspark.sql import DataFrame
 _root: str | None = None
 
 
+def _ephemeral_base() -> str:
+    """Directory to hold the per-process scratch root when no durable
+    JOBX_CHECKPOINT_DIR is configured: prefer RAM-backed tmpfs (guide
+    §6 — streaming checkpoint WALs and state-store commits pay
+    per-partition-per-batch file creation against this root, and the
+    whole tree is REMOVED AT INTERPRETER EXIT, so durable-disk I/O for
+    it is pure waste; /tmp here is ext4). Durability is unchanged:
+    production deployments point JOBX_CHECKPOINT_DIR at shared durable
+    storage (HDFS/S3/ABFS) and never take this branch. Falls back to
+    the system temp dir when tmpfs is absent or low on space."""
+    shm = "/dev/shm"
+    try:
+        if os.path.isdir(shm) and os.access(shm, os.W_OK) and (
+            shutil.disk_usage(shm).free > 8 * 1024**3
+        ):
+            return shm
+    except OSError:  # pragma: no cover - statvfs failure
+        pass
+    return tempfile.gettempdir()
+
+
 def checkpoint_root() -> str:
     """Lazily created per-process checkpoint directory (cleaned atexit
     unless JOBX_CHECKPOINT_DIR points at managed durable storage)."""
@@ -42,7 +63,9 @@ def checkpoint_root() -> str:
             _root = os.path.join(env, f"ckpt-{uuid.uuid4().hex[:8]}")
             os.makedirs(_root, exist_ok=True)
         else:
-            _root = tempfile.mkdtemp(prefix="jobx-ckpt-")
+            _root = tempfile.mkdtemp(
+                prefix="jobx-ckpt-", dir=_ephemeral_base()
+            )
             atexit.register(shutil.rmtree, _root, ignore_errors=True)
     return _root
 

@@ -2803,7 +2803,6 @@ def dedup_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         disk.filter(F.col("seg") == "base"),
         disk.filter(F.col("seg") == "batch"),
-        disk,
         rebuilt,
     )
 
@@ -2812,28 +2811,38 @@ def _band_append_census(
     spark: SparkSession,
     base_idx: DataFrame,
     batch_idx: DataFrame,
-    appended: DataFrame,
     rebuilt: DataFrame,
 ) -> DataFrame:
     """Per-band before/after/rebuild census with the doc_id-XOR
     append≡rebuild certificate — shared by dedup_index_append and its
-    streaming twin (the text-side analogue of _ivf_append_census)."""
-
-    def census(df: DataFrame, n: str, x: str | None) -> DataFrame:
-        aggs = [F.count(F.lit(1)).cast("long").alias(n)]
-        if x is not None:
-            aggs.append(
-                F.coalesce(F.bit_xor("id"), F.lit(0).cast("long")).alias(x)
-            )
-        return df.groupBy("band").agg(*aggs)
-
+    streaming twin (the text-side analogue of _ivf_append_census).
+    Base / batch / after legs are ONE conditional aggregation over the
+    tagged base∪batch union (guide §1.2-1: previously three separate
+    aggregations + joins over the same rows; the after leg over the
+    union equals the old census over `appended` because every caller
+    passed appended ≡ base ∪ batch)."""
+    tagged = base_idx.withColumn(
+        "_is_base", F.lit(True)
+    ).unionByName(batch_idx.withColumn("_is_base", F.lit(False)))
+    after = tagged.groupBy("band").agg(
+        F.count(F.when(F.col("_is_base"), 1)).cast("long").alias("n_base"),
+        F.count(F.when(~F.col("_is_base"), 1)).cast("long").alias("n_batch"),
+        F.count(F.lit(1)).cast("long").alias("n_after"),
+        F.coalesce(F.bit_xor("id"), F.lit(0).cast("long")).alias(
+            "xor_after"
+        ),
+    )
+    reb = rebuilt.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rebuild"),
+        F.coalesce(F.bit_xor("id"), F.lit(0).cast("long")).alias(
+            "xor_rebuild"
+        ),
+    )
     dom = spark.range(BANDS).select(F.col("id").cast("int").alias("band"))
     z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("long")  # noqa: E731
     return (
-        dom.join(census(base_idx, "n_base", None), "band", "left")
-        .join(census(batch_idx, "n_batch", None), "band", "left")
-        .join(census(appended, "n_after", "xor_after"), "band", "left")
-        .join(census(rebuilt, "n_rebuild", "xor_rebuild"), "band", "left")
+        dom.join(after, "band", "left")
+        .join(reb, "band", "left")
         .select(
             "band",
             z("n_base").alias("n_base"),

@@ -647,43 +647,48 @@ def ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch_idx = ivf_assign(batch, centroids).select(
         F.col("id").alias("vec_id"), "cell"
     )
-    appended = base_idx.unionByName(batch_idx)
     # attestation leg: full re-assignment under the same frozen
     # centroids — never run in production, here it certifies
     # append == rebuild
     rebuilt = ivf_assign(emb, centroids).select(
         F.col("id").alias("vec_id"), "cell"
     )
-    return _ivf_append_census(spark, base_idx, batch_idx, appended, rebuilt)
+    return _ivf_append_census(spark, base_idx, batch_idx, rebuilt)
 
 
 def _ivf_append_census(
     spark: SparkSession,
     base_idx: DataFrame,
     batch_idx: DataFrame,
-    appended: DataFrame,
     rebuilt: DataFrame,
 ) -> DataFrame:
     """Per-cell before/after/rebuild census with the membership-XOR
     append≡rebuild certificate — shared by ann_ivf_append and its
-    streaming twin stream_ivf_append."""
-
-    def census(df: DataFrame, n_col: str, x_col: str | None) -> DataFrame:
-        aggs = [F.count(F.lit(1)).alias(n_col)]
-        if x_col is not None:
-            aggs.append(
-                F.coalesce(F.bit_xor("vec_id"), F.lit(0).cast("long"))
-                .alias(x_col)
-            )
-        return df.groupBy("cell").agg(*aggs)
-
-    dom = spark.range(KM_K).select(F.col("id").cast("int").alias("cell"))
-    out = (
-        dom.join(census(base_idx, "n_base", None), "cell", "left")
-        .join(census(batch_idx, "n_batch", None), "cell", "left")
-        .join(census(appended, "n_after", "xor_after"), "cell", "left")
-        .join(census(rebuilt, "n_rebuild", "xor_rebuild"), "cell", "left")
+    streaming twins. The base / batch / after legs are ONE conditional
+    aggregation over the tagged base∪batch union (guide §1.2-1, §2.4:
+    previously three separate aggregations + joins over the same rows;
+    count(when(tag, 1)) per cell is value-identical, and the after leg
+    over the union equals the old census over `appended` because every
+    caller passed appended ≡ base ∪ batch)."""
+    tagged = base_idx.withColumn(
+        "_is_base", F.lit(True)
+    ).unionByName(batch_idx.withColumn("_is_base", F.lit(False)))
+    after = tagged.groupBy("cell").agg(
+        F.count(F.when(F.col("_is_base"), 1)).alias("n_base"),
+        F.count(F.when(~F.col("_is_base"), 1)).alias("n_batch"),
+        F.count(F.lit(1)).alias("n_after"),
+        F.coalesce(F.bit_xor("vec_id"), F.lit(0).cast("long")).alias(
+            "xor_after"
+        ),
     )
+    reb = rebuilt.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_rebuild"),
+        F.coalesce(F.bit_xor("vec_id"), F.lit(0).cast("long")).alias(
+            "xor_rebuild"
+        ),
+    )
+    dom = spark.range(KM_K).select(F.col("id").cast("int").alias("cell"))
+    out = dom.join(after, "cell", "left").join(reb, "cell", "left")
     z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("long")  # noqa: E731
     return (
         out.select(
@@ -4496,13 +4501,12 @@ def ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     disk = spark.read.parquet(ipath).select("vec_id", "cell", "seg")
     base_idx = disk.filter(F.col("seg") == "base").select("vec_id", "cell")
     batch_idx = disk.filter(F.col("seg") == "batch").select("vec_id", "cell")
-    appended = disk.select("vec_id", "cell")
     # attestation leg: full re-assignment under the same persisted
     # centroids — never run in production
     rebuilt = ivf_assign(emb, spark.read.parquet(cpath)).select(
         F.col("id").alias("vec_id"), "cell"
     )
-    return _ivf_append_census(spark, base_idx, batch_idx, appended, rebuilt)
+    return _ivf_append_census(spark, base_idx, batch_idx, rebuilt)
 
 
 # --------------------------------------------------------------------------

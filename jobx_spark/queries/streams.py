@@ -1151,11 +1151,10 @@ def stream_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     S._capture_run(q)
     batch_idx = spark.read.parquet(out).select("vec_id", "cell")
-    appended = base_idx.unionByName(batch_idx)
     rebuilt = ivf_assign(emb, centroids).select(
         F.col("id").alias("vec_id"), "cell"
     )
-    return _ivf_append_census(spark, base_idx, batch_idx, appended, rebuilt)
+    return _ivf_append_census(spark, base_idx, batch_idx, rebuilt)
 
 
 def _sivfa_oracle() -> str:
@@ -1468,9 +1467,8 @@ def stream_dedup_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     S._capture_run(q)
     batch_idx = spark.read.parquet(out).select("id", "band", "bh")
-    appended = base_idx.unionByName(batch_idx)
     rebuilt = banded(docs)
-    return _band_append_census(spark, base_idx, batch_idx, appended, rebuilt)
+    return _band_append_census(spark, base_idx, batch_idx, rebuilt)
 
 
 def _sdida_oracle() -> str:
@@ -1572,11 +1570,10 @@ def stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     disk = spark.read.parquet(ipath).select("vec_id", "cell", "seg")
     base_idx = disk.filter(F.col("seg") == "base").select("vec_id", "cell")
     batch_idx = disk.filter(F.col("seg") != "base").select("vec_id", "cell")
-    appended = disk.select("vec_id", "cell")
     rebuilt = ivf_assign(emb, centroids).select(
         F.col("id").alias("vec_id"), "cell"
     )
-    return _ivf_append_census(spark, base_idx, batch_idx, appended, rebuilt)
+    return _ivf_append_census(spark, base_idx, batch_idx, rebuilt)
 
 
 def _singest_oracle() -> str:

@@ -2493,28 +2493,39 @@ def _bm25_append_census(
         )
     )
 
-    def census(df: DataFrame, n: str, x: str | None) -> DataFrame:
-        aggs = [F.count(F.lit(1)).cast("long").alias(n)]
-        if x is not None:
-            aggs.append(
-                F.coalesce(
-                    F.bit_xor(_bm25_posting_hash()), F.lit(0).cast("long")
-                ).alias(x)
-            )
-        return df.groupBy("tbkt").agg(*aggs)
+    # ONE conditional aggregation over ONE scan of the on-disk postings
+    # (guide §1.2-1, §2.4): the base / batch / after censuses used to be
+    # three separate scans of the same parquet, three exchanges and
+    # three joins against the bucket domain. count(when(cond, 1)) per
+    # bucket is value-identical to count(*) over the filtered scan, and
+    # a bucket absent from the fused aggregate was absent from every
+    # per-filter aggregate too (the left join + coalesce(0) covers both
+    # shapes the same way).
+    disk_census = disk.groupBy("tbkt").agg(
+        F.count(F.when(F.col("seg") == "base", 1)).cast("long").alias(
+            "n_base"
+        ),
+        F.count(F.when(F.col("seg") != "base", 1)).cast("long").alias(
+            "n_batch"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_after"),
+        F.coalesce(
+            F.bit_xor(_bm25_posting_hash()), F.lit(0).cast("long")
+        ).alias("xor_after"),
+    )
+
+    def census(df: DataFrame, n: str, x: str) -> DataFrame:
+        return df.groupBy("tbkt").agg(
+            F.count(F.lit(1)).cast("long").alias(n),
+            F.coalesce(
+                F.bit_xor(_bm25_posting_hash()), F.lit(0).cast("long")
+            ).alias(x),
+        )
 
     dom = spark.range(TBKT).select(F.col("id").cast("int").alias("tbkt"))
     z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("long")  # noqa: E731
     return (
-        dom.join(
-            census(disk.filter(F.col("seg") == "base"), "n_base", None),
-            "tbkt", "left",
-        )
-        .join(
-            census(disk.filter(F.col("seg") != "base"), "n_batch", None),
-            "tbkt", "left",
-        )
-        .join(census(disk, "n_after", "xor_after"), "tbkt", "left")
+        dom.join(disk_census, "tbkt", "left")
         .join(census(rebuilt, "n_rebuild", "xor_rebuild"), "tbkt", "left")
         .crossJoin(F.broadcast(scalars_ok))
         .crossJoin(F.broadcast(serve_ok))
