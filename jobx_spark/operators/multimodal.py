@@ -371,45 +371,57 @@ def frame_energy_features(df: DataFrame) -> DataFrame:
     algebra is unchanged.
     """
     fr, st = AUDIO_FRAME, AUDIO_STRIDE
-    s = F.decode(F.col("data"), "utf-8")
-    samples = F.expr(
-        "transform(sequence(1, length(decode(data, 'utf-8'))),"
-        " i -> CAST(ascii(substring(decode(data, 'utf-8'), i, 1)) AS BIGINT))"
+    import numpy as np
+
+    src = df.select("asset_id", "data")
+    schema = (
+        "asset_id long, n_frames long, total_energy long, "
+        "peak_energy long, energy_checksum long"
     )
-    nf = F.when(
-        F.length(s) >= fr,
-        (F.floor((F.length(s) - fr) / st) + 1).cast("int"),
-    ).otherwise(F.lit(0))
-    stamped = df.select(
-        "asset_id", samples.alias("samples"), nf.alias("nf")
-    ).select(
-        "asset_id",
-        "nf",
-        F.when(
-            F.col("nf") >= 1,
-            F.expr(
-                f"transform(sequence(1, nf), k -> aggregate("
-                f"slice(samples, (k-1)*{st}+1, {fr}),"
-                f" 0L, (acc, x) -> acc + x*x))"
-            ),
-        )
-        .otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
-        .alias("energies"),
-    )
-    return stamped.select(
-        "asset_id",
-        F.col("nf").cast("bigint").alias("n_frames"),
-        F.coalesce(
-            F.expr("aggregate(energies, 0L, (a, e) -> a + e)"), F.lit(0)
-        ).cast("bigint").alias("total_energy"),
-        F.coalesce(F.array_max("energies"), F.lit(0)).cast("bigint").alias(
-            "peak_energy"
-        ),
-        F.coalesce(
-            F.expr(
-                "aggregate(zip_with(energies, sequence(1, greatest(nf, 1)),"
-                " (e, k) -> e * CAST(k AS BIGINT)), 0L, (a, x) -> a + x)"
-            ),
-            F.lit(0),
-        ).cast("bigint").alias("energy_checksum"),
-    )
+
+    # One Arrow pass with a numpy cumulative-sum kernel (guide §4.2)
+    # replaces the previous higher-order-function column algebra, which
+    # was CodegenFallback end to end: the byte→sample map paid an
+    # INTERPRETED ascii(substring) per CHARACTER and each frame an
+    # interpreted aggregate(slice) fold over 64 samples at stride 32 —
+    # every sample touched ~2× through the interpreter. Values are
+    # bit-identical: ord(char) is the codepoint DuckDB's ord()/Spark's
+    # ascii() read here, energies are exact int64 sums of squares
+    # (cumsum form: e_k = css[(k-1)·st+fr] − css[(k-1)·st]), and the
+    # count/total/peak/position-checksum roll-ups are the same integer
+    # arithmetic. Missing/short payloads produce the same zero row.
+    def gen(pdfs):
+        for pdf in pdfs:
+            ids, nfs, tots, peaks, chks = [], [], [], [], []
+            for aid, data in zip(pdf["asset_id"], pdf["data"]):
+                txt = bytes(data).decode("utf-8") if data is not None else ""
+                n = len(txt)
+                nf = (n - fr) // st + 1 if n >= fr else 0
+                if nf <= 0:
+                    tot = peak = chk = 0
+                else:
+                    x = np.fromiter(map(ord, txt), dtype=np.int64, count=n)
+                    css = np.concatenate(
+                        ([0], np.cumsum(x * x, dtype=np.int64))
+                    )
+                    starts = np.arange(nf, dtype=np.int64) * st
+                    e = css[starts + fr] - css[starts]
+                    tot = int(e.sum())
+                    peak = int(e.max())
+                    chk = int((e * np.arange(1, nf + 1, dtype=np.int64)).sum())
+                ids.append(aid)
+                nfs.append(nf)
+                tots.append(tot)
+                peaks.append(peak)
+                chks.append(chk)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.array(ids, dtype="int64"),
+                    "n_frames": pd.array(nfs, dtype="int64"),
+                    "total_energy": pd.array(tots, dtype="int64"),
+                    "peak_energy": pd.array(peaks, dtype="int64"),
+                    "energy_checksum": pd.array(chks, dtype="int64"),
+                }
+            )
+
+    return src.mapInPandas(gen, schema)

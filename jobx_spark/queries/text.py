@@ -805,19 +805,24 @@ TRIGRAM_TOP = 50
 def text_trigram_lang_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
+    from jobx_spark.lineage import cut_lineage
+    from jobx_spark.operators.text import char_gram_counts
+
     docs = load_table(spark, sf_dir, "documents")
-    grams = docs.filter(F.length("text") >= 3).select(
-        "doc_id", "lang",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, length(lower(text)) - 2),"
-                " i -> substring(lower(text), i, 3))"
-            )
-        ).alias("g"),
+    # Char-trigram production at the Arrow boundary (guide §4.2): the
+    # column form paid an INTERPRETED substring per gram (CodegenFallback
+    # transform lambda — the r12 gram_rows pathology on the character
+    # alphabet) and was evaluated TWICE (profile + per-doc-distinct
+    # legs, the second with a corpus-wide distinct shuffle). One pass
+    # emits per-(doc, gram) counts; lineage-cut so both consumers read
+    # the doc-bounded proxy. Σc ≡ the occurrence count and the rows ARE
+    # the per-doc distinct set, so both legs are value-identical.
+    rows = cut_lineage(
+        char_gram_counts(docs, ["doc_id", "lang"], n=3), "trigram-rows"
     )
     prof = (
-        grams.groupBy("lang", "g")
-        .agg(F.count("*").alias("n"))
+        rows.groupBy("lang", "g")
+        .agg(F.sum("c").alias("n"))
         .withColumn(
             "rk",
             F.row_number().over(
@@ -827,7 +832,7 @@ def text_trigram_lang_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TRIGRAM_TOP)
         .select(F.col("lang").alias("plang"), "g")
     )
-    doc_grams = grams.select("doc_id", "lang", "g").distinct()
+    doc_grams = rows.select("doc_id", "lang", "g")
     overlap = (
         doc_grams.join(F.broadcast(prof), "g")
         .groupBy("doc_id", "lang", "plang")
@@ -1656,18 +1661,14 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate = md5_long(
         F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
     ) % 100
-    t = docs.select(
-        "doc_id", "source", gate.alias("gate"), tokens(F.col("text")).alias("toks")
-    )
-    grams = F.when(
-        F.size("toks") >= NOVELTY_N,
-        F.expr(
-            f"transform(sequence(1, size(toks) - {NOVELTY_N - 1}),"
-            f" i -> array_join(slice(toks, i, {NOVELTY_N}), ' '))"
-        ),
-    ).otherwise(F.array())
-    g = t.select("doc_id", "source", "gate", F.explode(grams).alias("gram"))
-    g = g.select("doc_id", "source", "gate", md5_long(F.col("gram")).alias("h"))
+    from jobx_spark.operators.text import gram_rows
+
+    # Arrow gram producer (r12 §7 device, guide §4.2): the column form
+    # built every n-gram through an interpreted CodegenFallback
+    # transform lambda. Same tokenization, same md5-hex-15 hash, same
+    # "< n tokens → no rows" guard — bit-identical gram stream.
+    t = docs.select("doc_id", "source", gate.alias("gate"), "text")
+    g = gram_rows(t, ["doc_id", "source", "gate"], ns=(NOVELTY_N,))
     train = (
         g.filter(F.col("gate") < 90).select("h").distinct()
         .withColumn("seen", F.lit(1))
