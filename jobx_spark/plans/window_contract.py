@@ -45,6 +45,18 @@ _TOPK_RERANK = (
 )
 
 WINDOW_BOUNDS: dict[str, dict[tuple[str, ...], str]] = {
+    "ann_nprobe_sweep": {
+        ("qid",): "per-probe-query candidate set: the scored table is "
+                  "the materialized nprobe=max(SWEEP) candidates — ≤ "
+                  "probed-cells × cell-members rows per query, "
+                  "probe-bounded, never corpus-growing",
+    },
+    "text_bm25_index_append": {
+        ("doc_id",): "per-document posting list: the dl prefix-sum runs over one doc's distinct terms, bounded by document length",
+    },
+    "stream_bm25_index_append": {
+        ("doc_id",): "per-document posting list: the dl prefix-sum runs over one doc's distinct terms, bounded by document length",
+    },
     "dedup_jaccard_prefix": {
         ("id",): "per-document shingle set: partition = one doc's distinct "
                  "shingles, bounded by document length",

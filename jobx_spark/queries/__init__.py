@@ -247,6 +247,52 @@ def _utc_pinned(fn: QueryFn) -> QueryFn:
 #   4. filler: alphabetical head of the r5-banked cohort (11 rows,
 #      dedup_components_lsss … q07_topk_per_group).
 GATE_FIRST_50 = [
+    # ROUND-13 GATE (VERDICT r12 #2 + the optimization round's
+    # changed-plan discipline).
+    # -- 1. the ONLY registry rows with zero driver attestation (they
+    #       landed after the r12 gate filled; builder-verified at
+    #       sf0.001+sf0.01 under the driver recipe) --
+    "stream_bm25_index_append", "text_bm25_serve_scaled64",
+    # -- 2. changed-plan re-attests — every query whose Spark plan (or
+    #       execution shape) changed in the r13 optimization round:
+    #       the fused MR fan-out subtree + (k,v) dataset bucketing
+    #       (engine.py), the one-pass nprobe sweep, the one-scan
+    #       append censuses, the single-explosion BM25 postings (its
+    #       build/serve family re-proves the persisted artifact), the
+    #       Arrow char-trigram/frame-energy/ngram-novelty kernels --
+    "mr_engine_fanout_rekey", "mr_engine_event_counts",
+    "mr_engine_user_value", "mr_engine_combined_stats",
+    "ann_nprobe_sweep",
+    "text_bm25_index_build", "text_bm25_index_append",
+    "text_bm25_index_compact", "text_bm25_index_serve",
+    "stream_bm25_index_serve",
+    "ann_ivf_append", "ann_index_append", "stream_ivf_append",
+    "stream_index_ingest", "dedup_index_append",
+    "stream_dedup_index_append",
+    "text_trigram_lang_eval", "multimodal_audio_energy",
+    "text_ngram_novelty",
+    # -- 3. oldest-cohort rotation: the first 29 (alphabetical) of the
+    #       41-row r7-banked cohort (computed from CORRECTNESS_r*.json
+    #       hash_match max-round per query); the 12 that don't fit
+    #       (pipe_split_train_val_test, pipe_t_closeness,
+    #       stream_sink_rollup, text_bigram_score,
+    #       text_cms_heavy_hitters, text_fingerprint, text_lang_id,
+    #       text_perplexity_buckets, text_quality, text_repetition,
+    #       text_tfidf_terms, text_token_histogram) lead the r14
+    #       rotation --
+    "ann_adc_rerank", "ann_centroid_outliers", "ann_cluster_purity",
+    "ann_ivf_pq_residual_topk", "ann_knn_graph", "ann_quantize_int8",
+    "ann_range_search", "dedup_decontaminate", "dedup_effective_size",
+    "dedup_entity_resolution", "dedup_exact", "dedup_funnel",
+    "dedup_jaccard_prefix", "dedup_minhash_pairs", "dedup_minhash_sig",
+    "dedup_ngram_jaccard", "dedup_paragraphs", "dedup_simhash",
+    "dedup_simhash_pairs", "multimodal_features", "multimodal_frames",
+    "multimodal_infer", "multimodal_meta", "multimodal_resize",
+    "pipe_corpus_stats", "pipe_quality_funnel", "pipe_sample_hash",
+    "pipe_sample_join", "pipe_shuffle_audit",
+]
+# superseded r12 gate kept for the diff reader:
+_GATE_R12 = [
     # ROUND-12 GATE (VERDICT r11 #2: retire the r6 cohort — after this
     # gate lands, no registry row is older than r7).
     # -- 1. the only registry rows with ZERO driver attestation: the
