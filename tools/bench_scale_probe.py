@@ -64,11 +64,18 @@ TABLES = {
 
 
 def replicate(spark, src: str, dst: str, rep: int) -> None:
+    import shutil
+
     from pyspark.sql import functions as F
 
     os.makedirs(dst, exist_ok=True)
-    reps = spark.range(rep).select(F.col("id").alias("_rep"))
+    # embeddings are tiny (2,000 rows at sf0.1) — replicate them deeper
+    # so the ANN family has real volume (JOBX_PROBE_EMB_REP, default
+    # 8× the base factor)
+    emb_rep = int(os.environ.get("JOBX_PROBE_EMB_REP", str(rep * 8)))
     for tbl, idc in TABLES.items():
+        n_rep = emb_rep if tbl == "embeddings" else rep
+        reps = spark.range(n_rep).select(F.col("id").alias("_rep"))
         path = os.path.join(src, f"{tbl}.parquet")
         if not os.path.exists(path):
             continue
@@ -81,9 +88,28 @@ def replicate(spark, src: str, dst: str, rep: int) -> None:
             )
         else:
             out = df.crossJoin(F.broadcast(reps)).drop("_rep")
-        out.repartition(32).write.mode("overwrite").parquet(
-            os.path.join(dst, f"{tbl}.parquet")
-        )
+        if tbl == "events":
+            # the streaming file source globs on the exact file name
+            # events.parquet, so this table must stay ONE FILE — stage
+            # the write, then move the single part file.
+            stage = os.path.join(dst, f"_stage_{tbl}")
+            out.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = [p for p in os.listdir(stage) if p.endswith(".parquet")]
+            assert len(part) == 1, part
+            shutil.move(
+                os.path.join(stage, part[0]),
+                os.path.join(dst, f"{tbl}.parquet"),
+            )
+            shutil.rmtree(stage)
+        else:
+            # batch loaders take a path (file or directory) — a
+            # directory named <tbl>.parquet with 32 part files keeps
+            # scan parallelism honest (a single small file is ONE scan
+            # split: the 10 MB embeddings replica read on one task and
+            # flattened every ann-row core ratio in the first probe).
+            out.repartition(32).write.mode("overwrite").parquet(
+                os.path.join(dst, f"{tbl}.parquet")
+            )
     # non-replicated side tables copied as-is (relational dims some
     # queries broadcast)
     import shutil
